@@ -1,0 +1,29 @@
+"""flumedb_spark — a PySpark-native engine with the query and
+data-processing capabilities of flumedb/flumedb (reference surveyed in
+SURVEY.md), plus the large-scale training-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal columns).
+
+Core: an append-only Parquet log + incrementally-maintained materialized
+views with read-after-write consistency — re-expressed on the Spark
+DataFrame/Structured-Streaming stack rather than ported.
+"""
+
+from .engine import ClosedError, Flume, ViewHandle
+from .log import LOG_SCHEMA, ParquetLog
+from .session import get_spark
+from .views.base import FlumeView
+from .views.reduce import NativeStats, Reduce
+
+__all__ = [
+    "ClosedError",
+    "Flume",
+    "FlumeView",
+    "LOG_SCHEMA",
+    "NativeStats",
+    "ParquetLog",
+    "Reduce",
+    "ViewHandle",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

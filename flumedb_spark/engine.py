@@ -1,0 +1,310 @@
+"""Flume — the orchestrator: log wrapper, view registry, build/catch-up
+loop, consistency gate, mapper plumbing.
+
+Reference parity map (SURVEY.md §2.A):
+
+- O1/O2 append           -> :meth:`Flume.append`
+- O3 get                 -> :meth:`Flume.get`
+- O4/O5/O6 stream        -> :meth:`Flume.stream` / :meth:`Flume.stream_df`
+- O7 since               -> :attr:`Flume.since`
+- O8 use                 -> :meth:`Flume.use` (validation `index.js:174-182`,
+                            name collision `index.js:164-166`, late
+                            registration backfills `README.md:156-157`)
+- O9 build/catch-up loop -> :meth:`Flume._catch_up` (resume from view.since
+                            = `index.js:39`; view-ahead destroy+rebuild =
+                            `index.js:36-37`; crash-restart = `index.js:66-71`)
+- O10-O13 gate           -> :class:`ViewHandle` wrapping (`wrap.js:29-61`);
+                            the reference's `wrap.js:49` splice-argument
+                            bug is deliberately NOT replicated (SURVEY
+                            §7.4.6) — we gate on an explicit target seq.
+- O14 method dispatch    -> view.METHODS {'sync'|'async'|'source'}
+                            (`wrap.js:63-96`; sync bypasses the gate)
+- O15 mapper             -> :meth:`Flume._mapped` — composed onto every
+                            read and every view feed, never persisted
+                            (`index.js:96-130`); skipped when values are
+                            not requested (`index.js:97-99`)
+- O16 rebuild            -> :meth:`Flume.rebuild` (`index.js:194-250`)
+- O17 destroy            -> ``db.<view>.destroy()``
+- O18 close              -> :meth:`Flume.close` (post-close calls raise,
+                            `index.js:132-136`, `wrap.js:11-15`)
+- O19 per-view ready     -> ``db.<view>.ready()``
+- O20 meta counters      -> :attr:`Flume.meta`, ``db.<view>.meta``
+- O22 dir                -> :attr:`Flume.dir`
+
+Execution model: incremental batch folds (the `foreachBatch` shape) driven
+at read time by the gate — semantically identical to the reference's live
+pull pipeline because flume streams are replayable and strictly ordered
+(SURVEY §2.C). `flumedb_spark.streaming.live` supplies the always-on
+Structured-Streaming variant of the feed (O6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Any, Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .log import ParquetLog, _decode
+from .views.base import FlumeView
+
+REQUIRED_VIEW_ATTRS = ("close", "fold", "destroy", "since")  # index.js:174-182
+
+
+class ClosedError(RuntimeError):
+    pass
+
+
+class ViewHandle:
+    """Per-view method wrapper: consistency gate + call metering
+    (`wrap.js`). Mounted at ``db.<name>``."""
+
+    def __init__(self, engine: "Flume", view: FlumeView):
+        self._engine = engine
+        self._view = view
+        self.meta: dict[str, int] = {}
+        for mname, kind in view.METHODS.items():
+            self._mount(mname, kind)
+
+    def _mount(self, mname: str, kind: str) -> None:
+        if kind not in ("sync", "async", "source"):
+            raise ValueError(f"method type must be sync|async|source: {mname}={kind}")
+        inner = getattr(self._view, mname)
+
+        def call(*args, since: int | None = None, **kw):
+            self._engine._throw_if_closed()
+            self.meta[mname] = self.meta.get(mname, 0) + 1
+            if kind != "sync":  # sync bypasses the gate (wrap.js:89-95)
+                self._engine._gate(self._view, since)
+            return inner(*args, **kw)
+
+        setattr(self, mname, call)
+
+    @property
+    def since(self) -> int:
+        return self._view.since
+
+    def ready(self, since: int | None = None) -> None:
+        """One-shot barrier: returns when the view is caught up
+        (README.md:254-257)."""
+        self._engine._throw_if_closed()
+        self._engine._gate(self._view, since)
+
+    def destroy(self) -> None:
+        self._view.destroy()
+
+
+class Flume:
+    """The engine. ``Flume(path_or_log, is_ready=True, mapper=None)``."""
+
+    def __init__(
+        self,
+        log: ParquetLog | str,
+        is_ready: bool = True,
+        mapper: Callable[[Any], Any] | None = None,
+        spark: SparkSession | None = None,
+    ):
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+        self.log = ParquetLog(log) if isinstance(log, str) else log
+        self.mapper = mapper
+        self.closed = False
+        self._ready = threading.Event()
+        if is_ready:
+            self._ready.set()
+        self._views: dict[str, FlumeView] = {}
+        self._handles: dict[str, ViewHandle] = {}
+        self.meta: dict[str, int] = {"append": 0, "get": 0, "stream": 0}
+        self._lock = threading.RLock()
+
+    # ---- basics --------------------------------------------------------
+    @property
+    def dir(self) -> str:
+        """Storage root shared by log + views (README.md:207-210)."""
+        return self.log.path
+
+    @property
+    def since(self) -> int:
+        return self.log.since
+
+    def _throw_if_closed(self) -> None:
+        if self.closed:
+            raise ClosedError("flumedb instance is closed")  # index.js:132-136
+
+    @property
+    def is_ready(self) -> bool:
+        return self._ready.is_set()
+
+    def set_ready(self, flag: bool) -> None:
+        """Master switch stalling every gated read (O13, wrap.js:22-27)."""
+        if flag:
+            self._ready.set()
+        else:
+            self._ready.clear()
+
+    # ---- mapper (O15) --------------------------------------------------
+    def _mapped(self, df: DataFrame) -> DataFrame:
+        """Compose the mapper onto a (seq, ts, value)-shaped plan. Runs
+        executor-side via Arrow-batched mapInPandas; never persisted."""
+        if self.mapper is None:
+            return df
+        mapper = self.mapper
+        cols = df.columns
+
+        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                pdf = pdf.copy()
+                pdf["value"] = [
+                    json.dumps(mapper(json.loads(v)), sort_keys=True, default=str)
+                    for v in pdf["value"]
+                ]
+                yield pdf
+
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        out = df.mapInPandas(run, schema)
+        return out.select(*cols)
+
+    # ---- write path (O1/O2) --------------------------------------------
+    def append(self, values: Any) -> int:
+        self._throw_if_closed()
+        self.meta["append"] += 1
+        return self.log.append(values)
+
+    # ---- read paths (O3-O6) --------------------------------------------
+    def get(self, seq: int) -> Any:
+        """Mapped point lookup; raises KeyError if absent
+        (README.md:124-128)."""
+        self._throw_if_closed()
+        self.meta["get"] += 1
+        rec = self.log.get(self.spark, seq)
+        if rec is None:
+            raise KeyError(seq)
+        v = rec["value"]
+        return self.mapper(v) if self.mapper else v
+
+    def stream_df(self, seqs: bool = True, values: bool = True, **opts) -> DataFrame:
+        """Range-scan plan with mapper composed (O4/O5). Mapper is skipped
+        entirely for seq-only streams (index.js:97-99)."""
+        self._throw_if_closed()
+        self.meta["stream"] += 1
+        df = self.log.stream_df(self.spark, seqs=True, values=True, **opts)
+        if values:
+            df = self._mapped(df)
+        if seqs and values:
+            return df.select("seq", "value")
+        return df.select("seq") if seqs else df.select("value")
+
+    def stream(
+        self,
+        seqs: bool = True,
+        values: bool = True,
+        live: bool = False,
+        poll_interval: float = 0.05,
+        **opts,
+    ):
+        """Collected range scan. ``live=True`` returns a generator that
+        emits the bounded prefix then tails new appends (O6) — the
+        driver-side form; `streaming.live` is the cluster form."""
+        if not live:
+            return [self._row_to_item(r, seqs, values) for r in self.stream_df(seqs=seqs, values=values, **opts).collect()]
+
+        def tail() -> Iterator[Any]:
+            pos = opts.get("gt", -1)
+            for k in ("gte", "lt", "lte", "reverse", "limit"):
+                if opts.get(k) is not None:
+                    raise ValueError(f"live tail does not support {k} (SURVEY §7.4.4)")
+            while not self.closed:
+                head = self.log.since
+                if head > pos:
+                    for item in self.stream(seqs=seqs, values=values, gt=pos, lte=head):
+                        yield item
+                    pos = head
+                else:
+                    time.sleep(poll_interval)
+
+        return tail()
+
+    @staticmethod
+    def _row_to_item(row, seqs: bool, values: bool):
+        if seqs and values:
+            return {"seq": row.seq, "value": _decode(row.value)}
+        return row.seq if seqs else _decode(row.value)
+
+    # ---- views (O8/O9) -------------------------------------------------
+    def use(self, name: str, view: FlumeView) -> "Flume":
+        self._throw_if_closed()
+        if name in self._views or hasattr(self, name):
+            raise ValueError(f"flumedb.use: name already in use: {name}")  # index.js:164-166
+        for attr in REQUIRED_VIEW_ATTRS:
+            if not hasattr(view, attr):
+                raise TypeError(f"view must have method/prop: {attr}")  # index.js:174-182
+        view.attach(self, name, os.path.join(self.dir, "views", name), self.spark)
+        self._views[name] = view
+        handle = ViewHandle(self, view)
+        self._handles[name] = handle
+        setattr(self, name, handle)
+        return self
+
+    def _feed(self, view: FlumeView, gt: int, lte: int) -> None:
+        """One incremental batch (seq in (gt, lte]) through the mapper into
+        the view's fold — the pull pipeline of `index.js:51-55`."""
+        batch = self.log.stream_df(self.spark, gt=gt, lte=lte, seqs=True, values=True)
+        view.fold(self._mapped(batch), lte)
+
+    def _catch_up(self, view: FlumeView, target: int) -> None:
+        with self._lock:
+            # view ahead of the log (log truncated/replaced) => destroy +
+            # full rebuild (index.js:36-37, test/memlog.js:98-126)
+            if view.since > self.log.since:
+                view.destroy()
+            if view.since < target:
+                try:
+                    self._feed(view, view.since, target)
+                except Exception:
+                    # crash-restart: a corrupt view never poisons the log —
+                    # destroy and rebuild from 0 (index.js:56-75)
+                    view.destroy()
+                    self._feed(view, -1, target)
+
+    def _gate(self, view: FlumeView, since_opt: int | None) -> None:
+        """Read-after-write gate (O10-O12, wrap.js:29-61): block until the
+        view reflects the log head *as of call time* (or an explicit seq);
+        ``since=-1`` opts out of catch-up (README.md:249-252)."""
+        while not self._ready.is_set():  # O13 master switch
+            if self.closed:
+                raise ClosedError("closed while waiting")
+            if self._ready.wait(timeout=0.05):
+                break
+        if since_opt == -1:
+            return
+        target = self.log.since if since_opt is None else int(since_opt)
+        self._catch_up(view, target)
+
+    # ---- lifecycle (O16/O18) -------------------------------------------
+    def rebuild(self) -> None:
+        """Destroy ALL views and replay the whole log through them
+        (index.js:194-250). Appends stay legal concurrently; gated reads
+        simply re-catch-up."""
+        self._throw_if_closed()
+        with self._lock:
+            for view in self._views.values():
+                view.destroy()
+            head = self.log.since
+            if head >= 0:
+                for view in self._views.values():
+                    self._feed(view, -1, head)
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        self.closed = True
+        self._ready.set()  # release waiters; they observe closed and raise
+        for view in self._views.values():
+            view.close()

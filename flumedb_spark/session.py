@@ -1,0 +1,37 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB deployment too: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), Arrow enabled for the Pandas-UDF slow
+path, UTC session timezone so results hash-match a UTC-naive oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "flumedb_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # ~cores, not the 200 default: local shuffles are driver-disk bound.
+        # On a real cluster this is set to ~2-3x total cores / sized so each
+        # shuffle partition is 100-200MB at the target SF.
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,113 @@
+"""View contract — the four required methods from `index.js:174-182`:
+``close``, ``createSink`` (here: ``fold``), ``destroy``, ``since``.
+
+A view is a derived, materialized structure built by streaming the log
+through a sink (`README.md:183-184`), consuming records strictly in seq
+order (`README.md:220-223`), resumable from its own ``since`` watermark.
+
+Spark-first execution model (SURVEY.md §7.0): each view is an
+**incrementally-maintained table**. The engine feeds it batches
+``seq > view.since`` (the `opts.gt = upto` resume of `index.js:39`);
+the view folds the batch and commits state + new ``since`` **atomically**
+(state tmp-dir + meta rename in one step) so retries never double-count —
+the exactly-once requirement of SURVEY §7.4.2. This is the
+`foreachBatch`-style incremental fold; because flume streams are
+replayable and strictly ordered it is semantically identical to the
+Structured-Streaming form (SURVEY §2.C streaming row), and
+`flumedb_spark.streaming.live` provides the always-on variant.
+
+Views declare ``ORDER_SENSITIVE``: order-insensitive folds (count/sum,
+index maintenance) are executed with full partition parallelism;
+order-sensitive reducers force a seq-sort into a single fold lane
+(SURVEY §7.4.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class FlumeView:
+    """Base class: persisted state dir + atomic (state, since) commits."""
+
+    #: bump to force rebuild on code change (README.md:26-29)
+    VERSION: Any = 1
+    ORDER_SENSITIVE = False
+    #: method name -> 'sync' | 'async' | 'source'  (wrap.js:126-137)
+    METHODS: dict[str, str] = {}
+
+    def __init__(self, version: Any = None):
+        if version is not None:
+            self.VERSION = version
+        self.name: str | None = None
+        self.path: str | None = None
+        self.spark: SparkSession | None = None
+        self._engine = None
+        self._meta: dict = {"since": -1, "version": None}
+
+    # ---- lifecycle ----------------------------------------------------
+    def attach(self, engine, name: str, path: str, spark: SparkSession) -> None:
+        self._engine = engine
+        self.name = name
+        self.path = path
+        self.spark = spark
+        os.makedirs(path, exist_ok=True)
+        mp = self._meta_path()
+        if os.path.exists(mp):
+            with open(mp) as f:
+                self._meta = json.load(f)
+        # version mismatch => rebuild from scratch (README.md:26-29)
+        if self._meta.get("version") not in (None, self.VERSION):
+            self.destroy()
+        self._meta["version"] = self.VERSION
+        self._load_state()
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    @property
+    def since(self) -> int:
+        return self._meta.get("since", -1)
+
+    def commit(self, new_since: int) -> None:
+        """Atomically persist state + watermark (SURVEY §7.4.2)."""
+        self._persist_state()
+        self._meta["since"] = int(new_since)
+        tmp = self._meta_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(self._meta, f)
+        os.replace(tmp, self._meta_path())
+
+    def destroy(self) -> None:
+        """Wipe persisted state, since -> -1 (README.md:230-232)."""
+        if self.path and os.path.exists(self.path):
+            shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.path, exist_ok=True)
+        self._meta = {"since": -1, "version": self.VERSION}
+        self._reset_state()
+
+    def close(self) -> None:
+        pass
+
+    # ---- fold (the sink) ----------------------------------------------
+    def fold(self, batch: DataFrame, upto: int) -> None:
+        """Consume one batch of mapped `(seq, value)` rows, all with
+        ``since < seq <= upto``, in seq order; must call
+        ``self.commit(upto)`` exactly once at the end."""
+        raise NotImplementedError
+
+    # ---- state hooks ---------------------------------------------------
+    def _load_state(self) -> None:  # pragma: no cover - trivial default
+        pass
+
+    def _persist_state(self) -> None:  # pragma: no cover - trivial default
+        pass
+
+    def _reset_state(self) -> None:  # pragma: no cover - trivial default
+        pass

@@ -1,0 +1,169 @@
+"""flumeview-reduce — fold the whole log into ONE accumulator value,
+maintained incrementally (`README.md:59-65,92`; tests
+`test/memlog.js:13-18,44-49,58-64`).
+
+Two execution strategies (SURVEY §7.4.3 order classification):
+
+- :class:`Reduce` — arbitrary Python reducer, order-SENSITIVE. The batch
+  is seq-sorted into a single fold lane and folded executor-side via
+  ``mapInPandas`` (Arrow batches in, one accumulator row out) — the
+  sanctioned slow path; only the final accumulator crosses to the driver.
+- :class:`NativeStats` — the mergeable-statistics special case
+  (count/sum/mean/stddev — exactly what the reference's own tests
+  compute via the `statistics` reducer). Folds run as native Spark
+  aggregates with full partition parallelism and map-side combine;
+  partials merge algebraically (count, sum, sum of squares, min, max),
+  so a 100 TB backfill is one distributed agg, not a serial fold.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .base import FlumeView
+
+
+class Reduce(FlumeView):
+    """``Reduce(version, reducer, initial=None)`` — arbitrary fold.
+
+    ``get()`` returns the accumulator; ``None`` on an empty log
+    (test/memlog.js:26-34 returns undefined).
+    """
+
+    ORDER_SENSITIVE = True
+    METHODS = {"get": "async"}
+
+    def __init__(self, version: Any, reducer: Callable[[Any, Any], Any], initial: Any = None):
+        super().__init__(version)
+        self.reducer = reducer
+        self.initial = initial
+        self._acc: Any = initial
+
+    # state = one JSON accumulator
+    def _state_path(self) -> str:
+        return os.path.join(self.path, "state.json")
+
+    def _load_state(self) -> None:
+        if os.path.exists(self._state_path()):
+            with open(self._state_path()) as f:
+                self._acc = json.load(f)["acc"]
+        else:
+            self._acc = self.initial
+
+    def _persist_state(self) -> None:
+        with open(self._state_path(), "w") as f:
+            json.dump({"acc": self._acc}, f, default=str)
+
+    def _reset_state(self) -> None:
+        self._acc = self.initial
+
+    def fold(self, batch: DataFrame, upto: int) -> None:
+        acc0 = self._acc
+        reducer = self.reducer
+        sentinel = "\x00__unset__"
+
+        def run(it):
+            a = acc0
+            for pdf in it:
+                for raw in pdf["value"]:
+                    a = reducer(a, json.loads(raw))
+            out = json.dumps(a, default=str) if a is not None else sentinel
+            yield pd.DataFrame({"acc": [out]})
+
+        # order-sensitive: one fold lane, seq-sorted (SURVEY §7.4.3)
+        rows = (
+            batch.select("seq", "value")
+            .repartition(1)
+            .sortWithinPartitions("seq")
+            .mapInPandas(run, "acc string")
+            .collect()
+        )
+        if rows and rows[0].acc != sentinel:
+            self._acc = json.loads(rows[0].acc)
+        self.commit(upto)
+
+    def get(self, path: Any = None) -> Any:
+        acc = self._acc
+        if acc is not None and path is not None:
+            keys = path if isinstance(path, (list, tuple)) else [path]
+            for k in keys:
+                acc = acc[k]
+        return acc
+
+
+class NativeStats(FlumeView):
+    """Mergeable running statistics over a numeric field of the value.
+
+    The Spark-native form of the reference's mean/stdev reduce view
+    (`test/memlog.js:44-64`): partial aggregates per batch, algebraic
+    merge into persisted state. ``get()`` -> dict with count/sum/mean/
+    stddev/min/max; ``None`` on empty log.
+    """
+
+    ORDER_SENSITIVE = False
+    METHODS = {"get": "async"}
+
+    def __init__(self, version: Any, field: str = "foo"):
+        super().__init__(version)
+        self.field = field
+        self._s = None  # {n, sum, sq, min, max}
+
+    def _state_path(self) -> str:
+        return os.path.join(self.path, "state.json")
+
+    def _load_state(self) -> None:
+        if os.path.exists(self._state_path()):
+            with open(self._state_path()) as f:
+                self._s = json.load(f)["s"]
+        else:
+            self._s = None
+
+    def _persist_state(self) -> None:
+        with open(self._state_path(), "w") as f:
+            json.dump({"s": self._s}, f)
+
+    def _reset_state(self) -> None:
+        self._s = None
+
+    def fold(self, batch: DataFrame, upto: int) -> None:
+        x = F.get_json_object(F.col("value"), f"$.{self.field}").cast("double")
+        row = batch.agg(
+            F.count(x).alias("n"),
+            F.sum(x).alias("s"),
+            F.sum(x * x).alias("sq"),
+            F.min(x).alias("mn"),
+            F.max(x).alias("mx"),
+        ).collect()[0]
+        if row.n:
+            if self._s is None:
+                self._s = {"n": 0, "sum": 0.0, "sq": 0.0, "min": row.mn, "max": row.mx}
+            s = self._s
+            s["n"] += row.n
+            s["sum"] += row.s
+            s["sq"] += row.sq
+            s["min"] = min(s["min"], row.mn)
+            s["max"] = max(s["max"], row.mx)
+        self.commit(upto)
+
+    def get(self, path: Any = None) -> Any:
+        if self._s is None:
+            return None
+        s = self._s
+        mean = s["sum"] / s["n"]
+        var = max(s["sq"] / s["n"] - mean * mean, 0.0)
+        out = {
+            "count": s["n"],
+            "sum": s["sum"],
+            "mean": mean,
+            "stdev": math.sqrt(var),
+            "min": s["min"],
+            "max": s["max"],
+        }
+        return out[path] if path is not None else out

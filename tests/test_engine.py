@@ -1,0 +1,309 @@
+"""Engine contract tests — ports of the reference's behavioral suite
+(SURVEY.md §5: test/memlog.js, test/memlog-map.js, test/rebuild.js
+patterns), parametrized over mapper configs like the reference
+parametrizes over log backends."""
+
+import threading
+import time
+
+import pytest
+
+from flumedb_spark import ClosedError, Flume, NativeStats, Reduce
+
+
+def make_db(tmp_log_dir, spark, mapper=None, is_ready=True):
+    return Flume(tmp_log_dir, is_ready=is_ready, mapper=mapper, spark=spark)
+
+
+def sum_foo(acc, item):
+    return (acc or 0) + item["foo"]
+
+
+# ---- M1: README example semantics (SURVEY §7.1) -------------------------
+
+
+def test_empty_log_since_and_view_undefined(spark, tmp_log_dir):
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
+    assert db.since == -1
+    assert db.sum.get() is None  # test/memlog.js:26-34
+
+
+def test_append_then_gated_read(spark, tmp_log_dir):
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
+    seq = db.append({"foo": 1})
+    assert seq == 0
+    assert db.since == 0  # since visible by append-return (README.md:149)
+    assert db.sum.get() == 1  # read-after-write (test/memlog.js:36-52)
+    db.append({"foo": 3})
+    assert db.sum.get() == 4
+
+
+def test_running_stats_golden(spark, tmp_log_dir):
+    # test/memlog.js:44-64 golden values: mean=1 stdev=0, then mean=2 stdev=1
+    db = make_db(tmp_log_dir, spark).use("stats", NativeStats(1, field="foo"))
+    db.append({"foo": 1})
+    s = db.stats.get()
+    assert s["mean"] == 1 and s["stdev"] == 0
+    db.append({"foo": 3})
+    s = db.stats.get()
+    assert s["mean"] == 2 and s["stdev"] == 1
+
+
+def test_batch_append_atomic(spark, tmp_log_dir):
+    db = make_db(tmp_log_dir, spark)
+    maxseq = db.append([{"foo": i} for i in range(5)])
+    assert maxseq == 4
+    assert db.since == 4
+
+
+# ---- ordering / round trip (test/memlog.js:68-80) -----------------------
+
+
+def test_stream_roundtrip_and_get(spark, tmp_log_dir):
+    db = make_db(tmp_log_dir, spark)
+    vals = [{"foo": i} for i in range(7)]
+    db.append(vals)
+    items = db.stream()
+    assert [i["seq"] for i in items] == list(range(7))
+    assert [i["value"] for i in items] == vals
+    for i in range(7):
+        assert db.get(i) == vals[i]
+    with pytest.raises(KeyError):
+        db.get(99)
+
+
+def test_stream_range_reverse_limit(spark, tmp_log_dir):
+    db = make_db(tmp_log_dir, spark)
+    db.append([{"foo": i} for i in range(10)])
+    assert [i["seq"] for i in db.stream(gt=2, lte=6)] == [3, 4, 5, 6]
+    assert [i["seq"] for i in db.stream(gte=2, lt=6)] == [2, 3, 4, 5]
+    # limit truncates AFTER reverse: top-k from the chosen end
+    assert [i["seq"] for i in db.stream(reverse=True, limit=3)] == [9, 8, 7]
+    assert [i["seq"] for i in db.stream(limit=3)] == [0, 1, 2]
+
+
+def test_stream_projection_flags(spark, tmp_log_dir):
+    # test/memlog-map.js:48-108 three projection modes
+    db = make_db(tmp_log_dir, spark)
+    db.append([{"foo": 1}, {"foo": 2}])
+    assert db.stream(values=False) == [0, 1]
+    assert db.stream(seqs=False) == [{"foo": 1}, {"foo": 2}]
+    assert db.stream() == [
+        {"seq": 0, "value": {"foo": 1}},
+        {"seq": 1, "value": {"foo": 2}},
+    ]
+
+
+# ---- mapper (O15, test/memlog-map.js) -----------------------------------
+
+
+def test_mapper_applied_once_per_consumption(spark, tmp_log_dir):
+    def mapper(v):
+        return {**v, "map": True, "called": v.get("called", 0) + 1}
+
+    db = make_db(tmp_log_dir, spark, mapper=mapper)
+    db.use("counts", Reduce(1, lambda acc, item: (acc or 0) + item["called"]))
+    db.append([{"foo": i} for i in range(1, 5)])
+    # every read shows called=1 (mapped once, never persisted)
+    for item in db.stream():
+        assert item["value"]["map"] is True and item["value"]["called"] == 1
+    assert db.get(0)["called"] == 1
+    # the called-sum fold equals record count (test/memlog-map.js:110-118)
+    assert db.counts.get() == 4
+    # seq-only stream skips the mapper entirely (index.js:97-99)
+    assert db.stream(values=False) == [0, 1, 2, 3]
+
+
+# ---- gate behaviors (O10-O13) -------------------------------------------
+
+
+def test_ready_flag_stalls_reads(spark, tmp_log_dir):
+    # test/memlog.js:82-96
+    db = make_db(tmp_log_dir, spark, is_ready=False).use("sum", Reduce(1, sum_foo))
+    db.append({"foo": 2})
+    out = {}
+
+    def reader():
+        out["v"] = db.sum.get()
+
+    t = threading.Thread(target=reader)
+    t.start()
+    time.sleep(0.3)
+    assert "v" not in out  # stalled while not ready
+    db.set_ready(True)
+    t.join(timeout=30)
+    assert out["v"] == 2
+
+
+def test_staleness_opt_out(spark, tmp_log_dir):
+    # opts.since = -1: don't wait for catch-up (O11)
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
+    db.append({"foo": 1})
+    assert db.sum.get() == 1
+    db.append({"foo": 10})
+    stale = db.sum.get(since=-1)  # view state at some seq' <= since
+    assert stale in (1, 11)
+    assert db.sum.get() == 11
+
+
+def test_wait_for_specific_seq(spark, tmp_log_dir):
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
+    db.append([{"foo": 1}, {"foo": 2}, {"foo": 3}])
+    assert db.sum.get(since=1) in (3, 6)  # at least seqs 0..1 folded
+    assert db.sum.since >= 1
+
+
+def test_view_ahead_of_log_rebuilds(spark, tmp_log_dir):
+    # test/memlog.js:98-126: log replaced by a shorter one => destroy+rebuild
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
+    db.append([{"foo": 1}, {"foo": 2}, {"foo": 3}])
+    assert db.sum.get() == 6
+    db.log.destroy()  # truncate the log under the engine
+    db.append({"foo": 5})
+    assert db.sum.get() == 5  # rebuilt from the new log only
+
+
+# ---- use() validation (O8) ----------------------------------------------
+
+
+def test_use_name_collision_throws(spark, tmp_log_dir):
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
+    with pytest.raises(ValueError):
+        db.use("sum", Reduce(1, sum_foo))
+    with pytest.raises(ValueError):
+        db.use("append", Reduce(1, sum_foo))  # clashes with engine method
+
+
+def test_use_contract_violation_throws(spark, tmp_log_dir):
+    # test/memlog.js:128-141
+    db = make_db(tmp_log_dir, spark)
+    with pytest.raises(TypeError):
+        db.use("bad", object())
+
+
+def test_late_registration_backfills(spark, tmp_log_dir):
+    # README.md:156-157: use() legal after data exists => backfill
+    db = make_db(tmp_log_dir, spark)
+    db.append([{"foo": i} for i in range(1, 4)])
+    db.use("sum", Reduce(1, sum_foo))
+    assert db.sum.get() == 6
+
+
+# ---- version bump / rebuild / destroy (O16/O17) -------------------------
+
+
+def test_version_bump_forces_rebuild(spark, tmp_log_dir):
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
+    db.append([{"foo": 1}, {"foo": 2}])
+    assert db.sum.get() == 3
+    db.close()
+    # reopen with a new view version: must rebuild, not resume
+    db2 = Flume(tmp_log_dir, spark=spark).use(
+        "sum", Reduce(2, lambda acc, item: (acc or 0) + 2 * item["foo"])
+    )
+    assert db2.sum.get() == 6
+
+
+def make_counting_reducer(path):
+    # The reducer runs executor-side; record each sink delivery through the
+    # (local-mode-shared) filesystem so the test can count them, mirroring
+    # the reference's sink-delivery counting (test/rebuild.js:21-23).
+    def counting_reducer(acc, item):
+        with open(path, "a") as f:
+            f.write(f"{item['foo']}\n")
+        return (acc or 0) + item["foo"]
+
+    return counting_reducer
+
+
+def n_deliveries(path):
+    import os
+
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return len(f.readlines())
+
+
+def test_rebuild_replays_whole_log(spark, tmp_log_dir, tmp_path):
+    # test/rebuild.js:19-62 delivery counting: no loss, no duplication
+    dlog = str(tmp_path / "deliveries.txt")
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, make_counting_reducer(dlog)))
+    db.append([{"foo": 1}, {"foo": 2}])
+    assert db.sum.get() == 3  # 2 deliveries
+    db.rebuild()  # replays the 2
+    db.append([{"foo": 3}, {"foo": 4}, {"foo": 5}])
+    assert db.sum.get() == 15
+    assert n_deliveries(dlog) == 7  # 2 + 2 replayed + 3 new, exactly
+
+
+def test_persistence_resume_not_refold(spark, tmp_log_dir, tmp_path):
+    dlog = str(tmp_path / "deliveries.txt")
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, make_counting_reducer(dlog)))
+    db.append([{"foo": 1}, {"foo": 2}])
+    assert db.sum.get() == 3
+    db.close()
+    db2 = Flume(tmp_log_dir, spark=spark).use("sum", Reduce(1, make_counting_reducer(dlog)))
+    db2.append({"foo": 4})
+    assert db2.sum.get() == 7  # resumed from checkpointed acc
+    assert n_deliveries(dlog) == 3  # seqs 0,1 folded once ever; only seq 2 new
+
+
+# ---- close (O18) --------------------------------------------------------
+
+
+def test_close_then_everything_throws(spark, tmp_log_dir):
+    # test/memlog.js:143-168
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
+    db.append({"foo": 1})
+    db.close()
+    for call in (
+        lambda: db.append({"foo": 2}),
+        lambda: db.get(0),
+        lambda: db.stream(),
+        lambda: db.sum.get(),
+        lambda: db.use("x", Reduce(1, sum_foo)),
+        db.rebuild,
+    ):
+        with pytest.raises(ClosedError):
+            call()
+    db.close()  # idempotent
+
+
+# ---- meta counters (O20) ------------------------------------------------
+
+
+def test_meta_counters(spark, tmp_log_dir):
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
+    db.append({"foo": 1})
+    db.get(0)
+    db.stream()
+    db.sum.get()
+    db.sum.get()
+    assert db.meta["append"] == 1
+    assert db.meta["get"] == 1
+    assert db.meta["stream"] == 1
+    assert db.sum.meta["get"] == 2
+
+
+# ---- live tail (O6, driver-side form) -----------------------------------
+
+
+def test_live_tail(spark, tmp_log_dir):
+    db = make_db(tmp_log_dir, spark)
+    db.append([{"foo": 1}, {"foo": 2}])
+    got = []
+    gen = db.stream(live=True)
+
+    def consume():
+        for item in gen:
+            got.append(item)
+            if len(got) >= 3:
+                break
+
+    t = threading.Thread(target=consume)
+    t.start()
+    time.sleep(0.5)
+    db.append({"foo": 3})
+    t.join(timeout=60)
+    assert [g["seq"] for g in got] == [0, 1, 2]
