@@ -1,0 +1,136 @@
+"""flumeview-bloom — approximate membership view (`README.md:97`:
+"bloom filter lets you check if you *may* have something").
+
+Spark-first: state is the exact distinct-key table (manifest-committed,
+deduped on merge) — the hash-checkable ground truth (SURVEY §7.4.7) —
+plus a Bloom sketch whose bit positions are computed JVM-side with
+``xxhash64`` double hashing (Spark 4.1 does not expose
+``bloom_filter_agg`` as a SQL routine; the classic
+Kirsch-Mitzenmacher ``h1 + i*h2`` construction over two xxhash64
+values is equivalent and keeps probe hashing identical to build
+hashing). ``might_have`` answers from the sketch (no false negatives,
+tunable false positives); ``has`` answers exactly.
+
+At 100 TB the sketch is the point: a few MB of bits answering "seen?"
+without touching the key table; the exact table stays for rebuilds and
+auditing, partitioned by key hash.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .base import FlumeView
+
+
+class Bloom(FlumeView):
+    """``Bloom(version, key_expr, expected_items=1_000_000, fpp=0.01)``.
+
+    ``key_expr``: Spark SQL expression over the JSON ``value`` column
+    (e.g. ``get_json_object(value, '$.user') ``) producing the key.
+    """
+
+    ORDER_SENSITIVE = False
+    METHODS = {"has": "async", "might_have": "async", "approx_count": "async"}
+
+    def __init__(
+        self,
+        version: Any,
+        key_expr: str,
+        expected_items: int = 1_000_000,
+        fpp: float = 0.01,
+    ):
+        super().__init__(version)
+        self.key_expr = key_expr
+        self.expected_items = expected_items
+        self.fpp = fpp
+        import math
+
+        # optimal m/k for the target false-positive rate
+        self.m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+        self.k = max(1, round(self.m / expected_items * math.log(2)))
+        self._sketch: bytearray | None = None
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "keys")
+
+    def _load_state(self) -> None:
+        self._meta.setdefault("files", [])
+        os.makedirs(self._data_dir(), exist_ok=True)
+        self._sketch = None
+
+    def _reset_state(self) -> None:
+        self._meta["files"] = []
+        os.makedirs(self._data_dir(), exist_ok=True)
+        self._sketch = None
+
+    def fold(self, batch: DataFrame, upto: int) -> None:
+        keys = batch.select(F.expr(self.key_expr).cast("string").alias("key")).distinct()
+        if keys.limit(1).count() > 0:
+            fname = f"{upto:012d}-{uuid.uuid4().hex[:8]}.parquet"
+            keys.write.mode("overwrite").parquet(os.path.join(self._data_dir(), fname))
+            self._meta["files"] = self._meta.get("files", []) + [fname]
+            self._sketch = None  # invalidate
+        self.commit(upto)
+
+    def keys_df(self) -> DataFrame:
+        files = [os.path.join(self._data_dir(), f) for f in self._meta.get("files", [])]
+        if not files:
+            return self.spark.createDataFrame([], "key string")
+        return self.spark.read.parquet(*files).distinct()
+
+    def _positions_expr(self):
+        """k bit positions per key: (h1 + i*h2) mod m, hashes JVM-side."""
+        # reduce mod m before combining: stays in long range under ANSI mode
+        h1 = f"pmod(xxhash64(key), {self.m}L)"
+        h2 = f"pmod(xxhash64(key, 'salt'), {self.m}L)"
+        pos = ", ".join(
+            f"pmod({h1} + {i}L * {h2}, {self.m}L)" for i in range(self.k)
+        )
+        return F.expr(f"array({pos})")
+
+    def _ensure_sketch(self) -> bytearray | None:
+        if self._sketch is None:
+            # distinct set positions <= n*k — a compact int set; at scale
+            # this becomes a treeAggregate of per-partition bitmaps
+            rows = (
+                self.keys_df()
+                .select(F.explode(self._positions_expr()).alias("pos"))
+                .distinct()
+                .collect()
+            )
+            if rows:
+                bf = bytearray((self.m + 7) // 8)
+                for r in rows:
+                    p = int(r.pos)
+                    bf[p >> 3] |= 1 << (p & 7)
+                self._sketch = bf
+        return self._sketch
+
+    def has(self, key: Any) -> bool:
+        """Exact membership (the oracle-checkable fallback)."""
+        return (
+            self.keys_df().where(F.col("key") == F.lit(str(key))).limit(1).count() > 0
+        )
+
+    def might_have(self, key: Any) -> bool:
+        """Sketch membership: False is definitive, True is 'maybe'."""
+        bf = self._ensure_sketch()
+        if bf is None:
+            return False
+        # probe positions computed with the SAME JVM hash as the build
+        row = (
+            self.spark.createDataFrame([(str(key),)], "key string")
+            .select(self._positions_expr().alias("pos"))
+            .collect()[0]
+        )
+        return all(bf[int(p) >> 3] & (1 << (int(p) & 7)) for p in row.pos)
+
+    def approx_count(self) -> int:
+        rows = self.keys_df().agg(F.approx_count_distinct("key").alias("n")).collect()
+        return int(rows[0].n) if rows else 0

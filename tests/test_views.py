@@ -1,0 +1,149 @@
+"""View-family tests (SURVEY §2.B): level index, hashtable, search,
+bloom, query DSL — including late registration, rebuild, persistence."""
+
+import pytest
+
+from flumedb_spark import Flume
+from flumedb_spark.views.bloom import Bloom
+from flumedb_spark.views.hashtable import Hashtable
+from flumedb_spark.views.level import Level
+from flumedb_spark.views.query import Query
+from flumedb_spark.views.search import Search
+
+DOCS = [
+    {"author": "alice", "tags": ["db", "log"], "text": "append only log store", "likes": 3},
+    {"author": "bob", "tags": ["db"], "text": "the log is the database", "likes": 10},
+    {"author": "alice", "tags": ["spark"], "text": "catalyst optimizes the plan", "likes": 7},
+    {"author": "carol", "tags": [], "text": "views fold the log stream", "likes": 10},
+]
+
+
+@pytest.fixture()
+def db(spark, tmp_log_dir):
+    d = Flume(tmp_log_dir, spark=spark)
+    d.append(DOCS)
+    yield d
+    d.close()
+
+
+# ---- V2: level secondary index -----------------------------------------
+
+
+def test_level_index_key_fn(db):
+    # one record may index under MANY keys (test/rebuild.js:25-32)
+    db.use("by_tag", Level(1, key_fn=lambda v: v["tags"]))
+    hits = db.by_tag.get("db")
+    assert [h["seq"] for h in hits] == [0, 1]
+    assert hits[0]["value"]["author"] == "alice"
+    assert db.by_tag.get("nope") == []
+
+
+def test_level_index_key_expr_range(db):
+    # JVM-only path + ordered key range scan with join-back
+    db.use(
+        "by_author",
+        Level(1, key_expr="array(get_json_object(value, '$.author'))"),
+    )
+    rows = db.by_author.read(gte="alice", lt="carol").collect()
+    assert [(r.key, r.seq) for r in rows] == [("alice", 0), ("alice", 2), ("bob", 1)]
+    rows = db.by_author.read(reverse=True, limit=1, values=False).collect()
+    assert [(r.key, r.seq) for r in rows] == [("carol", 3)]
+
+
+def test_level_incremental_and_rebuild(db):
+    db.use("by_tag", Level(1, key_fn=lambda v: v["tags"]))
+    assert len(db.by_tag.get("db")) == 2
+    db.append({"author": "dan", "tags": ["db"], "text": "x", "likes": 0})
+    assert len(db.by_tag.get("db")) == 3  # incremental fold picked it up
+    db.rebuild()
+    assert len(db.by_tag.get("db")) == 3  # no dup after replay
+
+
+# ---- V5: hashtable latest-per-key --------------------------------------
+
+
+def test_hashtable_latest_per_key(db):
+    db.use("latest", Hashtable(1, key_expr="get_json_object(value, '$.author')"))
+    assert db.latest.get("alice")["likes"] == 7  # seq 2 beats seq 0
+    db.append({"author": "alice", "tags": [], "text": "new", "likes": 99})
+    assert db.latest.get("alice")["likes"] == 99
+    assert db.latest.get("missing") is None
+    assert db.latest.keys() == ["alice", "bob", "carol"]
+
+
+def test_hashtable_key_fn(db):
+    db.use("ht", Hashtable(1, key_fn=lambda v: v["author"]))
+    assert db.ht.get("carol")["likes"] == 10
+
+
+# ---- V4: full-text search ----------------------------------------------
+
+
+def test_search_and_semantics(db):
+    db.use("ft", Search(1, text_field="text"))
+    assert [h["seq"] for h in db.ft.query("log")] == [0, 1, 3]
+    assert [h["seq"] for h in db.ft.query(["the", "log"])] == [1, 3]  # AND
+    assert db.ft.query("absent") == []
+    db.append({"author": "dan", "tags": [], "text": "another log line", "likes": 1})
+    assert [h["seq"] for h in db.ft.query("log")] == [0, 1, 3, 4]
+
+
+# ---- V6: bloom ----------------------------------------------------------
+
+
+def test_bloom_membership(db):
+    db.use("seen", Bloom(1, key_expr="get_json_object(value, '$.author')", expected_items=1000))
+    assert db.seen.has("alice") is True
+    assert db.seen.has("nobody") is False
+    # sketch: no false negatives ever
+    for a in ("alice", "bob", "carol"):
+        assert db.seen.might_have(a) is True
+    assert db.seen.approx_count() >= 3
+    db.append({"author": "zed", "tags": [], "text": "", "likes": 0})
+    assert db.seen.has("zed") is True
+
+
+# ---- V3: query DSL ------------------------------------------------------
+
+
+FIELDS = {"author": "string", "likes": "long", "text": "string"}
+
+
+def test_query_filter_map_sort_limit(db):
+    db.use("q", Query(1, fields=FIELDS))
+    out = db.q.query(
+        [
+            {"$filter": {"likes": {"$gte": 7}}},
+            {"$map": {"who": "author", "n": "likes"}},
+            {"$sort": "n", "$reverse": True},
+            {"$limit": 2},
+        ]
+    )
+    assert {o["who"] for o in out} <= {"bob", "carol", "alice"}
+    assert [o["n"] for o in out] == [10, 10]
+
+
+def test_query_reduce_grouped(db):
+    db.use("q", Query(1, fields=FIELDS))
+    out = db.q.query(
+        [{"$reduce": {"total": {"$sum": "likes"}, "n": {"$count": True}, "by": "author"}}]
+    )
+    d = {o["author"]: (o["total"], o["n"]) for o in out}
+    assert d == {"alice": (10, 2), "bob": (10, 1), "carol": (10, 1)}
+
+
+def test_query_filter_ops(db):
+    db.use("q", Query(1, fields=FIELDS))
+    out = db.q.query([{"$filter": {"author": {"$in": ["bob", "carol"]}, "likes": 10}}])
+    assert sorted(o["seq"] for o in out) == [1, 3]
+    out = db.q.query([{"$filter": {"author": {"$prefix": "ali"}}}])
+    assert sorted(o["seq"] for o in out) == [0, 2]
+    with pytest.raises(KeyError):
+        db.q.query([{"$filter": {"undeclared": 1}}])
+
+
+def test_query_pushdown_reaches_scan(db):
+    # the declared-field filter must appear in the physical plan's scan
+    db.use("q", Query(1, fields=FIELDS))
+    plan = db.q.explain([{"$filter": {"likes": {"$gte": 7}}}])
+    assert "PushedFilters" in plan
