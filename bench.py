@@ -1,0 +1,90 @@
+"""Bench harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a count()-style action (results are
+consumed, not collected to the driver). A warmup query amortizes JVM/
+codegen startup out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO, os.environ.get("PYTHONPATH")) if p
+)
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "topk_orders",
+    "window_top3_per_customer",
+    # log/view families
+    "o4_stream_range",
+    "v1_reduce_stats",
+    "v2_index_point_get",
+    "v5_hashtable_latest",
+    "v4_search_single_term",
+    # streaming-ish / sessionization
+    "tumbling_hour_counts",
+    "sessionize_30min",
+    "asof_purchase_prev_click",
+    # north-star
+    "ns_dedup_exact",
+    "ns_minhash_lsh_candidates",
+    "ns_similarity_topk",
+    "ns_text_stats",
+    "ns_lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+    from flumedb_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("flumedb_spark_bench", cpus=cpus)
+    qs = entry.queries()
+
+    # warmup: JVM + parquet footer caches + codegen
+    qs["o7_since"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # consume end-to-end without driver-side collect
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

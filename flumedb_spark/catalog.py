@@ -1,0 +1,640 @@
+"""Query catalog — the driver-contract surface.
+
+One entry per operator declared in SURVEY.md §2: a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) the
+equivalent DuckDB oracle SQL. The `events` table stands in for the log
+(``seq := event_id``, per FIXTURES.md §B1).
+
+Cross-engine hash-matching rules used throughout (IMPORTANT):
+
+- **Exact-integer aggregation**: every SUM/AVG/STDDEV over doubles is
+  computed on ``CAST(round(x * 100) AS BIGINT)`` cents (all value
+  columns are cent-granular — verified against the data), so both
+  engines do exact integer arithmetic; final doubles are derived by the
+  same single division, which is deterministic IEEE on identical inputs.
+  No float-summation-order divergence can occur.
+- **Timestamps** are emitted as microsecond epochs (`unix_micros` /
+  `epoch_us`) — integers, no tz/format drift.
+- **Ordering ties** always carry a unique tiebreak column.
+- Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (idempotent).
+
+    The testdata parquet stores TIMESTAMP(NANOS), which Spark's reader
+    rejects by default; with the legacy nanosAsLong conf it reads as a
+    nanos BIGINT, which we convert to TimestampType via integer µs
+    truncation — exactly how DuckDB reads the same files (ns -> us), so
+    both engines see identical timestamp values.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    from pyspark.sql import functions as F
+
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        df = spark.read.parquet(path)
+        arrow_schema = pq.read_schema(path)
+        for field in arrow_schema:
+            if pat.is_timestamp(field.type) and field.type.unit == "ns":
+                df = df.withColumn(
+                    field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+                )
+        df.createOrReplaceTempView(t)
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator: register a Spark query + optional DuckDB oracle."""
+
+    def wrap(fn):
+        def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_tables(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = runner
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return runner
+
+    return wrap
+
+
+def shared_sql(name: str, sql: str, oracle: str | None = None):
+    """Register a query whose Spark and DuckDB texts agree (ANSI subset);
+    pass ``oracle`` only when the dialects must fork."""
+
+    @query(name, oracle if oracle is not None else sql)
+    def _run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        return spark.sql(_sql)
+
+    return _run
+
+
+# =====================================================================
+# §2.A core log operators over `events` (seq := event_id)
+# =====================================================================
+
+shared_sql(
+    "o1_append_visibility",
+    # O1/O2: after N appends the log holds exactly seqs 0..N-1
+    # (dense seq assignment; README.md:142-149)
+    "SELECT count(*) AS n_records, max(event_id) AS max_seq, "
+    "count(DISTINCT event_id) AS n_distinct_seqs FROM events",
+)
+
+shared_sql(
+    "o3_get_point",
+    # O3 point lookup (index.js:157-162)
+    "SELECT event_id AS seq, user_id, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS value_c, props "
+    "FROM events WHERE event_id = 424",
+)
+
+shared_sql(
+    "o4_stream_range",
+    # O4 range scan: gt/lte + order + limit (README.md:130-133)
+    "SELECT event_id AS seq, user_id, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS value_c "
+    "FROM events WHERE event_id > 100 AND event_id <= 800 "
+    "ORDER BY event_id LIMIT 500",
+)
+
+shared_sql(
+    "o4_stream_reverse_topk",
+    # O4: reverse + limit = top-k from the tail end
+    "SELECT event_id AS seq, event_type "
+    "FROM events WHERE event_id >= 200 AND event_id < 900 "
+    "ORDER BY event_id DESC LIMIT 300",
+)
+
+shared_sql(
+    "o5_stream_seqs_only",
+    # O5 projection flags: seqs-only stream = column pruning
+    "SELECT event_id AS seq FROM events WHERE event_id > 600 AND mod(event_id, 3) = 0 ORDER BY event_id",
+)
+
+shared_sql(
+    "o7_since",
+    # O7: since = -1 when empty else max seq (README.md:197-201)
+    "SELECT coalesce(max(event_id), -1) AS since FROM events",
+)
+
+shared_sql(
+    "o15_mapper_read",
+    # O15: a mapper transform on the read path (never persisted) —
+    # relational form: derived columns over the scan
+    "SELECT event_id AS seq, upper(event_type) AS mapped_type, "
+    "CAST(round(value * 100) AS BIGINT) * 2 AS doubled_value_c "
+    "FROM events WHERE event_id < 100 ORDER BY event_id",
+)
+
+# =====================================================================
+# §2.B view families over `events`
+# =====================================================================
+
+# V1 flumeview-reduce: whole-log fold -> one accumulator row.
+# Exact-cents arithmetic; stddev from integer sum/sumsq (README.md:92,
+# test/memlog.js:44-64 computes mean/stdev the same way).
+shared_sql(
+    "v1_reduce_stats",
+    """
+    SELECT
+      count(*) AS n,
+      sum(value_c) AS sum_c,
+      CAST(sum(value_c) AS DOUBLE) / (100.0 * count(*)) AS mean,
+      round(sqrt(CAST(count(*) * sum(value_c * value_c) - sum(value_c) * sum(value_c) AS DOUBLE))
+            / (100.0 * count(*)), 6) AS stdev,
+      min(value_c) AS min_c,
+      max(value_c) AS max_c
+    FROM (SELECT CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
+    """,
+)
+
+shared_sql(
+    "v1_reduce_grouped",
+    # grouped variant of the reduce family
+    """
+    SELECT event_type,
+      count(*) AS n,
+      sum(value_c) AS sum_c,
+      CAST(sum(value_c) AS DOUBLE) / (100.0 * count(*)) AS mean
+    FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+
+shared_sql(
+    "v2_index_point_get",
+    # V2 flumeview-level: key -> seq index, resolve back through the log
+    # (normalized view; semantics = all records under key, seq order)
+    "SELECT event_id AS seq, user_id, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS value_c "
+    "FROM events WHERE user_id = 7 ORDER BY event_id",
+)
+
+shared_sql(
+    "v2_index_key_range",
+    # V2 ordered key-range scan (charwise-range analog, typed sort)
+    "SELECT user_id AS key, event_id AS seq, event_type "
+    "FROM events WHERE user_id >= 10 AND user_id < 20 "
+    "ORDER BY user_id, event_id LIMIT 400",
+)
+
+shared_sql(
+    "v3_query_dsl",
+    # V3 flumeview-query: filter+project+sort+paging over value fields
+    "SELECT event_id AS seq, user_id, "
+    "CAST(round(value * 100) AS BIGINT) AS value_c "
+    "FROM events WHERE event_type = 'click' AND value > 300.0 "
+    "ORDER BY value_c DESC, event_id LIMIT 25",
+)
+
+shared_sql(
+    "v5_hashtable_latest",
+    # V5 flumeview-hashtable: latest record per uniqueish key =
+    # max_by(value, seq) / arg_max(value, seq)
+    """
+    SELECT user_id AS key,
+      max(event_id) AS last_seq,
+      max_by(event_type, event_id) AS last_type,
+      CAST(round(max_by(value, event_id) * 100) AS BIGINT) AS last_value_c
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    oracle="""
+    SELECT user_id AS key,
+      max(event_id) AS last_seq,
+      arg_max(event_type, event_id) AS last_type,
+      CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS last_value_c
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+shared_sql(
+    "v6_membership_exact",
+    # V6 flumeview-bloom: exact-membership fallback oracle (the sketch's
+    # no-false-negative property is asserted in tests/test_views.py)
+    "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+)
+
+
+@query(
+    "v4_search_single_term",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(lower(text), '(^|[^a-z0-9])window([^a-z0-9]|$)')
+    ORDER BY doc_id
+    """,
+)
+def v4_search_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 flumeview-search: token inverted index; a doc matches iff the
+    term appears as a whole token. Spark side builds the actual posting
+    list (explode/distinct); oracle uses the word-boundary regex, which
+    is equivalent for the shared tokenizer."""
+    from pyspark.sql import functions as F
+
+    from .views.search import tokens_expr
+
+    docs = spark.table("documents")
+    posting = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("token")
+    ).distinct()
+    return (
+        posting.where(F.col("token") == "window").select("doc_id").orderBy("doc_id")
+    )
+
+
+@query(
+    "v4_search_and_terms",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(lower(text), '(^|[^a-z0-9])shuffle([^a-z0-9]|$)')
+      AND regexp_matches(lower(text), '(^|[^a-z0-9])partition([^a-z0-9]|$)')
+    ORDER BY doc_id
+    """,
+)
+def v4_search_and_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 AND-of-terms: posting-list intersection via group-count."""
+    from pyspark.sql import functions as F
+
+    from .views.search import tokens_expr
+
+    docs = spark.table("documents")
+    posting = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("token")
+    ).distinct()
+    terms = ["shuffle", "partition"]
+    return (
+        posting.where(F.col("token").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("nt"))
+        .where(F.col("nt") == len(terms))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# =====================================================================
+# M5 relational layer — TPC-H-ish queries (Catalyst does the work;
+# SURVEY §2.C: joins/aggs/windows/set-ops "free" in the relational layer)
+# =====================================================================
+
+# Q1-style pricing summary. Exact-cents arithmetic: disc_price at scale
+# 1e4, charge at 1e6 — integer sums are exact in both engines; derived
+# doubles come from one identical division. At 100 TB these sums move to
+# DECIMAL(38); bigint is exact at bench scale (max |sum| ~7e15 < 2^63,
+# and < 2^53 only where we convert to double).
+shared_sql(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+      CAST(sum(price_c) AS BIGINT) AS sum_base_price_c,
+      CAST(sum(price_c * disc1_c) AS BIGINT) AS sum_disc_price_c4,
+      CAST(sum(price_c * disc1_c * tax1_c) AS BIGINT) AS sum_charge_c6,
+      round(CAST(sum(qty_c) AS DOUBLE) / (100.0 * count(*)), 6) AS avg_qty,
+      round(CAST(sum(price_c) AS DOUBLE) / (100.0 * count(*)), 6) AS avg_price,
+      round(CAST(sum(disc_c) AS DOUBLE) / (100.0 * count(*)), 6) AS avg_disc,
+      count(*) AS count_order
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+        CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+        CAST(round((1 - l_discount) * 100) AS BIGINT) AS disc1_c,
+        CAST(round((1 + l_tax) * 100) AS BIGINT) AS tax1_c
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+# Q3-style shipping priority: 3-way join + grouped revenue + top-k.
+shared_sql(
+    "q3_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+      o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10
+    """,
+)
+
+# Q5-style local-supplier revenue: 6-way star join.
+shared_sql(
+    "q5_region_revenue",
+    """
+    SELECT r_name, n_name,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    ORDER BY revenue_c4 DESC, r_name, n_name
+    """,
+)
+
+shared_sql(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+      CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c
+    FROM orders ORDER BY totalprice_c DESC, o_orderkey LIMIT 10
+    """,
+)
+
+# Top-3 orders per customer — the Window.partitionBy top-k idiom.
+shared_sql(
+    "window_top3_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, totalprice_c, rn FROM (
+      SELECT o_custkey, o_orderkey,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+        row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+        ) AS rn
+      FROM orders
+    ) t WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+)
+
+# Running (cumulative) revenue per customer — an analytic frame.
+shared_sql(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS running_c
+    FROM orders WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+
+# lag(): inter-order gap per customer in whole days.
+shared_sql(
+    "window_order_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+      CAST(datediff(
+        o_orderdate,
+        lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ) AS BIGINT) AS gap_days
+    FROM orders WHERE o_custkey < 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      CAST(datediff('day',
+        lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        o_orderdate
+      ) AS BIGINT) AS gap_days
+    FROM orders WHERE o_custkey < 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+
+shared_sql(
+    "set_except",
+    # customers with open orders but no finished orders
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey
+    """,
+)
+
+shared_sql(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY o_custkey
+    """,
+)
+
+shared_sql(
+    "agg_count_distinct",
+    """
+    SELECT o_orderpriority,
+      count(DISTINCT o_custkey) AS n_customers,
+      count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+shared_sql(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    ORDER BY c_custkey
+    """,
+)
+
+shared_sql(
+    "join_semi_exists",
+    # orders having at least one high-value line item
+    """
+    SELECT o_orderkey FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_extendedprice > 100000
+    )
+    ORDER BY o_orderkey
+    """,
+)
+
+shared_sql(
+    "scalar_functions",
+    # string/math scalar surface — identical ANSI text on both engines
+    """
+    SELECT o_orderkey,
+      upper(o_orderstatus) AS status_u,
+      substr(o_orderpriority, 1, 3) AS prio3,
+      length(o_orderpriority) AS prio_len,
+      abs(CAST(round(o_totalprice * 100) AS BIGINT) - 25000000) AS dist_c,
+      mod(o_orderkey, 7) AS m7,
+      concat(o_orderstatus, '-', o_orderpriority) AS tag
+    FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey
+    """,
+)
+
+shared_sql(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+      year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+      quarter(o_orderdate) AS q
+    FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey
+    """,
+)
+
+shared_sql(
+    "pivot_filtered_counts",
+    # pivot via FILTER clauses (portable across both engines)
+    """
+    SELECT user_id,
+      count(*) FILTER (WHERE event_type = 'click') AS n_click,
+      count(*) FILTER (WHERE event_type = 'view') AS n_view,
+      count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      count(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+shared_sql(
+    "rollup_aggregate",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+
+# Event-time tumbling window (streaming-adjacent; batch-checkable).
+shared_sql(
+    "tumbling_hour_counts",
+    """
+    SELECT unix_micros(date_trunc('hour', ts)) AS hour_us, event_type,
+      count(*) AS n,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY hour_us, event_type
+    """,
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+      count(*) AS n,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY hour_us, event_type
+    """,
+)
+
+# Sessionization: 30-minute-gap sessions per user (lag + cumulative flag).
+shared_sql(
+    "sessionize_30min",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR unix_micros(ts) - unix_micros(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+# As-of join: for each purchase, the most recent click at-or-before it,
+# per user. Implemented as union + ordered window with IGNORE NULLS —
+# the single-sort merge-asof shape that scales (no join explosion).
+shared_sql(
+    "asof_purchase_prev_click",
+    """
+    WITH w AS (
+      SELECT user_id, ts, event_id, event_type,
+        last(CASE WHEN event_type = 'click' THEN event_id END) IGNORE NULLS OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS prev_click_seq
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id AS purchase_seq, user_id, prev_click_seq
+    FROM w WHERE event_type = 'purchase' ORDER BY purchase_seq
+    """,
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, event_type,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS prev_click_seq
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id AS purchase_seq, user_id, prev_click_seq
+    FROM w WHERE event_type = 'purchase' ORDER BY purchase_seq
+    """,
+)
+
+shared_sql(
+    "json_extraction",
+    # the log's schema-less JSON value surface: path extraction + filter
+    """
+    SELECT event_id AS seq,
+      CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(get_json_object(props, '$.k') AS BIGINT) >= 80 AND event_id < 3000
+    ORDER BY seq
+    """,
+    oracle="""
+    SELECT event_id AS seq,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 80 AND event_id < 3000
+    ORDER BY seq
+    """,
+)

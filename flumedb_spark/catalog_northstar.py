@@ -1,0 +1,308 @@
+"""North-star query catalog: dedup, similarity search, text analysis,
+multimodal — the training-data-pipeline operators (BASELINE.json
+`north_star`), bound to DuckDB oracles wherever SQL-expressible.
+
+Spark implementations live in ``flumedb_spark.operators``; this module
+binds them to the driver contract. Oracles mirror the operators'
+deterministic hashing (md5) and exact-integer arithmetic, so value
+hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import query
+from .operators import dedup, multimodal, similarity, text
+
+# ---------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------
+
+
+@query(
+    "ns_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keep_doc_id
+    """,
+)
+def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(spark.table("documents"))
+
+
+_SHINGLES_DUCK = """
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(words[gs.i:gs.i+2], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents {where}) w,
+      LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i) gs
+    )
+"""
+
+
+@query(
+    "ns_ngram_jaccard_pairs",
+    oracle=(
+        "WITH "
+        + _SHINGLES_DUCK.format(where="WHERE doc_id < 120")
+        + """,
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+      round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ORDER BY doc_a, doc_b
+    """
+    ),
+)
+def ns_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = spark.table("documents").where(F.col("doc_id") < 120)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+@query(
+    "ns_minhash_lsh_candidates",
+    oracle=(
+        "WITH "
+        + _SHINGLES_DUCK.format(where="")
+        + """,
+    sig AS (
+      SELECT doc_id,
+        min(md5(concat('0|', shingle))) AS h0,
+        min(md5(concat('1|', shingle))) AS h1,
+        min(md5(concat('2|', shingle))) AS h2,
+        min(md5(concat('3|', shingle))) AS h3,
+        min(md5(concat('4|', shingle))) AS h4,
+        min(md5(concat('5|', shingle))) AS h5,
+        min(md5(concat('6|', shingle))) AS h6,
+        min(md5(concat('7|', shingle))) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, u.band, u.bsig FROM sig, LATERAL (
+        SELECT unnest([0, 1, 2, 3]) AS band,
+               unnest([md5(concat(h0, h1)), md5(concat(h2, h3)),
+                       md5(concat(h4, h5)), md5(concat(h6, h7))]) AS bsig
+      ) u
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+    ),
+)
+def ns_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(spark.table("documents"))
+
+
+@query("ns_simhash64")  # no oracle: xxhash64 is Spark-specific (rows-only check)
+def ns_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64(spark.table("documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------
+
+
+@query(
+    "ns_text_stats",
+    oracle="""
+    SELECT doc_id,
+      length(text) AS n_chars_measured,
+      CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_token_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(spark.table("documents")).orderBy("doc_id")
+
+
+@query(
+    "ns_text_quality",
+    oracle="""
+    SELECT doc_id,
+      round(
+        least(1.0, CAST(n_tok AS DOUBLE) / 60.0) * 0.4
+        + least(1.0, CAST(n_chr AS DOUBLE) / 400.0) * 0.4
+        + CASE WHEN CAST(n_alpha AS DOUBLE) / n_tok >= 3.0
+                AND CAST(n_alpha AS DOUBLE) / n_tok <= 8.0
+               THEN 0.2 ELSE 0.0 END,
+        6) AS quality
+    FROM (
+      SELECT doc_id, length(text) AS n_chr,
+        length(text) - length(replace(text, ' ', '')) + 1 AS n_tok,
+        length(replace(text, ' ', '')) AS n_alpha
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(spark.table("documents")).orderBy("doc_id")
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        parts = []
+        for w in text.LANG_MARKERS[lang]:
+            pat = f" {w} "
+            parts.append(
+                f"(length(pt) - length(replace(pt, '{pat}', ''))) / {len(pat)}"
+            )
+        score_exprs.append(f"({' + '.join(parts)}) AS s_{lang}")
+    cases = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if other < lang else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    score_cols = ", ".join(f"round(s_{lang}, 6) AS score_{lang}" for lang in langs)
+    return f"""
+    SELECT doc_id, {score_cols},
+      CASE {' '.join(cases)} END AS pred_lang
+    FROM (
+      SELECT doc_id, {', '.join(score_exprs)}
+      FROM (SELECT doc_id, concat(' ', text, ' ') AS pt FROM documents)
+    ) ORDER BY doc_id
+    """
+
+
+@query("ns_lang_id", oracle=_lang_id_oracle())
+def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(spark.table("documents")).orderBy("doc_id")
+
+
+@query(
+    "ns_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(trim(lower(text))) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(spark.table("documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# similarity search family
+# ---------------------------------------------------------------------
+
+_FLAT_DUCK = """
+    flat AS (
+      SELECT vec_id,
+        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e,
+        unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM flat GROUP BY vec_id)
+"""
+
+
+@query(
+    "ns_similarity_topk",
+    oracle=(
+        "WITH "
+        + _FLAT_DUCK
+        + """,
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
+      FROM flat a JOIN flat b ON a.i = b.i AND b.vec_id != a.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_raw
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    ORDER BY query_id, rank
+    """
+    ),
+)
+def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(
+        spark.table("embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
+@query(
+    "ns_embedding_neardup",
+    oracle=(
+        "WITH "
+        + _FLAT_DUCK
+        + """,
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(cos_raw, 6) AS cosine FROM (
+      SELECT vec_a, vec_b,
+        CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_raw
+      FROM dots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+    ) WHERE cos_raw >= 0.9
+    ORDER BY vec_a, vec_b
+    """
+    ),
+)
+def ns_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.near_dup_pairs(spark.table("embeddings"), threshold=0.9)
+
+
+@query("ns_lsh_ann_topk")  # no oracle: xxhash64 hyperplanes (rows-only check)
+def ns_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_ann_topk(
+        spark.table("embeddings"), query_ids=[0, 1, 2, 3, 4], k=10, n_planes=6
+    )
+
+
+# ---------------------------------------------------------------------
+# multimodal family
+# ---------------------------------------------------------------------
+
+
+@query(
+    "ns_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+      CAST(strlen(text) AS BIGINT) AS n_bytes,
+      'fake/raw' AS format,
+      CAST(strlen(text) % 640 AS INT) AS width,
+      CAST((strlen(text) * 7) % 480 AS INT) AS height,
+      true AS ok
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> mapInPandas metadata extraction (decode stubbed
+    deterministically; the Spark plumbing — BinaryType column, Arrow
+    batches, typed output schema — is the real path)."""
+    payloads = multimodal.with_binary_payload(spark.table("documents"))
+    return multimodal.extract_metadata(payloads, use_fake=True).orderBy("doc_id")

@@ -1,0 +1,186 @@
+"""Deduplication operators for training-data pipelines:
+
+- exact dedup (hash groupBy)
+- n-gram Jaccard pairwise similarity (exact, for verification / small
+  candidate sets)
+- MinHash + LSH banding (the scale path: candidate pairs without the
+  quadratic join)
+- SimHash 64-bit near-dup signatures
+
+Design notes for 100 TB:
+- All hashing uses md5 over content — deterministic across engines and
+  runs (no seed/partitioning dependence), so results are reproducible
+  and oracle-checkable. MinHash minima are taken over md5 *hex strings*
+  (lexicographic order on lowercase hex == order on the 128-bit value),
+  which sidesteps any cross-engine int-conversion divergence.
+- The LSH join shuffles on (band, signature) — uniform md5 buckets, no
+  skew. Candidate verification (exact Jaccard) touches only candidate
+  pairs, never the full cross product.
+- Everything is JVM column expressions: explode/transform/slice for
+  shingling, min() aggregates for signatures, an equi-join for bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---- shingling ------------------------------------------------------
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    JVM-side: split -> transform(sequence) -> slice -> explode. Short
+    docs (< n words) contribute their full text as one shingle.
+    """
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return (
+        docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    )
+
+
+# ---- exact dedup ----------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    kept (min) doc_id and the copy count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---- exact n-gram Jaccard ------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2, text_col: str = "text"
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard >= threshold.
+
+    Quadratic in matching shingles — use on small/filtered inputs or LSH
+    candidates; `minhash_lsh_candidates` is the scale path.
+    """
+    sh = word_shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---- MinHash + LSH --------------------------------------------------
+
+N_PERM = 8  # minhash permutations
+N_BANDS = 4  # bands of 2 rows each
+
+
+def _minhash_col(perm: int):
+    """Permutation `perm`'s hash of a shingle: md5('{perm}|' + shingle).
+    min() over the hex string == min over the 128-bit hash value."""
+    return F.md5(F.concat(F.lit(f"{perm}|"), F.col("shingle")))
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, h0..h{N_PERM-1}) minhash signature table."""
+    sh = word_shingles(docs, n, text_col)
+    aggs = [F.min(_minhash_col(p)).alias(f"h{p}") for p in range(N_PERM)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """Band signatures: md5 of each band's concatenated minhashes."""
+    rows_per_band = N_PERM // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("bsig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    The join is on (band, bsig) — md5 buckets are uniform, so the
+    shuffle is skew-free; no quadratic comparison ever happens.
+    """
+    bands = lsh_bands(minhash_signatures(docs, n, text_col))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---- SimHash --------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens.
+
+    Each token hashes to 64 bits via xxhash64; per bit position the
+    +1/-1 votes are summed and the sign forms the signature bit. Pure
+    JVM: explode tokens -> explode bit positions (64x fanout) -> sum.
+    Deterministic given Spark's fixed xxhash64 seed; NOT declared as a
+    DuckDB oracle query (different hash) — tested by property instead.
+    """
+    tokens = F.array_distinct(F.split(F.col(text_col), " "))
+    tok = docs.select("doc_id", F.explode(tokens).alias("token")).where(
+        F.col("token") != ""
+    )
+    h = tok.select("doc_id", F.xxhash64("token").alias("h64"))
+    bits = h.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h64"),
+    ).select(
+        "doc_id",
+        "bit",
+        # shiftright with a column bit count needs the SQL form
+        F.when(F.expr("(h64 >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

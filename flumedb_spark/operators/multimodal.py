@@ -1,0 +1,72 @@
+"""Multimodal column plumbing: image/audio/video as opaque BinaryType
+payloads with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step itself is STUBBED (image/audio libraries are not in
+this container — see ``decode_image``); everything Spark-side is real:
+schema, batch iteration, partitioning, UDF signatures. Swapping the stub
+for PIL/ffmpeg is a one-function change.
+
+At 100 TB: binary payloads dominate size — keep them in their own
+column chunk (Parquet does this for free), filter on metadata columns
+first so payload bytes are only read for surviving rows, and size
+``spark.sql.files.maxPartitionBytes`` so a partition of payloads fits
+executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "doc_id long, n_bytes long, format string, width int, height int, ok boolean"
+)
+
+
+def decode_image(payload: bytes) -> dict:
+    """REAL DECODER GOES HERE (PIL.Image.open(io.BytesIO(payload))).
+
+    Not available in this container — raise so callers must opt in to
+    the deterministic fake used for plumbing tests.
+    """
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in decoder: derives pseudo-metadata purely
+    from the byte content, so tests and oracles are reproducible."""
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "format": "fake/raw",
+        "width": n % 640,
+        "height": (n * 7) % 480,
+        "ok": True,
+    }
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload column (here: utf-8 bytes of
+    the text — in production this is the stored image/audio blob)."""
+    return docs.select("doc_id", F.encode(F.col(text_col), "utf-8").alias("payload"))
+
+
+def extract_metadata(payloads: DataFrame, use_fake: bool = True) -> DataFrame:
+    """mapInPandas over binary payloads -> typed metadata table.
+
+    Arrow moves the bytes in columnar batches; the decoder sees a plain
+    ``bytes`` per row. This is the real multimodal execution shape.
+    """
+    decoder = fake_decode if use_fake else decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decoder(p) for p in pdf["payload"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return payloads.mapInPandas(run, META_SCHEMA)

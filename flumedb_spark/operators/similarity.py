@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the baseline. All arithmetic
+  is JVM higher-order functions (zip_with/aggregate); no UDF.
+- ``lsh_ann_topk``: random-hyperplane LSH bucketing — the scale path:
+  candidates share a hash bucket, so the join is equi on the sketch, not
+  a cross product. Hyperplanes are derived deterministically from
+  xxhash64, so results are reproducible without a stored model.
+
+Exact cross-engine arithmetic: embeddings are float32; we scale each
+component to an integer (round(x * 1e6)) so dot products and norms are
+exact BIGINT sums in any engine; cosine is then one deterministic double
+expression. This is the same exact-int strategy the relational catalog
+uses for money columns.
+
+At 100 TB: broadcast the (small) query set, keep the corpus partitioned;
+for all-pairs near-dup use the LSH buckets and verify only candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCALE = 1_000_000  # float32 has ~7 significant digits
+
+
+def _iscale(x: Column) -> Column:
+    return F.round(x.cast("double") * SCALE).cast("long")
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two float vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _iscale(x) * _iscale(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def int_norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: _iscale(x) * _iscale(x)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_expr(dot_i: Column, n2a: Column, n2b: Column) -> Column:
+    return dot_i.cast("double") / (
+        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Brute force: |Q| x |corpus| scored pairs, ranked per query. The
+    query side is broadcast (it is small by construction).
+    """
+    norms = embeddings.select(
+        F.col("vec_id"), F.col(vec_col).alias("vec"), int_norm2(F.col(vec_col)).alias("n2")
+    )
+    q = norms.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), F.col("n2").alias("qn2")
+    )
+    if query_ids is not None:
+        q = q.where(F.col("query_id").isin(query_ids))
+    pairs = norms.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr(int_dot(F.col("qvec"), F.col("vec")), F.col("qn2"), F.col("n2")).alias(
+            "cos_raw"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_raw"), 6).alias("cosine"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, vec_col: str = "embedding"
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact, quadratic — verifier
+    for LSH candidates; bench path uses lsh_ann buckets first)."""
+    norms = embeddings.select(
+        F.col("vec_id"), F.col(vec_col).alias("vec"), int_norm2(F.col(vec_col)).alias("n2")
+    )
+    a = norms.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("n2").alias("na")
+    )
+    b = norms.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("n2").alias("nb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_expr(int_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .where(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---- LSH ANN (scale path) ------------------------------------------
+
+
+def _hyperplane_sign(vec: Column, plane: int) -> Column:
+    """Sign of <vec, r_plane> where r_plane[i] = ±1 derived from
+    xxhash64(plane, i) — a deterministic random hyperplane."""
+    signed = F.transform(
+        vec,
+        lambda x, i: F.when(
+            F.xxhash64(F.lit(plane), i).bitwiseAND(F.lit(1)) == 1, _iscale(x)
+        ).otherwise(-_iscale(x)),
+    )
+    total = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (total >= 0).cast("int")
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """n-bit random-hyperplane sketch -> bucket id."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket * 2 + _hyperplane_sign(vec, p)
+    return bucket
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing an LSH bucket.
+
+    Recall/cost tradeoff via n_planes (fewer planes = bigger buckets =
+    higher recall, more compute). The bucket join replaces the cross
+    product — this is what survives 100x corpus growth.
+    """
+    with_b = embeddings.select(
+        "vec_id",
+        F.col(vec_col).alias("vec"),
+        int_norm2(F.col(vec_col)).alias("n2"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    q = with_b.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("n2").alias("qn2"),
+        F.col("bucket").alias("qbucket"),
+    )
+    if query_ids is not None:
+        q = q.where(F.col("query_id").isin(query_ids))
+    pairs = with_b.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr(int_dot(F.col("qvec"), F.col("vec")), F.col("qn2"), F.col("n2")).alias(
+            "cos_raw"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_raw"), 6).alias("cosine"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All pure JVM column expressions (no Python in the hot
+path) — at 100 TB these run inside whole-stage codegen on the scan.
+
+Cross-engine determinism: counts come from integer string arithmetic
+(length/replace), scores from single divisions of exact ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: whitespace-token count without any split/explode: O(len) in codegen
+def n_tokens(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, " ", "")) + 1
+
+
+def n_bpe_tokens(text: Column) -> Column:
+    """BPE-ish regex token count: letter runs, digit runs, other symbols."""
+    return F.array_size(F.regexp_extract_all(text, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+
+
+def occurrences(text: Column, word: str) -> Column:
+    """Non-overlapping occurrences of ``' word '`` in the padded text —
+    deterministic marker-density counter (leftmost non-overlap semantics
+    are identical across engines)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    pat = f" {word} "
+    return (F.length(padded) - F.length(F.regexp_replace(padded, pat, ""))) / len(pat)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token/char statistics."""
+    t = F.col(text_col)
+    toks = n_tokens(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_measured"),
+        toks.cast("long").alias("n_tokens"),
+        n_bpe_tokens(t).cast("long").alias("n_bpe_tokens"),
+        F.round(
+            (F.length(F.regexp_replace(t, " ", "")).cast("double")) / toks, 6
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic: length saturation + token-length
+    band — the shape of a real quality filter (fineweb-style length /
+    word-length gates), exactly reproducible in SQL."""
+    t = F.col(text_col)
+    toks = n_tokens(t)
+    avg_len = F.length(F.regexp_replace(t, " ", "")).cast("double") / toks
+    score = (
+        F.least(F.lit(1.0), toks.cast("double") / 60.0) * 0.4
+        + F.least(F.lit(1.0), F.length(t).cast("double") / 400.0) * 0.4
+        + F.when((avg_len >= 3.0) & (avg_len <= 8.0), 0.2).otherwise(0.0)
+    )
+    return docs.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+#: tiny per-"language" marker lists over the corpus vocabulary. The
+#: synthetic corpus shares one vocabulary across langs, so prediction
+#: accuracy is meaningless — what the operator demonstrates (and the
+#: oracle checks) is the deterministic scoring pipeline shape.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["customer", "join", "column"],
+    "en": ["window", "order", "row"],
+    "es": ["slow", "agg", "merge"],
+    "fr": ["scan", "data", "query"],
+    "zh": ["small", "the", "value"],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum(occurrences(text, w) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-frequency language ID; argmax with alphabetical tiebreak."""
+    t = F.col(text_col)
+    scores = lang_scores(t)
+    langs = sorted(scores)  # alphabetical = deterministic tiebreak order
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            # strictly greater than every earlier lang, >= every later one
+            c = (
+                scores[lang] > scores[other]
+                if other < lang
+                else scores[lang] >= scores[other]
+            )
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    cols = [F.round(scores[lang], 6).alias(f"score_{lang}") for lang in langs]
+    return docs.select("doc_id", *cols, pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the case/edge-normalized text."""
+    return docs.select(
+        "doc_id", F.md5(F.trim(F.lower(F.col(text_col)))).alias("fingerprint")
+    )
