@@ -58,8 +58,21 @@ def main() -> None:
     spark = get_spark("flumedb_spark_bench", cpus=cpus)
     qs = entry.queries()
 
-    # warmup: JVM + parquet footer caches + codegen
+    # load phase (excluded from query timings, reported separately):
+    # first registration ingests the source files into the engine's
+    # managed multi-split layout (sources/ingest.py), then one cheap
+    # full-scan per table warms the JVM (JIT/codegen of the scan +
+    # expression paths — steady-state methodology; DuckDB has no JIT to
+    # warm, so this keeps the comparison about execution, not compilers).
+    t0 = time.perf_counter()
     qs["o7_since"](spark, sf_dir).collect()
+    from flumedb_spark.catalog import TABLES
+
+    for t in TABLES:
+        cols = spark.table(t).columns
+        casts = ", ".join(f"CAST({c} AS STRING)" for c in cols)
+        spark.sql(f"SELECT count(*), max(md5(concat({casts}))) FROM {t}").collect()
+    load_sec = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -79,6 +92,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "load_sec": load_sec,
                 "sf": float(sf) if sf else None,
                 "cpus": cpus,
             }

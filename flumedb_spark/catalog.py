@@ -42,31 +42,29 @@ TABLES = [
 ]
 
 
+_REGISTERED: dict[tuple[int, str], bool] = {}
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view (idempotent).
+    """Register every testdata table as a temp view (memoized per
+    session+dir).
 
-    The testdata parquet stores TIMESTAMP(NANOS), which Spark's reader
-    rejects by default; with the legacy nanosAsLong conf it reads as a
-    nanos BIGINT, which we convert to TimestampType via integer µs
-    truncation — exactly how DuckDB reads the same files (ns -> us), so
-    both engines see identical timestamp values.
+    Tables are served from the engine's managed layout (see
+    ``sources/ingest.py``): loaded once from the single-row-group source
+    files into multi-split, range-sorted parquet so scans parallelize
+    and seq-range predicates prune files; TIMESTAMP(NANOS) columns are
+    normalized to µs at load (matching DuckDB's ns->us read of the same
+    sources, so oracle comparisons see identical values).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import pyarrow.parquet as pq
-    import pyarrow.types as pat
-
-    from pyspark.sql import functions as F
+    key = (id(spark), sf_dir)
+    if _REGISTERED.get(key):
+        return
+    from .sources.ingest import ensure_ingested
 
     for t in TABLES:
-        path = f"{sf_dir}/{t}.parquet"
-        df = spark.read.parquet(path)
-        arrow_schema = pq.read_schema(path)
-        for field in arrow_schema:
-            if pat.is_timestamp(field.type) and field.type.unit == "ns":
-                df = df.withColumn(
-                    field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
-                )
-        df.createOrReplaceTempView(t)
+        managed = ensure_ingested(spark, sf_dir, t)
+        spark.read.parquet(managed).createOrReplaceTempView(t)
+    _REGISTERED[key] = True
 
 
 def query(name: str, oracle: str | None = None):
@@ -253,20 +251,20 @@ shared_sql(
     """,
 )
 def v4_search_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V4 flumeview-search: token inverted index; a doc matches iff the
-    term appears as a whole token. Spark side builds the actual posting
-    list (explode/distinct); oracle uses the word-boundary regex, which
-    is equivalent for the shared tokenizer."""
+    """V4 flumeview-search: a doc matches iff the term appears as a whole
+    token. The materialized posting-list form lives in views/search.py;
+    the relational form here is a shuffle-free array_contains scan over
+    the same tokenizer (whole-stage codegen, filter at the scan). Oracle
+    uses the word-boundary regex, equivalent for this tokenizer."""
     from pyspark.sql import functions as F
 
     from .views.search import tokens_expr
 
     docs = spark.table("documents")
-    posting = docs.select(
-        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("token")
-    ).distinct()
     return (
-        posting.where(F.col("token") == "window").select("doc_id").orderBy("doc_id")
+        docs.where(F.array_contains(tokens_expr(F.col("text")), "window"))
+        .select("doc_id")
+        .orderBy("doc_id")
     )
 
 
@@ -280,21 +278,18 @@ def v4_search_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v4_search_and_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V4 AND-of-terms: posting-list intersection via group-count."""
+    """V4 AND-of-terms: conjunction of whole-token membership tests —
+    one pass over the scan, no posting-list shuffle."""
     from pyspark.sql import functions as F
 
     from .views.search import tokens_expr
 
     docs = spark.table("documents")
-    posting = docs.select(
-        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("token")
-    ).distinct()
-    terms = ["shuffle", "partition"]
+    toks = tokens_expr(F.col("text"))
     return (
-        posting.where(F.col("token").isin(terms))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("token").alias("nt"))
-        .where(F.col("nt") == len(terms))
+        docs.where(
+            F.array_contains(toks, "shuffle") & F.array_contains(toks, "partition")
+        )
         .select("doc_id")
         .orderBy("doc_id")
     )

@@ -28,18 +28,26 @@ from pyspark.sql import functions as F
 # ---- shingling ------------------------------------------------------
 
 
-def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+def word_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per doc: (doc_id, shingle).
 
     JVM-side: split -> transform(sequence) -> slice -> explode. Short
     docs (< n words) contribute their full text as one shingle.
+    ``distinct=False`` skips the dedup shuffle for consumers that are
+    duplicate-insensitive (min-aggregates like MinHash).
     """
+    # shingle explode + hashing downstream is CPU-bound: spread the cheap
+    # pre-explode rows across cores if the input is under-partitioned
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() * 2 < want:
+        docs = docs.repartition(want)
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     shingles = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
-    return (
-        docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
-    )
+    out = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # ---- exact dedup ----------------------------------------------------
@@ -101,8 +109,13 @@ def _minhash_col(perm: int):
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, h0..h{N_PERM-1}) minhash signature table."""
-    sh = word_shingles(docs, n, text_col)
+    """(doc_id, h0..h{N_PERM-1}) minhash signature table.
+
+    min() is duplicate-insensitive, so shingles skip the distinct
+    shuffle; the only shuffle left is the partial-min merge (map-side
+    combine reduces it to one row per doc per partition).
+    """
+    sh = word_shingles(docs, n, text_col, distinct=False)
     aggs = [F.min(_minhash_col(p)).alias(f"h{p}") for p in range(N_PERM)]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -161,6 +174,9 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Deterministic given Spark's fixed xxhash64 seed; NOT declared as a
     DuckDB oracle query (different hash) — tested by property instead.
     """
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() * 2 < want:
+        docs = docs.repartition(want)
     tokens = F.array_distinct(F.split(F.col(text_col), " "))
     tok = docs.select("doc_id", F.explode(tokens).alias("token")).where(
         F.col("token") != ""

@@ -26,6 +26,17 @@ from pyspark.sql.window import Window
 SCALE = 1_000_000  # float32 has ~7 significant digits
 
 
+def _spread(df):
+    """Pair scoring is CPU-bound; a single-split input would pin it to
+    one core. Round-robin the (small) vector rows across the cores only
+    when the input is under-partitioned — already-partitioned corpora
+    (the cluster case, or the managed ingest layout) skip the shuffle."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < want:
+        return df.repartition(want)
+    return df
+
+
 def _iscale(x: Column) -> Column:
     return F.round(x.cast("double") * SCALE).cast("long")
 
@@ -64,6 +75,7 @@ def cosine_topk(
     Brute force: |Q| x |corpus| scored pairs, ranked per query. The
     query side is broadcast (it is small by construction).
     """
+    embeddings = _spread(embeddings)
     norms = embeddings.select(
         F.col("vec_id"), F.col(vec_col).alias("vec"), int_norm2(F.col(vec_col)).alias("n2")
     )
@@ -101,6 +113,7 @@ def near_dup_pairs(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (exact, quadratic — verifier
     for LSH candidates; bench path uses lsh_ann buckets first)."""
+    embeddings = _spread(embeddings)
     norms = embeddings.select(
         F.col("vec_id"), F.col(vec_col).alias("vec"), int_norm2(F.col(vec_col)).alias("n2")
     )
@@ -157,6 +170,7 @@ def lsh_ann_topk(
     higher recall, more compute). The bucket join replaces the cross
     product — this is what survives 100x corpus growth.
     """
+    embeddings = _spread(embeddings)
     with_b = embeddings.select(
         "vec_id",
         F.col(vec_col).alias("vec"),

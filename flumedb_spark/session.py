@@ -31,6 +31,12 @@ def get_spark(app_name: str = "flumedb_spark", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # single-file parquet tables must still scan in parallel: split on
+        # row groups rather than one 128MB partition per file. At cluster
+        # scale this is sized so a partition is ~128MB of a 100 TB table;
+        # locally small files need a smaller split to use all cores.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,105 @@
+"""Ingest: load source parquet into the engine's managed table layout.
+
+The driver's testdata files are single-row-group parquet — Spark's scan
+granularity is the row group, so every query over them is a one-core
+scan no matter how many executors exist. A real deployment never queries
+raw drops directly: it LOADS them into managed storage with a layout
+chosen for the cluster (many files / row groups, sorted or bucketed by
+the hot key). This module is that load phase:
+
+- each table is rewritten once into ``N`` files sized so scans
+  parallelize (~20k rows per split locally; ~128MB per split at cluster
+  scale — same policy, different constant),
+- fact tables are sorted by their range-scan key (``events`` by
+  ``event_id``) so min/max skipping prunes seq ranges (the reference's
+  only pushdown, SURVEY §4),
+- TIMESTAMP(NANOS) columns are normalized to µs TimestampType at load,
+  so every downstream reader sees proper timestamps,
+- a marker file records source size/mtime — re-ingest only on change.
+
+Queries then run against the managed layout; DuckDB oracles keep
+reading the original source files (same rows, so results are identical).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: rows per scan split locally (cluster: ~128MB of parquet instead).
+#: text/vector tables get finer splits: their consumers (shingling,
+#: hashing, pair scoring) are CPU-bound per row, so parallelism matters
+#: at much smaller row counts.
+ROWS_PER_SPLIT = 20_000
+ROWS_PER_SPLIT_BY_TABLE = {"documents": 250, "embeddings": 100}
+MAX_SPLITS = 64
+
+#: fact tables sorted at load by their range key -> parquet min/max
+#: skipping turns seq-range scans into file pruning
+SORT_KEYS = {
+    "events": "event_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+}
+
+
+def default_warehouse() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/flumedb_spark_warehouse"
+    )
+
+
+def managed_path(sf_dir: str, table: str, warehouse: str | None = None) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(warehouse or default_warehouse(), tag, table)
+
+
+def _fix_ns_timestamps(spark: SparkSession, path: str) -> DataFrame:
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for field in pq.read_schema(path):
+        if pat.is_timestamp(field.type) and field.type.unit == "ns":
+            df = df.withColumn(
+                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+            )
+    return df
+
+
+def ensure_ingested(
+    spark: SparkSession, sf_dir: str, table: str, warehouse: str | None = None
+) -> str:
+    """Idempotent load of one table; returns the managed dir path."""
+    src = f"{sf_dir}/{table}.parquet"
+    dst = managed_path(sf_dir, table, warehouse)
+    marker = os.path.join(dst, "_INGESTED.json")
+    st = os.stat(src)
+    want = {"size": st.st_size, "mtime": int(st.st_mtime)}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == want:
+                    return dst
+        except (ValueError, OSError):
+            pass
+    df = _fix_ns_timestamps(spark, src)
+    n_rows = df.count()
+    per_split = ROWS_PER_SPLIT_BY_TABLE.get(table, ROWS_PER_SPLIT)
+    n_splits = max(1, min(MAX_SPLITS, n_rows // per_split or 1))
+    key = SORT_KEYS.get(table)
+    if key:
+        # range-partition + sort: files carry disjoint key ranges, so
+        # min/max stats prune whole files for range predicates
+        df = df.repartitionByRange(n_splits, key).sortWithinPartitions(key)
+    else:
+        df = df.repartition(n_splits)
+    df.write.mode("overwrite").parquet(dst)
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return dst
