@@ -1,0 +1,119 @@
+"""Live log tails and always-on view maintenance (O6, SURVEY §2.A).
+
+The reference's live feed is ``stream({gt: upto, live: true})`` — emit
+the existing suffix, then keep emitting new appends in seq order
+(`index.js:39`, `README.md:133`). Structured Streaming gives the same
+semantics over the ParquetLog for free:
+
+- **source**: ``readStream`` with the file source over the log's data
+  dir. The appender writes one new file per commit named by commit
+  index, so discovery order == seq order; the checkpointed file list is
+  exactly the reference's ``since`` resume point (`index.js:39`
+  ``opts.gt = upto`` ≙ checkpoint recovery — SURVEY §4 calls this the
+  most load-bearing mapping in the design).
+- **sink**: ``foreachBatch`` folding each micro-batch into a
+  :class:`~flumedb_spark.views.base.FlumeView`. The view's atomic
+  (state, since) commit makes redelivered batches idempotent — the
+  crash-retry path re-runs a batch, ``fold`` sees ``seq <= since`` rows
+  filtered out, nothing double-counts (exactly-once, SURVEY §7.4.2).
+
+At scale the file source becomes a real log bus (Kafka/Delta CDF) with
+the identical contract: ordered offsets + checkpointed resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..log import LOG_SCHEMA, ParquetLog
+
+
+def stream_log(
+    spark: SparkSession,
+    log: ParquetLog,
+    gt: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded ``(seq, ts, value)`` stream over the log (O6).
+
+    ``gt`` bounds the start like the reference's ``{gt: upto}``; new
+    appends keep flowing until the query stops.
+    """
+    reader = spark.readStream.schema(LOG_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(log.data_dir)
+    if gt is not None:
+        df = df.where(F.col("seq") > F.lit(int(gt)))
+    return df
+
+
+class LiveViewRunner:
+    """Always-on maintenance for a registered view: the streaming form of
+    the engine's read-time catch-up loop (O9).
+
+    ``start()`` launches a foreachBatch query resuming from the view's
+    persisted ``since``; each micro-batch folds the new seq range and
+    commits atomically. Reads through the engine's gate stay correct
+    whether maintenance is read-driven or stream-driven.
+    """
+
+    def __init__(self, engine, name: str, checkpoint_dir: str | None = None):
+        self.engine = engine
+        self.view = engine._views[name]
+        self.checkpoint_dir = checkpoint_dir or f"{engine.dir}/checkpoints/{name}"
+        self.query = None
+
+    def _fold_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        view = self.view
+        # restrict to genuinely-new records: redelivered batches after a
+        # crash re-run with seq <= view.since and fold to a no-op
+        fresh = batch.where(F.col("seq") > F.lit(view.since))
+        row = fresh.agg(F.max("seq").alias("m")).collect()[0]
+        if row.m is None:
+            return
+        mapped = self.engine._mapped(fresh.select("seq", "ts", "value"))
+        view.fold(mapped, int(row.m))
+
+    def start(self, trigger_seconds: float | None = None):
+        src = stream_log(self.engine.spark, self.engine.log, gt=self.view.since)
+        writer = (
+            src.writeStream.option("checkpointLocation", self.checkpoint_dir)
+            .foreachBatch(self._fold_batch)
+            .outputMode("append")
+        )
+        if trigger_seconds is not None:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        self.query = writer.start()
+        return self.query
+
+    def process_all_available(self) -> None:
+        """Synchronous catch-up barrier (the streaming ``ready()``)."""
+        self.query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed counts with late-data watermarking — the
+    standard tumbling/sliding aggregation over a log-derived stream
+    (extension beyond reference parity; SURVEY §2.C streaming row)."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), F.col("w.end").alias("win_end"), "n")
+    )

@@ -1,0 +1,161 @@
+"""North-star operator tests over the driver testdata (sf0.001)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flumedb_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---- dedup ---------------------------------------------------------------
+
+
+def test_exact_dedup_injected_duplicates(spark, docs):
+    # inject controlled duplicates: copies of doc 0 and 1 with new ids
+    base = docs.limit(2).select(F.col("doc_id") + 100000, "text", "lang", "source", "n_chars")
+    dup = docs.unionByName(base.toDF(*docs.columns))
+    groups = dedup.exact_dup_groups(dup)
+    n_docs = docs.count()
+    assert groups.count() == n_docs  # copies collapse into their group
+    assert groups.where(F.col("n_copies") == 2).count() == 2
+    # keeper is the min doc_id
+    keep = groups.where(F.col("n_copies") == 2).select("keep_doc_id").collect()
+    assert sorted(r.keep_doc_id for r in keep) == [0, 1]
+
+
+def test_minhash_finds_exact_dups_as_candidates(spark, docs):
+    base = docs.limit(3).select(F.col("doc_id") + 100000, "text", "lang", "source", "n_chars")
+    dup = docs.unionByName(base.toDF(*docs.columns))
+    cands = dedup.minhash_lsh_candidates(dup)
+    pairs = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    # identical texts share every band -> guaranteed candidates
+    for i in range(3):
+        assert (i, i + 100000) in pairs
+
+
+def test_jaccard_exact_dup_is_one(spark, docs):
+    base = docs.limit(2).select(F.col("doc_id") + 100000, "text", "lang", "source", "n_chars")
+    dup = docs.unionByName(base.toDF(*docs.columns))
+    pairs = dedup.ngram_jaccard_pairs(dup, threshold=0.99)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 100000)] == 1.0
+    assert got[(1, 100001)] == 1.0
+
+
+def test_simhash_identical_and_stability(spark, docs):
+    h1 = {r.doc_id: r.simhash for r in dedup.simhash64(docs.limit(50)).collect()}
+    h2 = {r.doc_id: r.simhash for r in dedup.simhash64(docs.limit(50)).collect()}
+    assert h1 == h2  # deterministic across runs
+    # identical text -> identical simhash
+    base = docs.limit(1).select(F.col("doc_id") + 100000, "text", "lang", "source", "n_chars")
+    dup = docs.limit(1).unionByName(base.toDF(*docs.columns))
+    hs = [r.simhash for r in dedup.simhash64(dup).collect()]
+    assert hs[0] == hs[1]
+
+
+# ---- similarity ----------------------------------------------------------
+
+
+def test_cosine_topk_selfless_and_sorted(spark, embeddings):
+    out = similarity.cosine_topk(embeddings, query_ids=[0, 1], k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        assert all(r.neighbor_id != q for r in rows)
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_lsh_ann_subset_of_bruteforce_space(spark, embeddings):
+    exact = similarity.cosine_topk(embeddings, query_ids=[0], k=3).collect()
+    approx = similarity.lsh_ann_topk(embeddings, query_ids=[0], k=3, n_planes=2).collect()
+    # few planes -> big buckets -> top-1 should usually survive; assert the
+    # weaker structural property: approx neighbors are valid and scored
+    assert all(r.neighbor_id != 0 and -1.0 <= r.cosine <= 1.0 for r in approx)
+    assert len(approx) <= 3
+    # identical scoring function: any overlapping (query, neighbor) pair
+    # has the identical cosine in both
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert exact_scores[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_near_dup_pairs_threshold(spark, embeddings):
+    pairs = similarity.near_dup_pairs(embeddings.limit(100), threshold=0.5)
+    for r in pairs.collect():
+        assert r.vec_a < r.vec_b
+        assert r.cosine >= 0.5
+
+
+# ---- text ----------------------------------------------------------------
+
+
+def test_text_stats_match_split(spark, docs):
+    stats = text.text_stats(docs).collect()
+    golden = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    ).collect()
+    words = {r.doc_id: r.n_words for r in golden}
+    for r in stats:
+        assert r.n_tokens == words[r.doc_id]  # replace-trick == split count
+        assert r.n_bpe_tokens >= r.n_tokens  # bpe-ish splits at least as fine
+
+
+def test_quality_and_lang_scores_bounded(spark, docs):
+    for r in text.quality_score(docs).collect():
+        assert 0.0 <= r.quality <= 1.0
+    preds = text.lang_id(docs).collect()
+    langs = set(text.LANG_MARKERS)
+    for r in preds:
+        assert r.pred_lang in langs
+
+
+def test_fingerprint_dedup_consistency(spark, docs):
+    fp = text.fingerprint(docs)
+    assert fp.select("fingerprint").distinct().count() == fp.count()  # no dups in corpus
+    # same text (differing case/padding) -> same fingerprint
+    two = spark.createDataFrame(
+        [(1, "Hello World"), (2, "  hello world ")], "doc_id long, text string"
+    )
+    fps = [r.fingerprint for r in text.fingerprint(two).collect()]
+    assert fps[0] == fps[1]
+
+
+# ---- multimodal ----------------------------------------------------------
+
+
+def test_multimodal_payload_plumbing(spark, docs):
+    payloads = multimodal.with_binary_payload(docs.limit(20))
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    meta = multimodal.extract_metadata(payloads, use_fake=True)
+    rows = meta.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.ok and r.format == "fake/raw"
+        assert 0 <= r.width < 640 and 0 <= r.height < 480
+    # byte length equals utf-8 length of source text
+    src = {r.doc_id: len(r.text.encode()) for r in docs.limit(20).collect()}
+    for r in rows:
+        assert r.n_bytes == src[r.doc_id]
+
+
+def test_multimodal_real_decoder_is_explicit_stub(spark, docs):
+    payloads = multimodal.with_binary_payload(docs.limit(1))
+    meta = multimodal.extract_metadata(payloads, use_fake=False)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        meta.collect()

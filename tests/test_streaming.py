@@ -1,0 +1,104 @@
+"""O6 live-tail + always-on view maintenance via Structured Streaming."""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from flumedb_spark import Flume, NativeStats
+from flumedb_spark.streaming.live import (
+    LiveViewRunner,
+    stream_log,
+    windowed_event_counts,
+)
+
+
+def test_live_tail_stream_memory_sink(spark, tmp_log_dir, tmp_path):
+    # O6: bounded prefix delivered, then new appends keep flowing
+    db = Flume(tmp_log_dir, spark=spark)
+    db.append([{"foo": i} for i in range(3)])
+    src = stream_log(spark, db.log)
+    q = (
+        src.writeStream.format("memory")
+        .queryName("tail_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        seqs = [r.seq for r in spark.sql("SELECT seq FROM tail_out ORDER BY seq").collect()]
+        assert seqs == [0, 1, 2]
+        db.append([{"foo": 3}, {"foo": 4}])  # live appends
+        q.processAllAvailable()
+        seqs = [r.seq for r in spark.sql("SELECT seq FROM tail_out ORDER BY seq").collect()]
+        assert seqs == [0, 1, 2, 3, 4]
+    finally:
+        q.stop()
+    db.close()
+
+
+def test_live_view_maintenance_foreachbatch(spark, tmp_log_dir):
+    # always-on maintenance: stream feeds the view, gated read agrees
+    db = Flume(tmp_log_dir, spark=spark).use("stats", NativeStats(1, field="foo"))
+    db.append([{"foo": 1}, {"foo": 3}])
+    runner = LiveViewRunner(db, "stats")
+    runner.start()
+    try:
+        runner.process_all_available()
+        assert db.stats.since == 1
+        # read WITHOUT the engine-driven catch-up (since=-1 -> no gate):
+        # the stream already folded everything
+        s = db.stats.get(since=-1)
+        assert s["count"] == 2 and s["mean"] == 2
+        db.append({"foo": 5})
+        runner.process_all_available()
+        s = db.stats.get(since=-1)
+        assert s["count"] == 3 and s["mean"] == 3
+    finally:
+        runner.stop()
+    db.close()
+
+
+def test_stream_resume_from_checkpoint(spark, tmp_log_dir):
+    # O9 resume: restart the maintenance query; no loss, no double-count
+    db = Flume(tmp_log_dir, spark=spark).use("stats", NativeStats(1, field="foo"))
+    db.append([{"foo": 2}, {"foo": 4}])
+    runner = LiveViewRunner(db, "stats")
+    runner.start()
+    runner.process_all_available()
+    runner.stop()
+    assert db.stats.get(since=-1)["count"] == 2
+    db.append({"foo": 6})
+    runner2 = LiveViewRunner(db, "stats")
+    runner2.start()
+    try:
+        runner2.process_all_available()
+        s = db.stats.get(since=-1)
+        assert s["count"] == 3 and s["sum"] == 12  # folded exactly once each
+    finally:
+        runner2.stop()
+    db.close()
+
+
+def test_windowed_counts_with_watermark(spark, tmp_log_dir, tmp_path):
+    # event-time tumbling windows + watermark over a log-derived stream
+    db = Flume(tmp_log_dir, spark=spark)
+    db.append([{"foo": i} for i in range(10)])
+    src = stream_log(spark, db.log)
+    agg = windowed_event_counts(src, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win_out").collect()
+        assert sum(r.n for r in rows) == 10
+        assert all(r.win_end > r.win_start for r in rows)
+    finally:
+        q.stop()
+    db.close()
