@@ -633,3 +633,216 @@ shared_sql(
     ORDER BY seq
     """,
 )
+
+
+# =====================================================================
+# Extended relational surface — scalar/window/set/grouping breadth
+# =====================================================================
+
+shared_sql(
+    "percentiles_exact",
+    # interpolated quantiles over exact integer cents: Spark percentile()
+    # and DuckDB quantile_cont() share the linear-interpolation formula,
+    # so results over identical ints are bit-identical (verified).
+    """
+    SELECT o_orderpriority,
+      percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_c,
+      percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_c,
+      percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) AS p99_c
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    oracle="""
+    SELECT o_orderpriority,
+      quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_c,
+      quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_c,
+      quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) AS p99_c
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+shared_sql(
+    "string_agg_ordered",
+    """
+    SELECT o_orderstatus,
+      listagg(DISTINCT o_orderpriority, ',') WITHIN GROUP (ORDER BY o_orderpriority) AS priorities
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    oracle="""
+    SELECT o_orderstatus,
+      string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+shared_sql(
+    "array_agg_sorted",
+    # deterministic array aggregation: sort the collected list
+    """
+    SELECT user_id, sort_array(collect_list(DISTINCT event_type)) AS types
+    FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id
+    """,
+    oracle="""
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+    FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+shared_sql(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+
+shared_sql(
+    "scalar_functions_2",
+    # string surface: pad/trim/translate/replace/reverse/position + null
+    # handling (coalesce/nullif) — identical ANSI text on both engines
+    """
+    SELECT o_orderkey,
+      lpad(o_orderstatus, 3, '_') AS padded,
+      trim('  ' || o_orderstatus || '  ') AS trimmed,
+      translate(o_orderpriority, '-', '_') AS translated,
+      replace(o_orderpriority, 'E', 'e') AS replaced,
+      reverse(o_orderstatus) AS rev,
+      position('-' IN o_orderpriority) AS dash_pos,
+      coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+      CASE WHEN o_totalprice > 250000 THEN 'big' ELSE 'small' END AS bucket
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+)
+
+shared_sql(
+    "math_functions",
+    # integer-safe math only (no libm transcendentals — their rounding is
+    # not pinned across implementations); sqrt IS correctly-rounded IEEE
+    """
+    SELECT o_orderkey,
+      floor(o_totalprice / 1000) AS floor_k,
+      ceil(o_totalprice / 1000) AS ceil_k,
+      round(sqrt(CAST(round(o_totalprice * 100) AS BIGINT)), 6) AS sqrt_c,
+      sign(CAST(round(o_totalprice * 100) AS BIGINT) - 25000000) AS vs_250k,
+      greatest(o_orderkey % 7, o_orderkey % 5) AS g,
+      least(o_orderkey % 7, o_orderkey % 5) AS l
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+      floor(o_totalprice / 1000) AS floor_k,
+      ceil(o_totalprice / 1000) AS ceil_k,
+      round(sqrt(CAST(round(o_totalprice * 100) AS BIGINT)), 6) AS sqrt_c,
+      CAST(sign(CAST(round(o_totalprice * 100) AS BIGINT) - 25000000) AS DOUBLE) AS vs_250k,
+      greatest(o_orderkey % 7, o_orderkey % 5) AS g,
+      least(o_orderkey % 7, o_orderkey % 5) AS l
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+)
+
+shared_sql(
+    "interval_arithmetic",
+    """
+    SELECT o_orderkey,
+      unix_micros(CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)) AS due_us,
+      unix_micros(CAST(o_orderdate - INTERVAL 1 DAY AS TIMESTAMP)) AS prev_us
+    FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+      epoch_us(o_orderdate + INTERVAL 30 DAY) AS due_us,
+      epoch_us(o_orderdate - INTERVAL 1 DAY) AS prev_us
+    FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+    """,
+)
+
+shared_sql(
+    "window_rank_dense",
+    # rank()/dense_rank() handle ties (o_totalprice duplicates survive in
+    # cents space) — deterministic because ranking ignores arrival order
+    """
+    SELECT o_custkey, o_orderkey,
+      rank() OVER w AS rnk,
+      dense_rank() OVER w AS drnk,
+      ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile
+    FROM orders WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+
+shared_sql(
+    "window_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+      first_value(o_orderkey) OVER w AS first_ok,
+      last_value(o_orderkey) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      ) AS last_ok,
+      lead(o_orderkey) OVER w AS next_ok
+    FROM orders WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+
+shared_sql(
+    "except_all_union_all",
+    # bag semantics set ops
+    """
+    SELECT x FROM (
+      SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'F'
+    ) t ORDER BY x LIMIT 500
+    """,
+)
+
+shared_sql(
+    "correlated_scalar_subquery",
+    """
+    SELECT c_custkey,
+      (SELECT CAST(round(max(o_totalprice) * 100) AS BIGINT)
+       FROM orders WHERE o_custkey = c_custkey) AS max_order_c
+    FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+    """,
+)
+
+shared_sql(
+    "cross_join_dims",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    WHERE n_regionkey = 0 ORDER BY r_name, n_name
+    """,
+)
+
+shared_sql(
+    "q6_forecast_revenue",
+    # TPC-H Q6 shape: selective scan + single agg, the pure pushdown test
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+
+shared_sql(
+    "q18_large_volume_customers",
+    # TPC-H Q18 shape: HAVING over a join-aggregate
+    """
+    SELECT c_custkey, o_orderkey, CAST(sum(qty_c) AS BIGINT) AS total_qty_c
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN (SELECT l_orderkey, CAST(round(l_quantity * 100) AS BIGINT) AS qty_c FROM lineitem) l
+      ON l.l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING sum(qty_c) > 25000
+    ORDER BY total_qty_c DESC, o_orderkey LIMIT 20
+    """,
+)
