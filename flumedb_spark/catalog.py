@@ -59,11 +59,19 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     key = (id(spark), sf_dir)
     if _REGISTERED.get(key):
         return
-    from .sources.ingest import ensure_ingested
+    # timestamp semantics (date_trunc/year/...) must match the UTC-naive
+    # oracle regardless of how the caller built the session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .sources.ingest import _fix_ns_timestamps, ensure_ingested
 
     for t in TABLES:
-        managed = ensure_ingested(spark, sf_dir, t)
-        spark.read.parquet(managed).createOrReplaceTempView(t)
+        try:
+            managed = ensure_ingested(spark, sf_dir, t)
+            spark.read.parquet(managed).createOrReplaceTempView(t)
+        except Exception:
+            # warehouse not writable / ingest failed: serve the source
+            # file directly (correct, just single-split)
+            _fix_ns_timestamps(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     _REGISTERED[key] = True
 
 

@@ -123,6 +123,14 @@ class Flume:
         self._handles: dict[str, ViewHandle] = {}
         self.meta: dict[str, int] = {"append": 0, "get": 0, "stream": 0}
         self._lock = threading.RLock()
+        # O21: logs may export extra ops onto the engine facade
+        # (index.js:270-283) — type-checked, name-conflict throw
+        for mname, kind in getattr(self.log, "methods", {}).items():
+            if kind != "sync":
+                raise ValueError(f"log method {mname} must be 'sync'")
+            if hasattr(self, mname):
+                raise ValueError(f"log method clashes with engine api: {mname}")
+            setattr(self, mname, getattr(self.log, mname))
 
     # ---- basics --------------------------------------------------------
     @property
@@ -158,12 +166,13 @@ class Flume:
         mapper = self.mapper
         cols = df.columns
 
+        codec = self.log.codec
+
         def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
                 pdf = pdf.copy()
                 pdf["value"] = [
-                    json.dumps(mapper(json.loads(v)), sort_keys=True, default=str)
-                    for v in pdf["value"]
+                    codec.encode(mapper(codec.decode(v))) for v in pdf["value"]
                 ]
                 yield pdf
 
@@ -231,11 +240,11 @@ class Flume:
 
         return tail()
 
-    @staticmethod
-    def _row_to_item(row, seqs: bool, values: bool):
+    def _row_to_item(self, row, seqs: bool, values: bool):
+        decode = self.log.codec.decode
         if seqs and values:
-            return {"seq": row.seq, "value": _decode(row.value)}
-        return row.seq if seqs else _decode(row.value)
+            return {"seq": row.seq, "value": decode(row.value)}
+        return row.seq if seqs else decode(row.value)
 
     # ---- views (O8/O9) -------------------------------------------------
     def use(self, name: str, view: FlumeView) -> "Flume":

@@ -61,6 +61,9 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
+from .codecs import CODECS, JsonCodec
+
+
 def _encode(value: Any) -> str:
     """Schema-less envelope: values are opaque JSON (README.md:103)."""
     return json.dumps(value, sort_keys=True, default=str)
@@ -79,7 +82,12 @@ class ParquetLog:
     unchanged.
     """
 
-    def __init__(self, path: str, bucket_size: int = 1_000_000):
+    #: extra log-specific operations a subclass may export onto the
+    #: engine facade (O21, index.js:270-283): {method_name: 'sync'}
+    methods: dict = {}
+
+    def __init__(self, path: str, bucket_size: int = 1_000_000, codec="json"):
+        self.codec = CODECS[codec] if isinstance(codec, str) else codec
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.meta_path = os.path.join(path, "meta.json")
@@ -124,7 +132,7 @@ class ParquetLog:
             {
                 "seq": pa.array(seqs, pa.int64()),
                 "ts": pa.array([now] * len(batch), pa.timestamp("us", tz="UTC")),
-                "value": pa.array([_encode(v) for v in batch], pa.string()),
+                "value": pa.array([self.codec.encode(v) for v in batch], pa.string()),
             },
             schema=_ARROW_SCHEMA,
         )
@@ -152,7 +160,7 @@ class ParquetLog:
         if not rows:
             return None
         r = rows[0]
-        return {"seq": r.seq, "value": _decode(r.value)}
+        return {"seq": r.seq, "value": self.codec.decode(r.value)}
 
     def stream_df(
         self,

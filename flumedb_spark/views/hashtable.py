@@ -66,12 +66,13 @@ class Hashtable(FlumeView):
             keyed = batch.select(F.expr(self.key_expr).alias("key"), "seq", "value")
         else:
             key_fn = self.key_fn
+            decode = self._engine.log.codec.decode
 
             def run(it):
                 for pdf in it:
                     yield pd.DataFrame(
                         {
-                            "key": [str(key_fn(json.loads(v))) for v in pdf["value"]],
+                            "key": [str(key_fn(decode(v))) for v in pdf["value"]],
                             "seq": pdf["seq"],
                             "value": pdf["value"],
                         }
@@ -106,7 +107,7 @@ class Hashtable(FlumeView):
         rows = snap.where(F.col("key") == F.lit(key)).collect()
         if not rows:
             return None
-        return json.loads(rows[0].value)
+        return self._engine.log.codec.decode(rows[0].value)
 
     def keys(self) -> list:
         snap = self._snap_df()

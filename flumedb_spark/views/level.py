@@ -75,13 +75,13 @@ class Level(FlumeView):
             )
         else:
             key_fn = self.key_fn
-            import json
+            decode = self._engine.log.codec.decode
 
             def run(it):
                 for pdf in it:
                     seqs, keys = [], []
                     for s, v in zip(pdf["seq"], pdf["value"]):
-                        for k in key_fn(json.loads(v)) or []:
+                        for k in key_fn(decode(v)) or []:
                             seqs.append(s)
                             keys.append(str(k))
                     yield pd.DataFrame({"seq": pd.Series(seqs, dtype="int64"), "key": keys})
@@ -112,11 +112,10 @@ class Level(FlumeView):
     def get(self, key: Any) -> list[dict]:
         """Point lookup: all log records indexed under ``key``, seq order
         (`test/rebuild.js:38,48`)."""
-        import json
-
+        decode = self._engine.log.codec.decode
         idx = self.df().where(F.col("key") == F.lit(key))
         rows = self._join_back(idx).orderBy("seq").select("seq", "key", "value").collect()
-        return [{"seq": r.seq, "key": r.key, "value": json.loads(r.value)} for r in rows]
+        return [{"seq": r.seq, "key": r.key, "value": decode(r.value)} for r in rows]
 
     def read(
         self,

@@ -67,13 +67,14 @@ class Reduce(FlumeView):
     def fold(self, batch: DataFrame, upto: int) -> None:
         acc0 = self._acc
         reducer = self.reducer
+        decode = self._engine.log.codec.decode
         sentinel = "\x00__unset__"
 
         def run(it):
             a = acc0
             for pdf in it:
                 for raw in pdf["value"]:
-                    a = reducer(a, json.loads(raw))
+                    a = reducer(a, decode(raw))
             out = json.dumps(a, default=str) if a is not None else sentinel
             yield pd.DataFrame({"acc": [out]})
 

@@ -90,5 +90,6 @@ class Search(FlumeView):
         return log_df.join(F.broadcast(hits), "seq").orderBy("seq")
 
     def query(self, terms: list[str] | str) -> list[dict]:
+        decode = self._engine.log.codec.decode
         rows = self.query_df(terms).select("seq", "value").collect()
-        return [{"seq": r.seq, "value": json.loads(r.value)} for r in rows]
+        return [{"seq": r.seq, "value": decode(r.value)} for r in rows]

@@ -1,0 +1,86 @@
+"""Physical-plan invariants — the scale posture, asserted.
+
+These tests pin the properties that make the engine survive 100x data:
+filters reach the parquet scan, star joins broadcast their small sides,
+relational hot paths never drop into Python, and seq-range scans prune.
+A regression here is a performance bug even when results stay correct.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entry.queries()
+
+    def plan_of(name: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, sf_dir).explain("formatted")
+        return buf.getvalue()
+
+    return plan_of
+
+
+def test_range_scan_pushdown(plans):
+    # O4's gt/lte predicates must reach the parquet reader (SURVEY §4:
+    # the reference's only pushdown; ours is Catalyst's for free)
+    p = plans("o4_stream_range")
+    assert "GreaterThan(event_id,100)" in p
+    assert "LessThanOrEqual(event_id,800)" in p
+
+
+def test_point_lookup_pushdown(plans):
+    p = plans("o3_get_point")
+    assert "EqualTo(event_id,424)" in p
+
+
+def test_star_joins_broadcast(plans):
+    # dimension sides of the star joins must broadcast, not shuffle
+    for q in ("q3_top_revenue_orders", "q5_region_revenue", "q18_large_volume_customers"):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, f"{q} lost its broadcast join"
+
+
+def test_no_python_in_relational_paths(plans):
+    # every relational/catalog query must stay JVM-side (no row-at-a-time
+    # Python UDF stages); only the multimodal decode is allowed Python
+    for q in (
+        "q1_pricing_summary",
+        "v1_reduce_stats",
+        "v5_hashtable_latest",
+        "ns_dedup_exact",
+        "ns_minhash_lsh_candidates",
+        "ns_similarity_topk",
+        "ns_text_stats",
+        "ns_lang_id",
+    ):
+        p = plans(q)
+        assert "BatchEvalPython" not in p, f"{q} fell into a Python UDF"
+        assert "ArrowEvalPython" not in p, f"{q} fell into a Pandas UDF"
+
+
+def test_projection_prunes_columns(plans):
+    # seq-only stream reads one column (O5 projection == column pruning)
+    p = plans("o5_stream_seqs_only")
+    assert "ReadSchema: struct<event_id:bigint>" in p
+
+
+def test_mapside_partial_aggregation(spark, sf_dir):
+    # the grouped aggregate must partial-combine BEFORE the shuffle —
+    # at 100 TB this is the difference between shuffling 600B rows and
+    # shuffling |groups| x |partitions| partials. (AQE's pre-execution
+    # explain hides codegen '*(n)' markers, so we pin this instead.)
+    qs = entry.queries()
+    df = qs["q1_pricing_summary"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(extended=False)
+    p = buf.getvalue()
+    assert "partial_sum" in p
+    assert p.index("partial_sum") > p.index("Exchange hashpartitioning")
