@@ -306,3 +306,102 @@ def ns_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, typed output schema — is the real path)."""
     payloads = multimodal.with_binary_payload(spark.table("documents"))
     return multimodal.extract_metadata(payloads, use_fake=True).orderBy("doc_id")
+
+
+def _simhash_md5_sql(int_div: str, lateral: str, shiftleft: str) -> str:
+    """Portable md5-based 64-bit SimHash: per-token md5, hex digits
+    decoded via position(c IN '0123456789abcdef') (both dialects), bit
+    votes summed, sign bit special-cased (DuckDB's << is
+    overflow-checked). Identical arithmetic in both engines — verified
+    bit-for-bit."""
+    return f"""
+    h AS (
+      SELECT doc_id, md5(token) AS hh FROM tok WHERE token != ''
+    ), bits AS (
+      SELECT doc_id, b.bit,
+        CASE WHEN (
+          (position(substr(hh, CAST(b.bit {int_div} 4 AS INT) + 1, 1) IN '0123456789abcdef') - 1)
+          {int_div} CAST(pow(2, 3 - (b.bit % 4)) AS INT)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+      FROM h {lateral}
+    ), votes AS (
+      SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+      CAST(sum(CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)
+                    WHEN bit = 63 THEN -9223372036854775807 - 1
+                    ELSE {shiftleft} END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id"""
+
+
+_SIMHASH_SPARK = (
+    "WITH tok AS (SELECT doc_id, explode(array_distinct(split(text, ' '))) AS token FROM documents), "
+    + _simhash_md5_sql(
+        "div",
+        "LATERAL VIEW explode(sequence(0, 63)) b AS bit",
+        "shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))",
+    )
+)
+_SIMHASH_DUCK = (
+    "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
+    + _simhash_md5_sql(
+        "//",
+        ", LATERAL (SELECT unnest(generate_series(0, 63)) AS bit) b",
+        "(CAST(1 AS BIGINT) << CAST(bit AS INT))",
+    )
+)
+
+
+@query("ns_simhash_md5", oracle=_SIMHASH_DUCK)
+def ns_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash variant (md5 bit derivation). The
+    engine's fast path (operators/dedup.simhash64) uses xxhash64 and is
+    covered by the rows-only ns_simhash64 entry + property tests."""
+    return spark.sql(_SIMHASH_SPARK)
+
+
+@query(
+    "ns_pipeline_filter_dedup_join",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, md5(text) AS h,
+        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+        length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+      FROM documents
+    )
+    SELECT k.doc_id, e.label,
+      CAST(round(CAST(e.embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e0_scaled
+    FROM kept k JOIN embeddings e ON e.vec_id = k.doc_id
+    WHERE k.rn = 1 AND k.n_tok >= 40
+    ORDER BY k.doc_id
+    """,
+)
+def ns_pipeline_filter_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data-pipeline shape: quality gate (token
+    floor) -> exact dedup (keep first per content hash) -> join document
+    survivors to their embeddings. One declarative plan: Catalyst fuses
+    the filter into the scan, dedups via window, broadcasts the
+    survivor set into the embedding join."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .operators.text import n_tokens
+
+    docs = spark.table("documents")
+    kept = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        n_tokens(F.col("text")).cast("long").alias("n_tok"),
+    ).withColumn("rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+    survivors = kept.where((F.col("rn") == 1) & (F.col("n_tok") >= 40))
+    emb = spark.table("embeddings")
+    return (
+        survivors.join(emb, survivors.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "label",
+            (F.round(F.element_at("embedding", 1).cast("double") * 1000000))
+            .cast("long")
+            .alias("e0_scaled"),
+        )
+        .orderBy("doc_id")
+    )
