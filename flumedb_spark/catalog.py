@@ -854,3 +854,29 @@ shared_sql(
     ORDER BY total_qty_c DESC, o_orderkey LIMIT 20
     """,
 )
+
+
+shared_sql(
+    "sliding_window_counts",
+    # 1-hour windows sliding every 30 minutes: each event lands in
+    # exactly two windows. Spark's window() and DuckDB's time_bucket
+    # both align to the epoch origin, so starts agree exactly.
+    """
+    SELECT unix_micros(w.start) AS win_start_us, count(*) AS n,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM (SELECT window(ts, '1 hour', '30 minutes') AS w, value FROM events)
+    GROUP BY w ORDER BY win_start_us
+    """,
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS s1, value FROM events
+    ), w AS (
+      SELECT s1 AS win_start, value FROM b
+      UNION ALL
+      SELECT s1 - INTERVAL 30 MINUTE AS win_start, value FROM b
+    )
+    SELECT epoch_us(win_start) AS win_start_us, count(*) AS n,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM w GROUP BY win_start ORDER BY win_start_us
+    """,
+)
