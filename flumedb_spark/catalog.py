@@ -880,3 +880,56 @@ shared_sql(
     FROM w GROUP BY win_start ORDER BY win_start_us
     """,
 )
+
+
+shared_sql(
+    "q10_returned_items",
+    # TPC-H Q10 shape: returned-item revenue by customer + nation
+    """
+    SELECT c_custkey, c_name, n_name,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
+    """,
+)
+
+shared_sql(
+    "q14_promo_revenue",
+    # TPC-H Q14 shape: conditional-aggregate ratio over a part join.
+    # The ratio divides two exact integer sums -> deterministic double.
+    """
+    SELECT
+      round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN disc_price_c4 ELSE 0 END) AS DOUBLE)
+            / CAST(sum(disc_price_c4) AS DOUBLE), 9) AS promo_pct
+    FROM (
+      SELECT l_partkey,
+        CAST(round(l_extendedprice * 100) AS BIGINT)
+        * CAST(round((1 - l_discount) * 100) AS BIGINT) AS disc_price_c4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    ) l JOIN part ON p_partkey = l_partkey
+    """,
+)
+
+shared_sql(
+    "q19_discounted_revenue",
+    # TPC-H Q19 shape: disjunctive multi-attribute predicates over a join
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE
+      (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+      OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity >= 10 AND l_quantity <= 40)
+      OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50 AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)

@@ -224,11 +224,13 @@ class Flume:
         if not live:
             return [self._row_to_item(r, seqs, values) for r in self.stream_df(seqs=seqs, values=values, **opts).collect()]
 
+        # validate eagerly — not on first pull of the generator
+        for k in ("gte", "lt", "lte", "reverse", "limit"):
+            if opts.get(k):
+                raise ValueError(f"live tail does not support {k} (SURVEY §7.4.4)")
+
         def tail() -> Iterator[Any]:
             pos = opts.get("gt", -1)
-            for k in ("gte", "lt", "lte", "reverse", "limit"):
-                if opts.get(k) is not None:
-                    raise ValueError(f"live tail does not support {k} (SURVEY §7.4.4)")
             while not self.closed:
                 head = self.log.since
                 if head > pos:

@@ -99,8 +99,15 @@ class ParquetLog:
     def _load_meta(self) -> dict:
         if os.path.exists(self.meta_path):
             with open(self.meta_path) as f:
-                return json.load(f)
-        return {"since": -1, "commits": 0}
+                meta = json.load(f)
+            # manifest introduced later: fall back to a directory glob
+            # for logs written before it
+            if "files" not in meta:
+                meta["files"] = sorted(
+                    f for f in os.listdir(self.data_dir) if f.endswith(".parquet")
+                )
+            return meta
+        return {"since": -1, "commits": 0, "files": []}
 
     def _commit_meta(self) -> None:
         tmp = self.meta_path + f".tmp.{uuid.uuid4().hex}"
@@ -137,21 +144,27 @@ class ParquetLog:
             schema=_ARROW_SCHEMA,
         )
         commit = self._meta["commits"]
-        fname = os.path.join(self.data_dir, f"{commit:010d}-{uuid.uuid4().hex[:8]}.parquet")
-        pq.write_table(table, fname)
+        fname = f"{commit:010d}-{uuid.uuid4().hex[:8]}.parquet"
+        pq.write_table(table, os.path.join(self.data_dir, fname))
+        # one atomic meta commit makes the file visible: readers consume
+        # the manifest, so a torn write (file without meta) is invisible
         self._meta["since"] = seqs[-1]
         self._meta["commits"] = commit + 1
+        self._meta["files"] = self._meta.get("files", []) + [fname]
         self._commit_meta()
         return seqs[-1]
 
     # ---- read path ----------------------------------------------------
     def df(self, spark: SparkSession) -> DataFrame:
-        """The committed log as a DataFrame (torn appends filtered out)."""
+        """The committed log as a DataFrame: manifest-listed files only
+        (torn appends and compaction leftovers are invisible)."""
         self._meta = self._load_meta()
         since = self._meta["since"]
-        if since < 0 or not os.listdir(self.data_dir):
+        files = self._meta.get("files", [])
+        if since < 0 or not files:
             return spark.createDataFrame([], LOG_SCHEMA)
-        df = spark.read.schema(LOG_SCHEMA).parquet(self.data_dir)
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        df = spark.read.schema(LOG_SCHEMA).parquet(*paths)
         return df.where(F.col("seq") <= F.lit(since))
 
     def get(self, spark: SparkSession, seq: int) -> dict | None:
@@ -197,10 +210,66 @@ class ParquetLog:
             return df.select("seq")
         return df.select("value")
 
+    def compact(self, spark: SparkSession, target_rows_per_file: int = 500_000) -> int:
+        """Merge the many per-commit files into few seq-sorted files.
+
+        Long-running logs accumulate one file per append commit; scan
+        cost grows with file count even when data volume doesn't. The
+        compactor rewrites the committed prefix into
+        ``ceil(n/target)`` range-partitioned, seq-sorted files (so
+        parquet min/max keeps pruning ranges), swaps them in via the
+        same tmp-dir + meta protocol appends use, and leaves any
+        concurrent post-compaction appends untouched. Returns the
+        number of files after compaction.
+
+        Live tails (streaming file source) will observe the compacted
+        files as new and re-deliver the prefix; `LiveViewRunner`'s
+        fresh-seq filter makes that a no-op, but raw `stream_log`
+        consumers should be restarted after a compaction.
+        """
+        self._meta = self._load_meta()
+        since = self._meta["since"]
+        if since < 0:
+            return 0
+        old_files = list(self._meta.get("files", []))
+        df = self.df(spark)
+        n = df.count()
+        n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
+        tmp = os.path.join(self.path, f"compact-{uuid.uuid4().hex[:8]}")
+        (
+            df.repartitionByRange(n_files, "seq")
+            .sortWithinPartitions("seq")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # swap: stage compacted files into data/, then ONE atomic meta
+        # commit replaces the manifest (crash before it = harmless
+        # orphans; readers never see duplicates), then GC the old files
+        import shutil
+
+        new_names = []
+        parts = [f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")]
+        for i, f in enumerate(parts):
+            name = f"compacted-{since:012d}-{i:05d}.parquet"
+            shutil.move(os.path.join(tmp, f), os.path.join(self.data_dir, name))
+            new_names.append(name)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # appends may have landed since df() was planned: keep any
+        # manifest entries newer than the compacted prefix
+        current = self._load_meta()
+        replaced = [f for f in current["files"] if f in set(old_files)]
+        tail = [f for f in current["files"] if f not in set(old_files)]
+        self._meta = current
+        self._meta["files"] = new_names + tail
+        self._commit_meta()
+        for f in replaced:
+            os.remove(os.path.join(self.data_dir, f))
+        return len(new_names) + len(tail)
+
     def destroy(self) -> None:
         import shutil
 
         shutil.rmtree(self.path, ignore_errors=True)
         os.makedirs(self.data_dir, exist_ok=True)
-        self._meta = {"since": -1, "commits": 0}
+        self._meta = {"since": -1, "commits": 0, "files": []}
         self._commit_meta()

@@ -307,3 +307,36 @@ def test_live_tail(spark, tmp_log_dir):
     db.append({"foo": 3})
     t.join(timeout=60)
     assert [g["seq"] for g in got] == [0, 1, 2]
+
+
+def test_log_compaction(spark, tmp_log_dir):
+    import os
+
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
+    for i in range(12):  # 12 separate commits -> 12 files
+        db.append({"foo": i})
+    assert db.sum.get() == sum(range(12))
+    assert len(db.log._meta["files"]) == 12
+    n = db.log.compact(spark, target_rows_per_file=50)
+    assert n == 1
+    # identical contents and semantics after the swap
+    assert [i["value"]["foo"] for i in db.stream()] == list(range(12))
+    assert db.get(5) == {"foo": 5}
+    # appends keep working, and the view state survives
+    db.append({"foo": 100})
+    assert db.sum.get() == sum(range(12)) + 100
+    assert len(db.log._meta["files"]) == 2  # compacted + new commit
+    # no stray files beyond the manifest (old commits GC'd)
+    on_disk = [f for f in os.listdir(db.log.data_dir) if f.endswith(".parquet")]
+    assert sorted(on_disk) == sorted(db.log._meta["files"])
+    db.close()
+
+
+def test_live_tail_rejects_bounded_opts(spark, tmp_log_dir):
+    db = make_db(tmp_log_dir, spark)
+    db.append({"foo": 1})
+    with pytest.raises(ValueError):
+        db.stream(live=True, limit=5)  # unbounded reverse/limit is incoherent
+    with pytest.raises(ValueError):
+        db.stream(live=True, reverse=True)
+    db.close()
