@@ -1,0 +1,77 @@
+"""functions/ column helpers, sources/ readers, and view self-heal."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flumedb_spark import Flume, Reduce
+from flumedb_spark.functions import cents, epoch_us, scaled_int, tokens
+from flumedb_spark.sources.readers import append_df_to_log, read_any
+
+
+def test_column_helpers(spark):
+    df = spark.createDataFrame(
+        [(1, 12.34, "Hello World foo")], "id long, price double, text string"
+    )
+    row = df.select(
+        cents("price").alias("c"),
+        scaled_int(F.lit(0.5)).alias("s"),
+        tokens("text").alias("t"),
+    ).collect()[0]
+    assert row.c == 1234
+    assert row.s == 500000
+    assert row.t == ["hello", "world", "foo"]
+
+
+def test_epoch_us_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.sql("SELECT TIMESTAMP '2024-03-01 12:30:45.123456' AS ts")
+    got = df.select(epoch_us("ts").alias("e")).collect()[0].e
+    exp = duckdb.sql("SELECT epoch_us(TIMESTAMP '2024-03-01 12:30:45.123456')").fetchone()[0]
+    assert got == exp
+
+
+def test_read_any_csv_json(spark, tmp_path):
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    df = read_any(spark, str(csv), "csv", schema="a int, b string")
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+    jl = tmp_path / "t.jsonl"
+    jl.write_text('{"a": 1}\n{"a": 2}\n')
+    df = read_any(spark, str(jl), "json", schema="a long")
+    assert sorted(r.a for r in df.collect()) == [1, 2]
+
+    with pytest.raises(ValueError):
+        read_any(spark, str(csv), "xml")
+
+
+def test_bulk_load_df_into_log(spark, tmp_log_dir):
+    db = Flume(tmp_log_dir, spark=spark)
+    df = spark.createDataFrame([(2, "b"), (1, "a"), (3, "c")], "k long, v string")
+    append_df_to_log(db.log, df, order_by="k")
+    items = db.stream(seqs=False)
+    assert [i["k"] for i in items] == [1, 2, 3]  # seq order follows order_by
+    db.close()
+
+
+def test_transient_view_failure_self_heals(spark, tmp_log_dir, tmp_path):
+    # O9 crash-restart (index.js:56-75): a sink error destroys and
+    # rebuilds that one view; a transient fault therefore heals on the
+    # replay and the read still succeeds.
+    flag = str(tmp_path / "fail_once")
+    with open(flag, "w") as f:
+        f.write("1")
+
+    def flaky_reducer(acc, item, _flag=flag):
+        if item["foo"] == 2 and os.path.exists(_flag):
+            os.remove(_flag)  # fail exactly once
+            raise RuntimeError("transient sink fault")
+        return (acc or 0) + item["foo"]
+
+    db = Flume(tmp_log_dir, spark=spark).use("sum", Reduce(1, flaky_reducer))
+    db.append([{"foo": 1}, {"foo": 2}, {"foo": 3}])
+    assert db.sum.get() == 6  # healed: destroy + full replay behind the gate
+    db.close()
