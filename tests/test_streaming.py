@@ -102,3 +102,46 @@ def test_windowed_counts_with_watermark(spark, tmp_log_dir, tmp_path):
     finally:
         q.stop()
     db.close()
+
+
+def test_stateful_running_key_stats(spark, tmp_log_dir, tmp_path):
+    # applyInPandasWithState: per-key accumulator across micro-batches
+    from flumedb_spark.streaming.stateful import parsed_log_stream, running_key_stats
+
+    db = Flume(tmp_log_dir, spark=spark)
+    db.append([{"user_id": u, "value": float(v)} for u, v in [(1, 10), (2, 5), (1, 20)]])
+    src = parsed_log_stream(stream_log(spark, db.log))
+    out = running_key_stats(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r.user_id: (r.n, r.total)
+            for r in spark.sql(
+                "SELECT user_id, n, total FROM (SELECT *, row_number() OVER "
+                "(PARTITION BY user_id ORDER BY last_seq DESC, n DESC) AS rn "
+                "FROM state_out) WHERE rn = 1"
+            ).collect()
+        }
+        assert rows[1] == (2, 30.0) and rows[2] == (1, 5.0)
+        # state persists across micro-batches: new append accumulates
+        db.append({"user_id": 1, "value": 5.0})
+        q.processAllAvailable()
+        rows = {
+            r.user_id: (r.n, r.total)
+            for r in spark.sql(
+                "SELECT user_id, n, total FROM (SELECT *, row_number() OVER "
+                "(PARTITION BY user_id ORDER BY last_seq DESC, n DESC) AS rn "
+                "FROM state_out) WHERE rn = 1"
+            ).collect()
+        }
+        assert rows[1] == (3, 35.0)
+    finally:
+        q.stop()
+    db.close()
