@@ -933,3 +933,32 @@ shared_sql(
       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50 AND l_quantity >= 20 AND l_quantity <= 50)
     """,
 )
+
+
+shared_sql(
+    "array_functions",
+    # nested-type surface over the embedding arrays: length, element
+    # access, scaled slices — exact-int outputs (dialect fork for
+    # array_size/len and 1-based slicing syntax)
+    """
+    SELECT vec_id,
+      array_size(embedding) AS dim,
+      CAST(round(CAST(element_at(embedding, 1) AS DOUBLE) * 1000000) AS BIGINT) AS e1_scaled,
+      CAST(round(CAST(element_at(embedding, 64) AS DOUBLE) * 1000000) AS BIGINT) AS e64_scaled,
+      CAST(aggregate(slice(embedding, 1, 8),
+                     CAST(0 AS BIGINT),
+                     (acc, x) -> acc + CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+        AS head8_sum_scaled
+    FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+    """,
+    oracle="""
+    SELECT vec_id,
+      CAST(len(embedding) AS INT) AS dim,
+      CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e1_scaled,
+      CAST(round(CAST(embedding[64] AS DOUBLE) * 1000000) AS BIGINT) AS e64_scaled,
+      CAST(list_sum(list_transform(embedding[1:8],
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+        AS head8_sum_scaled
+    FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+    """,
+)

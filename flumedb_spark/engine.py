@@ -59,6 +59,20 @@ class ClosedError(RuntimeError):
     pass
 
 
+class ExprMapper:
+    """A mapper expressed as a Spark SQL expression over the ``value``
+    column (must evaluate to the new value string) — the JVM fast path
+    for O15 when the transform is SQL-expressible: no Python worker, no
+    Arrow transfer, stays inside whole-stage codegen.
+
+    For the point-lookup path the expression is evaluated through a
+    1-row plan, so get/stream/view-feed all see identical semantics.
+    """
+
+    def __init__(self, expr: str):
+        self.expr = expr
+
+
 class ViewHandle:
     """Per-view method wrapper: consistency gate + call metering
     (`wrap.js`). Mounted at ``db.<name>``."""
@@ -159,10 +173,16 @@ class Flume:
 
     # ---- mapper (O15) --------------------------------------------------
     def _mapped(self, df: DataFrame) -> DataFrame:
-        """Compose the mapper onto a (seq, ts, value)-shaped plan. Runs
-        executor-side via Arrow-batched mapInPandas; never persisted."""
+        """Compose the mapper onto a (seq, ts, value)-shaped plan; never
+        persisted. An :class:`ExprMapper` stays fully JVM-side (codegen'd
+        column expression); an arbitrary Python mapper runs executor-side
+        via Arrow-batched mapInPandas (the documented slow path)."""
         if self.mapper is None:
             return df
+        if isinstance(self.mapper, ExprMapper):
+            from pyspark.sql import functions as F
+
+            return df.withColumn("value", F.expr(self.mapper.expr))
         mapper = self.mapper
         cols = df.columns
 
@@ -192,6 +212,14 @@ class Flume:
         (README.md:124-128)."""
         self._throw_if_closed()
         self.meta["get"] += 1
+        if isinstance(self.mapper, ExprMapper):
+            # evaluate the expression through the plan (1-row pruned scan)
+            rows = self._mapped(
+                self.log.stream_df(self.spark, gte=seq, lte=seq)
+            ).collect()
+            if not rows:
+                raise KeyError(seq)
+            return self.log.codec.decode(rows[0].value)
         rec = self.log.get(self.spark, seq)
         if rec is None:
             raise KeyError(seq)

@@ -340,3 +340,30 @@ def test_live_tail_rejects_bounded_opts(spark, tmp_log_dir):
     with pytest.raises(ValueError):
         db.stream(live=True, reverse=True)
     db.close()
+
+
+def test_expr_mapper_jvm_fast_path(spark, tmp_log_dir):
+    # O15 via a pure-JVM column expression: no Python worker in the plan
+    from flumedb_spark import ExprMapper
+
+    mapper = ExprMapper(
+        "to_json(named_struct('foo', CAST(get_json_object(value, '$.foo') AS BIGINT) * 2))"
+    )
+    db = Flume(tmp_log_dir, mapper=mapper, spark=spark)
+    db.use("sum", Reduce(1, sum_foo))
+    db.append([{"foo": 1}, {"foo": 3}])
+    assert db.get(0) == {"foo": 2}  # mapped on read
+    assert [i["value"]["foo"] for i in db.stream()] == [2, 6]
+    assert db.sum.get() == 8  # views consume the mapped feed
+    # never persisted: raw log still holds the original values
+    raw = db.log.get(spark, 0)
+    assert raw["value"] == {"foo": 1}
+    # the plan stays JVM-side
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        db.stream_df().explain(extended=False)
+    assert "EvalPython" not in buf.getvalue()
+    db.close()
