@@ -405,3 +405,11 @@ def ns_pipeline_filter_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+@query("ns_ivf_ann_topk")  # rows-only: IVF probing is approximate by design
+def ns_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_ann_topk(
+        spark.table("embeddings"), query_ids=[0, 1, 2, 3, 4], k=10,
+        n_centroids=16, n_probe=4,
+    )

@@ -208,3 +208,116 @@ def lsh_ann_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---- IVF ANN (alternative scale path) -------------------------------
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat assignment with deterministic seed centroids.
+
+    Proper IVF trains centroids with k-means; for a reproducible,
+    model-free variant we take the ``n_centroids`` lowest-vec_id vectors
+    as centroids (deterministic, no stored model, no RNG) and assign
+    every vector to its max-cosine centroid. At scale the centroid set
+    is broadcast and assignment is one map-side pass; the posting lists
+    (centroid -> members) are the inverted file.
+    """
+    embeddings = _spread(embeddings)
+    base = embeddings.select(
+        "vec_id", F.col(vec_col).alias("vec"), int_norm2(F.col(vec_col)).alias("n2")
+    )
+    cents = (
+        base.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("vec").alias("cvec"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id",
+        "vec",
+        "n2",
+        "cent_id",
+        cosine_expr(int_dot(F.col("vec"), F.col("cvec")), F.col("n2"), F.col("cn2")).alias(
+            "ccos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "vec", "n2", "cent_id")
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via inverted-file probing: each query scores
+    only the members of its ``n_probe`` closest centroid lists —
+    |Q| x (n_probe/n_centroids) x |corpus| work instead of the full
+    cross product. Recall rises with n_probe (== exact when
+    n_probe == n_centroids)."""
+    assigned = ivf_assign(embeddings, n_centroids, vec_col)
+    base = _spread(embeddings).select(
+        "vec_id", F.col(vec_col).alias("vec"), int_norm2(F.col(vec_col)).alias("n2")
+    )
+    cents = (
+        base.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("vec").alias("cvec"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+    q = base.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), F.col("n2").alias("qn2")
+    )
+    if query_ids is not None:
+        q = q.where(F.col("query_id").isin(query_ids))
+    # per query: its n_probe closest centroids
+    qc = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "qvec",
+        "qn2",
+        "cent_id",
+        cosine_expr(int_dot(F.col("qvec"), F.col("cvec")), F.col("qn2"), F.col("cn2")).alias(
+            "ccos"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "qn2", "cent_id")
+    )
+    # score only members of the probed lists
+    cands = probes.join(assigned, "cent_id").where(F.col("vec_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr(int_dot(F.col("qvec"), F.col("vec")), F.col("qn2"), F.col("n2")).alias(
+            "cos_raw"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_raw"), 6).alias("cosine"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

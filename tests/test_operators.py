@@ -159,3 +159,21 @@ def test_multimodal_real_decoder_is_explicit_stub(spark, docs):
 
     with _pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         meta.collect()
+
+
+def test_ivf_ann_structure_and_recall(spark, embeddings):
+    exact = similarity.cosine_topk(embeddings, query_ids=[0, 1], k=5).collect()
+    approx = similarity.ivf_ann_topk(
+        embeddings, query_ids=[0, 1], k=5, n_centroids=8, n_probe=4
+    ).collect()
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        assert r.neighbor_id != r.query_id and -1.0 <= r.cosine <= 1.0
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert exact_scores[(r.query_id, r.neighbor_id)] == r.cosine
+    # full probing degenerates to exact: recall == 1
+    full = similarity.ivf_ann_topk(
+        embeddings, query_ids=[0], k=5, n_centroids=8, n_probe=8
+    ).collect()
+    exact0 = [r.neighbor_id for r in exact if r.query_id == 0]
+    assert [r.neighbor_id for r in full] == exact0
