@@ -34,16 +34,22 @@ HEADLINE = [
     "v2_index_point_get",
     "v5_hashtable_latest",
     "v4_search_single_term",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "percentiles_exact",
     # streaming-ish / sessionization
     "tumbling_hour_counts",
+    "sliding_window_counts",
     "sessionize_30min",
     "asof_purchase_prev_click",
     # north-star
     "ns_dedup_exact",
     "ns_minhash_lsh_candidates",
     "ns_similarity_topk",
+    "ns_lsh_ann_topk",
     "ns_text_stats",
     "ns_lang_id",
+    "ns_simhash_md5",
 ]
 
 

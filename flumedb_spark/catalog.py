@@ -42,7 +42,7 @@ TABLES = [
 ]
 
 
-_REGISTERED: dict[tuple[int, str], bool] = {}
+_REGISTERED: dict[int, str] = {}  # session id -> currently-registered sf_dir
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
@@ -56,8 +56,11 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     normalized to µs at load (matching DuckDB's ns->us read of the same
     sources, so oracle comparisons see identical values).
     """
-    key = (id(spark), sf_dir)
-    if _REGISTERED.get(key):
+    # temp-view names are global per session: memoize on what is
+    # CURRENTLY registered, so interleaving sf_dirs (driver smoke at
+    # sf0.001, correctness at sf0.01) always re-points the views
+    key = id(spark)
+    if _REGISTERED.get(key) == sf_dir:
         return
     # timestamp semantics (date_trunc/year/...) must match the UTC-naive
     # oracle regardless of how the caller built the session
@@ -72,7 +75,7 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
             # warehouse not writable / ingest failed: serve the source
             # file directly (correct, just single-split)
             _fix_ns_timestamps(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-    _REGISTERED[key] = True
+    _REGISTERED[key] = sf_dir
 
 
 def query(name: str, oracle: str | None = None):

@@ -367,3 +367,35 @@ def test_expr_mapper_jvm_fast_path(spark, tmp_log_dir):
         db.stream_df().explain(extended=False)
     assert "EvalPython" not in buf.getvalue()
     db.close()
+
+
+def test_concurrent_appends_and_gated_reads(spark, tmp_log_dir):
+    # single-writer appends racing gated readers: every read must see a
+    # consistent prefix sum (monotone, matching some append boundary)
+    db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
+    prefix_sums = {0}
+    total = 0
+    for i in range(1, 9):
+        total += i
+        prefix_sums.add(total)
+    results = []
+    errors = []
+
+    def reader():
+        try:
+            for _ in range(4):
+                v = db.sum.get()
+                results.append(v or 0)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    for i in range(1, 9):
+        db.append({"foo": i})
+    t.join(timeout=120)
+    assert not errors
+    assert all(v in prefix_sums for v in results), results
+    assert sorted(results) == results  # monotone progress
+    assert db.sum.get() == total
+    db.close()

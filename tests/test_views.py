@@ -147,3 +147,16 @@ def test_query_pushdown_reaches_scan(db):
     db.use("q", Query(1, fields=FIELDS))
     plan = db.q.explain([{"$filter": {"likes": {"$gte": 7}}}])
     assert "PushedFilters" in plan
+
+
+def test_level_compact_preserves_results(db):
+    db.use("by_tag2", Level(1, key_fn=lambda v: v["tags"]))
+    before = [(h["seq"], h["key"]) for h in db.by_tag2.get("db")]
+    assert len(db.by_tag2._view._meta["files"]) >= 1
+    db.by_tag2._view.compact()
+    assert len(db.by_tag2._view._meta["files"]) == 1
+    after = [(h["seq"], h["key"]) for h in db.by_tag2.get("db")]
+    assert after == before
+    # incremental folds keep working after compaction
+    db.append({"author": "eve", "tags": ["db"], "text": "y", "likes": 1})
+    assert len(db.by_tag2.get("db")) == len(before) + 1
