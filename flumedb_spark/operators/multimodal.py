@@ -60,7 +60,24 @@ def extract_metadata(payloads: DataFrame, use_fake: bool = True) -> DataFrame:
     Arrow moves the bytes in columnar batches; the decoder sees a plain
     ``bytes`` per row. This is the real multimodal execution shape.
     """
-    decoder = fake_decode if use_fake else decode_image
+    # the closure must be self-contained: workers launched by an
+    # arbitrary caller session may not have this package importable, and
+    # module-level functions pickle by reference. Nested defs pickle by
+    # value, so inline the deterministic fake here.
+    def _fake(payload: bytes) -> dict:
+        n = len(payload)
+        return {
+            "n_bytes": n,
+            "format": "fake/raw",
+            "width": n % 640,
+            "height": (n * 7) % 480,
+            "ok": True,
+        }
+
+    def _real(payload: bytes) -> dict:
+        raise NotImplementedError("image codecs not available in this environment")
+
+    decoder = _fake if use_fake else _real
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
