@@ -40,7 +40,6 @@ Structured-Streaming variant of the feed (O6).
 
 from __future__ import annotations
 
-import json
 import os
 import threading
 import time
@@ -49,7 +48,7 @@ from typing import Any, Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from .log import ParquetLog, _decode
+from .log import ParquetLog
 from .views.base import FlumeView
 
 REQUIRED_VIEW_ATTRS = ("close", "fold", "destroy", "since")  # index.js:174-182
@@ -336,9 +335,20 @@ class Flume:
             for view in self._views.values():
                 view.destroy()
             head = self.log.since
-            if head >= 0:
-                for view in self._views.values():
-                    self._feed(view, -1, head)
+            if head >= 0 and self._views:
+                # per-view backfills are independent pipelines (the
+                # reference's star topology, README.md:7-10): run them as
+                # concurrent Spark jobs so the rebuild wall-clock is the
+                # slowest view, not the sum
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(4, len(self._views))) as ex:
+                    futures = [
+                        ex.submit(self._feed, view, -1, head)
+                        for view in self._views.values()
+                    ]
+                    for f in futures:
+                        f.result()
 
     def close(self) -> None:
         if self.closed:

@@ -36,7 +36,7 @@ import json
 import os
 import time
 import uuid
-from typing import Any, Iterable
+from typing import Any
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -61,7 +61,7 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
-from .codecs import CODECS, JsonCodec
+from .codecs import CODECS
 
 
 def _encode(value: Any) -> str:

@@ -16,7 +16,6 @@ partition, hot lookup sets broadcast.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import uuid
