@@ -87,3 +87,76 @@ def extract_metadata(payloads: DataFrame, use_fake: bool = True) -> DataFrame:
             yield out
 
     return payloads.mapInPandas(run, META_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary, ok boolean"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_payload binary, n_frames int"
+
+
+def resize_images(
+    payloads: DataFrame, width: int = 224, height: int = 224, use_fake: bool = True
+) -> DataFrame:
+    """Resize operator plumbing: binary in -> binary out, fixed target
+    dims. The real kernel is a PIL `Image.resize` inside the same
+    closure shape; the deterministic fake truncates/pads the byte
+    stream to width*height so tests can assert exact output sizes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not use_fake:
+                raise NotImplementedError(
+                    "image codecs not available in this environment"
+                )
+            out_payloads = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                out_payloads.append((b * (target // max(len(b), 1) + 1))[:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": width,
+                    "height": height,
+                    "payload": out_payloads,
+                    "ok": True,
+                }
+            )
+
+    return payloads.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    payloads: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, use_fake: bool = True
+) -> DataFrame:
+    """Frame-sampling plumbing: one binary 'video' in -> N 'frame' rows
+    out (a 1->many UDTF-shaped mapInPandas). The real kernel seeks
+    keyframes with ffmpeg; the deterministic fake slices the byte
+    stream every ``every_n_bytes``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake:
+                raise NotImplementedError(
+                    "video codecs not available in this environment"
+                )
+            ids, idxs, frames, totals = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                chunks = [
+                    b[i : i + every_n_bytes] for i in range(0, len(b), every_n_bytes)
+                ][:max_frames]
+                for j, c in enumerate(chunks):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    frames.append(c)
+                    totals.append(len(chunks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_payload": frames,
+                    "n_frames": totals,
+                }
+            )
+
+    return payloads.mapInPandas(run, FRAMES_SCHEMA)

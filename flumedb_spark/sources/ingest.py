@@ -99,7 +99,20 @@ def ensure_ingested(
         df = df.repartitionByRange(n_splits, key).sortWithinPartitions(key)
     else:
         df = df.repartition(n_splits)
-    df.write.mode("overwrite").parquet(dst)
-    with open(marker, "w") as f:
+    # concurrent-process safety (driver verify + bench share the
+    # warehouse): build in a private tmp dir, include the marker, then
+    # atomically swap in. A loser of the race just uses the winner's.
+    import shutil
+    import uuid
+
+    tmp = f"{dst}.build-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_INGESTED.json"), "w") as f:
         json.dump(want, f)
+    try:
+        if os.path.exists(dst):
+            shutil.rmtree(dst, ignore_errors=True)
+        os.rename(tmp, dst)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
     return dst

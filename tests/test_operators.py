@@ -177,3 +177,22 @@ def test_ivf_ann_structure_and_recall(spark, embeddings):
     ).collect()
     exact0 = [r.neighbor_id for r in exact if r.query_id == 0]
     assert [r.neighbor_id for r in full] == exact0
+
+
+def test_multimodal_resize_and_frames(spark, docs):
+    payloads = multimodal.with_binary_payload(docs.limit(10))
+    resized = multimodal.resize_images(payloads, width=16, height=16).collect()
+    assert len(resized) == 10
+    for r in resized:
+        assert len(bytes(r.payload)) == 16 * 16 and r.ok
+
+    frames = multimodal.sample_frames(payloads, every_n_bytes=50, max_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    src_len = {r.doc_id: len(r.text.encode()) for r in docs.limit(10).collect()}
+    for doc_id, rows in by_doc.items():
+        expect = min((src_len[doc_id] + 49) // 50, 4)
+        assert len(rows) == expect
+        assert sorted(r.frame_idx for r in rows) == list(range(expect))
+        assert all(r.n_frames == expect for r in rows)
