@@ -37,6 +37,11 @@ def get_spark(app_name: str = "flumedb_spark", cpus: int | None = None) -> Spark
         # locally small files need a smaller split to use all cores.
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # managed-table warehouse (bucketed tables live here, not in cwd)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_SQL_WAREHOUSE", "/tmp/flumedb_spark_sql_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
