@@ -965,3 +965,57 @@ shared_sql(
     FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
     """,
 )
+
+
+shared_sql(
+    "join_left_outer",
+    # LEFT OUTER with aggregate over the nullable side: customers keep a
+    # row even with no qualifying orders (NULL-safe count/sum)
+    """
+    SELECT c_custkey,
+      count(o_orderkey) AS n_big_orders,
+      CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS big_total_c
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 400000
+    WHERE c_custkey < 300
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+
+shared_sql(
+    "join_full_outer",
+    # FULL OUTER between two disjoint-ish keyed aggregates
+    """
+    SELECT
+      coalesce(o.k, l.k) AS custkey,
+      o.n_open, l.n_fin
+    FROM (
+      SELECT o_custkey AS k, count(*) AS n_open FROM orders
+      WHERE o_orderstatus = 'O' AND o_custkey < 120 GROUP BY o_custkey
+    ) o
+    FULL OUTER JOIN (
+      SELECT o_custkey AS k, count(*) AS n_fin FROM orders
+      WHERE o_orderstatus = 'F' AND o_custkey >= 80 AND o_custkey < 200 GROUP BY o_custkey
+    ) l ON o.k = l.k
+    ORDER BY custkey
+    """,
+)
+
+shared_sql(
+    "union_dedup_vs_all",
+    # UNION (set) vs UNION ALL (bag) semantics in one result
+    """
+    SELECT 'dedup' AS mode, count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      UNION
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ) u
+    UNION ALL
+    SELECT 'all' AS mode, count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ) ua
+    ORDER BY mode
+    """,
+)
