@@ -413,3 +413,74 @@ def ns_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("embeddings"), query_ids=[0, 1, 2, 3, 4], k=10,
         n_centroids=16, n_probe=4,
     )
+
+
+_BUCKET_DOC = """
+    ((((position(substr(md5(CAST(doc_id AS STRING)), 1, 1) IN '0123456789abcdef') - 1) * 16
+      + (position(substr(md5(CAST(doc_id AS STRING)), 2, 1) IN '0123456789abcdef') - 1)) * 16
+      + (position(substr(md5(CAST(doc_id AS STRING)), 3, 1) IN '0123456789abcdef') - 1)) * 16
+      + (position(substr(md5(CAST(doc_id AS STRING)), 4, 1) IN '0123456789abcdef') - 1))
+"""
+
+
+@query(
+    "ns_deterministic_sample",
+    oracle=f"""
+    SELECT doc_id FROM documents
+    WHERE {_BUCKET_DOC} < 13107
+    ORDER BY doc_id
+    """,
+)
+def ns_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% hash-sample of documents: reproducible across runs/engines
+    (rand() sampling breaks under retries; key-hash sampling doesn't)."""
+    from .operators.sampling import sample_fraction
+
+    return sample_fraction(spark.table("documents"), "doc_id", 0.2).select(
+        "doc_id"
+    ).orderBy("doc_id")
+
+
+@query(
+    "ns_dataset_split_counts",
+    oracle=f"""
+    SELECT CASE WHEN {_BUCKET_DOC} < 52428 THEN 'train'
+                WHEN {_BUCKET_DOC} < 58982 THEN 'val'
+                WHEN {_BUCKET_DOC} < 65536 THEN 'test'
+                ELSE '_rest' END AS split,
+      count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents GROUP BY 1 ORDER BY split
+    """,
+)
+def ns_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 leakage-safe train/val/test assignment by content-key
+    hash; the same doc never migrates between splits."""
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import dataset_split
+
+    return (
+        dataset_split(spark.table("documents"), "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "ns_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+        row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5 ORDER BY lang, doc_id
+    """,
+)
+def ns_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 docs per language, chosen by deterministic hash order."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        spark.table("documents"), "lang", "doc_id", 5
+    ).select("lang", "doc_id").orderBy("lang", "doc_id")

@@ -196,3 +196,30 @@ def test_multimodal_resize_and_frames(spark, docs):
         assert len(rows) == expect
         assert sorted(r.frame_idx for r in rows) == list(range(expect))
         assert all(r.n_frames == expect for r in rows)
+
+
+def test_sampling_determinism_and_exactness(spark, docs):
+    from flumedb_spark.operators.sampling import (
+        dataset_split,
+        sample_fraction,
+        stratified_sample,
+    )
+
+    s1 = {r.doc_id for r in sample_fraction(docs, "doc_id", 0.3).select("doc_id").collect()}
+    s2 = {r.doc_id for r in sample_fraction(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert s1 == s2  # reproducible
+    n = docs.count()
+    assert 0.2 * n < len(s1) < 0.4 * n  # roughly the asked fraction
+    # nested property: a smaller fraction is a subset of a larger one
+    s_small = {r.doc_id for r in sample_fraction(docs, "doc_id", 0.1).select("doc_id").collect()}
+    assert s_small <= s1
+
+    split = dataset_split(docs, "doc_id")
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    assert sum(counts.values()) == n  # total preserved, no _rest bucket
+
+    strat = stratified_sample(docs, "lang", "doc_id", 3)
+    per = {r.lang: r.n for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 3 for v in per.values())
