@@ -160,3 +160,22 @@ def test_level_compact_preserves_results(db):
     # incremental folds keep working after compaction
     db.append({"author": "eve", "tags": ["db"], "text": "y", "likes": 1})
     assert len(db.by_tag2.get("db")) == len(before) + 1
+
+
+def test_query_dsl_sees_mapped_values(spark, tmp_log_dir):
+    # O15 x V3: the Query planner reads THROUGH the mapper (views consume
+    # the mapped plan, index.js:169-172), so declared fields reflect the
+    # transform, not the stored bytes
+    from flumedb_spark import ExprMapper, Flume
+
+    mapper = ExprMapper(
+        "to_json(named_struct("
+        "'author', upper(get_json_object(value, '$.author')), "
+        "'likes', CAST(get_json_object(value, '$.likes') AS BIGINT) * 10))"
+    )
+    d = Flume(tmp_log_dir, mapper=mapper, spark=spark)
+    d.append(DOCS)
+    d.use("q", Query(1, fields={"author": "string", "likes": "long"}))
+    out = d.q.query([{"$filter": {"likes": {"$gte": 100}}}, {"$map": {"who": "author"}}])
+    assert sorted(o["who"] for o in out) == ["BOB", "CAROL"]
+    d.close()
