@@ -275,6 +275,31 @@ class Flume:
             return {"seq": row.seq, "value": decode(row.value)}
         return row.seq if seqs else decode(row.value)
 
+    def sql(self, query: str, gated: bool = True) -> DataFrame:
+        """Relational SQL over the engine: the mapped log is exposed as
+        the ``log`` view with its JSON value intact plus a parsed
+        ``seq`` column; registered views' tables are exposed as
+        ``view_<name>`` where they materialize DataFrames.
+
+        ``gated=True`` first catches every registered view up to the
+        current head, so the query sees read-your-writes-consistent
+        state (O10 extended to the SQL surface).
+        """
+        self._throw_if_closed()
+        if gated:
+            head = self.log.since
+            for view in self._views.values():
+                self._catch_up(view, head)
+        self._mapped(self.log.df(self.spark)).createOrReplaceTempView("log")
+        for name, view in self._views.items():
+            df_fn = getattr(view, "df", None)
+            if callable(df_fn):
+                try:
+                    df_fn().createOrReplaceTempView(f"view_{name}")
+                except TypeError:
+                    pass
+        return self.spark.sql(query)
+
     # ---- views (O8/O9) -------------------------------------------------
     def use(self, name: str, view: FlumeView) -> "Flume":
         self._throw_if_closed()
