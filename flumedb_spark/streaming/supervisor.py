@@ -1,0 +1,85 @@
+"""View supervisor — always-on maintenance for every registered view
+with restart-on-failure (SURVEY §4's custom-plumbing list: "per-view
+supervisor that drops checkpoint+table and restarts the query"; the
+reference's crash-restart loop `index.js:56-75` as a service).
+
+One :class:`LiveViewRunner` per view; a monitor thread polls query
+health. A failed query is handled exactly like the reference's sink
+error: destroy the view, clear its checkpoint, restart from seq 0 —
+the log is the source of truth, views are disposable.
+"""
+
+from __future__ import annotations
+
+import shutil
+import threading
+import time
+
+
+from .live import LiveViewRunner
+
+
+class ViewSupervisor:
+    """``ViewSupervisor(engine).start()`` — maintain all views live."""
+
+    def __init__(self, engine, poll_interval: float = 1.0, max_restarts: int = 3):
+        self.engine = engine
+        self.poll_interval = poll_interval
+        self.max_restarts = max_restarts
+        self.runners: dict[str, LiveViewRunner] = {}
+        self.restarts: dict[str, int] = {}
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "ViewSupervisor":
+        for name in self.engine._views:
+            self._launch(name)
+        self._thread = threading.Thread(target=self._monitor, daemon=True)
+        self._thread.start()
+        return self
+
+    def _launch(self, name: str) -> None:
+        runner = LiveViewRunner(self.engine, name)
+        runner.start()
+        self.runners[name] = runner
+
+    def _monitor(self) -> None:
+        while not self._stop.is_set():
+            for name, runner in list(self.runners.items()):
+                q = runner.query
+                if q is None or q.isActive:
+                    continue
+                if q.exception() is None:
+                    continue  # stopped cleanly
+                if self.restarts.get(name, 0) >= self.max_restarts:
+                    continue  # give up; gated reads still self-heal
+                self.restarts[name] = self.restarts.get(name, 0) + 1
+                # the reference's recovery: wipe view + checkpoint, rebuild
+                # from the log (index.js:56-75)
+                view = self.engine._views[name]
+                view.destroy()
+                shutil.rmtree(runner.checkpoint_dir, ignore_errors=True)
+                self._launch(name)
+            self._stop.wait(self.poll_interval)
+
+    def process_all_available(self) -> None:
+        for runner in self.runners.values():
+            if runner.query is not None and runner.query.isActive:
+                runner.process_all_available()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        for runner in self.runners.values():
+            runner.stop()
+
+
+def wait_until(predicate, timeout: float = 30.0, interval: float = 0.1) -> bool:
+    """Poll helper for supervisor tests/clients."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(interval)
+    return False
