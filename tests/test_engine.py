@@ -399,3 +399,17 @@ def test_concurrent_appends_and_gated_reads(spark, tmp_log_dir):
     assert sorted(results) == results  # monotone progress
     assert db.sum.get() == total
     db.close()
+
+
+def test_second_instance_sees_appends(spark, tmp_log_dir):
+    # manifest-based reads: a second engine instance over the same dir
+    # observes the writer's commits without any coordination
+    writer = make_db(tmp_log_dir, spark)
+    reader = Flume(tmp_log_dir, spark=spark)
+    writer.append([{"foo": 1}, {"foo": 2}])
+    assert [i["seq"] for i in reader.stream()] == [0, 1]
+    writer.append({"foo": 3})
+    assert reader.get(2) == {"foo": 3}
+    assert reader.since == 2 or reader.log._load_meta()["since"] == 2
+    writer.close()
+    reader.close()

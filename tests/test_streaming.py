@@ -194,3 +194,35 @@ def test_supervisor_restarts_failed_query(spark, tmp_log_dir):
     finally:
         sup.stop()
     db.close()
+
+
+def test_supervisor_recovers_from_failing_fold(spark, tmp_log_dir, tmp_path):
+    # a genuinely failing maintenance query: the reducer faults until the
+    # flag file is consumed; the supervisor must destroy + restart and
+    # the replay then succeeds (index.js:56-75 as a service)
+    from flumedb_spark import Reduce
+    from flumedb_spark.streaming.supervisor import ViewSupervisor, wait_until
+
+    flag = str(tmp_path / "fail_once_stream")
+    with open(flag, "w") as f:
+        f.write("1")
+
+    def flaky(acc, item, _flag=flag):
+        import os as _os
+
+        if item["foo"] == 3 and _os.path.exists(_flag):
+            _os.remove(_flag)
+            raise RuntimeError("transient stream fault")
+        return (acc or 0) + item["foo"]
+
+    db = Flume(tmp_log_dir, spark=spark)
+    db.use("sum", Reduce(1, flaky))
+    db.append([{"foo": 1}, {"foo": 3}, {"foo": 5}])
+    sup = ViewSupervisor(db, poll_interval=0.2).start()
+    try:
+        # first run fails on foo==3; supervisor restarts; replay succeeds
+        assert wait_until(lambda: db.sum.get(since=-1) == 9, timeout=90)
+        assert sup.restarts.get("sum", 0) >= 1
+    finally:
+        sup.stop()
+    db.close()
