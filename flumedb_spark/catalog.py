@@ -1019,3 +1019,51 @@ shared_sql(
     ORDER BY mode
     """,
 )
+
+
+shared_sql(
+    "regexp_functions",
+    # portable regex surface: both engines use RE2-compatible basics
+    """
+    SELECT o_orderkey,
+      regexp_extract(o_orderpriority, '[0-9]+', 0) AS prio_num,
+      CAST(regexp_extract(o_orderpriority, '([0-9]+)-', 1) AS BIGINT) AS prio_level,
+      regexp_replace(o_orderpriority, '[0-9]+', '#') AS masked
+    FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey
+    """,
+)
+
+shared_sql(
+    "argmin_argmax",
+    # min_by/max_by both directions (DuckDB: arg_min/arg_max)
+    """
+    SELECT event_type,
+      CAST(min(value_c * 10000000 + event_id) % 10000000 AS BIGINT) AS cheapest_seq,
+      CAST(max(value_c * 10000000 + (9999999 - event_id)) % 10000000 AS BIGINT) AS dearest_inv,
+      min(value_c) AS min_c,
+      max(value_c) AS max_c
+    FROM (SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+      CAST(min(value_c * 10000000 + event_id) % 10000000 AS BIGINT) AS cheapest_seq,
+      CAST(max(value_c * 10000000 + (9999999 - event_id)) % 10000000 AS BIGINT) AS dearest_inv,
+      min(value_c) AS min_c,
+      max(value_c) AS max_c
+    FROM (SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+shared_sql(
+    "value_histogram",
+    # fixed-width histogram via integer bucketing (portable, exact)
+    """
+    SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 5000) AS BIGINT) AS bucket,
+      count(*) AS n,
+      min(CAST(round(value * 100) AS BIGINT)) AS lo_c,
+      max(CAST(round(value * 100) AS BIGINT)) AS hi_c
+    FROM events GROUP BY 1 ORDER BY bucket
+    """,
+)
