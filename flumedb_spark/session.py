@@ -16,6 +16,16 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "flumedb_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Python workers must be able to import this package: engine closures
+    # (reducers, codecs, mappers) pickle by reference. Propagate the
+    # package's parent dir onto the worker PYTHONPATH before the JVM
+    # starts (workers inherit the driver process env).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if pkg_parent not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            p for p in [pkg_parent, *parts] if p
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -179,3 +179,22 @@ def test_query_dsl_sees_mapped_values(spark, tmp_log_dir):
     out = d.q.query([{"$filter": {"likes": {"$gte": 100}}}, {"$map": {"who": "author"}}])
     assert sorted(o["who"] for o in out) == ["BOB", "CAROL"]
     d.close()
+
+
+def test_grouped_stats_incremental(db):
+    from flumedb_spark.views.grouped import GroupedStats
+
+    db.use("by_author_stats", GroupedStats(1, "get_json_object(value, '$.author')", field="likes"))
+    s = db.by_author_stats.get("alice")
+    assert s["count"] == 2 and s["sum"] == 10 and s["mean"] == 5
+    assert db.by_author_stats.get("bob")["count"] == 1
+    assert db.by_author_stats.get("nobody") is None
+    # incremental: new append merges into the existing group partials
+    db.append({"author": "alice", "tags": [], "text": "", "likes": 20})
+    s = db.by_author_stats.get("alice")
+    assert s["count"] == 3 and s["sum"] == 30 and s["mean"] == 10
+    assert db.by_author_stats.n_groups() == 3
+    # rebuild converges to the same state (algebra is replay-safe)
+    db.rebuild()
+    s2 = db.by_author_stats.get("alice")
+    assert s2 == s
