@@ -1,0 +1,141 @@
+"""Custom streaming source for the ParquetLog — the Python Data Source
+API form of O6 (BASELINE.json `spark_approach`: "Structured Streaming
+with custom source").
+
+Unlike the file-source tail in `streaming/live.py` (which relies on
+file-discovery order), this source speaks the log's native offset
+language: an offset IS the log's ``since`` watermark, read from the
+manifest commit. That gives:
+
+- exact resume semantics: the checkpointed offset is a seq, the same
+  number the engine's views track (`index.js:39` ``opts.gt = upto``);
+- no dependence on file naming/discovery order — compaction can rewrite
+  files freely between micro-batches, because each batch re-resolves
+  its seq range against the current manifest;
+- per-batch partitioning by seq sub-ranges for parallel reads.
+
+Register once per session then:
+
+    spark.dataSource.register(FlumeLogDataSource)
+    df = (spark.readStream.format("flumelog")
+          .option("path", log.path).load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+LOG_DDL = "seq bigint, ts timestamp, value string"
+
+
+class _SeqRangePartition(InputPartition):
+    def __init__(self, path: str, gt: int, lte: int):
+        self.path = path
+        self.gt = gt
+        self.lte = lte
+
+
+class FlumeLogStreamReader(DataSourceStreamReader):
+    """Offsets are ``{"since": <seq>}`` — the log's own watermark."""
+
+    def __init__(self, path: str, rows_per_partition: int = 100_000):
+        self.path = path
+        self.rows_per_partition = rows_per_partition
+
+    def _since(self) -> int:
+        meta_path = os.path.join(self.path, "meta.json")
+        if not os.path.exists(meta_path):
+            return -1
+        with open(meta_path) as f:
+            return json.load(f).get("since", -1)
+
+    def initialOffset(self) -> dict:
+        return {"since": -1}
+
+    def latestOffset(self) -> dict:
+        return {"since": self._since()}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        gt, lte = start["since"], end["since"]
+        if lte <= gt:
+            return []
+        # split the seq range so big catch-up batches read in parallel
+        parts = []
+        lo = gt
+        while lo < lte:
+            hi = min(lo + self.rows_per_partition, lte)
+            parts.append(_SeqRangePartition(self.path, lo, hi))
+            lo = hi
+        return parts
+
+    def read(self, partition: _SeqRangePartition):
+        # executor-side: resolve the seq range against the CURRENT
+        # manifest (robust to compaction between batches), read only
+        # files whose parquet min/max overlaps the range
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        meta_path = os.path.join(partition.path, "meta.json")
+        with open(meta_path) as f:
+            files = json.load(f).get("files", [])
+        data_dir = os.path.join(partition.path, "data")
+        for fname in files:
+            fpath = os.path.join(data_dir, fname)
+            md = pq.read_metadata(fpath)
+            stats = md.row_group(0).column(0).statistics
+            if stats is not None and (
+                stats.max <= partition.gt or stats.min > partition.lte
+            ):
+                continue  # file-level seq pruning
+            table = pq.read_table(fpath)
+            seqs = table.column("seq").to_pylist()
+            tss = table.column("ts").to_pylist()
+            vals = table.column("value").to_pylist()
+            for s, t, v in zip(seqs, tss, vals):
+                if partition.gt < s <= partition.lte:
+                    # tz-naive timestamps: Spark treats them as session-TZ
+                    yield (s, t.replace(tzinfo=None) if t is not None else None, v)
+
+    def commit(self, end: dict) -> None:
+        pass  # the log is immutable; nothing to acknowledge
+
+
+class FlumeLogDataSource(DataSource):
+    """``format("flumelog")`` — streaming reads over a ParquetLog dir."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "flumelog"
+
+    def schema(self) -> str:
+        return LOG_DDL
+
+    def streamReader(self, schema) -> FlumeLogStreamReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("flumelog source requires .option('path', <log dir>)")
+        return FlumeLogStreamReader(
+            path, int(self.options.get("rows_per_partition", 100_000))
+        )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(FlumeLogDataSource)
+
+
+def stream_log_custom(spark, log, rows_per_partition: int = 100_000):
+    """``readStream`` over the log via the custom source."""
+    register(spark)
+    return (
+        spark.readStream.format("flumelog")
+        .option("path", log.path)
+        .option("rows_per_partition", rows_per_partition)
+        .load()
+    )

@@ -226,3 +226,41 @@ def test_supervisor_recovers_from_failing_fold(spark, tmp_log_dir, tmp_path):
     finally:
         sup.stop()
     db.close()
+
+
+def test_custom_datasource_stream(spark, tmp_log_dir, tmp_path):
+    # the Python Data Source API form of O6: offsets ARE log seqs
+    from flumedb_spark.sources.flumelog_source import stream_log_custom
+
+    db = Flume(tmp_log_dir, spark=spark)
+    db.append([{"foo": i} for i in range(3)])
+    src = stream_log_custom(spark, db.log)
+    q = (
+        src.writeStream.format("memory")
+        .queryName("cds_out")
+        .option("checkpointLocation", str(tmp_path / "cds_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        seqs = [r.seq for r in spark.sql("SELECT seq FROM cds_out ORDER BY seq").collect()]
+        assert seqs == [0, 1, 2]
+        db.append([{"foo": 3}, {"foo": 4}])
+        q.processAllAvailable()
+        seqs = [r.seq for r in spark.sql("SELECT seq FROM cds_out ORDER BY seq").collect()]
+        assert seqs == [0, 1, 2, 3, 4]
+        # values arrive intact through the custom reader
+        vals = [r.value for r in spark.sql("SELECT value FROM cds_out ORDER BY seq").collect()]
+        import json as _json
+
+        assert [_json.loads(v)["foo"] for v in vals] == [0, 1, 2, 3, 4]
+        # compaction between micro-batches must not disturb the stream
+        db.log.compact(spark, target_rows_per_file=100)
+        db.append({"foo": 5})
+        q.processAllAvailable()
+        seqs = [r.seq for r in spark.sql("SELECT seq FROM cds_out ORDER BY seq").collect()]
+        assert seqs == [0, 1, 2, 3, 4, 5]  # no duplicates, no loss
+    finally:
+        q.stop()
+    db.close()
