@@ -59,10 +59,17 @@ class LiveViewRunner:
     whether maintenance is read-driven or stream-driven.
     """
 
-    def __init__(self, engine, name: str, checkpoint_dir: str | None = None):
+    def __init__(
+        self,
+        engine,
+        name: str,
+        checkpoint_dir: str | None = None,
+        source: str = "files",
+    ):
         self.engine = engine
         self.view = engine._views[name]
         self.checkpoint_dir = checkpoint_dir or f"{engine.dir}/checkpoints/{name}"
+        self.source = source  # "files" | "datasource" (flumelog custom source)
         self.query = None
 
     def _fold_batch(self, batch: DataFrame, epoch_id: int) -> None:
@@ -77,7 +84,15 @@ class LiveViewRunner:
         view.fold(mapped, int(row.m))
 
     def start(self, trigger_seconds: float | None = None):
-        src = stream_log(self.engine.spark, self.engine.log, gt=self.view.since)
+        if self.source == "datasource":
+            from ..sources.flumelog_source import stream_log_custom
+            from pyspark.sql import functions as F
+
+            src = stream_log_custom(self.engine.spark, self.engine.log).where(
+                F.col("seq") > F.lit(self.view.since)
+            )
+        else:
+            src = stream_log(self.engine.spark, self.engine.log, gt=self.view.since)
         writer = (
             src.writeStream.option("checkpointLocation", self.checkpoint_dir)
             .foreachBatch(self._fold_batch)

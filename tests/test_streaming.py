@@ -264,3 +264,19 @@ def test_custom_datasource_stream(spark, tmp_log_dir, tmp_path):
     finally:
         q.stop()
     db.close()
+
+
+def test_live_runner_with_custom_source(spark, tmp_log_dir):
+    db = Flume(tmp_log_dir, spark=spark).use("stats", NativeStats(1, field="foo"))
+    db.append([{"foo": 2}, {"foo": 4}])
+    runner = LiveViewRunner(db, "stats", source="datasource")
+    runner.start()
+    try:
+        runner.process_all_available()
+        assert db.stats.get(since=-1)["count"] == 2
+        db.append({"foo": 6})
+        runner.process_all_available()
+        assert db.stats.get(since=-1)["sum"] == 12
+    finally:
+        runner.stop()
+    db.close()
