@@ -1067,3 +1067,38 @@ shared_sql(
     FROM events GROUP BY 1 ORDER BY bucket
     """,
 )
+
+
+shared_sql(
+    "session_windows_native",
+    # native session_window() (gap-based session assignment) checked
+    # against the lag+cumsum construction: session end = last event + gap
+    """
+    SELECT user_id,
+      unix_micros(session_window.start) AS sess_start_us,
+      unix_micros(session_window.end) AS sess_end_us,
+      count(*) AS n
+    FROM events
+    GROUP BY user_id, session_window(ts, '30 minutes')
+    ORDER BY user_id, sess_start_us
+    """,
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+      epoch_us(min(ts)) AS sess_start_us,
+      epoch_us(max(ts)) + 1800000000 AS sess_end_us,
+      count(*) AS n
+    FROM numbered GROUP BY user_id, sid
+    ORDER BY user_id, sess_start_us
+    """,
+)

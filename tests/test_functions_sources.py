@@ -75,3 +75,25 @@ def test_transient_view_failure_self_heals(spark, tmp_log_dir, tmp_path):
     db.append([{"foo": 1}, {"foo": 2}, {"foo": 3}])
     assert db.sum.get() == 6  # healed: destroy + full replay behind the gate
     db.close()
+
+
+def test_approx_sketches_bounded_error(spark, sf_dir):
+    # approximate sketch surface: not oracle-hashable (engine-specific
+    # sketches), but error bounds are assertable against exact answers
+    from flumedb_spark.catalog import register_tables
+    from pyspark.sql import functions as F
+
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0].n
+    approx = ev.select(F.approx_count_distinct("user_id").alias("n")).collect()[0].n
+    assert abs(approx - exact) <= max(2, 0.05 * exact)
+
+    row = ev.select(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("n")
+    ).collect()[0]
+    assert abs(row.n - exact) <= max(2, 0.05 * exact)
+
+    exact_med = ev.select(F.expr("percentile(value, 0.5)").alias("m")).collect()[0].m
+    approx_med = ev.select(F.percentile_approx("value", 0.5).alias("m")).collect()[0].m
+    assert abs(approx_med - exact_med) <= 0.1 * max(abs(exact_med), 1.0)
