@@ -40,10 +40,24 @@ class Reduce(FlumeView):
     ORDER_SENSITIVE = True
     METHODS = {"get": "async"}
 
-    def __init__(self, version: Any, reducer: Callable[[Any, Any], Any], initial: Any = None):
+    def __init__(
+        self,
+        version: Any,
+        reducer: Callable[[Any, Any], Any],
+        initial: Any = None,
+        combiner: Callable[[Any, Any], Any] | None = None,
+    ):
+        """``combiner(acc_left, acc_right)`` — optional merge of two
+        accumulators produced from CONSECUTIVE seq ranges. Supplying it
+        declares the fold a monoid (fold within ranges, merge in
+        order), which unlocks parallel backfills: partitions fold
+        concurrently, partials merge in seq order. Without it the fold
+        is strictly sequential (the reference's semantics, SURVEY
+        §7.4.3)."""
         super().__init__(version)
         self.reducer = reducer
         self.initial = initial
+        self.combiner = combiner
         self._acc: Any = initial
 
     # state = one JSON accumulator
@@ -65,6 +79,9 @@ class Reduce(FlumeView):
         self._acc = self.initial
 
     def fold(self, batch: DataFrame, upto: int) -> None:
+        if self.combiner is not None:
+            self._fold_parallel(batch, upto)
+            return
         acc0 = self._acc
         reducer = self.reducer
         decode = self._engine.log.codec.decode
@@ -88,6 +105,47 @@ class Reduce(FlumeView):
         )
         if rows and rows[0].acc != sentinel:
             self._acc = json.loads(rows[0].acc)
+        self.commit(upto)
+
+    def _fold_parallel(self, batch: DataFrame, upto: int) -> None:
+        """Monoid path: seq-range partitions fold concurrently from a
+        fresh (None) accumulator; partials merge left-to-right in seq
+        order via the combiner, then onto the persisted accumulator.
+        Result is identical to the sequential fold whenever
+        ``combiner(fold(xs), fold(ys)) == fold(xs + ys)`` holds."""
+        reducer = self.reducer
+        decode = self._engine.log.codec.decode
+        sentinel = "\x00__unset__"
+        parallelism = self.spark.sparkContext.defaultParallelism
+
+        def run(it):
+            a = None
+            first_seq = None
+            for pdf in it:
+                for s, raw in zip(pdf["seq"], pdf["value"]):
+                    if first_seq is None:
+                        first_seq = int(s)
+                    a = reducer(a, decode(raw))
+            out = json.dumps(a, default=str) if first_seq is not None else sentinel
+            yield pd.DataFrame(
+                {"first_seq": [first_seq if first_seq is not None else -1], "acc": [out]}
+            )
+
+        rows = (
+            batch.select("seq", "value")
+            .repartitionByRange(parallelism, "seq")
+            .sortWithinPartitions("seq")
+            .mapInPandas(run, "first_seq long, acc string")
+            .collect()
+        )
+        partials = sorted(
+            (r for r in rows if r.acc != sentinel), key=lambda r: r.first_seq
+        )
+        acc = self._acc
+        for r in partials:
+            part = json.loads(r.acc)
+            acc = part if acc is None else self.combiner(acc, part)
+        self._acc = acc
         self.commit(upto)
 
     def get(self, path: Any = None) -> Any:

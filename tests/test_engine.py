@@ -413,3 +413,27 @@ def test_second_instance_sees_appends(spark, tmp_log_dir):
     assert reader.since == 2 or reader.log._load_meta()["since"] == 2
     writer.close()
     reader.close()
+
+
+def test_reduce_with_combiner_parallel_fold(spark, tmp_log_dir):
+    # non-commutative but associative fold (string concat): the parallel
+    # monoid path must reproduce the exact sequential order
+    db = make_db(tmp_log_dir, spark)
+    db.use(
+        "concat",
+        Reduce(
+            1,
+            lambda acc, item: (acc or "") + item["c"],
+            combiner=lambda a, b: a + b,
+        ),
+    )
+    import string
+
+    letters = list(string.ascii_lowercase)
+    db.append([{"c": ch} for ch in letters[:13]])
+    assert db.concat.get() == "".join(letters[:13])
+    db.append([{"c": ch} for ch in letters[13:]])
+    assert db.concat.get() == "".join(letters)  # incremental merge in order
+    db.rebuild()
+    assert db.concat.get() == "".join(letters)  # replay converges
+    db.close()
