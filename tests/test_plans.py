@@ -84,3 +84,20 @@ def test_mapside_partial_aggregation(spark, sf_dir):
     p = buf.getvalue()
     assert "partial_sum" in p
     assert p.index("partial_sum") > p.index("Exchange hashpartitioning")
+
+
+def test_plans_inspect_api(spark, sf_dir):
+    # the plans/ module exposes the same invariants programmatically
+    from flumedb_spark.plans import (
+        has_broadcast_join,
+        is_python_free,
+        pushed_filters,
+    )
+
+    qs = entry.queries()
+    df = qs["o4_stream_range"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("GreaterThan(event_id,100)" in p for p in pf)
+    assert is_python_free(df)
+    assert has_broadcast_join(qs["q3_top_revenue_orders"](spark, sf_dir))
+    assert not is_python_free(qs["ns_multimodal_meta"](spark, sf_dir))  # the one sanctioned Python stage
