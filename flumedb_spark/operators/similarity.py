@@ -321,3 +321,68 @@ def ivf_ann_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---- vectorized Pandas-UDF path -------------------------------------
+
+
+def cosine_topk_np(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via numpy matmul inside mapInPandas — the vectorized
+    Python alternative to the JVM zip_with/aggregate path.
+
+    The (small) query matrix ships inside the closure; each Arrow batch
+    of corpus vectors scores against all queries with one BLAS matmul.
+    ~10-100x fewer interpreter ops than per-element lambdas; float64
+    summation order differs from the sequential JVM fold by ulps, so
+    this variant is for serving, not for oracle-hashed outputs (scores
+    agree with `cosine_topk` to ~1e-12; rank ties broken identically).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        embeddings.where(F.col("vec_id").isin(query_ids))
+        if query_ids is not None
+        else embeddings
+    ).select("vec_id", vec_col).collect()
+    q_ids = np.array([r.vec_id for r in q_rows])
+    q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            mat = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ q_mat.T) / np.outer(norms, q_norm)  # (batch, nq)
+            n_rows, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_rows),
+                    "neighbor_id": np.tile(pdf["vec_id"].values, n_q),
+                    "cos_raw": sims.T.reshape(-1),
+                }
+            )
+
+    spread = _spread(embeddings)
+    scored = (
+        spread.select("vec_id", F.col(vec_col).alias("emb"))
+        .mapInPandas(run, "query_id long, neighbor_id long, cos_raw double")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_raw"), 6).alias("cosine"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -223,3 +223,16 @@ def test_sampling_determinism_and_exactness(spark, docs):
     strat = stratified_sample(docs, "lang", "doc_id", 3)
     per = {r.lang: r.n for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert all(v == 3 for v in per.values())
+
+
+def test_cosine_topk_np_agrees_with_jvm(spark, embeddings):
+    jvm = similarity.cosine_topk(embeddings, query_ids=[0, 1], k=5).collect()
+    nmp = similarity.cosine_topk_np(embeddings, query_ids=[0, 1], k=5).collect()
+    # identical neighbor ranking; scores agree to float noise
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in jvm] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in nmp
+    ]
+    for a, b in zip(jvm, nmp):
+        # raw scores differ by ulps; after 6-dp rounding they can land one
+        # quantum apart when the raw value sits on a rounding boundary
+        assert abs(a.cosine - b.cosine) <= 1e-6 + 1e-12
