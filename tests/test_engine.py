@@ -437,3 +437,41 @@ def test_reduce_with_combiner_parallel_fold(spark, tmp_log_dir):
     db.rebuild()
     assert db.concat.get() == "".join(letters)  # replay converges
     db.close()
+
+
+def test_decryption_mapper_rebuild_scenario(spark, tmp_log_dir):
+    # THE reference mapper use case (test/rebuild.js:1-4): values are
+    # stored encrypted; the mapper decrypts what it has keys for; when a
+    # new key arrives, rebuild() replays the log so views see the newly
+    # decryptable plaintext. Mapper output is never persisted, so the
+    # stored ciphertext is untouched throughout.
+    keys = {"k1"}  # mutable driver-side keyring, captured per fold
+
+    def decrypt(v, _keys=keys):
+        if v["key_id"] in _keys:
+            return {"key_id": v["key_id"], "text": v["blob"][::-1], "open": True}
+        return {"key_id": v["key_id"], "text": None, "open": False}
+
+    db = make_db(tmp_log_dir, spark, mapper=decrypt)
+    db.use(
+        "opened",
+        Reduce(1, lambda acc, item: (acc or 0) + (1 if item["open"] else 0)),
+    )
+    db.append(
+        [
+            {"key_id": "k1", "blob": "olleh"},
+            {"key_id": "k2", "blob": "dlrow"},
+        ]
+    )
+    assert db.get(0)["text"] == "hello"
+    assert db.get(1)["text"] is None  # no key yet
+    assert db.opened.get() == 1
+    # the new key arrives -> rebuild replays the log through the mapper
+    keys.add("k2")
+    db.rebuild()
+    assert db.get(1)["text"] == "world"
+    assert db.opened.get() == 2
+    # stored ciphertext never changed (mapper not persisted)
+    raw = db.log.get(spark, 1)
+    assert raw["value"]["blob"] == "dlrow"
+    db.close()

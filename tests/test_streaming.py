@@ -280,3 +280,76 @@ def test_live_runner_with_custom_source(spark, tmp_log_dir):
     finally:
         runner.stop()
     db.close()
+
+
+def test_stream_static_enrichment_join(spark, tmp_log_dir, tmp_path):
+    # stream-static join: enrich the live log stream with a dimension
+    # table (broadcast per micro-batch) - the standard streaming
+    # enrichment shape
+    from pyspark.sql import functions as F
+
+    db = Flume(tmp_log_dir, spark=spark)
+    db.append([{"uid": 1, "v": 10}, {"uid": 2, "v": 20}, {"uid": 1, "v": 30}])
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "uid long, tier string")
+    src = stream_log(spark, db.log).select(
+        "seq", F.get_json_object("value", "$.uid").cast("long").alias("uid")
+    )
+    enriched = src.join(F.broadcast(dim), "uid")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .option("checkpointLocation", str(tmp_path / "ck_e"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r.seq, r.tier) for r in spark.sql("SELECT seq, tier FROM enrich_out").collect()}
+        assert rows == {(0, "gold"), (1, "silver"), (2, "gold")}
+        db.append({"uid": 2, "v": 40})
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) AS n FROM enrich_out").collect()[0].n == 4
+    finally:
+        q.stop()
+    db.close()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    # exactly-once-by-key on a stream: dropDuplicatesWithinWatermark
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os as _os
+
+    src_dir = str(tmp_path / "dd_src")
+    _os.makedirs(src_dir)
+    base = 1_699_999_980
+
+    def write(name, rows):
+        t = pa.Table.from_pydict(
+            {
+                "ts": pa.array([int((base + o) * 1e6) for o, _ in rows], pa.timestamp("us", tz="UTC")),
+                "k": pa.array([k for _, k in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, _os.path.join(src_dir, name))
+
+    write("b1.parquet", [(10, "a"), (20, "b"), (30, "a")])  # dup 'a'
+    stream = spark.readStream.schema("ts timestamp, k string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    dd = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b2.parquet", [(40, "a"), (50, "c")])  # 'a' again within watermark
+        q.processAllAvailable()
+        ks = sorted(r.k for r in spark.sql("SELECT k FROM dd_out").collect())
+        assert ks == ["a", "b", "c"]  # each key exactly once
+    finally:
+        q.stop()
