@@ -353,3 +353,73 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert ks == ["a", "b", "c"]  # each key exactly once
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    # stream-stream inner join with watermarks + event-time interval:
+    # purchases match clicks of the same user within the preceding hour
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    base = 1_699_999_980
+
+    def write(dirname, name, rows):
+        d = str(tmp_path / dirname)
+        _os.makedirs(d, exist_ok=True)
+        t = pa.Table.from_pydict(
+            {
+                "ts": pa.array(
+                    [int((base + o) * 1e6) for o, _ in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "uid": pa.array([u for _, u in rows], pa.int64()),
+            }
+        )
+        pq.write_table(t, _os.path.join(d, name))
+
+    write("clicks", "c1.parquet", [(0, 1), (100, 2), (5000, 1)])
+    write("purch", "p1.parquet", [(1800, 1), (2000, 3), (5400, 1)])
+
+    clicks = (
+        spark.readStream.schema("ts timestamp, uid long")
+        .parquet(str(tmp_path / "clicks"))
+        .withWatermark("ts", "2 hours")
+        .select(F.col("uid").alias("c_uid"), F.col("ts").alias("c_ts"))
+    )
+    purch = (
+        spark.readStream.schema("ts timestamp, uid long")
+        .parquet(str(tmp_path / "purch"))
+        .withWatermark("ts", "2 hours")
+        .select(F.col("uid").alias("p_uid"), F.col("ts").alias("p_ts"))
+    )
+    joined = clicks.join(
+        purch,
+        F.expr("c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+    ).select(
+        "c_uid",
+        (F.unix_timestamp("c_ts") - base).alias("c_off"),
+        (F.unix_timestamp("p_ts") - base).alias("p_off"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.c_uid, r.c_off, r.p_off) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+        # user1: click@0 matches purchase@1800 (within 1h); click@5000
+        # matches purchase@5400; click@0 does NOT match purchase@5400
+        # (gap > 1h); user2's click and user3's purchase never match
+        assert got == {(1, 0, 1800), (1, 5000, 5400)}
+        # late-arriving click still joins while within the watermark
+        write("clicks", "c2.parquet", [(1900, 3)])
+        q.processAllAvailable()
+        got = {(r.c_uid, r.c_off, r.p_off) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+        assert (3, 1900, 2000) in got
+    finally:
+        q.stop()
