@@ -59,13 +59,23 @@ class Bloom(FlumeView):
     def _data_dir(self) -> str:
         return os.path.join(self.path, "keys")
 
+    def _sketch_path(self) -> str:
+        return os.path.join(self.path, "sketch.bin")
+
     def _load_state(self) -> None:
         self._meta.setdefault("files", [])
         os.makedirs(self._data_dir(), exist_ok=True)
-        self._sketch = None
+        # reload the persisted bitmap so a fresh process answers
+        # might_have without recomputing positions from the key table
+        if os.path.exists(self._sketch_path()) and self._meta.get("sketch_valid"):
+            with open(self._sketch_path(), "rb") as f:
+                self._sketch = bytearray(f.read())
+        else:
+            self._sketch = None
 
     def _reset_state(self) -> None:
         self._meta["files"] = []
+        self._meta["sketch_valid"] = False
         os.makedirs(self._data_dir(), exist_ok=True)
         self._sketch = None
 
@@ -75,7 +85,8 @@ class Bloom(FlumeView):
             fname = f"{upto:012d}-{uuid.uuid4().hex[:8]}.parquet"
             keys.write.mode("overwrite").parquet(os.path.join(self._data_dir(), fname))
             self._meta["files"] = self._meta.get("files", []) + [fname]
-            self._sketch = None  # invalidate
+            self._sketch = None  # invalidate; rebuilt+persisted on next probe
+            self._meta["sketch_valid"] = False
         self.commit(upto)
 
     def keys_df(self) -> DataFrame:
@@ -110,6 +121,12 @@ class Bloom(FlumeView):
                     p = int(r.pos)
                     bf[p >> 3] |= 1 << (p & 7)
                 self._sketch = bf
+                # persist: the sketch is part of view state, so fresh
+                # processes probe without a rebuild scan
+                with open(self._sketch_path(), "wb") as f:
+                    f.write(bytes(bf))
+                self._meta["sketch_valid"] = True
+                self.commit(self.since)
         return self._sketch
 
     def has(self, key: Any) -> bool:

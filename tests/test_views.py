@@ -198,3 +198,18 @@ def test_grouped_stats_incremental(db):
     db.rebuild()
     s2 = db.by_author_stats.get("alice")
     assert s2 == s
+
+
+def test_bloom_sketch_persists_across_instances(spark, tmp_log_dir):
+    db = Flume(tmp_log_dir, spark=spark)
+    db.append(DOCS)
+    db.use("seen", Bloom(1, key_expr="get_json_object(value, '$.author')", expected_items=100))
+    assert db.seen.might_have("alice") is True  # builds + persists sketch
+    db.close()
+    db2 = Flume(tmp_log_dir, spark=spark)
+    db2.use("seen", Bloom(1, key_expr="get_json_object(value, '$.author')", expected_items=100))
+    # fresh process: bitmap loaded from disk, no recompute scan needed
+    assert db2.seen._view._sketch is not None
+    assert db2.seen.might_have("bob") is True
+    assert db2.seen.might_have("zzznope") is False
+    db2.close()

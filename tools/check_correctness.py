@@ -117,6 +117,14 @@ def main():
             print(f"PASS  {name} ({len(s_n)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if os.environ.get("CHECK_JSON_OUT"):
+        import json as _json
+
+        with open(os.environ["CHECK_JSON_OUT"], "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "pass": n_pass, "fail": n_fail, "rows_only": n_rowsonly},
+                f,
+            )
     sys.exit(1 if n_fail else 0)
 
 
