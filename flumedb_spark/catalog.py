@@ -1102,3 +1102,32 @@ shared_sql(
     ORDER BY user_id, sess_start_us
     """,
 )
+
+
+shared_sql(
+    "unpivot_stack",
+    # unpivot: wide per-user counters -> (user_id, kind, n) long form
+    """
+    SELECT user_id, kind, n FROM (
+      SELECT user_id,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        count(CASE WHEN event_type = 'view' THEN 1 END) AS views
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ) w
+    LATERAL VIEW stack(2, 'clicks', clicks, 'views', views) t AS kind, n
+    ORDER BY user_id, kind
+    """,
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        count(CASE WHEN event_type = 'view' THEN 1 END) AS views
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    )
+    SELECT user_id, kind, n FROM (
+      SELECT user_id, 'clicks' AS kind, clicks AS n FROM w
+      UNION ALL
+      SELECT user_id, 'views' AS kind, views AS n FROM w
+    ) ORDER BY user_id, kind
+    """,
+)

@@ -236,3 +236,25 @@ def test_cosine_topk_np_agrees_with_jvm(spark, embeddings):
         # raw scores differ by ulps; after 6-dp rounding they can land one
         # quantum apart when the raw value sits on a rounding boundary
         assert abs(a.cosine - b.cosine) <= 1e-6 + 1e-12
+
+
+def test_cdc_upsert_and_scd2(spark):
+    from flumedb_spark.operators import cdc
+
+    current = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, name string, v long"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (3, "c", 30)], "k long, name string, v long"
+    )
+    merged = {r.k: (r.name, r.v) for r in cdc.upsert_snapshot(current, updates, "k").collect()}
+    assert merged == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30)}
+
+    hist = spark.createDataFrame([(1, 0, "x"), (1, 5, "y")], "k long, seq long, val string")
+    upd = spark.createDataFrame([(1, 9, "z"), (2, 9, "q")], "k long, seq long, val string")
+    rows = cdc.scd2_apply(hist, upd, "k").collect()
+    by = {(r.k, r.seq): (r.valid_from, r.valid_to, r.is_current) for r in rows}
+    assert by[(1, 0)] == (0, 5, False)
+    assert by[(1, 5)] == (5, 9, False)
+    assert by[(1, 9)] == (9, None, True)
+    assert by[(2, 9)] == (9, None, True)
