@@ -175,7 +175,7 @@ shared_sql(
     """
     SELECT
       count(*) AS n,
-      sum(value_c) AS sum_c,
+      CAST(sum(value_c) AS BIGINT) AS sum_c,
       CAST(sum(value_c) AS DOUBLE) / (100.0 * count(*)) AS mean,
       round(sqrt(CAST(count(*) * sum(value_c * value_c) - sum(value_c) * sum(value_c) AS DOUBLE))
             / (100.0 * count(*)), 6) AS stdev,
@@ -191,7 +191,7 @@ shared_sql(
     """
     SELECT event_type,
       count(*) AS n,
-      sum(value_c) AS sum_c,
+      CAST(sum(value_c) AS BIGINT) AS sum_c,
       CAST(sum(value_c) AS DOUBLE) / (100.0 * count(*)) AS mean
     FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
     GROUP BY event_type
@@ -397,10 +397,10 @@ shared_sql(
     SELECT o_custkey, o_orderkey, totalprice_c, rn FROM (
       SELECT o_custkey, o_orderkey,
         CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
-        row_number() OVER (
+        CAST(row_number() OVER (
           PARTITION BY o_custkey
           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
-        ) AS rn
+        ) AS BIGINT) AS rn
       FROM orders
     ) t WHERE rn <= 3 ORDER BY o_custkey, rn
     """,
@@ -503,7 +503,7 @@ shared_sql(
     SELECT o_orderkey,
       upper(o_orderstatus) AS status_u,
       substr(o_orderpriority, 1, 3) AS prio3,
-      length(o_orderpriority) AS prio_len,
+      CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
       abs(CAST(round(o_totalprice * 100) AS BIGINT) - 25000000) AS dist_c,
       mod(o_orderkey, 7) AS m7,
       concat(o_orderstatus, '-', o_orderpriority) AS tag
@@ -515,8 +515,8 @@ shared_sql(
     "date_functions",
     """
     SELECT o_orderkey,
-      year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
-      quarter(o_orderdate) AS q
+      CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+      CAST(day(o_orderdate) AS BIGINT) AS d, CAST(quarter(o_orderdate) AS BIGINT) AS q
     FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey
     """,
 )
@@ -687,13 +687,18 @@ shared_sql(
 
 shared_sql(
     "array_agg_sorted",
-    # deterministic array aggregation: sort the collected list
+    # deterministic array aggregation: sort the collected list, then join
+    # to ONE STRING — list-typed result columns crash the driver's
+    # canonicalizer (pandas sort_values on lists), so both engines emit
+    # the same comma-joined scalar.
     """
-    SELECT user_id, sort_array(collect_list(DISTINCT event_type)) AS types
+    SELECT user_id,
+      array_join(sort_array(collect_list(DISTINCT event_type)), ',') AS types
     FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id
     """,
     oracle="""
-    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+    SELECT user_id,
+      array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
     FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -719,7 +724,7 @@ shared_sql(
       translate(o_orderpriority, '-', '_') AS translated,
       replace(o_orderpriority, 'E', 'e') AS replaced,
       reverse(o_orderstatus) AS rev,
-      position('-' IN o_orderpriority) AS dash_pos,
+      CAST(position('-' IN o_orderpriority) AS BIGINT) AS dash_pos,
       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
       CASE WHEN o_totalprice > 250000 THEN 'big' ELSE 'small' END AS bucket
     FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
@@ -732,8 +737,8 @@ shared_sql(
     # not pinned across implementations); sqrt IS correctly-rounded IEEE
     """
     SELECT o_orderkey,
-      floor(o_totalprice / 1000) AS floor_k,
-      ceil(o_totalprice / 1000) AS ceil_k,
+      CAST(floor(o_totalprice / 1000) AS BIGINT) AS floor_k,
+      CAST(ceil(o_totalprice / 1000) AS BIGINT) AS ceil_k,
       round(sqrt(CAST(round(o_totalprice * 100) AS BIGINT)), 6) AS sqrt_c,
       sign(CAST(round(o_totalprice * 100) AS BIGINT) - 25000000) AS vs_250k,
       greatest(o_orderkey % 7, o_orderkey % 5) AS g,
@@ -742,8 +747,8 @@ shared_sql(
     """,
     oracle="""
     SELECT o_orderkey,
-      floor(o_totalprice / 1000) AS floor_k,
-      ceil(o_totalprice / 1000) AS ceil_k,
+      CAST(floor(o_totalprice / 1000) AS BIGINT) AS floor_k,
+      CAST(ceil(o_totalprice / 1000) AS BIGINT) AS ceil_k,
       round(sqrt(CAST(round(o_totalprice * 100) AS BIGINT)), 6) AS sqrt_c,
       CAST(sign(CAST(round(o_totalprice * 100) AS BIGINT) - 25000000) AS DOUBLE) AS vs_250k,
       greatest(o_orderkey % 7, o_orderkey % 5) AS g,
@@ -774,9 +779,9 @@ shared_sql(
     # cents space) — deterministic because ranking ignores arrival order
     """
     SELECT o_custkey, o_orderkey,
-      rank() OVER w AS rnk,
-      dense_rank() OVER w AS drnk,
-      ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile
+      CAST(rank() OVER w AS BIGINT) AS rnk,
+      CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS quartile
     FROM orders WHERE o_custkey < 30
     WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey)
     ORDER BY o_custkey, o_orderkey

@@ -37,7 +37,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = n_tokens(t)
     return docs.select(
         "doc_id",
-        F.length(t).alias("n_chars_measured"),
+        F.length(t).cast("long").alias("n_chars_measured"),
         toks.cast("long").alias("n_tokens"),
         n_bpe_tokens(t).cast("long").alias("n_bpe_tokens"),
         F.round(

@@ -1,24 +1,35 @@
-"""Local replica of the driver's t2 correctness gate.
+"""Local replica of the driver's t2 correctness gate — DRIVER-FAITHFUL.
 
 Runs every catalog query on Spark AND its DuckDB oracle on the same
-parquet tables, compares row count, column names, and values (columns
-sorted by name, rows sorted by all columns — order-insensitive, like the
-driver's value-hash). Exact comparison for ints/strings; floats must
-match to 1e-9 (our catalog is engineered for exact determinism, so any
-drift is a bug worth seeing).
+parquet tables, then compares like the driver does:
+
+  * both results are materialized as pandas DataFrames,
+  * columns sorted by name,
+  * rows sorted by ALL columns (pandas ``sort_values`` — list-typed
+    columns crash here, exactly as they crash the driver's
+    canonicalizer),
+  * dtypes compared STRICTLY (the driver hashes dtypes: a bit-identical
+    int64 vs decimal128/float64 result still fails), and
+  * values compared EXACTLY — no ``isclose``, no rounding, no int/float
+    coercion.  The catalog is engineered for cross-engine exact
+    determinism, so any drift is a real bug the driver would flag.
+
+Round 1 lesson: a looser local gate (isclose 1e-9, ``1 == 1.0``) passed
+78/78 locally while the driver scored 46/50.  This version flags all
+four of those round-1 failures on the pre-fix code.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pandas as pd
 
 
 def duck_connect(sf_dir: str):
@@ -32,30 +43,37 @@ def duck_connect(sf_dir: str):
     return con
 
 
-def normalize(rows: list[tuple], cols: list[str]):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    key = lambda t: tuple((x is None, str(type(x)), str(x)) for x in t)
-    return sorted(out, key=key), [cols[i] for i in order]
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name, rows sorted by
+    all columns.  Raises TypeError on unhashable (list-typed) columns —
+    deliberately, because the driver's canonicalizer does too."""
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def values_equal(a, b) -> bool:
-    if isinstance(a, float) or isinstance(b, float):
-        if a is None or b is None:
-            return a is b
-        try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
-        except (TypeError, ValueError):
-            return False
-    return a == b
+def _isna(v) -> bool:
+    if isinstance(v, (list, tuple, dict, set)):
+        return False
+    r = pd.isna(v)
+    return bool(r) if not hasattr(r, "__len__") else False
+
+
+def first_diff(s: pd.DataFrame, d: pd.DataFrame):
+    """Exact cell-by-cell comparison; returns (row, col, spark, duck) of the
+    first mismatch or None.  NaN == NaN (both-missing is a match); no
+    tolerance otherwise.  Dtypes are verified strictly before this runs,
+    so plain ``==`` cannot silently coerce across int/float."""
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            a_na, b_na = _isna(a), _isna(b)
+            if a_na and b_na:
+                continue
+            if a_na != b_na or a != b:
+                return (i, c, a, b)
+    return None
 
 
 def main():
@@ -74,47 +92,51 @@ def main():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows  {name}: rows-only check, {len(srows)} rows")
+            print(f"rows  {name}: rows-only check, {len(sdf)} rows")
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            ddf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
-        s_n, s_c = normalize(srows, scols)
-        d_n, d_c = normalize(drows, dcols)
-        if s_c != d_c:
-            print(f"FAIL  {name}: schema {s_c} != {d_c}")
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            print(f"FAIL  {name}: columns {sorted(sdf.columns)} != {sorted(ddf.columns)}")
             n_fail += 1
             continue
-        if len(s_n) != len(d_n):
-            print(f"FAIL  {name}: rowcount {len(s_n)} != {len(d_n)}")
+        try:
+            s, d = canonicalize(sdf), canonicalize(ddf)
+        except TypeError as e:
+            print(f"FAIL  {name}: CANONICALIZER ERR (driver would err too): {e}")
             n_fail += 1
             continue
-        bad = None
-        for i, (sr, dr) in enumerate(zip(s_n, d_n)):
-            if not all(values_equal(a, b) for a, b in zip(sr, dr)):
-                bad = (i, sr, dr)
-                break
-        if bad:
-            print(f"FAIL  {name}: first diff at sorted row {bad[0]}:")
-            print(f"      spark: {bad[1]}")
-            print(f"      duck : {bad[2]}")
+        if len(s) != len(d):
+            print(f"FAIL  {name}: rowcount {len(s)} != {len(d)}")
+            n_fail += 1
+            continue
+        dtype_bad = [
+            (c, str(s[c].dtype), str(d[c].dtype))
+            for c in s.columns
+            if str(s[c].dtype) != str(d[c].dtype)
+        ]
+        if dtype_bad:
+            print(f"FAIL  {name}: dtype mismatch {dtype_bad}")
+            n_fail += 1
+            continue
+        diff = first_diff(s, d)
+        if diff:
+            i, c, a, b = diff
+            print(f"FAIL  {name}: first diff row {i} col {c}: spark={a!r} duck={b!r}")
             n_fail += 1
         else:
-            print(f"PASS  {name} ({len(s_n)} rows)")
+            print(f"PASS  {name} ({len(s)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     if os.environ.get("CHECK_JSON_OUT"):
