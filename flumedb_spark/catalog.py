@@ -78,6 +78,89 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     _REGISTERED[key] = sf_dir
 
 
+# The driver executes only the FIRST 50 entries of ``queries()`` (dict
+# order).  Round 1 burned that budget on redundant scalar/window variants
+# while every north-star op sat unrun at positions 50-80.  This list
+# pins the window explicitly: all 18 ns_* ops, the 4 round-1 red rows,
+# every entry whose SQL changed since round 1 (their round-1 attestation
+# is stale), the 13 relational entries the driver never ran, and one
+# representative per core-op / view family.  Everything else was
+# driver-green in round 1 with unchanged text, so CORRECTNESS_r01
+# remains its proof; those entries follow after the window in
+# registration order (still run by the local checker).
+DRIVER_WINDOW: list[str] = [
+    # core log/engine ops (§2.A representatives)
+    "o1_append_visibility",
+    "o3_get_point",
+    "o4_stream_range",
+    "o7_since",
+    "o15_mapper_read",
+    # view families (§2.B) — v1 rows were red in round 1 (HUGEINT sum)
+    "v1_reduce_stats",
+    "v1_reduce_grouped",
+    "v2_index_key_range",
+    "v3_query_dsl",
+    "v4_search_and_terms",
+    "v5_hashtable_latest",
+    "v6_membership_exact",
+    # relational entries whose SQL gained dtype CASTs since round 1
+    "window_top3_per_customer",
+    "window_rank_dense",
+    "scalar_functions",
+    "scalar_functions_2",
+    "date_functions",
+    "math_functions",      # round-1 red: floor/ceil DOUBLE vs BIGINT
+    "array_agg_sorted",    # round-1 err: list column -> now array_join
+    # relational entries the round-1 driver never executed
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "sliding_window_counts",
+    "array_functions",
+    "join_left_outer",
+    "join_full_outer",
+    "union_dedup_vs_all",
+    "regexp_functions",
+    "argmin_argmax",
+    "value_histogram",
+    "session_windows_native",
+    "unpivot_stack",
+    # north-star LLM-pipeline ops — all 18, none ran in round 1
+    "ns_dedup_exact",
+    "ns_ngram_jaccard_pairs",
+    "ns_minhash_lsh_candidates",
+    "ns_simhash64",
+    "ns_simhash_md5",
+    "ns_text_stats",
+    "ns_text_quality",
+    "ns_lang_id",
+    "ns_fingerprint",
+    "ns_similarity_topk",
+    "ns_embedding_neardup",
+    "ns_lsh_ann_topk",
+    "ns_ivf_ann_topk",
+    "ns_multimodal_meta",
+    "ns_pipeline_filter_dedup_join",
+    "ns_deterministic_sample",
+    "ns_dataset_split_counts",
+    "ns_stratified_sample",
+]
+
+
+def driver_ordered(registry: dict) -> dict:
+    """Reorder a query/oracle registry so DRIVER_WINDOW comes first.
+
+    Raises if a window name is missing from the registry — a silent drop
+    here would waste a driver slot invisibly.
+    """
+    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+    if missing:
+        raise KeyError(f"DRIVER_WINDOW names not registered: {missing}")
+    out = {n: registry[n] for n in DRIVER_WINDOW if n in registry}
+    out.update((n, v) for n, v in registry.items() if n not in out)
+    return out
+
+
 def query(name: str, oracle: str | None = None):
     """Decorator: register a Spark query + optional DuckDB oracle."""
 
