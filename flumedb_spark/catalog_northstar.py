@@ -250,6 +250,18 @@ def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ns_similarity_topk_np")
+def ns_similarity_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path variant of ns_similarity_topk: one BLAS matmul per
+    Arrow batch instead of per-element JVM lambdas.  Scores agree with
+    the int-exact form to ~1e-12 but float summation order differs by
+    ulps, so this entry is rows-only (the int-exact query above stays
+    the oracle form)."""
+    return similarity.cosine_topk_np(
+        spark.table("embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
 @query(
     "ns_embedding_neardup",
     oracle=(

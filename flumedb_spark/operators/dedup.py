@@ -148,7 +148,11 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, text_col: str = "text") 
     shuffle is skew-free; no quadratic comparison ever happens.
     """
     bands = lsh_bands(minhash_signatures(docs, n, text_col))
-    a, b = bands.alias("a"), bands.alias("b")
+    # Pin the self-join to a shuffled hash join: at scale the corpus
+    # side of a self-join must never be broadcast (the build side would
+    # recompute the full signature plan), and hash beats sort-merge here
+    # because md5 band buckets are uniform and tiny.
+    a, b = bands.hint("shuffle_hash").alias("a"), bands.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,

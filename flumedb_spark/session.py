@@ -31,14 +31,27 @@ def get_spark(app_name: str = "flumedb_spark", cpus: int | None = None) -> Spark
         .appName(app_name)
         # ~cores, not the 200 default: local shuffles are driver-disk bound.
         # On a real cluster this is set to ~2-3x total cores / sized so each
-        # shuffle partition is 100-200MB at the target SF.
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # shuffle partition is 100-200MB at the target SF. Overridable so
+        # harnesses can size it to the data actually being shuffled (a
+        # 32-task stage over a 10MB shuffle is pure scheduling overhead).
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") or str(max(cpus, 8)),
+        )
         .config("spark.sql.adaptive.enabled", "true")
+        # 64m (vs 10m default): sized for 100+ GB executors — a cached
+        # dimension's decompressed in-memory estimate must not flip its
+        # join to sort-merge. Tables that are genuinely big at scale
+        # exceed this estimate and still get SMJ.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = driver IS the executor: size the heap like an
+        # executor's (32 task threads x cached tables + shuffle buffers;
+        # an 8g heap puts the 32-thread md5/explode paths into GC churn)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # single-file parquet tables must still scan in parallel: split on
