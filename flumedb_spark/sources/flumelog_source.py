@@ -89,11 +89,21 @@ class FlumeLogStreamReader(DataSourceStreamReader):
         for fname in files:
             fpath = os.path.join(data_dir, fname)
             md = pq.read_metadata(fpath)
-            stats = md.row_group(0).column(0).statistics
-            if stats is not None and (
-                stats.max <= partition.gt or stats.min > partition.lte
+            # file-level seq pruning over ALL row groups: a multi-row-group
+            # file's min/max must aggregate every group — row group 0's max
+            # alone would skip files whose later groups hold in-range seqs
+            f_min = f_max = None
+            for g in range(md.num_row_groups):
+                stats = md.row_group(g).column(0).statistics
+                if stats is None or stats.min is None or stats.max is None:
+                    f_min = f_max = None  # unknown stats: never prune
+                    break
+                f_min = stats.min if f_min is None else min(f_min, stats.min)
+                f_max = stats.max if f_max is None else max(f_max, stats.max)
+            if f_max is not None and (
+                f_max <= partition.gt or f_min > partition.lte
             ):
-                continue  # file-level seq pruning
+                continue
             table = pq.read_table(fpath)
             seqs = table.column("seq").to_pylist()
             tss = table.column("ts").to_pylist()

@@ -74,14 +74,21 @@ class LiveViewRunner:
 
     def _fold_batch(self, batch: DataFrame, epoch_id: int) -> None:
         view = self.view
-        # restrict to genuinely-new records: redelivered batches after a
-        # crash re-run with seq <= view.since and fold to a no-op
-        fresh = batch.where(F.col("seq") > F.lit(view.since))
-        row = fresh.agg(F.max("seq").alias("m")).collect()[0]
-        if row.m is None:
-            return
-        mapped = self.engine._mapped(fresh.select("seq", "ts", "value"))
-        view.fold(mapped, int(row.m))
+        # Serialize with the engine's read-driven catch-up: Flume._gate ->
+        # _catch_up folds under engine._lock, and without taking the same
+        # lock here both paths can fold overlapping seq ranges — for
+        # append-style views (Level/Search/Bloom) that double-indexes the
+        # range. view.since is (re-)read only after acquiring, so a range
+        # the reader already folded shrinks to a no-op.
+        with self.engine._lock:
+            # restrict to genuinely-new records: redelivered batches after
+            # a crash re-run with seq <= view.since and fold to a no-op
+            fresh = batch.where(F.col("seq") > F.lit(view.since))
+            row = fresh.agg(F.max("seq").alias("m")).collect()[0]
+            if row.m is None:
+                return
+            mapped = self.engine._mapped(fresh.select("seq", "ts", "value"))
+            view.fold(mapped, int(row.m))
 
     def start(self, trigger_seconds: float | None = None):
         if self.source == "datasource":

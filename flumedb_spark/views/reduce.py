@@ -53,30 +53,54 @@ class Reduce(FlumeView):
         order), which unlocks parallel backfills: partitions fold
         concurrently, partials merge in seq order. Without it the fold
         is strictly sequential (the reference's semantics, SURVEY
-        §7.4.3)."""
+        §7.4.3).
+
+        Combiner-mode contract: each partition folds from scratch, so
+        the reducer MUST treat ``reducer(None, x)`` as the lift of
+        ``x`` — a non-None ``initial`` is only the attach-time default
+        for ``get()`` on an empty log, never a per-partition seed
+        (seeding every partition would fold it in once per partition).
+        """
         super().__init__(version)
         self.reducer = reducer
         self.initial = initial
         self.combiner = combiner
         self._acc: Any = initial
+        # distinguishes "no rows ever folded" from "accumulator is
+        # legitimately None" — overloading None as the unset sentinel
+        # would silently keep the old accumulator for reducers that
+        # produce None
+        self._acc_set = False
 
-    # state = one JSON accumulator
+    # state = one JSON accumulator, stored INSIDE meta.json: the single
+    # atomic meta rename then commits accumulator + since together. A
+    # separate state file would leave a crash window between the two
+    # writes where restart re-feeds the batch into already-updated state
+    # and the non-idempotent accumulator double-counts.
     def _state_path(self) -> str:
-        return os.path.join(self.path, "state.json")
+        return os.path.join(self.path, "state.json")  # legacy layout
 
     def _load_state(self) -> None:
-        if os.path.exists(self._state_path()):
+        if "acc_json" in self._meta:
+            self._acc = json.loads(self._meta["acc_json"])
+            self._acc_set = True
+        elif os.path.exists(self._state_path()):  # migrate legacy layout
             with open(self._state_path()) as f:
                 self._acc = json.load(f)["acc"]
+            self._acc_set = True
         else:
             self._acc = self.initial
+            self._acc_set = False
 
     def _persist_state(self) -> None:
-        with open(self._state_path(), "w") as f:
-            json.dump({"acc": self._acc}, f, default=str)
+        if self._acc_set:
+            self._meta["acc_json"] = json.dumps(self._acc, default=str)
+        else:
+            self._meta.pop("acc_json", None)
 
     def _reset_state(self) -> None:
         self._acc = self.initial
+        self._acc_set = False
 
     def fold(self, batch: DataFrame, upto: int) -> None:
         if self.combiner is not None:
@@ -89,10 +113,14 @@ class Reduce(FlumeView):
 
         def run(it):
             a = acc0
+            saw = False
             for pdf in it:
                 for raw in pdf["value"]:
+                    saw = True
                     a = reducer(a, decode(raw))
-            out = json.dumps(a, default=str) if a is not None else sentinel
+            # "no rows" is flagged explicitly — a reducer that produces a
+            # None accumulator must round-trip as None, not be dropped
+            out = json.dumps(a, default=str) if saw else sentinel
             yield pd.DataFrame({"acc": [out]})
 
         # order-sensitive: one fold lane, seq-sorted (SURVEY §7.4.3)
@@ -105,6 +133,7 @@ class Reduce(FlumeView):
         )
         if rows and rows[0].acc != sentinel:
             self._acc = json.loads(rows[0].acc)
+            self._acc_set = True
         self.commit(upto)
 
     def _fold_parallel(self, batch: DataFrame, upto: int) -> None:
@@ -141,11 +170,15 @@ class Reduce(FlumeView):
         partials = sorted(
             (r for r in rows if r.acc != sentinel), key=lambda r: r.first_seq
         )
-        acc = self._acc
+        acc, acc_set = self._acc, self._acc_set
         for r in partials:
             part = json.loads(r.acc)
-            acc = part if acc is None else self.combiner(acc, part)
-        self._acc = acc
+            # merge onto the persisted accumulator only if one exists —
+            # checked via the explicit flag, so a legitimately-None
+            # accumulator still goes through the combiner
+            acc = part if not acc_set else self.combiner(acc, part)
+            acc_set = True
+        self._acc, self._acc_set = acc, acc_set
         self.commit(upto)
 
     def get(self, path: Any = None) -> Any:
@@ -174,19 +207,22 @@ class NativeStats(FlumeView):
         self.field = field
         self._s = None  # {n, sum, sq, min, max}
 
+    # accumulator lives inside meta.json — same atomicity rationale as
+    # Reduce: one rename commits partial stats + since together
     def _state_path(self) -> str:
-        return os.path.join(self.path, "state.json")
+        return os.path.join(self.path, "state.json")  # legacy layout
 
     def _load_state(self) -> None:
-        if os.path.exists(self._state_path()):
+        if "s" in self._meta:
+            self._s = self._meta["s"]
+        elif os.path.exists(self._state_path()):  # migrate legacy layout
             with open(self._state_path()) as f:
                 self._s = json.load(f)["s"]
         else:
             self._s = None
 
     def _persist_state(self) -> None:
-        with open(self._state_path(), "w") as f:
-            json.dump({"s": self._s}, f)
+        self._meta["s"] = self._s
 
     def _reset_state(self) -> None:
         self._s = None

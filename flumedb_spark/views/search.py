@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from typing import Any
 
@@ -74,10 +75,17 @@ class Search(FlumeView):
         return self.spark.read.parquet(*files)
 
     def query_df(self, terms: list[str] | str) -> DataFrame:
-        """Seqs of records containing ALL terms (AND semantics)."""
+        """Seqs of records containing ALL terms (AND semantics).
+
+        Query terms go through the SAME tokenizer as indexing and are
+        deduplicated: the index stores tokens split on ``TOKEN_PATTERN``,
+        so a raw term with punctuation ("don't") or a repeated term
+        could otherwise never satisfy countDistinct == len(terms).
+        """
         if isinstance(terms, str):
-            terms = [t for t in terms.lower().split() if t]
-        terms = [t.lower() for t in terms]
+            terms = [terms]
+        norm = re.split(TOKEN_PATTERN, " ".join(terms).lower())
+        terms = sorted({t for t in norm if t})
         idx = self.df().where(F.col("token").isin(terms))
         hits = (
             idx.groupBy("seq")

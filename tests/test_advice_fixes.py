@@ -1,0 +1,184 @@
+"""Regression tests for the round-1 advisor findings: fold-race
+serialization, multi-row-group file pruning, atomic scalar-state
+commits, the combiner None-sentinel, and search-term normalization."""
+
+import json
+import os
+import threading
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from flumedb_spark.engine import Flume
+from flumedb_spark.views.level import Level
+from flumedb_spark.views.reduce import NativeStats, Reduce
+from flumedb_spark.views.search import Search
+
+
+# ---- live-fold vs read-driven catch-up serialization ----------------
+
+
+def test_stream_fold_serializes_with_catchup(spark, tmp_log_dir):
+    """_fold_batch must hold the engine lock and re-read view.since
+    inside it: a range the reader already folded shrinks to a no-op
+    instead of double-indexing append-style views."""
+    from flumedb_spark.streaming.live import LiveViewRunner
+
+    db = Flume(tmp_log_dir, spark=spark)
+    db.use("idx", Level(1, key_fn=lambda v: [v["k"]]))
+    for i in range(5):
+        db.append({"k": f"k{i}", "v": i})
+    assert db.idx.get("k3")[0]["value"]["v"] == 3  # gated read folds all
+
+    runner = LiveViewRunner(db, "idx")
+    # a stale batch covering the already-folded range, as the streaming
+    # thread would deliver after losing the race with the gated read
+    stale = db.log.stream_df(spark, gt=-1, lte=db.since, seqs=True, values=True)
+
+    # the fold must wait while a catch-up holds the engine lock
+    entered = threading.Event()
+
+    def fold():
+        entered.set()
+        runner._fold_batch(stale, 0)
+
+    with db._lock:
+        t = threading.Thread(target=fold)
+        t.start()
+        entered.wait(5)
+        time.sleep(0.2)
+        assert t.is_alive(), "fold ran without taking the engine lock"
+    t.join(60)
+    # and folding the stale range is a no-op: each key indexed once
+    rows = db.idx.read(gte="k0", lt="k9", values=False).collect()
+    assert [r.key for r in rows] == [f"k{i}" for i in range(5)]
+    db.close()
+
+
+# ---- multi-row-group file pruning -----------------------------------
+
+
+def test_source_pruning_checks_all_row_groups(tmp_path):
+    """A file whose row group 0 is out of range but whose LATER row
+    groups hold in-range seqs must not be pruned."""
+    from flumedb_spark.sources.flumelog_source import (
+        FlumeLogStreamReader,
+        _SeqRangePartition,
+    )
+
+    log_dir = tmp_path / "log"
+    data = log_dir / "data"
+    data.mkdir(parents=True)
+    # two row groups: seqs 0-4 and 100-104
+    t = pa.table(
+        {
+            "seq": list(range(5)) + list(range(100, 105)),
+            "ts": [None] * 10,
+            "value": [f"v{i}".encode() for i in range(10)],
+        },
+        schema=pa.schema(
+            [("seq", pa.int64()), ("ts", pa.timestamp("us")), ("value", pa.binary())]
+        ),
+    )
+    pq.write_table(t, data / "000000000000.parquet", row_group_size=5)
+    (log_dir / "meta.json").write_text(
+        json.dumps({"files": ["000000000000.parquet"], "since": 104})
+    )
+
+    reader = FlumeLogStreamReader(str(log_dir), 100_000)
+    # range (50, 104]: row group 0's max (4) <= 50 — pruning on rg0 alone
+    # would skip the whole file and drop seqs 100-104
+    part = _SeqRangePartition(str(log_dir), 50, 104)
+    seqs = [row[0] for row in reader.read(part)]
+    assert seqs == list(range(100, 105))
+
+
+# ---- atomic scalar-state commit -------------------------------------
+
+
+def test_reduce_state_commits_atomically_with_since(spark, tmp_log_dir):
+    """Reduce/NativeStats accumulators live INSIDE meta.json: one rename
+    commits state + watermark together, so no crash window can pair new
+    state with an old since."""
+    db = Flume(tmp_log_dir, spark=spark)
+    db.use("sum", Reduce(1, lambda a, i: (a or 0) + i["x"]))
+    db.use("stats", NativeStats(1, field="x"))
+    for x in (1, 2, 3):
+        db.append({"x": x})
+    assert db.sum.get() == 6
+    assert db.stats.get("count") == 3
+
+    for name in ("sum", "stats"):
+        view = db._views[name]
+        assert not os.path.exists(os.path.join(view.path, "state.json"))
+        with open(os.path.join(view.path, "meta.json")) as f:
+            meta = json.load(f)
+        assert meta["since"] == view.since
+        assert ("acc_json" in meta) or ("s" in meta)
+    db.close()
+
+    # reopen: state survives via meta alone
+    db2 = Flume(tmp_log_dir, spark=spark)
+    db2.use("sum", Reduce(1, lambda a, i: (a or 0) + i["x"]))
+    assert db2.sum.get() == 6
+    db2.close()
+
+
+def test_reduce_none_accumulator_roundtrips(spark, tmp_log_dir):
+    """A reducer that legitimately produces None must yield None, not
+    silently keep the previous/initial accumulator."""
+    db = Flume(tmp_log_dir, spark=spark)
+    db.use("last_even", Reduce(1, lambda a, i: i["x"] if i["x"] % 2 == 0 else None,
+                               initial=99))
+    db.append({"x": 2})
+    assert db.last_even.get() == 2
+    db.append({"x": 3})  # reducer returns None
+    assert db.last_even.get() is None
+    db.close()
+
+
+def test_combiner_merge_uses_explicit_set_flag(spark, tmp_log_dir):
+    """Parallel-fold merge must consult the explicit acc-set flag: after
+    real rows have folded, later partials go through the combiner even
+    if the persisted accumulator is None."""
+    calls = []
+
+    def reducer(a, i):
+        v = i["x"]
+        return v if a is None else a + v
+
+    def combiner(left, right):
+        calls.append((left, right))
+        l = 0 if left is None else left
+        r = 0 if right is None else right
+        return l + r
+
+    db = Flume(tmp_log_dir, spark=spark)
+    db.use("sum", Reduce(1, reducer, combiner=combiner))
+    db.append({"x": 1})
+    db.append({"x": 2})
+    assert db.sum.get() == 3
+    db.append({"x": 4})
+    assert db.sum.get() == 7
+    assert calls, "second fold must merge through the combiner"
+    db.close()
+
+
+# ---- search query-term normalization --------------------------------
+
+
+def test_search_terms_normalized_and_deduped(spark, tmp_log_dir):
+    db = Flume(tmp_log_dir, spark=spark)
+    db.use("fts", Search(1, text_field="text"))
+    db.append({"text": "don't panic said the whale"})
+    db.append({"text": "panic elsewhere"})
+
+    # repeated term: countDistinct(token)==len(terms) would never match
+    hits = db.fts.query(["panic", "panic", "whale"])
+    assert [h["value"]["text"] for h in hits] == ["don't panic said the whale"]
+    # punctuated term tokenizes like the index side ("don't" -> don, t)
+    hits = db.fts.query("don't")
+    assert [h["value"]["text"] for h in hits] == ["don't panic said the whale"]
+    db.close()
