@@ -98,6 +98,12 @@ def ngram_jaccard_pairs(
 
 # ---- MinHash + LSH --------------------------------------------------
 
+# Oracle/test defaults: 8 permutations in 4 bands of 2 keeps the DuckDB
+# oracle cheap and the banding math visible. PRODUCTION SCALE uses
+# n_perm=128, n_bands=16 (8 rows/band): at a 0.8-Jaccard threshold that
+# gives ~0.998 recall with far fewer false-positive candidates; the plan
+# shape (explode -> min-agg -> band equi-join) is identical, only the
+# signature width changes.
 N_PERM = 8  # minhash permutations
 N_BANDS = 4  # bands of 2 rows each
 
@@ -108,21 +114,25 @@ def _minhash_col(perm: int):
     return F.md5(F.concat(F.lit(f"{perm}|"), F.col("shingle")))
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, h0..h{N_PERM-1}) minhash signature table.
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, text_col: str = "text", n_perm: int = N_PERM
+) -> DataFrame:
+    """(doc_id, h0..h{n_perm-1}) minhash signature table.
 
     min() is duplicate-insensitive, so shingles skip the distinct
     shuffle; the only shuffle left is the partial-min merge (map-side
     combine reduces it to one row per doc per partition).
     """
     sh = word_shingles(docs, n, text_col, distinct=False)
-    aggs = [F.min(_minhash_col(p)).alias(f"h{p}") for p in range(N_PERM)]
+    aggs = [F.min(_minhash_col(p)).alias(f"h{p}") for p in range(n_perm)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_bands(sig: DataFrame) -> DataFrame:
+def lsh_bands(sig: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS) -> DataFrame:
     """Band signatures: md5 of each band's concatenated minhashes."""
-    rows_per_band = N_PERM // N_BANDS
+    if n_perm % n_bands:
+        raise ValueError(f"n_perm={n_perm} not divisible by n_bands={n_bands}")
+    rows_per_band = n_perm // n_bands
     bands = F.array(
         *[
             F.struct(
@@ -133,7 +143,7 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
                     )
                 ).alias("bsig"),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     return sig.select("doc_id", F.explode(bands).alias("b")).select(
@@ -141,13 +151,19 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     The join is on (band, bsig) — md5 buckets are uniform, so the
     shuffle is skew-free; no quadratic comparison ever happens.
     """
-    bands = lsh_bands(minhash_signatures(docs, n, text_col))
+    bands = lsh_bands(minhash_signatures(docs, n, text_col, n_perm), n_perm, n_bands)
     # Pin the self-join to a shuffled hash join: at scale the corpus
     # side of a self-join must never be broadcast (the build side would
     # recompute the full signature plan), and hash beats sort-merge here

@@ -136,65 +136,112 @@ def near_dup_pairs(
 # ---- LSH ANN (scale path) ------------------------------------------
 
 
-def _hyperplane_sign(vec: Column, plane: int) -> Column:
-    """Sign of <vec, r_plane> where r_plane[i] = ±1 derived from
-    xxhash64(plane, i) — a deterministic random hyperplane."""
+def _hyperplane_sign(vec: Column, table: int, plane: int) -> Column:
+    """Sign of <vec, r> where r[i] = ±1 derived from
+    xxhash64(table, plane, i) — a deterministic random hyperplane,
+    independent per (table, plane)."""
     signed = F.transform(
         vec,
         lambda x, i: F.when(
-            F.xxhash64(F.lit(plane), i).bitwiseAND(F.lit(1)) == 1, _iscale(x)
+            F.xxhash64(F.lit(table), F.lit(plane), i).bitwiseAND(F.lit(1)) == 1,
+            _iscale(x),
         ).otherwise(-_iscale(x)),
     )
     total = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, v: acc + v)
-    return (total >= 0).cast("int")
+    return (total >= 0).cast("long")
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """n-bit random-hyperplane sketch -> bucket id."""
-    bucket = F.lit(0)
+def lsh_bucket(vec: Column, n_planes: int = 8, table: int = 0) -> Column:
+    """n-bit random-hyperplane sketch -> bucket id (one hash table)."""
+    bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        bucket = bucket * 2 + _hyperplane_sign(vec, p)
+        bucket = bucket * 2 + _hyperplane_sign(vec, table, p)
     return bucket
+
+
+def lsh_buckets(vec: Column, n_planes: int, n_tables: int) -> Column:
+    """array of (table, bucket) structs — one sketch per hash table.
+
+    AND over ``n_planes`` bits within a table (precision), OR across
+    ``n_tables`` tables (recall): the same AND/OR amplification as
+    MinHash banding. A single table has no recall knob — a true
+    neighbor that flips one of its 8 bits is lost forever; with L
+    tables it is found unless it misses in every one.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(vec, n_planes, t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
 
 
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only pairs sharing an LSH bucket.
+    """Approximate top-k: score only pairs sharing a bucket in ANY of
+    ``n_tables`` hyperplane hash tables (OR-amplification).
 
-    Recall/cost tradeoff via n_planes (fewer planes = bigger buckets =
-    higher recall, more compute). The bucket join replaces the cross
-    product — this is what survives 100x corpus growth.
+    Recall/cost knobs: more planes = smaller buckets = fewer candidates
+    (precision); more tables = more chances to catch a true neighbor
+    (recall). Defaults 6/8 measure >=0.9 recall@10 vs exact cosine on
+    the synthetic embeddings. The per-table bucket join replaces the
+    cross product, and candidate pairs are deduplicated BEFORE scoring,
+    so each pair is scored once no matter how many tables matched — at
+    100x corpus growth the cost is (candidates x d), never N^2.
     """
     embeddings = _spread(embeddings)
     with_b = embeddings.select(
         "vec_id",
         F.col(vec_col).alias("vec"),
         int_norm2(F.col(vec_col)).alias("n2"),
-        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
+        F.explode(lsh_buckets(F.col(vec_col), n_planes, n_tables)).alias("tb"),
+    ).select("vec_id", "vec", "n2", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
     q = with_b.select(
         F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("n2").alias("qn2"),
+        F.col("table").alias("qtable"),
         F.col("bucket").alias("qbucket"),
     )
     if query_ids is not None:
         q = q.where(F.col("query_id").isin(query_ids))
-    pairs = with_b.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    # candidate ids per query, deduped across tables before any scoring
+    cand = (
+        with_b.select("vec_id", "table", "bucket")
+        .join(
+            F.broadcast(q),
+            (F.col("table") == F.col("qtable"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
     )
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine_expr(int_dot(F.col("qvec"), F.col("vec")), F.col("qn2"), F.col("n2")).alias(
-            "cos_raw"
-        ),
+    corpus = embeddings.select(
+        F.col("vec_id"), F.col(vec_col).alias("vec"), int_norm2(F.col(vec_col)).alias("n2")
+    )
+    qvecs = corpus.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), F.col("n2").alias("qn2")
+    )
+    if query_ids is not None:
+        qvecs = qvecs.where(F.col("query_id").isin(query_ids))
+    scored = (
+        cand.join(corpus, "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_expr(
+                int_dot(F.col("qvec"), F.col("vec")), F.col("qn2"), F.col("n2")
+            ).alias("cos_raw"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
     return (

@@ -258,3 +258,48 @@ def test_cdc_upsert_and_scd2(spark):
     assert by[(1, 5)] == (5, 9, False)
     assert by[(1, 9)] == (9, None, True)
     assert by[(2, 9)] == (9, None, True)
+
+
+def test_lsh_ann_multitable_recall(spark):
+    """OR-amplification recall gate (VERDICT r1 item 6): with 3 planes x
+    12 tables the multi-table index must recover >=0.9 of the exact
+    top-10 at sf0.01. Deterministic: hyperplanes derive from xxhash64.
+    The synthetic corpus' true neighbors sit at cosine 0.24-0.49 (barely
+    above random), which is the hard regime for hyperplane LSH — real
+    near-dup corpora (cos >= 0.7) prune far harder at the same recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(10))
+    exact = similarity.cosine_topk(emb, query_ids=qids, k=10).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    approx = similarity.lsh_ann_topk(
+        emb, query_ids=qids, k=10, n_planes=3, n_tables=12
+    ).collect()
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall@10 {recall:.3f} < 0.9"
+    # scoring function identical to exact: overlapping pairs agree
+    escore = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in escore:
+            assert escore[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_minhash_production_parameters(spark, docs):
+    """n_perm/n_bands are tunable (VERDICT r1 item 7): at 64 perms x 8
+    bands the exact-duplicate pairs must still surface as candidates,
+    and wider signatures must not change the plan family (still one
+    min-agg + band equi-join)."""
+    cands = dedup.minhash_lsh_candidates(docs, n_perm=64, n_bands=8)
+    pairs = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    # exact duplicates (identical text) are candidates at ANY n_perm
+    dup = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .collect()
+    )
+    for row in dup:
+        ids = sorted(row.ids)
+        assert (ids[0], ids[1]) in pairs
+    with pytest.raises(ValueError):
+        dedup.lsh_bands(dedup.minhash_signatures(docs, n_perm=10), 10, 4)
