@@ -152,7 +152,12 @@ class Flume:
         return self.log.path
 
     @property
-    def since(self) -> int:
+    def since(self) -> int | None:
+        """The log's observable state (README.md:197-201): None before
+        the log has loaded (reference: undefined), -1 when loaded and
+        empty, else the latest seq. Reads take the init barrier
+        themselves, so None is visible only between construction and the
+        first operation — exactly the reference's init race window."""
         return self.log.since
 
     def _throw_if_closed(self) -> None:
@@ -249,7 +254,14 @@ class Flume:
         emits the bounded prefix then tails new appends (O6) — the
         driver-side form; `streaming.live` is the cluster form."""
         if not live:
-            return [self._row_to_item(r, seqs, values) for r in self.stream_df(seqs=seqs, values=values, **opts).collect()]
+            items = [
+                self._row_to_item(r, seqs, values)
+                for r in self.stream_df(seqs=seqs, values=values, **opts).collect()
+            ]
+            # per-item metering (wrap.js:74-76): the reference bumps the
+            # same counter once per call and once per delivered item
+            self.meta["stream"] += len(items)
+            return items
 
         # validate eagerly — not on first pull of the generator
         for k in ("gte", "lt", "lte", "reverse", "limit"):
@@ -259,7 +271,7 @@ class Flume:
         def tail() -> Iterator[Any]:
             pos = opts.get("gt", -1)
             while not self.closed:
-                head = self.log.since
+                head = self.log.ready_since()
                 if head > pos:
                     for item in self.stream(seqs=seqs, values=values, gt=pos, lte=head):
                         yield item
@@ -287,7 +299,7 @@ class Flume:
         """
         self._throw_if_closed()
         if gated:
-            head = self.log.since
+            head = self.log.ready_since()
             for view in self._views.values():
                 self._catch_up(view, head)
         self._mapped(self.log.df(self.spark)).createOrReplaceTempView("log")
@@ -320,12 +332,19 @@ class Flume:
         the view's fold — the pull pipeline of `index.js:51-55`."""
         batch = self.log.stream_df(self.spark, gt=gt, lte=lte, seqs=True, values=True)
         view.fold(self._mapped(batch), lte)
+        # per-item meter (wrap.js:67,74-76): rows delivered through the
+        # feed. Dense seqs make the count exact with zero extra Spark
+        # work; a rebuild re-delivers and re-counts, mirroring
+        # test/rebuild.js:21-23.
+        handle = self._handles.get(view.name)
+        if handle is not None:
+            handle.meta["items"] = handle.meta.get("items", 0) + (lte - gt)
 
     def _catch_up(self, view: FlumeView, target: int) -> None:
         with self._lock:
             # view ahead of the log (log truncated/replaced) => destroy +
             # full rebuild (index.js:36-37, test/memlog.js:98-126)
-            if view.since > self.log.since:
+            if view.since > self.log.ready_since():
                 view.destroy()
             if view.since < target:
                 try:
@@ -347,7 +366,7 @@ class Flume:
                 break
         if since_opt == -1:
             return
-        target = self.log.since if since_opt is None else int(since_opt)
+        target = self.log.ready_since() if since_opt is None else int(since_opt)
         self._catch_up(view, target)
 
     # ---- lifecycle (O16/O18) -------------------------------------------
@@ -359,7 +378,7 @@ class Flume:
         with self._lock:
             for view in self._views.values():
                 view.destroy()
-            head = self.log.since
+            head = self.log.ready_since()
             if head >= 0 and self._views:
                 # per-view backfills are independent pipelines (the
                 # reference's star topology, README.md:7-10): run them as

@@ -93,7 +93,12 @@ class ParquetLog:
         self.meta_path = os.path.join(path, "meta.json")
         self.bucket_size = bucket_size
         os.makedirs(self.data_dir, exist_ok=True)
-        self._meta = self._load_meta()
+        # Reference parity (README.md:197-201): `since` is UNDEFINED until
+        # the log has loaded its state (-1 then means "loaded and empty").
+        # Loading is deferred to the first operation — the synchronous
+        # analogue of the `log.since.once(...)` init barrier every read
+        # takes in index.js:151-155.
+        self._meta: dict | None = None
 
     # ---- meta / since -------------------------------------------------
     def _load_meta(self) -> dict:
@@ -118,8 +123,17 @@ class ParquetLog:
         os.replace(tmp, self.meta_path)
 
     @property
-    def since(self) -> int:
-        """-1 = empty, else seq of latest record (README.md:197-201)."""
+    def since(self) -> int | None:
+        """None = uninitialized (the reference's ``undefined``), -1 =
+        loaded and empty, else seq of latest record (README.md:197-201)."""
+        return None if self._meta is None else self._meta["since"]
+
+    def ready_since(self) -> int:
+        """Init barrier + current watermark: loads state on first use and
+        always returns a number — what `log.since.once(...)` hands each
+        deferred read in index.js:151-155."""
+        if self._meta is None:
+            self._meta = self._load_meta()
         return self._meta["since"]
 
     # ---- write path ---------------------------------------------------
@@ -131,8 +145,8 @@ class ParquetLog:
         """
         batch = values if isinstance(values, list) else [values]
         if not batch:
-            return self.since
-        start = self._meta["since"] + 1
+            return self.ready_since()
+        start = self.ready_since() + 1
         seqs = list(range(start, start + len(batch)))
         now = time.time_ns() // 1000
         table = pa.Table.from_pydict(

@@ -26,13 +26,45 @@ META_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> dict:
-    """REAL DECODER GOES HERE (PIL.Image.open(io.BytesIO(payload))).
+def pil_available() -> bool:
+    """Runtime probe: use the real codec wherever the environment has
+    one, fall back to the deterministic fake elsewhere."""
+    import importlib.util
 
-    Not available in this container — raise so callers must opt in to
-    the deterministic fake used for plumbing tests.
+    return importlib.util.find_spec("PIL") is not None
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real decoder via PIL when importable; raises NotImplementedError
+    when the environment has no image codec (this container), so callers
+    must opt in to the deterministic fake used for plumbing tests.
+
+    Undecodable bytes with PIL present yield ``ok=False`` rather than
+    raising — at scale a corrupt blob must never fail the partition.
     """
-    raise NotImplementedError("image codecs not available in this environment")
+    if not pil_available():
+        raise NotImplementedError("image codecs not available in this environment")
+    import io
+
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(payload))
+        return {
+            "n_bytes": len(payload),
+            "format": (img.format or "unknown").lower(),
+            "width": img.width,
+            "height": img.height,
+            "ok": True,
+        }
+    except Exception:
+        return {
+            "n_bytes": len(payload),
+            "format": "undecodable",
+            "width": 0,
+            "height": 0,
+            "ok": False,
+        }
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -54,16 +86,26 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.encode(F.col(text_col), "utf-8").alias("payload"))
 
 
-def extract_metadata(payloads: DataFrame, use_fake: bool = True) -> DataFrame:
+def extract_metadata(payloads: DataFrame, use_fake: bool | None = None) -> DataFrame:
     """mapInPandas over binary payloads -> typed metadata table.
 
     Arrow moves the bytes in columnar batches; the decoder sees a plain
     ``bytes`` per row. This is the real multimodal execution shape.
+
+    ``use_fake=None`` (default) probes the environment: real PIL decode
+    when importable, the deterministic fake otherwise. ``use_fake=True``
+    forces the fake (reproducible oracles); ``use_fake=False`` demands
+    the real codec and raises where the environment lacks one.
     """
+    if use_fake is None:
+        use_fake = not pil_available()
+    if not use_fake and not pil_available():
+        raise NotImplementedError("image codecs not available in this environment")
+
     # the closure must be self-contained: workers launched by an
     # arbitrary caller session may not have this package importable, and
     # module-level functions pickle by reference. Nested defs pickle by
-    # value, so inline the deterministic fake here.
+    # value, so inline both decoders here.
     def _fake(payload: bytes) -> dict:
         n = len(payload)
         return {
@@ -75,7 +117,28 @@ def extract_metadata(payloads: DataFrame, use_fake: bool = True) -> DataFrame:
         }
 
     def _real(payload: bytes) -> dict:
-        raise NotImplementedError("image codecs not available in this environment")
+        import io
+
+        from PIL import Image
+
+        try:
+            img = Image.open(io.BytesIO(payload))
+            return {
+                "n_bytes": len(payload),
+                "format": (img.format or "unknown").lower(),
+                "width": img.width,
+                "height": img.height,
+                "ok": True,
+            }
+        except Exception:
+            # corrupt blob must never fail the partition at scale
+            return {
+                "n_bytes": len(payload),
+                "format": "undecodable",
+                "width": 0,
+                "height": 0,
+                "ok": False,
+            }
 
     decoder = _fake if use_fake else _real
 

@@ -24,8 +24,11 @@ def sum_foo(acc, item):
 
 def test_empty_log_since_and_view_undefined(spark, tmp_log_dir):
     db = make_db(tmp_log_dir, spark).use("sum", Reduce(1, sum_foo))
-    assert db.since == -1
+    # before any operation since is undefined (README.md:197-201) ...
+    assert db.since is None
     assert db.sum.get() is None  # test/memlog.js:26-34
+    # ... and the gated read above took the init barrier: loaded + empty
+    assert db.since == -1
 
 
 def test_append_then_gated_read(spark, tmp_log_dir):
@@ -282,8 +285,10 @@ def test_meta_counters(spark, tmp_log_dir):
     db.sum.get()
     assert db.meta["append"] == 1
     assert db.meta["get"] == 1
-    assert db.meta["stream"] == 1
+    # per-item metering (wrap.js:74-76): one call + one delivered item
+    assert db.meta["stream"] == 2
     assert db.sum.meta["get"] == 2
+    assert db.sum.meta["items"] == 1  # rows delivered through the feed
 
 
 # ---- live tail (O6, driver-side form) -----------------------------------

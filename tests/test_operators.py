@@ -152,13 +152,23 @@ def test_multimodal_payload_plumbing(spark, docs):
         assert r.n_bytes == src[r.doc_id]
 
 
-def test_multimodal_real_decoder_is_explicit_stub(spark, docs):
-    payloads = multimodal.with_binary_payload(docs.limit(1))
-    meta = multimodal.extract_metadata(payloads, use_fake=False)
-    import pytest as _pytest
-
-    with _pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
-        meta.collect()
+def test_multimodal_decode_probes_for_real_codec(spark, docs):
+    """The decode op is honest in both environments: with PIL importable
+    it decodes for real (non-image bytes -> ok=False, never a partition
+    failure); without it, demanding the real codec raises up front and
+    auto mode falls back to the deterministic fake."""
+    payloads = multimodal.with_binary_payload(docs.limit(5))
+    if multimodal.pil_available():
+        rows = multimodal.extract_metadata(payloads, use_fake=False).collect()
+        assert all((not r.ok) and r.format == "undecodable" for r in rows)
+    else:
+        with pytest.raises(NotImplementedError):
+            multimodal.extract_metadata(payloads, use_fake=False)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
+    # auto mode always produces a metadata row per payload
+    rows = multimodal.extract_metadata(payloads).collect()
+    assert len(rows) == 5 and all(r.n_bytes > 0 for r in rows)
 
 
 def test_ivf_ann_structure_and_recall(spark, embeddings):
