@@ -260,28 +260,86 @@ def lsh_ann_topk(
 # ---- IVF ANN (alternative scale path) -------------------------------
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, vec_col: str = "embedding") -> DataFrame:
-    """IVF-flat assignment with deterministic seed centroids.
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) with deterministic seeding.
 
-    Proper IVF trains centroids with k-means; for a reproducible,
-    model-free variant we take the ``n_centroids`` lowest-vec_id vectors
-    as centroids (deterministic, no stored model, no RNG) and assign
-    every vector to its max-cosine centroid. At scale the centroid set
-    is broadcast and assignment is one map-side pass; the posting lists
+    Init = the ``n_centroids`` lowest-vec_id vectors; each iteration
+    broadcasts the (k x d) centroid matrix, assigns every vector to its
+    max-cosine centroid JVM-side, and recomputes each centroid as the
+    element-wise mean of its members (one groupBy over exploded
+    positions). Only the k x d centroid matrix visits the driver per
+    iteration — the classic distributed k-means shape; at 100 TB each
+    iteration is one broadcast + one shuffle of k*d partial sums per
+    partition (map-side combined), never a vector collect. No RNG
+    anywhere, so the trained model is reproducible run-to-run.
+
+    Returns (cent_id int, cvec array<double>) — empty clusters keep
+    their previous centroid.
+    """
+    spark = embeddings.sparkSession
+    base = _spread(embeddings).select("vec_id", F.col(vec_col).alias("vec"))
+    cents = [
+        [float(x) for x in r.vec]
+        for r in base.orderBy("vec_id").limit(n_centroids).collect()
+    ]
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cent_id int, cvec array<double>"
+        )
+        pairs = base.join(F.broadcast(cdf)).select(
+            "vec_id",
+            "vec",
+            "cent_id",
+            cosine_expr(
+                int_dot(F.col("vec"), F.col("cvec")),
+                int_norm2(F.col("vec")),
+                int_norm2(F.col("cvec")),
+            ).alias("ccos"),
+        )
+        wv = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+        assigned = pairs.withColumn("rn", F.row_number().over(wv)).where(F.col("rn") == 1)
+        means = (
+            assigned.select("cent_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cent.setdefault(r.cent_id, {})[r.pos] = r.m
+        for cid, dims in by_cent.items():
+            cents[cid] = [dims[p] for p in sorted(dims)]
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cent_id int, cvec array<double>"
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-flat assignment against trained (or supplied) centroids.
+
+    Centroids come from :func:`ivf_train` (deterministic k-means) unless
+    a ``(cent_id, cvec)`` DataFrame is passed in. The centroid set is
+    broadcast and assignment is one map-side pass; the posting lists
     (centroid -> members) are the inverted file.
     """
     embeddings = _spread(embeddings)
     base = embeddings.select(
         "vec_id", F.col(vec_col).alias("vec"), int_norm2(F.col(vec_col)).alias("n2")
     )
-    cents = (
-        base.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("vec").alias("cvec"),
-            F.col("n2").alias("cn2"),
-        )
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_centroids, vec_col=vec_col)
+    cents = centroids.select(
+        "cent_id", "cvec", int_norm2(F.col("cvec")).alias("cn2")
     )
     scored = base.join(F.broadcast(cents)).select(
         "vec_id",
@@ -312,20 +370,15 @@ def ivf_ann_topk(
     only the members of its ``n_probe`` closest centroid lists —
     |Q| x (n_probe/n_centroids) x |corpus| work instead of the full
     cross product. Recall rises with n_probe (== exact when
-    n_probe == n_centroids)."""
-    assigned = ivf_assign(embeddings, n_centroids, vec_col)
+    n_probe == n_centroids). Centroids are k-means-trained
+    (deterministically) so posting lists reflect the data's actual
+    cluster structure, not an arbitrary seed sample."""
+    centroids = ivf_train(embeddings, n_centroids, vec_col=vec_col)
+    assigned = ivf_assign(embeddings, n_centroids, vec_col, centroids=centroids)
     base = _spread(embeddings).select(
         "vec_id", F.col(vec_col).alias("vec"), int_norm2(F.col(vec_col)).alias("n2")
     )
-    cents = (
-        base.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("vec").alias("cvec"),
-            F.col("n2").alias("cn2"),
-        )
-    )
+    cents = centroids.select("cent_id", "cvec", int_norm2(F.col("cvec")).alias("cn2"))
     q = base.select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), F.col("n2").alias("qn2")
     )
