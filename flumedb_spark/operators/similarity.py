@@ -167,6 +167,12 @@ def lsh_buckets(vec: Column, n_planes: int, n_tables: int) -> Column:
     MinHash banding. A single table has no recall knob — a true
     neighbor that flips one of its 8 bits is lost forever; with L
     tables it is found unless it misses in every one.
+
+    JVM/expression form — fine for a handful of planes; the hot path
+    (:func:`lsh_sketch_np`) computes the same structure as one BLAS
+    matmul per Arrow batch, because L*b interpreted higher-order-
+    function passes per vector dominate runtime long before the hash
+    math does.
     """
     return F.array(
         *[
@@ -176,6 +182,54 @@ def lsh_buckets(vec: Column, n_planes: int, n_tables: int) -> Column:
             )
             for t in range(n_tables)
         ]
+    )
+
+
+def lsh_sketch_np(
+    embeddings: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """(vec_id, table, bucket) via one matmul per Arrow batch.
+
+    The plane matrix R (d x L*b, entries ±1) derives from a fixed-seed
+    Mersenne Twister — deterministic run-to-run and machine-to-machine.
+    sign(X @ R) yields every table's every bit in a single BLAS call;
+    bits pack into per-table bucket ids. At 100 TB this is the shape
+    that survives: R is broadcast once inside the closure and each
+    executor does (batch x d) @ (d x L*b).
+    """
+    import numpy as np
+    import pandas as pd
+
+    total = n_planes * n_tables
+
+    def run(batches):
+        R = None
+        for pdf in batches:
+            mat = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+            if R is None:
+                d = mat.shape[1]
+                rng = np.random.RandomState(seed)
+                R = rng.randint(0, 2, size=(d, total)) * 2 - 1
+            bits = (mat @ R) >= 0  # (batch, L*b)
+            weights = 1 << np.arange(n_planes - 1, -1, -1)
+            buckets = bits.reshape(-1, n_tables, n_planes) @ weights  # (batch, L)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, n_tables),
+                    "table": np.tile(np.arange(n_tables), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return (
+        _spread(embeddings)
+        .select("vec_id", F.col(vec_col).alias("emb"))
+        .mapInPandas(run, "vec_id long, table int, bucket long")
     )
 
 
@@ -199,13 +253,8 @@ def lsh_ann_topk(
     100x corpus growth the cost is (candidates x d), never N^2.
     """
     embeddings = _spread(embeddings)
-    with_b = embeddings.select(
-        "vec_id",
-        F.col(vec_col).alias("vec"),
-        int_norm2(F.col(vec_col)).alias("n2"),
-        F.explode(lsh_buckets(F.col(vec_col), n_planes, n_tables)).alias("tb"),
-    ).select("vec_id", "vec", "n2", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-    q = with_b.select(
+    sketches = lsh_sketch_np(embeddings, n_planes, n_tables, vec_col)
+    q = sketches.select(
         F.col("vec_id").alias("query_id"),
         F.col("table").alias("qtable"),
         F.col("bucket").alias("qbucket"),
@@ -214,8 +263,7 @@ def lsh_ann_topk(
         q = q.where(F.col("query_id").isin(query_ids))
     # candidate ids per query, deduped across tables before any scoring
     cand = (
-        with_b.select("vec_id", "table", "bucket")
-        .join(
+        sketches.join(
             F.broadcast(q),
             (F.col("table") == F.col("qtable"))
             & (F.col("bucket") == F.col("qbucket"))
