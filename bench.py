@@ -87,7 +87,15 @@ def main() -> None:
     qs["o7_since"](spark, sf_dir).collect()
     from flumedb_spark.catalog import TABLES
 
+    # cached partition count targets partition SIZE, not the source's
+    # tiny splits: relational tables at sf<=0.1 coalesce to 8 (32 cache
+    # partitions of a 600k-row table is pure task-scheduling floor);
+    # documents/embeddings stay wide — their per-row CPU (hashing,
+    # matmul batches) needs every core in the map stage.
     for t in TABLES:
+        df = spark.table(t)
+        if t not in ("documents", "embeddings") and df.rdd.getNumPartitions() > 8:
+            df.coalesce(8).createOrReplaceTempView(t)
         spark.catalog.cacheTable(t)
         spark.table(t).count()  # materialize the cache
     load_sec = round(time.perf_counter() - t0, 4)
