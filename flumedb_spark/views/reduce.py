@@ -202,10 +202,17 @@ class NativeStats(FlumeView):
     ORDER_SENSITIVE = False
     METHODS = {"get": "async"}
 
-    def __init__(self, version: Any, field: str = "foo"):
+    def __init__(self, version: Any, field: str = "foo", scale: int | None = None):
+        """``scale`` — set when the field is fixed-point at 1/scale
+        granularity (e.g. 100 for cent-granular money): partial sums then
+        accumulate as exact scaled integers across batches and only
+        ``get()`` divides back to doubles, so incremental folds can never
+        drift from a one-shot aggregate by float summation order. Default
+        None keeps plain float partials (arbitrary numeric fields)."""
         super().__init__(version)
         self.field = field
-        self._s = None  # {n, sum, sq, min, max}
+        self.scale = scale
+        self._s = None  # {n, sum, sq, min, max} (+ scaled ints when scale)
 
     # accumulator lives inside meta.json — same atomicity rationale as
     # Reduce: one rename commits partial stats + since together
@@ -229,16 +236,16 @@ class NativeStats(FlumeView):
 
     def fold(self, batch: DataFrame, upto: int) -> None:
         x = F.get_json_object(F.col("value"), f"$.{self.field}").cast("double")
-        row = batch.agg(
-            F.count(x).alias("n"),
-            F.sum(x).alias("s"),
-            F.sum(x * x).alias("sq"),
-            F.min(x).alias("mn"),
-            F.max(x).alias("mx"),
-        ).collect()[0]
+        if self.scale:
+            xi = F.round(x * self.scale).cast("long")
+            agg = [F.count(xi).alias("n"), F.sum(xi).alias("s"), F.sum(xi * xi).alias("sq")]
+        else:
+            agg = [F.count(x).alias("n"), F.sum(x).alias("s"), F.sum(x * x).alias("sq")]
+        row = batch.agg(*agg, F.min(x).alias("mn"), F.max(x).alias("mx")).collect()[0]
         if row.n:
             if self._s is None:
-                self._s = {"n": 0, "sum": 0.0, "sq": 0.0, "min": row.mn, "max": row.mx}
+                zero = 0 if self.scale else 0.0
+                self._s = {"n": 0, "sum": zero, "sq": zero, "min": row.mn, "max": row.mx}
             s = self._s
             s["n"] += row.n
             s["sum"] += row.s
@@ -251,11 +258,16 @@ class NativeStats(FlumeView):
         if self._s is None:
             return None
         s = self._s
-        mean = s["sum"] / s["n"]
-        var = max(s["sq"] / s["n"] - mean * mean, 0.0)
+        if self.scale:
+            k = float(self.scale)
+            total, sq = s["sum"] / k, s["sq"] / (k * k)
+        else:
+            total, sq = s["sum"], s["sq"]
+        mean = total / s["n"]
+        var = max(sq / s["n"] - mean * mean, 0.0)
         out = {
             "count": s["n"],
-            "sum": s["sum"],
+            "sum": total,
             "mean": mean,
             "stdev": math.sqrt(var),
             "min": s["min"],

@@ -182,3 +182,28 @@ def test_search_terms_normalized_and_deduped(spark, tmp_log_dir):
     hits = db.fts.query("don't")
     assert [h["value"]["text"] for h in hits] == ["don't panic said the whale"]
     db.close()
+
+
+def test_nativestats_scaled_partials_exact_incremental(spark, tmp_log_dir):
+    """With scale set, incremental folds accumulate exact scaled ints:
+    N one-row batches produce bit-identical stats to one N-row batch,
+    immune to float summation order."""
+    vals = [0.1, 0.2, 0.3, 1.07, 2.45, 9.99, 0.01]
+
+    db1 = Flume(tmp_log_dir + "/inc", spark=spark)
+    db1.use("st", NativeStats(1, field="x", scale=100))
+    for v in vals:
+        db1.append({"x": v})
+        db1.st.get()  # force a fold per append
+    inc = db1.st.get()
+    db1.close()
+
+    db2 = Flume(tmp_log_dir + "/oneshot", spark=spark)
+    db2.use("st", NativeStats(1, field="x", scale=100))
+    db2.append([{"x": v} for v in vals])
+    one = db2.st.get()
+    db2.close()
+
+    assert inc == one  # exact equality, not approx
+    assert inc["count"] == len(vals)
+    assert inc["sum"] == round(sum(round(v * 100) for v in vals) / 100, 10)
