@@ -334,11 +334,13 @@ class Flume:
         view.fold(self._mapped(batch), lte)
         # per-item meter (wrap.js:67,74-76): rows delivered through the
         # feed. Dense seqs make the count exact with zero extra Spark
-        # work; a rebuild re-delivers and re-counts, mirroring
+        # work; non-dense backends (OffsetLog) pay one pruned range
+        # count. A rebuild re-delivers and re-counts, mirroring
         # test/rebuild.js:21-23.
         handle = self._handles.get(view.name)
         if handle is not None:
-            handle.meta["items"] = handle.meta.get("items", 0) + (lte - gt)
+            n = (lte - gt) if self.log.DENSE else batch.count()
+            handle.meta["items"] = handle.meta.get("items", 0) + n
 
     def _catch_up(self, view: FlumeView, target: int) -> None:
         with self._lock:

@@ -86,6 +86,11 @@ class ParquetLog:
     #: engine facade (O21, index.js:270-283): {method_name: 'sync'}
     methods: dict = {}
 
+    #: dense integer seqs (0,1,2,...). Consumers may rely on this for
+    #: exact range counts; OffsetLog sets it False (README.md:138-140:
+    #: the seq format is log-implementation-defined).
+    DENSE = True
+
     def __init__(self, path: str, bucket_size: int = 1_000_000, codec="json"):
         self.codec = CODECS[codec] if isinstance(codec, str) else codec
         self.path = path
@@ -146,14 +151,14 @@ class ParquetLog:
         batch = values if isinstance(values, list) else [values]
         if not batch:
             return self.ready_since()
-        start = self.ready_since() + 1
-        seqs = list(range(start, start + len(batch)))
+        encoded = [self.codec.encode(v) for v in batch]
+        seqs = self._assign_seqs(encoded, self.ready_since())
         now = time.time_ns() // 1000
         table = pa.Table.from_pydict(
             {
                 "seq": pa.array(seqs, pa.int64()),
                 "ts": pa.array([now] * len(batch), pa.timestamp("us", tz="UTC")),
-                "value": pa.array([self.codec.encode(v) for v in batch], pa.string()),
+                "value": pa.array(encoded, pa.string()),
             },
             schema=_ARROW_SCHEMA,
         )
@@ -167,6 +172,13 @@ class ParquetLog:
         self._meta["files"] = self._meta.get("files", []) + [fname]
         self._commit_meta()
         return seqs[-1]
+
+    def _assign_seqs(self, encoded: list[str], since: int) -> list[int]:
+        """Dense integer seqs — the flumelog-memory choice. Subclasses
+        define other formats; seqs need only be strictly increasing
+        (README.md:138-140)."""
+        start = since + 1
+        return list(range(start, start + len(encoded)))
 
     # ---- read path ----------------------------------------------------
     def df(self, spark: SparkSession) -> DataFrame:
@@ -287,3 +299,51 @@ class ParquetLog:
         os.makedirs(self.data_dir, exist_ok=True)
         self._meta = {"since": -1, "commits": 0, "files": []}
         self._commit_meta()
+
+
+class OffsetLog(ParquetLog):
+    """Byte-offset seqs — the reference's *recommended* backend shape
+    (`flumelog-offset`, exercised by `test/offset.js:1-12`; seq format
+    is implementation-defined per `README.md:138-140`).
+
+    Each record's seq is the byte offset where its frame starts in a
+    virtual concatenated stream; the frame is
+    ``[u32 len][utf-8 payload][u32 len]`` plus a u64 running length —
+    mirroring flumelog-offset's file format arithmetic without storing
+    the frames (values still live in Parquet; only the seq NUMBERING
+    follows byte offsets). Consumers doing seq arithmetic therefore see
+    the same deltas they'd see on the reference's offset files:
+    ``seq_{i+1} - seq_i == 16 + len(utf8(value_i))``.
+
+    Everything downstream — views, gates, streams, the custom streaming
+    source — requires only strictly-increasing seqs, so the whole engine
+    suite runs unchanged against this backend (the reference proves the
+    same property by running its full memlog suite over OffsetLog).
+    """
+
+    DENSE = False
+    FRAME_OVERHEAD = 16  # 2 x u32 length frame + u64 running length
+
+    def _assign_seqs(self, encoded: list[str], since: int) -> list[int]:
+        # first record of an empty log sits at offset 0 (reference: the
+        # file starts with a frame at byte 0); later records start where
+        # the previous frame ended
+        seqs = []
+        pos = 0 if since < 0 else since + self._last_frame  # see below
+        # recover the previous record's frame size on reopen: persisted
+        # in meta so offsets stay contiguous across processes
+        for e in encoded:
+            seqs.append(pos)
+            pos += len(e.encode("utf-8")) + self.FRAME_OVERHEAD
+        self._meta["last_frame"] = len(encoded[-1].encode("utf-8")) + self.FRAME_OVERHEAD
+        return seqs
+
+    @property
+    def _last_frame(self) -> int:
+        lf = (self._meta or {}).get("last_frame")
+        if lf is None:
+            raise RuntimeError(
+                "offset log meta missing last_frame; log written by a "
+                "different backend?"
+            )
+        return int(lf)
