@@ -142,14 +142,22 @@ class ParquetLog:
         return self._meta["since"]
 
     # ---- write path ---------------------------------------------------
-    def append(self, values: Any) -> int:
+    def append(self, values: Any, meta_updates: dict | None = None) -> int:
         """Append one value or a list (atomic batch, README.md:147-149).
 
         Returns the seq of the last record written; by return time
         ``since`` reflects it (`README.md:149` durability-then-callback).
+
+        ``meta_updates`` rides the SAME atomic meta commit as the batch —
+        used by the streaming sink to record its epoch watermark
+        exactly-once with the rows it delivered.
         """
         batch = values if isinstance(values, list) else [values]
         if not batch:
+            if meta_updates:
+                self.ready_since()
+                self._meta.update(meta_updates)
+                self._commit_meta()
             return self.ready_since()
         encoded = [self.codec.encode(v) for v in batch]
         seqs = self._assign_seqs(encoded, self.ready_since())
@@ -170,6 +178,8 @@ class ParquetLog:
         self._meta["since"] = seqs[-1]
         self._meta["commits"] = commit + 1
         self._meta["files"] = self._meta.get("files", []) + [fname]
+        if meta_updates:
+            self._meta.update(meta_updates)
         self._commit_meta()
         return seqs[-1]
 

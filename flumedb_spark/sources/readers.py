@@ -52,3 +52,57 @@ def append_df_to_log(log: ParquetLog, df: DataFrame, order_by: str | None = None
     import json as _json
 
     return log.append([_json.loads(r.j) for r in json_rows])
+
+
+def make_log_batch_writer(log: ParquetLog, order_by: str | None = None):
+    """The foreachBatch function used by :func:`log_stream_sink` —
+    exposed so the retry-idempotence guard is directly testable."""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        log.ready_since()
+        if int(log._meta.get("sink_epoch", -1)) >= int(epoch_id):
+            return  # crash-retried epoch: already committed atomically
+        if order_by is not None:
+            batch = batch.orderBy(order_by)
+        json_rows = batch.select(
+            F.to_json(F.struct(*batch.columns)).alias("j")
+        ).collect()
+        import json as _json
+
+        log.append(
+            [_json.loads(r.j) for r in json_rows],
+            meta_updates={"sink_epoch": int(epoch_id)},
+        )
+
+    return write_batch
+
+
+def log_stream_sink(
+    stream_df: DataFrame,
+    log: ParquetLog,
+    checkpoint_dir: str,
+    order_by: str | None = None,
+    trigger_seconds: float | None = None,
+):
+    """``writeStream`` INTO the log — the sink direction of the custom
+    flumelog source (stream -> append-only log; the source is log ->
+    stream). Completes the reference's "any stream in, any view out"
+    loop with Structured Streaming on both ends.
+
+    Exactly-once: each micro-batch's rows and the batch's epoch id
+    commit in ONE atomic meta rename (``append(meta_updates=...)``), so
+    a crash-retried epoch is recognized and skipped — rows can never
+    double-append. At 100 TB the same shape lands on a transactional
+    table (Delta/Iceberg txn carries the epoch) — the idempotence
+    contract is identical.
+    """
+
+    write_batch = make_log_batch_writer(log, order_by)
+    writer = (
+        stream_df.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .outputMode("append")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,6 +1,7 @@
 """O6 live-tail + always-on view maintenance via Structured Streaming."""
 
 import json
+import os
 import time
 
 from pyspark.sql import functions as F
@@ -421,5 +422,47 @@ def test_stream_stream_interval_join(spark, tmp_path):
         q.processAllAvailable()
         got = {(r.c_uid, r.c_off, r.p_off) for r in spark.sql("SELECT * FROM ssj_out").collect()}
         assert (3, 1900, 2000) in got
+    finally:
+        q.stop()
+
+
+def test_log_stream_sink_exactly_once(spark, tmp_path):
+    """stream -> log sink: rows land in seq order, and a crash-retried
+    epoch (same epoch_id redelivered) never double-appends because rows
+    + epoch commit in one atomic meta rename."""
+    import json as _json
+
+    from flumedb_spark.log import ParquetLog
+    from flumedb_spark.sources.readers import log_stream_sink
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    sink_log = ParquetLog(str(tmp_path / "sinklog"))
+
+    stream = (
+        spark.readStream.schema("k long, v string").json(src_dir)
+    )
+    q = log_stream_sink(stream, sink_log, str(tmp_path / "ckpt"))
+    try:
+        with open(os.path.join(src_dir, "a.jsonl"), "w") as f:
+            for i in range(5):
+                f.write(_json.dumps({"k": i, "v": f"x{i}"}) + "\n")
+        q.processAllAvailable()
+        rows = sink_log.df(spark).orderBy("seq").collect()
+        assert [_json.loads(r.value)["k"] for r in rows] == [0, 1, 2, 3, 4]
+
+        # crash-retry simulation: redeliver through the REAL sink writer
+        # with an already-committed epoch -> no-op
+        from flumedb_spark.sources.readers import make_log_batch_writer
+
+        batch = spark.createDataFrame([(9, "dup")], "k long, v string")
+        epoch = sink_log._meta["sink_epoch"]
+        make_log_batch_writer(sink_log)(batch, epoch)
+        assert sink_log.df(spark).count() == 5
+        # and a NEW epoch appends normally
+        with open(os.path.join(src_dir, "b.jsonl"), "w") as f:
+            f.write(_json.dumps({"k": 5, "v": "x5"}) + "\n")
+        q.processAllAvailable()
+        assert sink_log.df(spark).count() == 6
     finally:
         q.stop()
