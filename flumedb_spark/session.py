@@ -47,6 +47,10 @@ def get_spark(app_name: str = "flumedb_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP (LTZ),
+        # not TIMESTAMP_NTZ: the UTC-naive oracle sees identical values and
+        # the LTZ-only functions (unix_micros etc.) stay cast-free
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode = driver IS the executor: size the heap like an
         # executor's (32 task threads x cached tables + shuffle buffers;

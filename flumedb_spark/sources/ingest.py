@@ -63,6 +63,9 @@ def _fix_ns_timestamps(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # µs-unit source files must read as TIMESTAMP (LTZ), not NTZ, so the
+    # engine sees one timestamp type regardless of the source's unit
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for field in pq.read_schema(path):
         if pat.is_timestamp(field.type) and field.type.unit == "ns":
