@@ -25,6 +25,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to core count only when the source layout is
+    under-split; decided from the scan's file list (plan metadata, never
+    ``df.rdd``). Cached/in-memory inputs report no files and keep their
+    partitioning."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files * 2 < want:
+        return df.repartition(want)
+    return df
+
+
 # ---- shingling ------------------------------------------------------
 
 
@@ -39,10 +55,10 @@ def word_shingles(
     duplicate-insensitive (min-aggregates like MinHash).
     """
     # shingle explode + hashing downstream is CPU-bound: spread the cheap
-    # pre-explode rows across cores if the input is under-partitioned
-    want = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() * 2 < want:
-        docs = docs.repartition(want)
+    # pre-explode rows across cores if the SOURCE layout is under-split
+    # (file-list check is plan metadata only — no .rdd materialization;
+    # cached/in-memory inputs keep their partitioning)
+    docs = _spread(docs)
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     shingles = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
@@ -162,13 +178,21 @@ def minhash_lsh_candidates(
 
     The join is on (band, bsig) — md5 buckets are uniform, so the
     shuffle is skew-free; no quadratic comparison ever happens.
+
+    The band table is MATERIALIZED once before the self-join: a
+    self-join on a lazy plan computes the whole shingle->minhash
+    pipeline twice (once per side) — measured 2.7-5.5s vs 0.85s at
+    sf0.1 (tools/ab_minhash.py; the r2 `shuffle_hash` pin on the
+    unmaterialized plan was a 2.66x regression). At cluster scale this
+    is the standard LSH shape anyway: persist the signature/band table
+    (it is ~n_bands rows per doc — tiny next to the corpus), then
+    equi-join it with itself; AQE picks the join strategy and splits
+    any residual skew.
     """
-    bands = lsh_bands(minhash_signatures(docs, n, text_col, n_perm), n_perm, n_bands)
-    # Pin the self-join to a shuffled hash join: at scale the corpus
-    # side of a self-join must never be broadcast (the build side would
-    # recompute the full signature plan), and hash beats sort-merge here
-    # because md5 band buckets are uniform and tiny.
-    a, b = bands.hint("shuffle_hash").alias("a"), bands.hint("shuffle_hash").alias("b")
+    bands = lsh_bands(
+        minhash_signatures(docs, n, text_col, n_perm), n_perm, n_bands
+    ).localCheckpoint(eager=True)
+    a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
             b,
@@ -194,9 +218,7 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Deterministic given Spark's fixed xxhash64 seed; NOT declared as a
     DuckDB oracle query (different hash) — tested by property instead.
     """
-    want = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() * 2 < want:
-        docs = docs.repartition(want)
+    docs = _spread(docs)
     tokens = F.array_distinct(F.split(F.col(text_col), " "))
     tok = docs.select("doc_id", F.explode(tokens).alias("token")).where(
         F.col("token") != ""

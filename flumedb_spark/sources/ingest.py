@@ -66,6 +66,11 @@ def _fix_ns_timestamps(spark: SparkSession, path: str) -> DataFrame:
     # µs-unit source files must read as TIMESTAMP (LTZ), not NTZ, so the
     # engine sees one timestamp type regardless of the source's unit
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # the ns->µs reinterpretation below is value-preserving ONLY under a
+    # UTC session timezone; a session not built via get_spark() would
+    # otherwise silently shift timestamps (ADVICE r2) — force it here,
+    # the engine contract is UTC everywhere
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for field in pq.read_schema(path):
         if pat.is_timestamp(field.type) and field.type.unit == "ns":

@@ -40,18 +40,19 @@ def read_any(
 def append_df_to_log(log: ParquetLog, df: DataFrame, order_by: str | None = None) -> int:
     """Bulk-load a DataFrame's rows into the log as one atomic batch.
 
-    Rows become JSON values (the log is schema-less); ``order_by``
-    fixes the seq assignment order. The collect is driver-side — this
-    is the small-batch path; a 100 TB bulk load writes seq-assigned
-    parquet directly via a distributed job and commits the manifest
-    once (same protocol, bigger files).
+    Fully distributed: rows are JSON-encoded JVM-side (``to_json``),
+    seq-assigned and written to parquet by executors, and committed
+    with ONE manifest swap (``ParquetLog.bulk_append_df``) — no row
+    ever visits the driver. ``order_by`` fixes the seq-assignment
+    order via range partitioning + in-partition sort, so seqs follow
+    the key's global order; without it, seqs follow the input's
+    partition order.
     """
     if order_by is not None:
-        df = df.orderBy(order_by)
-    json_rows = df.select(F.to_json(F.struct(*df.columns)).alias("j")).collect()
-    import json as _json
-
-    return log.append([_json.loads(r.j) for r in json_rows])
+        df = df.repartitionByRange(order_by).sortWithinPartitions(order_by)
+    return log.bulk_append_df(
+        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    )
 
 
 def make_log_batch_writer(log: ParquetLog, order_by: str | None = None):

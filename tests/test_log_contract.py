@@ -24,9 +24,39 @@ from flumedb_spark.views.level import Level
 from flumedb_spark.views.reduce import NativeStats, Reduce
 
 
+class _BulkWrites:
+    """append() routed through the DISTRIBUTED bulk path — runs the
+    whole contract suite over ``bulk_append_df`` (the reference proves
+    backend conformance the same way: re-run the one suite per backend,
+    `test/offset.js:4-25`). meta_updates writes (streaming-sink epochs)
+    keep the driver path; everything else becomes a Spark job."""
+
+    def append(self, values, meta_updates=None):
+        from pyspark.sql import SparkSession
+
+        batch = values if isinstance(values, list) else [values]
+        spark = SparkSession.getActiveSession()
+        if meta_updates or not batch or spark is None:
+            return super().append(values, meta_updates)
+        encoded = [(self.codec.encode(v),) for v in batch]
+        # createDataFrame splits the list into contiguous in-order
+        # chunks, so (pid, row) order == list order == append order
+        return self.bulk_append_df(spark.createDataFrame(encoded, "value string"))
+
+
+class BulkParquetLog(_BulkWrites, ParquetLog):
+    pass
+
+
+class BulkOffsetLog(_BulkWrites, OffsetLog):
+    pass
+
+
 BACKENDS = {
     "parquet-dense": ParquetLog,
     "parquet-offset": OffsetLog,
+    "parquet-dense-bulk": BulkParquetLog,
+    "parquet-offset-bulk": BulkOffsetLog,
 }
 
 MAPPERS = {
