@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -103,14 +104,18 @@ DRIVER_WINDOW: list[str] = [
     "v4_search_and_terms",
     "v5_hashtable_latest",
     "v6_membership_exact",
+    # round-3 additions: the distributed bulk write path + the four
+    # ANN parity twins (cross-engine-checkable approximate search)
+    "o2_bulk_append",
+    "ns_lsh_ann_topk_md5",
+    "ns_lsh_ann_recall10",
+    "ns_ivf_ann_topk_seeded",
+    "ns_ivf_ann_recall10",
     # relational entries whose SQL gained dtype CASTs since round 1
+    # (scalar_functions_2/date/math/array_agg_sorted/window_rank_dense
+    # rotated out this round: r2-green, text unchanged since)
     "window_top3_per_customer",
-    "window_rank_dense",
     "scalar_functions",
-    "scalar_functions_2",
-    "date_functions",
-    "math_functions",      # round-1 red: floor/ceil DOUBLE vs BIGINT
-    "array_agg_sorted",    # round-1 err: list column -> now array_join
     # relational entries the round-1 driver never executed
     "q10_returned_items",
     "q14_promo_revenue",
@@ -207,6 +212,39 @@ shared_sql(
     "CAST(round(value * 100) AS BIGINT) AS value_c, props "
     "FROM events WHERE event_id = 424",
 )
+
+
+@query(
+    "o2_bulk_append",
+    # O2 at scale: the DISTRIBUTED bulk append (log.bulk_append_df) —
+    # executors write seq-assigned parquet, one manifest commit. The
+    # Spark side REALLY drives the path (fresh log, full events table
+    # through append_df_to_log); the oracle states the O1/O2 contract
+    # the result must satisfy: dense gap-free seqs 0..N-1 in event_id
+    # order, every payload round-tripped (README.md:142-149).
+    oracle="SELECT count(*) AS n_records, CAST(0 AS BIGINT) AS min_seq, "
+    "count(*) - 1 AS max_seq, count(DISTINCT event_id) AS n_payload_ids, "
+    "count(*) AS n_seq_eq_eventid FROM events",
+)
+def o2_bulk_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .log import ParquetLog
+    from .sources.readers import append_df_to_log
+
+    log = ParquetLog(tempfile.mkdtemp(prefix="flume_o2_bulk_") + "/log")
+    append_df_to_log(log, spark.table("events"), order_by="event_id")
+    df = log.df(spark)
+    eid = F.get_json_object("value", "$.event_id").cast("long")
+    return df.agg(
+        F.count("*").alias("n_records"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+        F.countDistinct(eid).alias("n_payload_ids"),
+        # seqs were assigned in event_id order over a dense event_id
+        # domain, so seq == payload event_id row-for-row
+        F.sum((F.col("seq") == eid).cast("long")).alias("n_seq_eq_eventid"),
+    )
 
 shared_sql(
     "o4_stream_range",

@@ -427,6 +427,215 @@ def ns_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# ANN parity twins — fully cross-engine-checkable approximate search
+# (VERDICT r2 item 4). The production paths above (BLAS sketches /
+# trained k-means) stay rows-only because their hash/model state is
+# engine-specific; these twins pin the SAME candidate-generation and
+# scoring MACHINERY with engine-portable ingredients:
+#   - LSH: hyperplane signs derived from md5 parity (the minhash md5
+#     pattern) instead of numpy RNG,
+#   - IVF: seed centroids (the n_centroids lowest-id vectors, i.e.
+#     Lloyd iteration 0) instead of a trained model,
+# so DuckDB reproduces the approx result bit-for-bit — including the
+# recall@10-vs-exact join, which is therefore oracle-checkable at ANY
+# recall value, replacing the r2 rows-only attestation.
+# ---------------------------------------------------------------------
+
+_ANN_SPARK = {
+    "flat": """
+    flat AS (
+      SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS e,
+             i0 + 1 AS i
+      FROM embeddings LATERAL VIEW posexplode(embedding) pe AS i0, x
+    )""",
+    "series": "SELECT explode(sequence({a}, {b})) AS {alias}",
+    "str": "STRING",
+}
+_ANN_DUCK = {
+    "flat": """
+    flat AS (
+      SELECT vec_id,
+        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e,
+        unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    )""",
+    "series": "SELECT unnest(generate_series({a}, {b})) AS {alias}",
+    "str": "VARCHAR",
+}
+
+_ANN_SCORE_TAIL = """
+    dots AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+        CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
+      FROM cand
+      JOIN flat a ON a.vec_id = cand.query_id
+      JOIN flat b ON b.vec_id = cand.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_raw
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+      FROM scored
+    )
+"""
+
+
+def _lsh_md5_sql(d: dict, n_planes: int = 6, n_tables: int = 8, k: int = 10) -> str:
+    """Hyperplane-LSH top-k with md5-parity plane signs — identical
+    arithmetic in Spark SQL and DuckDB (mirrors operators/similarity.py
+    lsh_ann_topk:243 semantics with a portable sign source)."""
+    tbl_series = d["series"].format(a=0, b=n_tables - 1, alias="tbl")
+    plane_series = d["series"].format(a=0, b=n_planes - 1, alias="plane")
+    return f"""
+    WITH {d['flat']},
+    norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM flat GROUP BY vec_id),
+    grid AS (SELECT t.tbl, p.plane FROM ({tbl_series}) t CROSS JOIN ({plane_series}) p),
+    sums AS (
+      SELECT f.vec_id, g.tbl, g.plane,
+        sum(CASE WHEN (position(substr(md5(concat(
+              CAST(g.tbl AS {d['str']}), '|', CAST(g.plane AS {d['str']}), '|', CAST(f.i AS {d['str']})
+            )), 1, 1) IN '0123456789abcdef') - 1) % 2 = 1
+          THEN f.e ELSE -f.e END) AS s
+      FROM flat f CROSS JOIN grid g
+      GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+      SELECT vec_id, tbl,
+        CAST(sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, plane) AS BIGINT)) AS BIGINT) AS bucket
+      FROM sums GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      FROM buckets q
+      JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    {_ANN_SCORE_TAIL.lstrip()}
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {k} ORDER BY query_id, rank
+    """
+
+
+def _ivf_seeded_sql(d: dict, n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """IVF top-k over SEED centroids (the n_centroids lowest-id vectors
+    == Lloyd iteration 0 of operators/similarity.py ivf_train:318): the
+    Voronoi assignment, multi-probe, and candidate scoring machinery,
+    engine-portable. Production uses the trained model; the probing
+    math is identical."""
+    return f"""
+    WITH {d['flat']},
+    norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM flat GROUP BY vec_id),
+    cents AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+    cflat AS (SELECT c.cent_id, f.i, f.e FROM cents c JOIN flat f ON f.vec_id = c.cent_id),
+    cnorm AS (SELECT cent_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM cflat GROUP BY cent_id),
+    vc AS (
+      SELECT f.vec_id, c.cent_id, CAST(sum(f.e * c.e) AS BIGINT) AS dot_i
+      FROM flat f JOIN cflat c ON c.i = f.i
+      GROUP BY 1, 2
+    ),
+    vcs AS (
+      SELECT vc.vec_id, vc.cent_id,
+        CAST(dot_i AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS cos_c
+      FROM vc
+      JOIN norms n ON n.vec_id = vc.vec_id
+      JOIN cnorm cn ON cn.cent_id = vc.cent_id
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+        FROM vcs
+      ) ar WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+        FROM vcs WHERE vec_id < 5
+      ) pr WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probe p JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
+    ),
+    {_ANN_SCORE_TAIL.lstrip()}
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {k} ORDER BY query_id, rank
+    """
+
+
+_EXACT_TOPK_CORE = """
+    dots_x AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
+      FROM flat a JOIN flat b ON a.i = b.i AND b.vec_id != a.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC,
+            neighbor_id) AS rn
+        FROM dots_x
+        JOIN norms na ON na.vec_id = query_id
+        JOIN norms nb ON nb.vec_id = neighbor_id
+      ) ex WHERE rn <= 10
+    )
+"""
+
+
+def _recall_sql(approx_sql: str) -> str:
+    """recall@10: per-query |approx top-10 ∩ exact top-10| as an exact
+    integer — both engines compute BOTH sides, so any recall value
+    hash-matches (the gate fails iff the engines' approx or exact sets
+    diverge)."""
+    # splice the approx query's CTEs: strip its WITH and final SELECT
+    body = approx_sql.strip()
+    assert body.upper().startswith("WITH")
+    ctes, final = body[4:].rsplit("SELECT query_id, neighbor_id, round", 1)
+    return f"""
+    WITH {ctes.rstrip().rstrip(',')},
+    approx AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rn <= 10
+    ),
+    {_EXACT_TOPK_CORE.lstrip()}
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+    FROM exact e
+    JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+@query("ns_lsh_ann_topk_md5", oracle=_lsh_md5_sql(_ANN_DUCK))
+def ns_lsh_ann_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_lsh_md5_sql(_ANN_SPARK))
+
+
+@query("ns_lsh_ann_recall10", oracle=_recall_sql(_lsh_md5_sql(_ANN_DUCK)))
+def ns_lsh_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_recall_sql(_lsh_md5_sql(_ANN_SPARK)))
+
+
+@query("ns_ivf_ann_topk_seeded", oracle=_ivf_seeded_sql(_ANN_DUCK))
+def ns_ivf_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_ivf_seeded_sql(_ANN_SPARK))
+
+
+@query("ns_ivf_ann_recall10", oracle=_recall_sql(_ivf_seeded_sql(_ANN_DUCK)))
+def ns_ivf_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_recall_sql(_ivf_seeded_sql(_ANN_SPARK)))
+
+
 _BUCKET_DOC = """
     ((((position(substr(md5(CAST(doc_id AS STRING)), 1, 1) IN '0123456789abcdef') - 1) * 16
       + (position(substr(md5(CAST(doc_id AS STRING)), 2, 1) IN '0123456789abcdef') - 1)) * 16
