@@ -101,6 +101,11 @@ class ViewHandle:
     def since(self) -> int:
         return self._view.since
 
+    def on_since(self, cb, immediate: bool = True):
+        """Subscribe to this view's watermark observable
+        (README.md:220-223). Returns an unsubscribe fn."""
+        return self._view.on_since(cb, immediate=immediate)
+
     def ready(self, since: int | None = None) -> None:
         """One-shot barrier: returns when the view is caught up
         (README.md:254-257)."""
@@ -263,23 +268,53 @@ class Flume:
             self.meta["stream"] += len(items)
             return items
 
-        # validate eagerly — not on first pull of the generator
-        for k in ("gte", "lt", "lte", "reverse", "limit"):
-            if opts.get(k):
-                raise ValueError(f"live tail does not support {k} (SURVEY §7.4.4)")
+        # reverse stays batch-only: an unbounded reverse tail is
+        # incoherent, and the reference's own backends disagree on it
+        # (test/level.js:6-8 documents the inconsistency — SURVEY §7.4.4
+        # says don't replicate it). Everything else composes with live
+        # per README.md:133: emit the existing range, then keep tailing.
+        if opts.get("reverse"):
+            raise ValueError("live tail does not support reverse (SURVEY §7.4.4)")
 
         def tail() -> Iterator[Any]:
+            # exclusive lower cursor from gt/gte; inclusive upper bound
+            # from lt/lte (seqs are integers in every backend, so the
+            # +-1 conversions are exact)
             pos = opts.get("gt", -1)
+            if opts.get("gte") is not None:
+                pos = max(pos, int(opts["gte"]) - 1)
+            hi = None
+            if opts.get("lt") is not None:
+                hi = int(opts["lt"]) - 1
+            if opts.get("lte") is not None:
+                hi = int(opts["lte"]) if hi is None else min(hi, int(opts["lte"]))
+            limit = opts.get("limit")
+            n = 0
             while not self.closed:
                 head = self.log.ready_since()
-                if head > pos:
-                    for item in self.stream(seqs=seqs, values=values, gt=pos, lte=head):
+                cap = head if hi is None else min(head, hi)
+                if cap > pos:
+                    for item in self.stream(seqs=seqs, values=values, gt=pos, lte=cap):
                         yield item
-                    pos = head
-                else:
+                        n += 1
+                        if limit is not None and n >= int(limit):
+                            return  # limit truncates the live stream too
+                    pos = cap
+                if hi is not None and pos >= hi:
+                    return  # upper bound reached: no future seq can match
+                if cap <= pos:
                     time.sleep(poll_interval)
 
         return tail()
+
+    def on_since(self, cb, immediate: bool = True):
+        """Subscribe to the log watermark — `db.since` IS the log's
+        observable in the reference (index.js:142); ``cb(seq)`` fires on
+        every committed append (and once immediately with the current
+        value when the log is loaded). Returns an unsubscribe fn.
+        Per-view observables: ``db.<view>.on_since`` (README.md:220)."""
+        self._throw_if_closed()
+        return self.log.on_since(cb, immediate=immediate)
 
     def _row_to_item(self, row, seqs: bool, values: bool):
         decode = self.log.codec.decode

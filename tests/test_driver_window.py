@@ -30,10 +30,20 @@ def test_all_northstar_ops_in_window():
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
 
 
-def test_round1_red_rows_in_window():
-    # the four rows the round-1 driver flagged must be re-proven
-    for n in ("v1_reduce_stats", "v1_reduce_grouped", "math_functions",
-              "array_agg_sorted"):
+def test_changed_or_new_rows_in_window():
+    # window policy: every entry whose implementation or SQL changed
+    # this round, and every new entry, must occupy a driver slot; rows
+    # green in a prior round with unchanged text keep that attestation
+    # (r1-red math_functions/array_agg_sorted went green in r2 and
+    # rotated out in r3). Round-3 changed/new set:
+    for n in (
+        "ns_minhash_lsh_candidates",  # impl changed (band materialization)
+        "o2_bulk_append",             # new: distributed bulk write path
+        "ns_lsh_ann_topk_md5",
+        "ns_lsh_ann_recall10",
+        "ns_ivf_ann_topk_seeded",
+        "ns_ivf_ann_recall10",
+    ):
         assert n in _window_names(), n
 
 

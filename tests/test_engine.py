@@ -337,13 +337,17 @@ def test_log_compaction(spark, tmp_log_dir):
     db.close()
 
 
-def test_live_tail_rejects_bounded_opts(spark, tmp_log_dir):
+def test_live_tail_rejects_reverse_only(spark, tmp_log_dir):
+    # gte/lt/lte/limit now COMPOSE with live (README.md:133, covered in
+    # tests/test_live_since.py); reverse stays batch-only — an unbounded
+    # reverse tail is incoherent and the reference's backends disagree
+    # on it (test/level.js:6-8)
     db = make_db(tmp_log_dir, spark)
     db.append({"foo": 1})
     with pytest.raises(ValueError):
-        db.stream(live=True, limit=5)  # unbounded reverse/limit is incoherent
-    with pytest.raises(ValueError):
         db.stream(live=True, reverse=True)
+    items = list(db.stream(live=True, limit=1, poll_interval=0.01))
+    assert [i["value"]["foo"] for i in items] == [1]
     db.close()
 
 

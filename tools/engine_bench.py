@@ -80,6 +80,33 @@ def main() -> None:
     db.rebuild()
     rebuild_s = time.perf_counter() - t0
 
+    # ---- distributed bulk append (executors write, 1 manifest commit) -
+    from pyspark.sql import functions as F
+
+    from flumedb_spark.sources.readers import append_df_to_log
+
+    bulk_df = spark.range(n_rows).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+    )
+    t0 = time.perf_counter()
+    append_df_to_log(db.log, bulk_df, order_by="k")
+    bulk_s = time.perf_counter() - t0
+
+    # ---- custom streaming source catch-up (Arrow-batch reads) ---------
+    from flumedb_spark.sources.flumelog_source import stream_log_custom
+
+    src_counts: list[int] = []
+    t0 = time.perf_counter()
+    q = (
+        stream_log_custom(spark, db.log)
+        .writeStream.option("checkpointLocation", os.path.join(root, "ckpt_src"))
+        .foreachBatch(lambda b, _e: src_counts.append(b.count()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    src_s = time.perf_counter() - t0
+
     db.close()
     shutil.rmtree(root, ignore_errors=True)
     print(
@@ -97,6 +124,9 @@ def main() -> None:
                 "index_point_get_sec": round(idx_get_s, 3),
                 "index_hits": len(hits),
                 "rebuild_all_views_sec": round(rebuild_s, 3),
+                "bulk_append_rows_per_sec": round(n_rows / bulk_s),
+                "stream_source_rows_per_sec": round(sum(src_counts) / src_s),
+                "stream_source_rows": sum(src_counts),
             }
         )
     )
