@@ -258,9 +258,21 @@ def lsh_ann_topk(
     cross product, and candidate pairs are deduplicated BEFORE scoring,
     so each pair is scored once no matter how many tables matched — at
     100x corpus growth the cost is (candidates x d), never N^2.
+
+    The sketch table is MATERIALIZED once (localCheckpoint) before the
+    bucket self-join — the broadcast query side would otherwise
+    recompute the full corpus sketch (the self-join recompute trap,
+    docs/SCALING.md #4). Candidate scoring stays on the exact-int JVM
+    path deliberately: it is the SAME scoring expression as
+    :func:`cosine_topk`, so any (query, neighbor) pair the two paths
+    share carries a bit-identical cosine (pinned by
+    tests/test_operators.py) — a BLAS variant measured only ~0.15s
+    faster at sf0.1 and loses that property to ulps.
     """
     embeddings = _spread(embeddings)
-    sketches = lsh_sketch_np(embeddings, n_planes, n_tables, vec_col)
+    sketches = lsh_sketch_np(embeddings, n_planes, n_tables, vec_col).localCheckpoint(
+        eager=True
+    )
     q = sketches.select(
         F.col("vec_id").alias("query_id"),
         F.col("table").alias("qtable"),
