@@ -91,7 +91,8 @@ def test_source_pruning_checks_all_row_groups(tmp_path):
     # range (50, 104]: row group 0's max (4) <= 50 — pruning on rg0 alone
     # would skip the whole file and drop seqs 100-104
     part = _SeqRangePartition(str(log_dir), 50, 104)
-    seqs = [row[0] for row in reader.read(part)]
+    # read() yields Arrow RecordBatches (the DataSource API batch path)
+    seqs = [s for b in reader.read(part) for s in b.column("seq").to_pylist()]
     assert seqs == list(range(100, 105))
 
 
