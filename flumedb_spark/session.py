@@ -56,6 +56,13 @@ def get_spark(app_name: str = "flumedb_spark", cpus: int | None = None) -> Spark
         # executor's (32 task threads x cached tables + shuffle buffers;
         # an 8g heap puts the 32-thread md5/explode paths into GC churn)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # extra driver JVM opts, env-pluggable for experiments (a
+        # ReservedCodeCacheSize bump was A/B'd for the 24-shape codegen
+        # workload and showed no effect beyond host noise — default none)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # single-file parquet tables must still scan in parallel: split on
