@@ -104,22 +104,24 @@ DRIVER_WINDOW: list[str] = [
     "v4_search_and_terms",
     "v5_hashtable_latest",
     "v6_membership_exact",
-    # round-3 additions: the distributed bulk write path + the four
-    # ANN parity twins (cross-engine-checkable approximate search)
+    # round-3 additions: the distributed bulk write path, the four ANN
+    # parity twins (cross-engine-checkable approximate search), and
+    # near-dup clustering (candidates -> dedup decisions)
     "o2_bulk_append",
     "ns_lsh_ann_topk_md5",
     "ns_lsh_ann_recall10",
     "ns_ivf_ann_topk_seeded",
     "ns_ivf_ann_recall10",
+    "ns_neardup_clusters",
     # relational entries whose SQL gained dtype CASTs since round 1
     # (scalar_functions_2/date/math/array_agg_sorted/window_rank_dense
     # rotated out this round: r2-green, text unchanged since)
     "window_top3_per_customer",
     "scalar_functions",
     # relational entries the round-1 driver never executed
+    # (q19_discounted_revenue rotated out r3: r2-green, text unchanged)
     "q10_returned_items",
     "q14_promo_revenue",
-    "q19_discounted_revenue",
     "sliding_window_counts",
     "array_functions",
     "join_left_outer",

@@ -69,12 +69,10 @@ def ns_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 
 
-@query(
-    "ns_minhash_lsh_candidates",
-    oracle=(
-        "WITH "
-        + _SHINGLES_DUCK.format(where="")
-        + """,
+_MINHASH_CTES = (
+    "WITH "
+    + _SHINGLES_DUCK.format(where="")
+    + """,
     sig AS (
       SELECT doc_id,
         min(md5(concat('0|', shingle))) AS h0,
@@ -93,16 +91,63 @@ def ns_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest([md5(concat(h0, h1)), md5(concat(h2, h3)),
                        md5(concat(h4, h5)), md5(concat(h6, h7))]) AS bsig
       ) u
-    )
+    )"""
+)
+
+_MINHASH_CAND_SELECT = """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-    ORDER BY doc_a, doc_b
-    """
-    ),
+"""
+
+
+@query(
+    "ns_minhash_lsh_candidates",
+    oracle=_MINHASH_CTES + _MINHASH_CAND_SELECT + " ORDER BY doc_a, doc_b",
 )
 def ns_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(spark.table("documents"))
+
+
+def _cluster_oracle(iters: int = 4) -> str:
+    """K unrolled min-label-propagation iterations over the LSH
+    candidate graph — the identical fixed-K computation the Spark
+    operator (operators/dedup.py neardup_clusters) performs, so labels
+    hash-match even if K < some cluster's diameter."""
+    sql = (
+        _MINHASH_CTES
+        + ", edges AS ("
+        + _MINHASH_CAND_SELECT
+        + """),
+    nbr AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr FROM edges
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS nbr FROM edges
+    ),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)"""
+    )
+    for i in range(1, iters + 1):
+        sql += f""",
+    l{i} AS (
+      SELECT p.doc_id, least(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+      FROM l{i-1} p
+      LEFT JOIN nbr ON nbr.doc_id = p.doc_id
+      LEFT JOIN l{i-1} q ON q.doc_id = nbr.nbr
+      GROUP BY p.doc_id, p.lbl
+    )"""
+    sql += f"""
+    SELECT doc_id, lbl AS cluster_id, doc_id = lbl AS is_keeper
+    FROM l{iters} ORDER BY doc_id
+    """
+    return sql
+
+
+@query("ns_neardup_clusters", oracle=_cluster_oracle(4))
+def ns_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs -> dedup DECISIONS: connected components of the
+    LSH candidate graph via 4 fixed min-label iterations; keeper = the
+    cluster's min doc_id."""
+    return dedup.neardup_clusters(spark.table("documents"), iters=4)
 
 
 @query("ns_simhash64")  # no oracle: xxhash64 is Spark-specific (rows-only check)

@@ -206,6 +206,63 @@ def minhash_lsh_candidates(
     )
 
 
+def neardup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    iters: int = 4,
+) -> DataFrame:
+    """Near-dup CLUSTERS from the LSH candidate graph — the step that
+    turns candidate pairs into dedup decisions: K fixed iterations of
+    min-label propagation give every doc the smallest doc_id reachable
+    within K hops; K >= cluster diameter ⇒ true connected components.
+    K is FIXED (not run-to-fixpoint) so the result is deterministic and
+    engine-portable — the DuckDB oracle unrolls the identical K
+    iterations, so even a K < diameter corpus hash-matches.
+
+    Returns (doc_id, cluster_id, is_keeper): keeper = the cluster's min
+    doc_id — the row a dedup pipeline keeps; everything else drops.
+
+    Scale shape: per iteration, one equi-join of the label table
+    (|docs| rows, partitioned by doc_id) with the candidate edge list
+    plus a min-aggregate — never N^2; lineage is cut per iteration
+    (localCheckpoint), the standard Spark iterative-algorithm hygiene.
+    """
+    edges = minhash_lsh_candidates(docs, n, text_col, n_perm, n_bands)
+    nbr = (
+        edges.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr"))
+        .union(edges.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(iters):
+        nmin = (
+            nbr.join(
+                labels.select(F.col("doc_id").alias("nbr"), F.col("lbl").alias("nlbl")),
+                "nbr",
+            )
+            .groupBy("doc_id")
+            .agg(F.min("nlbl").alias("nmin"))
+        )
+        labels = (
+            labels.join(nmin, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
 # ---- SimHash --------------------------------------------------------
 
 

@@ -43,6 +43,7 @@ def test_changed_or_new_rows_in_window():
         "ns_lsh_ann_recall10",
         "ns_ivf_ann_topk_seeded",
         "ns_ivf_ann_recall10",
+        "ns_neardup_clusters",        # new: candidates -> dedup decisions
     ):
         assert n in _window_names(), n
 

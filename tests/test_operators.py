@@ -42,6 +42,26 @@ def test_minhash_finds_exact_dups_as_candidates(spark, docs):
         assert (i, i + 100000) in pairs
 
 
+def test_neardup_clusters_components(spark, docs):
+    """Min-label propagation groups candidate-connected docs: exact
+    copies of doc i land in i's cluster; keeper = min doc_id; singleton
+    docs are their own keeper."""
+    base = docs.limit(3).select(F.col("doc_id") + 100000, "text", "lang", "source", "n_chars")
+    dup = docs.unionByName(base.toDF(*docs.columns))
+    out = {r.doc_id: (r.cluster_id, r.is_keeper) for r in dedup.neardup_clusters(dup).collect()}
+    for i in range(3):
+        # the copy joins doc i's cluster; the original is the keeper
+        assert out[i + 100000][0] == out[i][0]
+        assert out[i][1] and not out[i + 100000][1]
+    # every cluster_id is a member's id and keepers are cluster minima
+    clusters: dict = {}
+    for d, (c, k) in out.items():
+        clusters.setdefault(c, []).append((d, k))
+    for c, members in clusters.items():
+        assert c == min(d for d, _ in members)
+        assert [k for d, k in members if d == c] == [True]
+
+
 def test_jaccard_exact_dup_is_one(spark, docs):
     base = docs.limit(2).select(F.col("doc_id") + 100000, "text", "lang", "source", "n_chars")
     dup = docs.unionByName(base.toDF(*docs.columns))
