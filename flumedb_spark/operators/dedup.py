@@ -124,14 +124,25 @@ N_PERM = 8  # minhash permutations
 N_BANDS = 4  # bands of 2 rows each
 
 
-def _minhash_col(perm: int):
-    """Permutation `perm`'s hash of a shingle: md5('{perm}|' + shingle).
-    min() over the hex string == min over the 128-bit hash value."""
+def _minhash_col(perm: int, hash: str = "md5"):
+    """Permutation `perm`'s hash of a shingle.
+
+    ``md5``: md5('{perm}|' + shingle) — min() over the hex string ==
+    min over the 128-bit value; byte-identical in any engine (the
+    ORACLE form). ``xxhash64``: JVM-native 64-bit hash — ~6x cheaper
+    at production signature widths (no string materialization), Spark-
+    specific (the PRODUCTION form; rows-only checkable)."""
+    if hash == "xxhash64":
+        return F.xxhash64(F.lit(perm), F.col("shingle"))
     return F.md5(F.concat(F.lit(f"{perm}|"), F.col("shingle")))
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, text_col: str = "text", n_perm: int = N_PERM
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    hash: str = "md5",
 ) -> DataFrame:
     """(doc_id, h0..h{n_perm-1}) minhash signature table.
 
@@ -140,25 +151,30 @@ def minhash_signatures(
     combine reduces it to one row per doc per partition).
     """
     sh = word_shingles(docs, n, text_col, distinct=False)
-    aggs = [F.min(_minhash_col(p)).alias(f"h{p}") for p in range(n_perm)]
+    aggs = [F.min(_minhash_col(p, hash)).alias(f"h{p}") for p in range(n_perm)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_bands(sig: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS) -> DataFrame:
-    """Band signatures: md5 of each band's concatenated minhashes."""
+def lsh_bands(
+    sig: DataFrame,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    hash: str = "md5",
+) -> DataFrame:
+    """Band signatures: one hash of each band's minhashes."""
     if n_perm % n_bands:
         raise ValueError(f"n_perm={n_perm} not divisible by n_bands={n_bands}")
     rows_per_band = n_perm // n_bands
+
+    def bsig(b: int):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash == "xxhash64":
+            return F.xxhash64(*cols)
+        return F.md5(F.concat(*cols))
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(
-                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                ).alias("bsig"),
-            )
+            F.struct(F.lit(b).alias("band"), bsig(b).alias("bsig"))
             for b in range(n_bands)
         ]
     )
@@ -173,6 +189,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     n_perm: int = N_PERM,
     n_bands: int = N_BANDS,
+    hash: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
@@ -190,7 +207,7 @@ def minhash_lsh_candidates(
     any residual skew.
     """
     bands = lsh_bands(
-        minhash_signatures(docs, n, text_col, n_perm), n_perm, n_bands
+        minhash_signatures(docs, n, text_col, n_perm, hash), n_perm, n_bands, hash
     ).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (

@@ -42,6 +42,18 @@ def test_minhash_finds_exact_dups_as_candidates(spark, docs):
         assert (i, i + 100000) in pairs
 
 
+def test_minhash_xxhash64_production_path(spark, docs):
+    """The xxhash64 hash family (the production fast path — JVM-native,
+    ~2-5x cheaper than md5 at 128-perm width) satisfies the same
+    structural guarantee: identical texts share every band."""
+    base = docs.limit(2).select(F.col("doc_id") + 100000, "text", "lang", "source", "n_chars")
+    dup = docs.unionByName(base.toDF(*docs.columns))
+    cands = dedup.minhash_lsh_candidates(dup, n_perm=16, n_bands=4, hash="xxhash64")
+    pairs = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    for i in range(2):
+        assert (i, i + 100000) in pairs
+
+
 def test_neardup_clusters_components(spark, docs):
     """Min-label propagation groups candidate-connected docs: exact
     copies of doc i land in i's cluster; keeper = min doc_id; singleton
