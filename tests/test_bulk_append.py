@@ -82,6 +82,41 @@ def test_bulk_empty_and_atomic_visibility(spark, tmp_path):
     assert log.df(spark).count() == 2
 
 
+def test_bulk_then_compact_then_append(spark, tmp_path):
+    """Compaction rewrites bulk-written files like any manifest entries;
+    subsequent appends stay contiguous and reads see one consistent
+    log."""
+    log = ParquetLog(str(tmp_path / "log"))
+    log.bulk_append_df(
+        spark.range(500).select(F.to_json(F.struct("id")).alias("value"))
+    )
+    log.append([{"id": 9000 + i} for i in range(5)])
+    n_files = log.compact(spark, target_rows_per_file=200)
+    assert n_files >= 3  # 505 rows / 200-per-file target
+    assert log.since == 504
+    out = log.df(spark)
+    assert out.count() == 505
+    # post-compaction append continues the dense sequence
+    assert log.append({"id": 1}) == 505
+    assert log.df(spark).count() == 506
+
+
+def test_bulk_and_driver_writers_equivalent(spark, tmp_path):
+    """The distributed bulk path and the driver-side appender produce
+    IDENTICAL log contents for the same input order (same seqs, same
+    stored values) — the writers are interchangeable."""
+    vals = [{"k": i, "s": f"v{i}"} for i in range(200)]
+    a = ParquetLog(str(tmp_path / "a"))
+    a.append(vals)
+    b = ParquetLog(str(tmp_path / "b"))
+    encoded = [(b.codec.encode(v),) for v in vals]
+    b.bulk_append_df(spark.createDataFrame(encoded, "value string"))
+    ra = [(r.seq, r.value) for r in a.df(spark).orderBy("seq").collect()]
+    rb = [(r.seq, r.value) for r in b.df(spark).orderBy("seq").collect()]
+    assert ra == rb
+    assert a.since == b.since
+
+
 @pytest.mark.parametrize("cls", [ParquetLog, OffsetLog], ids=["dense", "offset"])
 def test_bulk_then_stream_range(spark, tmp_path, cls):
     """stream_df over a bulk-written log: range/reverse/limit semantics
