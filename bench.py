@@ -173,12 +173,16 @@ def main() -> None:
             for t in _tables:
                 spark.catalog.cacheTable(t)
                 spark.table(t).count()
+            # min-of-2 (not 1): the sf1 section is the headline scale
+            # claim and a single pass is hostage to one host stall
             t1: dict[str, float] = {}
-            for name in HEADLINE:
-                t0 = time.perf_counter()
-                qs[name](spark, sf1_dir).count()
-                t1[name] = round(time.perf_counter() - t0, 4)
-            duck1 = _duckdb_pass(sf1_dir, cpus, n_passes=1)
+            for _ in range(2):
+                for name in HEADLINE:
+                    t0 = time.perf_counter()
+                    qs[name](spark, sf1_dir).count()
+                    dt = round(time.perf_counter() - t0, 4)
+                    t1[name] = min(t1.get(name, float("inf")), dt)
+            duck1 = _duckdb_pass(sf1_dir, cpus, n_passes=2)
             p1 = [n for n in HEADLINE if n in duck1]
             s1 = round(sum(t1[n] for n in p1), 4)
             d1 = round(sum(duck1[n] for n in p1), 4)
