@@ -76,10 +76,13 @@ def _decode(raw: str) -> Any:
 class ParquetLog:
     """Append-only Parquet log with dense seqs and an atomic `since` commit.
 
-    Single-writer by contract (flume is single-process, `index.js` has no
-    concurrency control either). Multi-writer at cluster scale would swap
-    the meta.json rename for a Delta transaction — the read path is
-    unchanged.
+    The reference is single-process with no concurrency control
+    (`index.js`); this log goes one step further: every write takes an
+    exclusive flock on `<path>/.lock` and re-reads the manifest inside
+    the critical section, so CONCURRENT WRITER PROCESSES on one host
+    serialize correctly (no seq collisions, no lost commits). At
+    cluster scale the same critical section becomes a Delta/Iceberg
+    transaction — the read path is unchanged either way.
     """
 
     #: extra log-specific operations a subclass may export onto the
@@ -142,6 +145,25 @@ class ParquetLog:
             self._meta = self._load_meta()
         return self._meta["since"]
 
+    def _writer_lock(self):
+        """Exclusive cross-process write lock (flock on `<path>/.lock`).
+        Writers re-read the manifest after acquiring it, so seq
+        assignment always starts from the latest committed state."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def lock():
+            os.makedirs(self.path, exist_ok=True)
+            with open(os.path.join(self.path, ".lock"), "w") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+
+        return lock()
+
     def on_since(self, cb, immediate: bool = True):
         """Observable-style `since` subscription (the reference's
         ``log.since`` IS an observable, README.md:197-201; flumedb
@@ -179,32 +201,38 @@ class ParquetLog:
         batch = values if isinstance(values, list) else [values]
         if not batch:
             if meta_updates:
-                self.ready_since()
-                self._meta.update(meta_updates)
-                self._commit_meta()
+                with self._writer_lock():
+                    self._meta = self._load_meta()
+                    self._meta.update(meta_updates)
+                    self._commit_meta()
             return self.ready_since()
         encoded = [self.codec.encode(v) for v in batch]
-        seqs = self._assign_seqs(encoded, self.ready_since())
-        now = time.time_ns() // 1000
-        table = pa.Table.from_pydict(
-            {
-                "seq": pa.array(seqs, pa.int64()),
-                "ts": pa.array([now] * len(batch), pa.timestamp("us", tz="UTC")),
-                "value": pa.array(encoded, pa.string()),
-            },
-            schema=_ARROW_SCHEMA,
-        )
-        commit = self._meta["commits"]
-        fname = f"{commit:010d}-{uuid.uuid4().hex[:8]}.parquet"
-        pq.write_table(table, os.path.join(self.data_dir, fname))
-        # one atomic meta commit makes the file visible: readers consume
-        # the manifest, so a torn write (file without meta) is invisible
-        self._meta["since"] = seqs[-1]
-        self._meta["commits"] = commit + 1
-        self._meta["files"] = self._meta.get("files", []) + [fname]
-        if meta_updates:
-            self._meta.update(meta_updates)
-        self._commit_meta()
+        with self._writer_lock():
+            # re-read the manifest inside the critical section: another
+            # process may have committed since our cached state
+            self._meta = self._load_meta()
+            seqs = self._assign_seqs(encoded, self._meta["since"])
+            now = time.time_ns() // 1000
+            table = pa.Table.from_pydict(
+                {
+                    "seq": pa.array(seqs, pa.int64()),
+                    "ts": pa.array([now] * len(batch), pa.timestamp("us", tz="UTC")),
+                    "value": pa.array(encoded, pa.string()),
+                },
+                schema=_ARROW_SCHEMA,
+            )
+            commit = self._meta["commits"]
+            fname = f"{commit:010d}-{uuid.uuid4().hex[:8]}.parquet"
+            pq.write_table(table, os.path.join(self.data_dir, fname))
+            # one atomic meta commit makes the file visible: readers
+            # consume the manifest, so a torn write (file without meta)
+            # is invisible
+            self._meta["since"] = seqs[-1]
+            self._meta["commits"] = commit + 1
+            self._meta["files"] = self._meta.get("files", []) + [fname]
+            if meta_updates:
+                self._meta.update(meta_updates)
+            self._commit_meta()
         self._notify_since()
         return seqs[-1]
 
@@ -237,7 +265,16 @@ class ParquetLog:
         """
         from pyspark import StorageLevel
 
-        since = self.ready_since()
+        # the flock spans seq assignment through manifest commit: a bulk
+        # load holds the writer lock for its whole job (coarse —
+        # concurrent bulk writers serialize; at cluster scale this
+        # critical section is a table-format transaction instead)
+        with self._writer_lock():
+            self._meta = self._load_meta()
+            return self._bulk_append_locked(encoded, StorageLevel)
+
+    def _bulk_append_locked(self, encoded: DataFrame, StorageLevel) -> int:
+        since = self._meta["since"]
         dense = self.DENSE
         overhead = int(getattr(self, "FRAME_OVERHEAD", 0))
         # pin partition contents/order so the stats pass and the write
