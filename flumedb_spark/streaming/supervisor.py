@@ -75,8 +75,12 @@ class ViewSupervisor:
             runner.stop()
 
 
-def wait_until(predicate, timeout: float = 30.0, interval: float = 0.1) -> bool:
-    """Poll helper for supervisor tests/clients."""
+def wait_until(predicate, timeout: float = 120.0, interval: float = 0.1) -> bool:
+    """Poll helper for supervisor tests/clients. The generous default
+    exists for loaded hosts: a streaming-query start + first micro-batch
+    can exceed 30s under CPU contention (observed flaking the suite when
+    run concurrently with a bench); a healthy run returns in seconds
+    regardless."""
     deadline = time.time() + timeout
     while time.time() < deadline:
         if predicate():
