@@ -30,6 +30,7 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 def _catalog():
     import flumedb_spark.catalog as catalog
     import flumedb_spark.catalog_northstar  # noqa: F401  (registers queries)
+    import flumedb_spark.catalog_tpch  # noqa: F401  (registers queries)
 
     return catalog
 

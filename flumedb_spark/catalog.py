@@ -113,25 +113,27 @@ DRIVER_WINDOW: list[str] = [
     "ns_ivf_ann_topk_seeded",
     "ns_ivf_ann_recall10",
     "ns_neardup_clusters",
-    # relational entries whose SQL gained dtype CASTs since round 1
-    # (scalar_functions_2/date/math/array_agg_sorted/window_rank_dense
-    # rotated out this round: r2-green, text unchanged since)
-    "window_top3_per_customer",
-    "scalar_functions",
-    # relational entries the round-1 driver never executed
-    # (q19_discounted_revenue rotated out r3: r2-green, text unchanged)
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "sliding_window_counts",
-    "array_functions",
-    "join_left_outer",
-    "join_full_outer",
-    "union_dedup_vs_all",
-    "regexp_functions",
-    "argmin_argmax",
-    "value_histogram",
-    "session_windows_native",
-    "unpivot_stack",
+    # round-3 TPC-H-shaped sweep (catalog_tpch.py): the 14 query shapes
+    # not already covered, never driver-run — they take the slots of 14
+    # r2-green text-unchanged relational entries (window_top3_per_customer,
+    # scalar_functions, q10/q14, sliding_window_counts, array_functions,
+    # join_left/full_outer, union_dedup_vs_all, regexp_functions,
+    # argmin_argmax, value_histogram, session_windows_native,
+    # unpivot_stack — their r2 attestation stands)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
     # north-star LLM-pipeline ops — all 18, none ran in round 1
     "ns_dedup_exact",
     "ns_ngram_jaccard_pairs",
