@@ -141,7 +141,9 @@ DRIVER_WINDOW: list[str] = [
     "ns_simhash64",
     "ns_simhash_md5",
     "ns_text_stats",
-    "ns_text_quality",
+    # (ns_text_quality rotated out r3 for ns_bpe_tokens: r2-green,
+    # text.py + entry unchanged since)
+    "ns_bpe_tokens",
     "ns_lang_id",
     "ns_fingerprint",
     "ns_similarity_topk",

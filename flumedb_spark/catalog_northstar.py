@@ -750,3 +750,20 @@ def ns_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         spark.table("documents"), "lang", "doc_id", 5
     ).select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------
+# trained BPE tokenization (operators/bpe.py — roadmap #5 landed)
+# ---------------------------------------------------------------------
+
+from .operators.bpe import PINNED_MERGES, bpe_oracle_sql, bpe_tokens  # noqa: E402
+
+
+@query("ns_bpe_tokens", oracle=bpe_oracle_sql(PINNED_MERGES))
+def ns_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real (trained-vocabulary) BPE tokenization — pure JVM chained
+    replaces applying PINNED_MERGES in rank order; the DuckDB oracle
+    replays the identical replaces, so counts and token streams match
+    bit-for-bit. The trainer that learned the pins is exercised and
+    determinism-checked in tests/test_bpe.py."""
+    return bpe_tokens(spark.table("documents"), PINNED_MERGES).orderBy("doc_id")
