@@ -406,6 +406,26 @@ class Flume:
         target = self.log.ready_since() if since_opt is None else int(since_opt)
         self._catch_up(view, target)
 
+    # ---- maintenance (roadmap #7: cost-based compaction) ----------------
+    def maintain(self, **policy) -> dict[str, object]:
+        """Run every due compaction across the log and the views that
+        support one (cost-based triggers — see ``ParquetLog.
+        compaction_due`` / ``Level.compaction_due``). Policy kwargs are
+        forwarded to the log trigger. Returns what ran:
+        ``{"log": n_files_after | None, "views": [names compacted]}``.
+
+        Safe to call any time: triggers read only local metadata, the
+        compactions themselves use the same atomic manifest-swap commit
+        as appends, and concurrent appends/reads stay correct.
+        """
+        self._throw_if_closed()
+        out: dict[str, object] = {"log": None, "views": []}
+        out["log"] = self.log.maybe_compact(self.spark, **policy)
+        for name, view in self._views.items():
+            if getattr(view, "maybe_compact", None) and view.maybe_compact():
+                out["views"].append(name)  # type: ignore[union-attr]
+        return out
+
     # ---- lifecycle (O16/O18) -------------------------------------------
     def rebuild(self) -> None:
         """Destroy ALL views and replay the whole log through them

@@ -428,6 +428,54 @@ class ParquetLog:
             return df.select("seq")
         return df.select("value")
 
+    def compaction_due(
+        self,
+        max_files: int = 64,
+        small_file_bytes: int = 4 << 20,
+        max_small_ratio: float = 0.5,
+    ) -> bool:
+        """Cost-based compaction trigger (roadmap #7): manifest length or
+        small-file ratio past threshold.
+
+        Both signals come from local metadata (`len(files)` + one
+        ``stat`` per file) — no data read, so callers can poll cheaply.
+        The thresholds mirror Delta OPTIMIZE's policy shape: many files
+        hurt even when total bytes don't (per-file open/footer cost
+        dominates a scan of 1000 tiny commits), and a majority of
+        small files means append granularity, not data volume, is
+        setting scan cost.
+        """
+        self._meta = self._load_meta()
+        files = self._meta.get("files", [])
+        if len(files) <= 1:
+            return False
+        if len(files) > max_files:
+            return True
+        if len(files) > 8:
+            sizes = []
+            for f in files:
+                try:
+                    sizes.append(os.path.getsize(os.path.join(self.data_dir, f)))
+                except OSError:
+                    return False  # racing a concurrent compaction: skip
+            small = sum(1 for s in sizes if s < small_file_bytes)
+            return small / len(sizes) > max_small_ratio
+        return False
+
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        max_files: int = 64,
+        small_file_bytes: int = 4 << 20,
+        max_small_ratio: float = 0.5,
+        target_rows_per_file: int = 500_000,
+    ) -> int | None:
+        """Compact iff :meth:`compaction_due`; returns the post-compaction
+        file count, or None when no work was needed."""
+        if not self.compaction_due(max_files, small_file_bytes, max_small_ratio):
+            return None
+        return self.compact(spark, target_rows_per_file=target_rows_per_file)
+
     def compact(self, spark: SparkSession, target_rows_per_file: int = 500_000) -> int:
         """Merge the many per-commit files into few seq-sorted files.
 

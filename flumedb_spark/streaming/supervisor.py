@@ -22,10 +22,22 @@ from .live import LiveViewRunner
 class ViewSupervisor:
     """``ViewSupervisor(engine).start()`` — maintain all views live."""
 
-    def __init__(self, engine, poll_interval: float = 1.0, max_restarts: int = 3):
+    def __init__(
+        self,
+        engine,
+        poll_interval: float = 1.0,
+        max_restarts: int = 3,
+        auto_compact: bool = False,
+        compact_policy: dict | None = None,
+    ):
         self.engine = engine
         self.poll_interval = poll_interval
         self.max_restarts = max_restarts
+        # roadmap #7: the supervisor doubles as the maintenance daemon —
+        # each poll runs any DUE compaction (cheap metadata-only check
+        # when nothing is due)
+        self.auto_compact = auto_compact
+        self.compact_policy = compact_policy or {}
         self.runners: dict[str, LiveViewRunner] = {}
         self.restarts: dict[str, int] = {}
         self._stop = threading.Event()
@@ -60,6 +72,11 @@ class ViewSupervisor:
                 view.destroy()
                 shutil.rmtree(runner.checkpoint_dir, ignore_errors=True)
                 self._launch(name)
+            if self.auto_compact:
+                try:
+                    self.engine.maintain(**self.compact_policy)
+                except Exception:
+                    pass  # maintenance must never kill the monitor
             self._stop.wait(self.poll_interval)
 
     def process_all_available(self) -> None:

@@ -142,6 +142,20 @@ class Level(FlumeView):
         out = out.orderBy(*order)
         return out.limit(int(limit)) if limit is not None else out
 
+    def compaction_due(self, max_files: int = 16) -> bool:
+        """Manifest-length compaction trigger: every fold commit adds a
+        file, so an always-on maintenance stream grows the manifest one
+        file per micro-batch; past ``max_files`` the per-scan open cost
+        beats the one-off rewrite."""
+        return len(self._meta.get("files", [])) > max_files
+
+    def maybe_compact(self, max_files: int = 16) -> bool:
+        """Compact iff :meth:`compaction_due`; True when work was done."""
+        if not self.compaction_due(max_files):
+            return False
+        self.compact()
+        return True
+
     def compact(self) -> None:
         """Rewrite the manifest into one key-sorted file (run-of-the-mill
         maintenance; at scale this is a per-key-range compaction job)."""

@@ -1,0 +1,52 @@
+"""Cost-based compaction scheduling (roadmap #7): metadata-only
+triggers, maybe_compact idempotence, engine-level maintain()."""
+
+from flumedb_spark import Flume
+from flumedb_spark.log import ParquetLog
+from flumedb_spark.views.level import Level
+
+
+def test_log_trigger_and_maybe_compact(spark, tmp_path):
+    log = ParquetLog(str(tmp_path / "log"))
+    for i in range(12):
+        log.append({"foo": i})
+    assert log.compaction_due(max_files=10)  # 12 commits = 12 files
+    n_after = log.maybe_compact(spark, max_files=10)
+    assert n_after == 1
+    # data survives, seqs dense, trigger resets
+    seqs = [r.seq for r in log.stream_df(spark).select("seq").collect()]
+    assert seqs == list(range(12))
+    assert log.maybe_compact(spark, max_files=10) is None
+
+
+def test_small_file_ratio_trigger(spark, tmp_path):
+    log = ParquetLog(str(tmp_path / "log"))
+    for i in range(10):
+        log.append({"foo": i})
+    # 10 files under the count threshold, but all tiny -> ratio trigger
+    assert not log.compaction_due(max_files=64, small_file_bytes=1)
+    assert log.compaction_due(max_files=64, small_file_bytes=4 << 20)
+
+
+def test_engine_maintain_compacts_log_and_views(spark, tmp_path):
+    db = Flume(str(tmp_path / "db"), spark=spark)
+    db.use("idx", Level(1, key_fn=lambda v: str(v["foo"])))
+    for i in range(18):
+        db.append({"foo": i})
+        db.idx.get(str(i))  # fold incrementally: one index commit each
+    assert len(db.log._load_meta()["files"]) == 18
+    report = db.maintain(max_files=10)
+    assert report["log"] == 1
+    assert "idx" in report["views"]  # 18 fold commits > Level's 16 default
+    # reads agree after maintenance
+    assert db.idx.get("7")[0]["value"]["foo"] == 7
+    assert list(db.stream(seqs=True, values=False)) == list(range(18))
+    db.close()
+
+
+def test_maintain_noop_when_nothing_due(spark, tmp_path):
+    db = Flume(str(tmp_path / "db"), spark=spark)
+    db.append([{"foo": 1}, {"foo": 2}])  # one batch commit = one file
+    report = db.maintain()
+    assert report == {"log": None, "views": []}
+    db.close()
