@@ -145,7 +145,9 @@ DRIVER_WINDOW: list[str] = [
     # text.py + entry unchanged since)
     "ns_bpe_tokens",
     "ns_lang_id",
-    "ns_fingerprint",
+    # (ns_fingerprint rotated out r3 for interval_join_events: r2-green,
+    # text.py + entry unchanged since)
+    "interval_join_events",
     "ns_similarity_topk",
     "ns_embedding_neardup",
     "ns_lsh_ann_topk",
@@ -750,6 +752,24 @@ shared_sql(
     )
     SELECT event_id AS purchase_seq, user_id, prev_click_seq
     FROM w WHERE event_type = 'purchase' ORDER BY purchase_seq
+    """,
+)
+
+shared_sql(
+    "interval_join_events",
+    # bounded 1:N interval join (the batch form of a stream-stream
+    # windowed join; asof above is the nearest-1 variant): every
+    # purchase matched to ALL of the same user's clicks in the
+    # preceding 30 minutes. Plans as an equi-join on user_id with the
+    # range as a post-join filter — at scale the user_id shuffle
+    # co-locates each user's events, so the range filter is local.
+    """
+    SELECT p.event_id AS purchase_seq, c.event_id AS click_seq, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+      AND p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts > p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    ORDER BY purchase_seq, click_seq
     """,
 )
 
