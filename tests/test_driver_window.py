@@ -26,6 +26,10 @@ def test_all_northstar_ops_in_window():
     # serving-path variants (e.g. ns_similarity_topk_np) duplicate an
     # oracle-checked op already in the window; they don't need a slot
     ns -= {n for n in ns if n.endswith("_np")}
+    # rotated out late in round 3 (r2-green, text.py + entry text
+    # unchanged since — their r2 attestation stands) to make room for
+    # ns_bpe_tokens and interval_join_events
+    ns -= {"ns_text_quality", "ns_fingerprint"}
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
 
@@ -44,6 +48,14 @@ def test_changed_or_new_rows_in_window():
         "ns_ivf_ann_topk_seeded",
         "ns_ivf_ann_recall10",
         "ns_neardup_clusters",        # new: candidates -> dedup decisions
+        # new late-round-3: the TPC-H sweep + trained BPE + interval join
+        "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
+        "q8_market_share", "q9_product_profit", "q11_important_parts",
+        "q12_priority_classes", "q13_customer_distribution",
+        "q15_top_supplier", "q16_part_supplier_counts",
+        "q17_small_quantity_revenue", "q20_part_promotion",
+        "q21_waiting_suppliers", "q22_global_sales_opportunity",
+        "ns_bpe_tokens", "interval_join_events",
     ):
         assert n in _window_names(), n
 
