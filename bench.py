@@ -155,6 +155,46 @@ def main() -> None:
         ),
     }
 
+    # TPC-H sweep section (separate from the headline total so the
+    # round-over-round primary metric stays comparable): the 14 shapes
+    # added in round 3, paired with DuckDB under the same methodology
+    # (min-of-2 interleaved passes, same process/window).
+    TPCH = [
+        "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
+        "q8_market_share", "q9_product_profit", "q11_important_parts",
+        "q12_priority_classes", "q13_customer_distribution",
+        "q15_top_supplier", "q16_part_supplier_counts",
+        "q17_small_quantity_revenue", "q20_part_promotion",
+        "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    ]
+    primary = dict(timings)  # sf0.1 minimums across all benched sections
+    try:
+        tq: dict[str, float] = {}
+        for name in TPCH:  # warm/codegen pass at the small SF
+            try:
+                qs[name](spark, "/root/testdata/sf0.001").count()
+            except Exception:
+                pass
+        for _ in range(2):
+            for name in TPCH:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                tq[name] = min(tq.get(name, float("inf")), time.perf_counter() - t0)
+        tq = {n: round(v, 4) for n, v in tq.items()}
+        primary.update(tq)  # sf0.1 baselines for the sf1 scaling factors
+        tduck = _duckdb_pass(sf_dir, cpus, n_passes=2, names=TPCH)
+        tp = [n for n in TPCH if n in tduck]
+        ts_, td_ = round(sum(tq[n] for n in tp), 4), round(sum(tduck[n] for n in tp), 4)
+        out["tpch"] = {
+            "queries": tq,
+            "total_sec": round(sum(tq.values()), 4),
+            "duckdb_queries": tduck,
+            "paired_subset_sec": {"spark": ts_, "duckdb": td_},
+            "spark_vs_duckdb_ratio": round(ts_ / td_, 3) if td_ else None,
+        }
+    except Exception as exc:  # pragma: no cover - best-effort section
+        out["tpch"] = {"error": str(exc)}
+
     # scale-up section: if the synthesized sf1 dataset exists (built by
     # tools/make_scale_data.py — 10x key-shifted replication of sf0.1),
     # run ONE pass of the suite + paired DuckDB at sf1 and record
@@ -174,16 +214,20 @@ def main() -> None:
                 spark.catalog.cacheTable(t)
                 spark.table(t).count()
             # min-of-2 (not 1): the sf1 section is the headline scale
-            # claim and a single pass is hostage to one host stall
+            # claim and a single pass is hostage to one host stall.
+            # TPCH rides along: its sf0.1 ratio is pure scheduling
+            # floor (DuckDB totals in the tens of ms); sf1 is where the
+            # ratio measures execution.
+            sf1_names = HEADLINE + TPCH
             t1: dict[str, float] = {}
             for _ in range(2):
-                for name in HEADLINE:
+                for name in sf1_names:
                     t0 = time.perf_counter()
                     qs[name](spark, sf1_dir).count()
                     dt = round(time.perf_counter() - t0, 4)
                     t1[name] = min(t1.get(name, float("inf")), dt)
-            duck1 = _duckdb_pass(sf1_dir, cpus, n_passes=2)
-            p1 = [n for n in HEADLINE if n in duck1]
+            duck1 = _duckdb_pass(sf1_dir, cpus, n_passes=2, names=sf1_names)
+            p1 = [n for n in sf1_names if n in duck1]
             s1 = round(sum(t1[n] for n in p1), 4)
             d1 = round(sum(duck1[n] for n in p1), 4)
             out["sf1"] = {
@@ -193,7 +237,9 @@ def main() -> None:
                 "paired_subset_sec": {"spark": s1, "duckdb": d1},
                 "spark_vs_duckdb_ratio": round(s1 / d1, 3) if d1 else None,
                 "scaling_x_vs_primary": {
-                    n: round(t1[n] / timings[n], 2) for n in HEADLINE if timings.get(n)
+                    n: round(t1[n] / primary[n], 2)
+                    for n in sf1_names
+                    if primary.get(n)
                 },
             }
         except Exception as exc:  # pragma: no cover - best-effort section
@@ -202,8 +248,10 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _duckdb_pass(sf_dir: str, cpus: int, n_passes: int = 3) -> dict[str, float]:
-    """Min-of-N DuckDB timings for every headline query with an oracle."""
+def _duckdb_pass(
+    sf_dir: str, cpus: int, n_passes: int = 3, names: list[str] | None = None
+) -> dict[str, float]:
+    """Min-of-N DuckDB timings for every given query with an oracle."""
     try:
         import duckdb
     except ImportError:
@@ -216,7 +264,7 @@ def _duckdb_pass(sf_dir: str, cpus: int, n_passes: int = 3) -> dict[str, float]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    names = [n for n in HEADLINE if n in ORACLES]
+    names = [n for n in (names if names is not None else HEADLINE) if n in ORACLES]
     for name in names:  # warm: OS page cache + duckdb's own buffers
         try:
             con.execute(ORACLES[name]).fetchall()

@@ -154,9 +154,12 @@ DRIVER_WINDOW: list[str] = [
     "ns_ivf_ann_topk",
     "ns_multimodal_meta",
     "ns_pipeline_filter_dedup_join",
-    "ns_deterministic_sample",
-    "ns_dataset_split_counts",
-    "ns_stratified_sample",
+    # (ns_deterministic_sample / ns_dataset_split_counts /
+    # ns_stratified_sample rotated out late r3: r2-green, sampling.py +
+    # entries unchanged since)
+    "ns_hll_user_estimate",
+    "window_distribution",
+    "fuzzy_match_names",
 ]
 
 

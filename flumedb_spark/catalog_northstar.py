@@ -767,3 +767,73 @@ def ns_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. The trainer that learned the pins is exercised and
     determinism-checked in tests/test_bpe.py."""
     return bpe_tokens(spark.table("documents"), PINNED_MERGES).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# deterministic mergeable sketches (cross-engine-checkable HLL)
+# ---------------------------------------------------------------------
+
+# HyperLogLog with md5-derived 60-bit hashes and EXACT-INTEGER register
+# sums (p=8 -> 256 registers; term 2^(53-rho) is a BIGINT, so the sum
+# has no float-order divergence; the raw estimate is one deterministic
+# double expression both engines evaluate identically). This is the
+# parity twin of `approx_count_distinct` (whose HLL++ registers are
+# engine-internal): it proves the sketch MERGEABILITY story — at 100 TB
+# the per-partition register maxima combine associatively (max per
+# bucket), which is exactly what the groupBy computes map-side.
+_HLL_SPARK = """
+    WITH h AS (
+      SELECT CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    regs AS (
+      SELECT hv % 256 AS bucket,
+        max(CASE WHEN hv DIV 256 = 0 THEN 53
+                 ELSE 53 - length(bin(hv DIV 256)) END) AS rho
+      FROM h GROUP BY hv % 256
+    ),
+    allb AS (SELECT explode(sequence(0, 255)) AS bucket),
+    s AS (
+      SELECT CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - coalesce(rho, 0)))
+                  AS BIGINT) AS s53
+      FROM allb LEFT JOIN regs ON allb.bucket = regs.bucket
+    )
+    SELECT
+      (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
+      s53,
+      round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+            / CAST(s53 AS DOUBLE), 4) AS hll_raw_estimate
+    FROM s
+"""
+
+_HLL_DUCK = r"""
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    regs AS (
+      SELECT hv % 256 AS bucket,
+        max(CASE WHEN hv // 256 = 0 THEN 53
+                 ELSE 53 - length(bin(hv // 256)) END) AS rho
+      FROM h GROUP BY hv % 256
+    ),
+    allb AS (SELECT range AS bucket FROM range(256)),
+    s AS (
+      SELECT CAST(sum((1::BIGINT << (53 - coalesce(rho, 0)))) AS BIGINT) AS s53
+      FROM allb LEFT JOIN regs ON allb.bucket = regs.bucket
+    )
+    SELECT
+      (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
+      s53,
+      round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+            / CAST(s53 AS DOUBLE), 4) AS hll_raw_estimate
+    FROM s
+"""
+
+
+@query("ns_hll_user_estimate", oracle=_HLL_DUCK)
+def ns_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct-user estimate (see _HLL_SPARK notes)."""
+    return spark.sql(_HLL_SPARK)

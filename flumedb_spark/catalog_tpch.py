@@ -302,6 +302,42 @@ shared_sql(
     """,
 )
 
+# Distribution window functions: percent_rank / cume_dist / ntile —
+# the analytic-frame surface not covered by the rank/lag/frame entries.
+# percent_rank divides two exact ints; identical single division both
+# engines.
+shared_sql(
+    "window_distribution",
+    """
+    SELECT o_custkey, o_orderkey,
+      round(percent_rank() OVER w, 9) AS pr,
+      round(cume_dist() OVER w, 9) AS cd,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders WHERE o_custkey < 40
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey
+    )
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+
+# Edit-distance fuzzy matching — the string-similarity member of the
+# dedup family (ngram Jaccard / minhash cover set similarity; this is
+# the char-level variant). Quadratic pair generation is fine over a
+# dimension table; at corpus scale the same scorer runs over LSH
+# candidate pairs instead (dedup.py's blocking pattern).
+shared_sql(
+    "fuzzy_match_names",
+    """
+    SELECT a.s_suppkey AS sk_a, b.s_suppkey AS sk_b,
+      CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    ORDER BY sk_a, sk_b
+    """,
+)
+
 # Q22: global sales opportunity — anti-join (NOT EXISTS) plus a
 # threshold from scalar subqueries, grouped by a derived country code
 # (c_custkey % 7 stands in for the missing phone prefix; "no recent

@@ -26,10 +26,13 @@ def test_all_northstar_ops_in_window():
     # serving-path variants (e.g. ns_similarity_topk_np) duplicate an
     # oracle-checked op already in the window; they don't need a slot
     ns -= {n for n in ns if n.endswith("_np")}
-    # rotated out late in round 3 (r2-green, text.py + entry text
-    # unchanged since — their r2 attestation stands) to make room for
-    # ns_bpe_tokens and interval_join_events
-    ns -= {"ns_text_quality", "ns_fingerprint"}
+    # rotated out late in round 3 (r2-green, text.py/sampling.py +
+    # entry text unchanged since — their r2 attestation stands) to make
+    # room for the new oracle-checkable entries
+    ns -= {
+        "ns_text_quality", "ns_fingerprint", "ns_deterministic_sample",
+        "ns_dataset_split_counts", "ns_stratified_sample",
+    }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
 
@@ -56,6 +59,7 @@ def test_changed_or_new_rows_in_window():
         "q17_small_quantity_revenue", "q20_part_promotion",
         "q21_waiting_suppliers", "q22_global_sales_opportunity",
         "ns_bpe_tokens", "interval_join_events",
+        "ns_hll_user_estimate", "window_distribution", "fuzzy_match_names",
     ):
         assert n in _window_names(), n
 
