@@ -152,7 +152,9 @@ DRIVER_WINDOW: list[str] = [
     "ns_embedding_neardup",
     "ns_lsh_ann_topk",
     "ns_ivf_ann_topk",
-    "ns_multimodal_meta",
+    # (ns_multimodal_meta rotated out late r3 for ns_countmin_event_counts:
+    # r2-green, multimodal.py + entry unchanged since)
+    "ns_countmin_event_counts",
     "ns_pipeline_filter_dedup_join",
     # (ns_deterministic_sample / ns_dataset_split_counts /
     # ns_stratified_sample rotated out late r3: r2-green, sampling.py +

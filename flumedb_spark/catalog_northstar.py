@@ -837,3 +837,69 @@ _HLL_DUCK = r"""
 def ns_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HLL distinct-user estimate (see _HLL_SPARK notes)."""
     return spark.sql(_HLL_SPARK)
+
+
+# Count-min sketch over event_type frequencies — d=3 md5-derived hash
+# rows x w=64 buckets, ALL exact-integer (counts are BIGINTs, the
+# estimate is a min over three exact counters: no float anywhere).
+# Companion to the HLL entry: together they cover the two mergeable
+# sketch families (cardinality + frequency) a 100 TB pipeline runs
+# map-side — CMS counters merge by elementwise ADD, which is exactly
+# the groupBy(i, bucket) sum shape below.
+_CMS_SPARK = """
+    WITH cnt AS (
+      SELECT i, hash_bucket, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT i,
+          CAST(conv(substring(md5(concat(CAST(i AS STRING), '|', event_type)),
+                    1, 15), 16, 10) AS BIGINT) % 64 AS hash_bucket
+        FROM events CROSS JOIN (SELECT explode(sequence(1, 3)) AS i)
+      ) GROUP BY i, hash_bucket
+    ),
+    keys AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+      FROM events GROUP BY event_type
+    ),
+    kb AS (
+      SELECT event_type, true_n, i,
+        CAST(conv(substring(md5(concat(CAST(i AS STRING), '|', event_type)),
+                  1, 15), 16, 10) AS BIGINT) % 64 AS hash_bucket
+      FROM keys CROSS JOIN (SELECT explode(sequence(1, 3)) AS i)
+    )
+    SELECT event_type, true_n, CAST(min(c) AS BIGINT) AS cms_estimate
+    FROM kb JOIN cnt USING (i, hash_bucket)
+    GROUP BY event_type, true_n
+    ORDER BY event_type
+"""
+
+_CMS_DUCK = """
+    WITH cnt AS (
+      SELECT i, hash_bucket, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT i,
+          CAST('0x' || substr(md5(concat(CAST(i AS VARCHAR), '|', event_type)),
+               1, 15) AS BIGINT) % 64 AS hash_bucket
+        FROM events CROSS JOIN (SELECT range AS i FROM range(1, 4))
+      ) GROUP BY i, hash_bucket
+    ),
+    keys AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+      FROM events GROUP BY event_type
+    ),
+    kb AS (
+      SELECT event_type, true_n, i,
+        CAST('0x' || substr(md5(concat(CAST(i AS VARCHAR), '|', event_type)),
+             1, 15) AS BIGINT) % 64 AS hash_bucket
+      FROM keys CROSS JOIN (SELECT range AS i FROM range(1, 4))
+    )
+    SELECT event_type, true_n, CAST(min(c) AS BIGINT) AS cms_estimate
+    FROM kb JOIN cnt USING (i, hash_bucket)
+    GROUP BY event_type, true_n
+    ORDER BY event_type
+"""
+
+
+@query("ns_countmin_event_counts", oracle=_CMS_DUCK)
+def ns_countmin_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic count-min frequency estimates (see _CMS_SPARK)."""
+    return spark.sql(_CMS_SPARK)

@@ -419,8 +419,12 @@ class Flume:
         as appends, and concurrent appends/reads stay correct.
         """
         self._throw_if_closed()
+        vacuum_after = policy.pop("vacuum_after_seconds", 600.0)
         out: dict[str, object] = {"log": None, "views": []}
         out["log"] = self.log.maybe_compact(self.spark, **policy)
+        # OPTIMIZE/VACUUM separation: deletion of compaction-replaced
+        # files is retention-gated (see ParquetLog.vacuum)
+        out["vacuumed"] = self.log.vacuum(older_than_seconds=vacuum_after)
         for name, view in self._views.items():
             if getattr(view, "maybe_compact", None) and view.maybe_compact():
                 out["views"].append(name)  # type: ignore[union-attr]

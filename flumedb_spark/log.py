@@ -488,10 +488,18 @@ class ParquetLog:
         concurrent post-compaction appends untouched. Returns the
         number of files after compaction.
 
-        Live tails (streaming file source) will observe the compacted
-        files as new and re-deliver the prefix; `LiveViewRunner`'s
-        fresh-seq filter makes that a no-op, but raw `stream_log`
-        consumers should be restarted after a compaction.
+        OPTIMIZE/VACUUM separation (the Delta protocol's shape, which
+        this manifest maps to): compaction does NOT delete the replaced
+        files — it drops them from the manifest and records them as
+        TOMBSTONES. In-flight readers (a foreachBatch micro-batch
+        re-executing its scan between actions, a batch plan built from a
+        pre-swap manifest) keep reading bit-identical data; deletion
+        happens later via :meth:`vacuum`, gated on a retention window no
+        healthy reader outlives. Live tails additionally observe the
+        compacted files as new and re-deliver the prefix, which
+        `LiveViewRunner`'s fresh-seq filter + per-batch seq dedup make a
+        no-op, and the stream source reads with ignoreMissingFiles as a
+        last line of defense for readers that DO outlive retention.
         """
         self._meta = self._load_meta()
         since = self._meta["since"]
@@ -521,16 +529,45 @@ class ParquetLog:
             new_names.append(name)
         shutil.rmtree(tmp, ignore_errors=True)
         # appends may have landed since df() was planned: keep any
-        # manifest entries newer than the compacted prefix
-        current = self._load_meta()
-        replaced = [f for f in current["files"] if f in set(old_files)]
-        tail = [f for f in current["files"] if f not in set(old_files)]
-        self._meta = current
-        self._meta["files"] = new_names + tail
-        self._commit_meta()
-        for f in replaced:
-            os.remove(os.path.join(self.data_dir, f))
+        # manifest entries newer than the compacted prefix. The swap is
+        # a write — take the cross-process writer lock like any other.
+        with self._writer_lock():
+            current = self._load_meta()
+            replaced = [f for f in current["files"] if f in set(old_files)]
+            tail = [f for f in current["files"] if f not in set(old_files)]
+            self._meta = current
+            self._meta["files"] = new_names + tail
+            now = time.time()
+            self._meta["tombstones"] = self._meta.get("tombstones", []) + [
+                {"file": f, "ts": now} for f in replaced
+            ]
+            self._commit_meta()
         return len(new_names) + len(tail)
+
+    def vacuum(self, older_than_seconds: float = 600.0) -> int:
+        """Delete compaction-replaced (tombstoned) files past retention.
+
+        The retention window is the contract with in-flight readers: a
+        scan planned against a pre-compaction manifest stays valid for
+        ``older_than_seconds`` after the swap. Returns files deleted.
+        """
+        with self._writer_lock():
+            self._meta = self._load_meta()
+            tomb = self._meta.get("tombstones", [])
+            if not tomb:
+                return 0
+            cutoff = time.time() - older_than_seconds
+            keep = [t for t in tomb if t["ts"] > cutoff]
+            drop = [t for t in tomb if t["ts"] <= cutoff]
+            for t in drop:
+                try:
+                    os.remove(os.path.join(self.data_dir, t["file"]))
+                except OSError:
+                    pass  # already gone (e.g. destroyed dir): tombstone drops
+            if drop:
+                self._meta["tombstones"] = keep
+                self._commit_meta()
+            return len(drop)
 
     def destroy(self) -> None:
         import shutil

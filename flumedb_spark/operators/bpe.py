@@ -44,7 +44,10 @@ _WORD_RE = "[^ ]+"  # corpus words are space-separated (text.py convention)
 
 
 def _chars(word: Column) -> Column:
-    return F.regexp_extract_all(word, F.lit("."), 0)
+    # (?s): DOTALL, so words containing newlines/controls still split
+    # to their full char sequence (round-trip invariant holds on any
+    # space-separated text, not just the clean corpus)
+    return F.regexp_extract_all(word, F.lit("(?s)."), 0)
 
 
 def _fold_merge(symbols: Column, left: str, right: str) -> Column:
@@ -126,7 +129,7 @@ def bpe_tokens_col(text: Column, merges: list[tuple[str, str]]) -> Column:
     """
 
     def apply_word(w: Column) -> Column:
-        s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        s = F.trim(F.regexp_replace(w, "(?s)(.)", "$1 "))
         for a, b in merges:
             s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
         return F.split(s, " ")
@@ -156,7 +159,7 @@ def bpe_oracle_sql(
     merges: list[tuple[str, str]], table: str = "documents", head: int = 12
 ) -> str:
     """DuckDB SQL replaying the identical tokenization (oracle side)."""
-    inner = r"trim(regexp_replace(w, '(.)', '\1 ', 'g'))"
+    inner = r"trim(regexp_replace(w, '(?s)(.)', '\1 ', 'g'))"
     for a, b in merges:
         inner = f"replace({inner}, '{a} {b}', '{a}{b}')"
     return f"""

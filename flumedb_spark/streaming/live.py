@@ -40,7 +40,14 @@ def stream_log(
     ``gt`` bounds the start like the reference's ``{gt: upto}``; new
     appends keep flowing until the query stops.
     """
-    reader = spark.readStream.schema(LOG_SCHEMA)
+    # compaction-safe: compact() deletes per-commit files AFTER staging
+    # compacted replacements that contain every row, so a file that
+    # vanishes between discovery and read can be skipped — its rows
+    # arrive via the (new-to-the-source) compacted file and the fold's
+    # fresh-seq filter dedupes. Writes are flock-serialized, so no
+    # discovery snapshot can contain a post-compaction append without
+    # also containing the compacted files (no gap-loss interleaving).
+    reader = spark.readStream.schema(LOG_SCHEMA).option("ignoreMissingFiles", "true")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(log.data_dir)
@@ -82,8 +89,14 @@ class LiveViewRunner:
         # the reader already folded shrinks to a no-op.
         with self.engine._lock:
             # restrict to genuinely-new records: redelivered batches after
-            # a crash re-run with seq <= view.since and fold to a no-op
-            fresh = batch.where(F.col("seq") > F.lit(view.since))
+            # a crash re-run with seq <= view.since and fold to a no-op.
+            # dropDuplicates(seq): one discovery snapshot can briefly hold
+            # a per-commit file AND the compacted file that replaces it
+            # (same rows twice) — same seq is always the same record, so
+            # per-batch seq dedup is exact, not lossy.
+            fresh = batch.where(F.col("seq") > F.lit(view.since)).dropDuplicates(
+                ["seq"]
+            )
             row = fresh.agg(F.max("seq").alias("m")).collect()[0]
             if row.m is None:
                 return

@@ -44,9 +44,37 @@ def test_engine_maintain_compacts_log_and_views(spark, tmp_path):
     db.close()
 
 
+def test_supervisor_auto_compact_daemon(spark, tmp_path):
+    # the always-on form: maintenance keeps file counts bounded while
+    # live view maintenance continues to fold correctly (compaction
+    # re-delivery is a no-op through the runner's fresh-seq filter)
+    from flumedb_spark import NativeStats
+    from flumedb_spark.streaming.supervisor import ViewSupervisor, wait_until
+
+    db = Flume(str(tmp_path / "db"), spark=spark)
+    db.use("stats", NativeStats(1, field="foo"))
+    sup = ViewSupervisor(
+        db, poll_interval=0.2, auto_compact=True, compact_policy={"max_files": 8}
+    ).start()
+    try:
+        for i in range(12):
+            db.append({"foo": i})
+        assert wait_until(lambda: len(db.log._load_meta()["files"]) <= 8)
+        sup.process_all_available()
+        sup.process_all_available()
+        s = db.stats.get()  # gated read: exact, whatever the interleaving
+        assert s["count"] == 12 and s["sum"] == sum(range(12))
+        # replaced files are tombstoned, not deleted — in-flight
+        # micro-batches can re-read them; retention-gated vacuum GCs
+        assert db.log.vacuum(older_than_seconds=0) >= 0
+    finally:
+        sup.stop()
+    db.close()
+
+
 def test_maintain_noop_when_nothing_due(spark, tmp_path):
     db = Flume(str(tmp_path / "db"), spark=spark)
     db.append([{"foo": 1}, {"foo": 2}])  # one batch commit = one file
     report = db.maintain()
-    assert report == {"log": None, "views": []}
+    assert report == {"log": None, "views": [], "vacuumed": 0}
     db.close()

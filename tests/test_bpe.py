@@ -88,6 +88,27 @@ def test_catalog_entry_matches_duckdb_oracle(spark):
     assert got == want
 
 
+def test_roundtrip_on_adversarial_corpus(spark):
+    # random-ish + edge-case words: control chars (DOTALL), 1-char
+    # words, long repeats, merge-overlap chains — round-trip must hold
+    # for ANY space-separated text, with any merge list
+    import random
+
+    rng = random.Random(7)
+    words = ["a", "\n", "ab\ncd", "aaaaaaaa", "ababab", "x" * 40] + [
+        "".join(rng.choice("abcz\t.") for _ in range(rng.randint(1, 12)))
+        for _ in range(40)
+    ]
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], ["text"])
+    for merges in ([], [("a", "b"), ("ab", "ab"), ("a", "a")], PINNED_MERGES):
+        toks = bpe_tokens_col(F.col("text"), merges)
+        r = df.select(
+            (F.concat_ws("", toks) == F.regexp_replace("text", " ", "")).alias("ok")
+        ).first()
+        assert r.ok, f"round-trip broke with merges={merges[:3]}..."
+
+
 def test_train_early_stops_below_min_freq(spark):
     df = spark.createDataFrame([("ab cd",)], ["text"])
     # every pair occurs once -> min_freq=2 stops immediately

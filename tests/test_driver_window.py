@@ -32,6 +32,7 @@ def test_all_northstar_ops_in_window():
     ns -= {
         "ns_text_quality", "ns_fingerprint", "ns_deterministic_sample",
         "ns_dataset_split_counts", "ns_stratified_sample",
+        "ns_multimodal_meta",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -60,6 +61,7 @@ def test_changed_or_new_rows_in_window():
         "q21_waiting_suppliers", "q22_global_sales_opportunity",
         "ns_bpe_tokens", "interval_join_events",
         "ns_hll_user_estimate", "window_distribution", "fuzzy_match_names",
+        "ns_countmin_event_counts",
     ):
         assert n in _window_names(), n
 

@@ -331,9 +331,14 @@ def test_log_compaction(spark, tmp_log_dir):
     db.append({"foo": 100})
     assert db.sum.get() == sum(range(12)) + 100
     assert len(db.log._meta["files"]) == 2  # compacted + new commit
-    # no stray files beyond the manifest (old commits GC'd)
+    # OPTIMIZE/VACUUM separation: the replaced commits are tombstoned
+    # (still on disk for in-flight readers), then GC'd by vacuum
+    assert len(db.log._meta.get("tombstones", [])) == 12
+    assert db.log.vacuum(older_than_seconds=0) == 12
     on_disk = [f for f in os.listdir(db.log.data_dir) if f.endswith(".parquet")]
     assert sorted(on_disk) == sorted(db.log._meta["files"])
+    # contents unaffected by the GC
+    assert [i["value"]["foo"] for i in db.stream()] == list(range(12)) + [100]
     db.close()
 
 
