@@ -96,3 +96,36 @@ def test_star_joins_broadcast_in_final_plan(bench_state, name):
         f"{name}: a dimension join fell back to sort-merge — "
         "check cached-relation size estimates vs autoBroadcastJoinThreshold"
     )
+
+
+TPCH_QUERIES = [
+    "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "q11_important_parts",
+    "q12_priority_classes", "q13_customer_distribution",
+    "q15_top_supplier", "q16_part_supplier_counts",
+    "q17_small_quantity_revenue", "q20_part_promotion",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_QUERIES)
+def test_tpch_sweep_no_cartesian_and_dims_broadcast(bench_state, name):
+    """The round-3 TPC-H sweep: every final adaptive plan must be free
+    of cartesian products (the EXISTS/NOT EXISTS and correlated
+    subqueries must decorrelate to joins), and the queries that touch a
+    dimension table must broadcast at least one join side. Fact-fact
+    self-joins (q17/q21) may legitimately shuffle — only the cartesian
+    and no-broadcast-at-all outcomes are regressions."""
+    spark = bench_state
+    qs = entry.queries()
+    df = qs[name](spark, BENCH_SF)
+    df.count()  # materialize so AQE's FINAL plan is available
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name}: nested-loop join — a subquery failed to decorrelate "
+        "to an equi-join"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        f"{name}: nothing broadcasts — dimension joins should"
+    )
