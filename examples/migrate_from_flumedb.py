@@ -63,12 +63,16 @@ def main() -> None:
     # SQL over everything
     db.sql("SELECT count(*) AS n FROM log").show()
 
-    # always-on maintenance (the streaming form of the view feed)
-    sup = ViewSupervisor(db).start()
+    # always-on maintenance (the streaming form of the view feed);
+    # auto_compact also runs the cost-based OPTIMIZE/VACUUM maintenance
+    sup = ViewSupervisor(db, auto_compact=True).start()
     db.append({"foo": 10, "kind": "a", "tags": [], "text": ""})
     sup.process_all_available()
     print("after live append, stale read ->", db.sum.get(since=-1))
     sup.stop()
+
+    # one-shot maintenance: compact when due, vacuum past retention
+    print("maintain ->", db.maintain())
 
     # rebuild: blow the views away, replay the log (README.md:159-165)
     db.rebuild()
