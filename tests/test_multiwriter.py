@@ -82,3 +82,43 @@ def test_lock_file_not_in_manifest(tmp_path):
     assert os.path.exists(os.path.join(log.path, ".lock"))
     meta = json.load(open(log.meta_path))
     assert all(f.endswith(".parquet") for f in meta["files"])
+
+
+def test_compaction_concurrent_with_writer_processes(spark, tmp_path):
+    """OPTIMIZE/VACUUM under cross-process write load: a maintenance
+    loop (compact-when-due + immediate vacuum) interleaves with three
+    appender processes; the final log must still be dense, gap-free,
+    and exactly-once — the flock'd manifest swap and the tombstone
+    protocol may not lose or duplicate a commit."""
+    import time as _t
+
+    path = str(tmp_path / "log")
+    ParquetLog(path).ready_since()  # init the dir
+    n_writers, n_batches, batch_size = 3, 6, 5
+    procs = [
+        mp.Process(target=_writer, args=(path, w, n_batches, batch_size))
+        for w in range(n_writers)
+    ]
+    for p in procs:
+        p.start()
+    log = ParquetLog(path)
+    for _ in range(8):  # maintenance racing the writers
+        log.maybe_compact(spark, max_files=4)
+        log.vacuum(older_than_seconds=0)
+        _t.sleep(0.05)
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    log.maybe_compact(spark, max_files=4)
+    log.vacuum(older_than_seconds=0)
+
+    total = n_writers * n_batches * batch_size
+    fresh = ParquetLog(path)  # re-read from disk, no cached state
+    assert fresh.ready_since() == total - 1
+    rows = fresh.df(spark).collect()
+    assert sorted(r.seq for r in rows) == list(range(total))
+    vals = {(d["w"], d["b"], d["i"]) for d in (json.loads(r.value) for r in rows)}
+    assert len(vals) == total
+    # maintenance actually did something: file count bounded well below
+    # the 18 commit files the writers produced
+    assert len(fresh._load_meta()["files"]) < 18
