@@ -466,3 +466,82 @@ def test_log_stream_sink_exactly_once(spark, tmp_path):
         assert sink_log.df(spark).count() == 6
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
+    # LEFT OUTER stream-stream join: an unmatched click emits
+    # (click, null) only after BOTH watermarks pass its join window —
+    # the stateful null-emission semantics the inner join can't show
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    base = 1_699_999_980
+
+    def write(dirname, name, rows):
+        d = str(tmp_path / dirname)
+        _os.makedirs(d, exist_ok=True)
+        t = pa.Table.from_pydict(
+            {
+                "ts": pa.array(
+                    [int((base + o) * 1e6) for o, _ in rows],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "uid": pa.array([u for _, u in rows], pa.int64()),
+            }
+        )
+        pq.write_table(t, _os.path.join(d, name))
+
+    write("clicks", "c1.parquet", [(0, 1), (10, 2)])
+    write("purch", "p1.parquet", [(1800, 1)])
+
+    clicks = (
+        spark.readStream.schema("ts timestamp, uid long")
+        .parquet(str(tmp_path / "clicks"))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("uid").alias("c_uid"), F.col("ts").alias("c_ts"))
+    )
+    purch = (
+        spark.readStream.schema("ts timestamp, uid long")
+        .parquet(str(tmp_path / "purch"))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("uid").alias("p_uid"), F.col("ts").alias("p_ts"))
+    )
+    joined = clicks.join(
+        purch,
+        F.expr("c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "leftOuter",
+    ).select(
+        "c_uid",
+        (F.unix_timestamp("c_ts") - base).alias("c_off"),
+        (F.unix_timestamp("p_ts") - base).alias("p_off"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj_outer"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.c_uid, r.c_off, r.p_off)
+            for r in spark.sql("SELECT * FROM ssj_outer").collect()
+        }
+        assert (1, 0, 1800) in got  # inner match flows immediately
+        assert (2, 10, None) not in got  # null held: window still open
+        # advance BOTH watermarks far past click@10's 1h window...
+        write("clicks", "c2.parquet", [(20000, 9)])
+        write("purch", "p2.parquet", [(20000, 9)])
+        q.processAllAvailable()
+        q.processAllAvailable()  # null emission lands on a later trigger
+        got = {
+            (r.c_uid, r.c_off, r.p_off)
+            for r in spark.sql("SELECT * FROM ssj_outer").collect()
+        }
+        assert (2, 10, None) in got  # ...and the unmatched click emits
+    finally:
+        q.stop()
