@@ -545,3 +545,60 @@ def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
         assert (2, 10, None) in got  # ...and the unmatched click emits
     finally:
         q.stop()
+
+
+def test_stateful_rocksdb_state_store(spark, tmp_log_dir, tmp_path):
+    # roadmap #2: the SAME stateful operator under the RocksDB state
+    # store provider (rocksdbjni ships with Spark — no operator change,
+    # exactly the claimed seam). At real state sizes this is the
+    # provider that keeps executor heap flat.
+    from flumedb_spark.streaming.stateful import parsed_log_stream, running_key_stats
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    db = Flume(tmp_log_dir, spark=spark)
+    try:
+        db.append([{"user_id": u, "value": float(v)} for u, v in [(7, 1), (7, 2), (8, 4)]])
+        src = parsed_log_stream(stream_log(spark, db.log))
+        q = (
+            running_key_stats(src)
+            .writeStream.format("memory")
+            .queryName("rocks_out")
+            .option("checkpointLocation", str(tmp_path / "ck_rocks"))
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            db.append({"user_id": 7, "value": 4.0})  # across micro-batches
+            q.processAllAvailable()
+            rows = {
+                r.user_id: (r.n, r.total)
+                for r in spark.sql(
+                    "SELECT user_id, n, total FROM (SELECT *, row_number() OVER "
+                    "(PARTITION BY user_id ORDER BY last_seq DESC, n DESC) AS rn "
+                    "FROM rocks_out) WHERE rn = 1"
+                ).collect()
+            }
+            assert rows[7] == (3, 7.0) and rows[8] == (1, 4.0)
+            # proof it actually ran on RocksDB: the provider materializes
+            # its working dir under the checkpoint's state store path
+            import glob as _glob
+
+            assert _glob.glob(str(tmp_path / "ck_rocks" / "state" / "**" / "*.zip"), recursive=True) or _glob.glob(
+                str(tmp_path / "ck_rocks" / "state" / "**" / "*.changelog"), recursive=True
+            ) or any(
+                "rocksdb" in p.lower()
+                for p in _glob.glob(str(tmp_path / "ck_rocks" / "state" / "**" / "*"), recursive=True)
+            )
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    db.close()
