@@ -98,7 +98,10 @@ DRIVER_WINDOW: list[str] = [
     "o15_mapper_read",
     # view families (§2.B) — v1 rows were red in round 1 (HUGEINT sum)
     "v1_reduce_stats",
-    "v1_reduce_grouped",
+    # (v1_reduce_grouped rotated out late r3 for ns_weighted_sample:
+    # r2-green, reduce/grouped code + entry unchanged since; V1 keeps
+    # v1_reduce_stats as its representative)
+    "ns_weighted_sample",
     "v2_index_key_range",
     "v3_query_dsl",
     "v4_search_and_terms",

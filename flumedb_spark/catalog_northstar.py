@@ -903,3 +903,52 @@ _CMS_DUCK = """
 def ns_countmin_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic count-min frequency estimates (see _CMS_SPARK)."""
     return spark.sql(_CMS_SPARK)
+
+
+# Quality-weighted deterministic sampling: include each doc with
+# probability proportional to its quality score — the upsampling
+# primitive of a training-data mix. Exact-int Bernoulli: the md5-derived
+# draw (hash % 10000) and the threshold (round(score*10000)) are both
+# BIGINTs, so inclusion is retry-safe, leakage-safe (pure function of
+# doc_id), and bit-identical across engines — no RNG anywhere, same
+# design rationale as sampling.py's hash-based sample_fraction.
+_WSAMPLE_QUALITY = """
+      round(
+        least(1.0, CAST(n_tok AS DOUBLE) / 60.0) * 0.4
+        + least(1.0, CAST(n_chr AS DOUBLE) / 400.0) * 0.4
+        + CASE WHEN CAST(n_alpha AS DOUBLE) / n_tok >= 3.0
+                AND CAST(n_alpha AS DOUBLE) / n_tok <= 8.0
+               THEN 0.2 ELSE 0.0 END,
+        6)
+"""
+
+_WSAMPLE_BODY = """
+    WITH q AS (
+      SELECT doc_id,
+        CAST(round({quality} * 10000) AS BIGINT) AS p10k
+      FROM (
+        SELECT doc_id, length(text) AS n_chr,
+          length(text) - length(replace(text, ' ', '')) + 1 AS n_tok,
+          length(replace(text, ' ', '')) AS n_alpha
+        FROM documents
+      )
+    )
+    SELECT doc_id, p10k, draw FROM (
+      SELECT doc_id, p10k, {hash60} % 10000 AS draw FROM q
+    ) WHERE draw < p10k ORDER BY doc_id
+"""
+
+_WSAMPLE_SPARK = _WSAMPLE_BODY.format(
+    quality=_WSAMPLE_QUALITY,
+    hash60="CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)",
+)
+_WSAMPLE_DUCK = _WSAMPLE_BODY.format(
+    quality=_WSAMPLE_QUALITY,
+    hash60="CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)",
+)
+
+
+@query("ns_weighted_sample", oracle=_WSAMPLE_DUCK)
+def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted Bernoulli sample (see notes)."""
+    return spark.sql(_WSAMPLE_SPARK)

@@ -61,7 +61,7 @@ def test_changed_or_new_rows_in_window():
         "q21_waiting_suppliers", "q22_global_sales_opportunity",
         "ns_bpe_tokens", "interval_join_events",
         "ns_hll_user_estimate", "window_distribution", "fuzzy_match_names",
-        "ns_countmin_event_counts",
+        "ns_countmin_event_counts", "ns_weighted_sample",
     ):
         assert n in _window_names(), n
 
