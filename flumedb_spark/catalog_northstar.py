@@ -773,8 +773,8 @@ def ns_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic mergeable sketches (cross-engine-checkable HLL)
 # ---------------------------------------------------------------------
 
-# HyperLogLog with md5-derived 60-bit hashes and EXACT-INTEGER register
-# sums (p=8 -> 256 registers; term 2^(53-rho) is a BIGINT, so the sum
+# HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007) with md5-derived
+# 60-bit hashes and EXACT-INTEGER register sums (p=8 -> 256 registers; term 2^(53-rho) is a BIGINT, so the sum
 # has no float-order divergence; the raw estimate is one deterministic
 # double expression both engines evaluate identically). This is the
 # parity twin of `approx_count_distinct` (whose HLL++ registers are
@@ -839,8 +839,8 @@ def ns_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_HLL_SPARK)
 
 
-# Count-min sketch over event_type frequencies — d=3 md5-derived hash
-# rows x w=64 buckets, ALL exact-integer (counts are BIGINTs, the
+# Count-min sketch (Cormode & Muthukrishnan 2005) over event_type
+# frequencies — d=3 md5-derived hash rows x w=64 buckets, ALL exact-integer (counts are BIGINTs, the
 # estimate is a min over three exact counters: no float anywhere).
 # Companion to the HLL entry: together they cover the two mergeable
 # sketch families (cardinality + frequency) a 100 TB pipeline runs

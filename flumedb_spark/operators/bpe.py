@@ -4,7 +4,9 @@ that need an actual vocabulary).
 
 Two halves, both engine-idiomatic:
 
-- **Training** (:func:`bpe_train`) is the classic Sennrich algorithm run
+- **Training** (:func:`bpe_train`) is the classic BPE algorithm
+  (Sennrich, Haddow, Birch 2016, "Neural Machine Translation of Rare
+  Words with Subword Units") run
   as Spark aggregations: the corpus collapses to a ``(word, count)``
   dictionary ONCE (one shuffle), then each merge iteration is a
   pair-count ``groupBy`` over the dictionary (map-side combinable) plus
