@@ -104,9 +104,12 @@ DRIVER_WINDOW: list[str] = [
     "ns_weighted_sample",
     "v2_index_key_range",
     "v3_query_dsl",
-    "v4_search_and_terms",
+    # (v4_search_and_terms / v6_membership_exact rotated out late r3 for
+    # ns_doc_chunks / ns_sequence_packing: r2-green, search.py/bloom.py +
+    # entries unchanged since; v4 keeps its r1-green single-term row)
+    "ns_doc_chunks",
     "v5_hashtable_latest",
-    "v6_membership_exact",
+    "ns_sequence_packing",
     # round-3 additions: the distributed bulk write path, the four ANN
     # parity twins (cross-engine-checkable approximate search), and
     # near-dup clustering (candidates -> dedup decisions)

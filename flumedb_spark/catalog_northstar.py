@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .catalog import query
+from .catalog import query, shared_sql
 from .operators import dedup, multimodal, similarity, text
 
 # ---------------------------------------------------------------------
@@ -952,3 +952,88 @@ _WSAMPLE_DUCK = _WSAMPLE_BODY.format(
 def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality-weighted Bernoulli sample (see notes)."""
     return spark.sql(_WSAMPLE_SPARK)
+
+
+# Document chunking — fixed-size token windows with overlap (chunk=32,
+# stride=24), the context-window prep step of a training pipeline.
+# Spark side: per-row `sequence` over the chunk count, exploded, then
+# JVM `slice` — no cap, no Python, linear in token count. DuckDB
+# replays it with a per-row `range` list + unnest and 1-based list
+# slicing. Chunk text re-joins with spaces, so chunks are exact
+# substrings of the (single-spaced) source.
+_CHUNK_SPARK = """
+    WITH t AS (
+      SELECT doc_id, split(text, ' ') AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, toks,
+        explode(sequence(0,
+          CAST(ceil(size(toks) / 24.0) AS INT) - 1)) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      concat_ws(' ', slice(toks, chunk_id * 24 + 1, 32)) AS chunk_text,
+      CAST(size(slice(toks, chunk_id * 24 + 1, 32)) AS BIGINT) AS n_chunk_tokens
+    FROM e WHERE chunk_id * 24 < size(toks)
+    ORDER BY doc_id, chunk_id
+"""
+
+_CHUNK_DUCK = """
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, toks,
+        unnest(range(0, CAST(ceil(len(toks) / 24.0) AS BIGINT))) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      array_to_string(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)], ' ')
+        AS chunk_text,
+      CAST(len(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)]) AS BIGINT)
+        AS n_chunk_tokens
+    FROM e WHERE chunk_id * 24 < len(toks)
+    ORDER BY doc_id, chunk_id
+"""
+
+
+@query("ns_doc_chunks", oracle=_CHUNK_DUCK)
+def ns_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (see _CHUNK_SPARK notes)."""
+    return spark.sql(_CHUNK_SPARK)
+
+
+# Sequence packing — assign whole docs to fixed token-budget packs
+# (budget=2048) by cumulative token count, the standard streaming-pack
+# heuristic for batch assembly. One window cumsum, exact integers, one
+# deterministic floor division; identical text both engines. At 100 TB
+# the ORDER BY doc_id cumsum is the one global-ordering shuffle — run
+# per shard (partition by a shard key) in production, same expression.
+shared_sql(
+    "ns_sequence_packing",
+    """
+    WITH d AS (
+      SELECT doc_id,
+        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+          AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+        CAST(coalesce(sum(n_tok) OVER (
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS tok_before
+      FROM d
+    ),
+    packed AS (
+      SELECT doc_id, n_tok,
+        CAST(floor(tok_before / 2048.0) AS BIGINT) AS pack_id
+      FROM c
+    )
+    SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+      CAST(min(doc_id) AS BIGINT) AS first_doc,
+      CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY pack_id ORDER BY pack_id
+    """,
+)
