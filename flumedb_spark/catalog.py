@@ -92,8 +92,11 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 DRIVER_WINDOW: list[str] = [
     # core log/engine ops (§2.A representatives)
     "o1_append_visibility",
-    "o3_get_point",
-    "o4_stream_range",
+    # (o3_get_point / o4_stream_range rotated out late r3 for
+    # ns_decontamination / ns_repetition_ratio: r2-green, entry SQL
+    # unchanged since; o1/o7/o15 remain as §2.A representatives)
+    "ns_decontamination",
+    "ns_repetition_ratio",
     "o7_since",
     "o15_mapper_read",
     # view families (§2.B) — v1 rows were red in round 1 (HUGEINT sum)

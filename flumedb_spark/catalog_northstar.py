@@ -1037,3 +1037,119 @@ shared_sql(
     FROM packed GROUP BY pack_id ORDER BY pack_id
     """,
 )
+
+
+# Benchmark decontamination — flag documents sharing any n-gram with a
+# holdout/benchmark set (the n-gram-overlap decontamination step every
+# serious training pipeline runs before the data ships; production uses
+# n=8-13 — this entry uses n=3 because the synthetic corpus's random
+# word sequences produce no organic 8-gram collisions to check). Both
+# sides explode word n-grams and equi-join; the "benchmark" is the
+# corpus's three highest doc_ids (deterministic stand-in for an
+# external eval set — the join shape is the operator). At 100 TB the
+# benchmark side is tiny and broadcasts; the corpus side is one
+# linear explode, shuffle only on the (rare) matching grams.
+_DECON_SPARK = """
+    WITH corpus AS (
+      SELECT doc_id, split(text, ' ') AS toks FROM documents WHERE doc_id < 497
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id, split(text, ' ') AS toks
+      FROM documents WHERE doc_id >= 497
+    ),
+    corpus_grams AS (
+      SELECT doc_id, concat_ws(' ', slice(toks, i, 3)) AS gram
+      FROM corpus
+      LATERAL VIEW explode(sequence(1, greatest(size(toks) - 2, 1))) t AS i
+    ),
+    bench_grams AS (
+      SELECT DISTINCT concat_ws(' ', slice(toks, i, 3)) AS gram
+      FROM bench
+      LATERAL VIEW explode(sequence(1, greatest(size(toks) - 2, 1))) t AS i
+    )
+    SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_contaminated_grams
+    FROM corpus_grams JOIN bench_grams USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+_DECON_DUCK = """
+    WITH corpus AS (
+      SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE doc_id < 497
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id, str_split(text, ' ') AS toks
+      FROM documents WHERE doc_id >= 497
+    ),
+    corpus_grams AS (
+      SELECT doc_id, array_to_string(toks[i:(i + 2)], ' ') AS gram
+      FROM (
+        SELECT doc_id, toks,
+          unnest(range(1, CAST(greatest(len(toks) - 2, 1) AS BIGINT) + 1)) AS i
+        FROM corpus
+      )
+    ),
+    bench_grams AS (
+      SELECT DISTINCT array_to_string(toks[i:(i + 2)], ' ') AS gram
+      FROM (
+        SELECT toks,
+          unnest(range(1, CAST(greatest(len(toks) - 2, 1) AS BIGINT) + 1)) AS i
+        FROM bench
+      )
+    )
+    SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_contaminated_grams
+    FROM corpus_grams JOIN bench_grams USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("ns_decontamination", oracle=_DECON_DUCK)
+def ns_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram benchmark-overlap decontamination (see _DECON_SPARK)."""
+    return spark.sql(_DECON_SPARK)
+
+
+# Repetition detection — the most-repeated word 5-gram per document and
+# its share of the doc's 5-grams (FineWeb/Gopher-style repetition
+# quality signal). Exact integers + one deterministic division.
+_REP_SPARK = """
+    WITH grams AS (
+      SELECT doc_id, concat_ws(' ', slice(toks, i, 5)) AS gram
+      FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+      LATERAL VIEW explode(sequence(1, greatest(size(toks) - 4, 1))) t AS i
+    ),
+    counts AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+      FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+      CAST(max(n) AS BIGINT) AS top_gram_count,
+      CAST(sum(n) AS BIGINT) AS n_grams,
+      round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS rep_ratio
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+_REP_DUCK = """
+    WITH grams AS (
+      SELECT doc_id, array_to_string(toks[i:(i + 4)], ' ') AS gram
+      FROM (
+        SELECT doc_id, toks,
+          unnest(range(1, CAST(greatest(len(toks) - 4, 1) AS BIGINT) + 1)) AS i
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+      )
+    ),
+    counts AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+      FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+      CAST(max(n) AS BIGINT) AS top_gram_count,
+      CAST(sum(n) AS BIGINT) AS n_grams,
+      round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS rep_ratio
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("ns_repetition_ratio", oracle=_REP_DUCK)
+def ns_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max 5-gram repetition share per document (see _REP_SPARK)."""
+    return spark.sql(_REP_SPARK)

@@ -63,6 +63,7 @@ def test_changed_or_new_rows_in_window():
         "ns_hll_user_estimate", "window_distribution", "fuzzy_match_names",
         "ns_countmin_event_counts", "ns_weighted_sample",
         "ns_doc_chunks", "ns_sequence_packing",
+        "ns_decontamination", "ns_repetition_ratio",
     ):
         assert n in _window_names(), n
 
