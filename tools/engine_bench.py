@@ -107,6 +107,16 @@ def main() -> None:
     q.awaitTermination()
     src_s = time.perf_counter() - t0
 
+    # ---- maintenance: compact the commit files + vacuum tombstones ----
+    n_files_before = len(db.log._load_meta()["files"])
+    t0 = time.perf_counter()
+    n_files_after = db.log.compact(spark)
+    compact_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_vacuumed = db.log.vacuum(older_than_seconds=0)
+    vacuum_s = time.perf_counter() - t0
+    total_rows = db.since + 1
+
     db.close()
     shutil.rmtree(root, ignore_errors=True)
     print(
@@ -127,6 +137,11 @@ def main() -> None:
                 "bulk_append_rows_per_sec": round(n_rows / bulk_s),
                 "stream_source_rows_per_sec": round(sum(src_counts) / src_s),
                 "stream_source_rows": sum(src_counts),
+                "compact_rows_per_sec": round(total_rows / compact_s),
+                "compact_files": [n_files_before, n_files_after],
+                "vacuum_files_per_sec": round(n_vacuumed / vacuum_s)
+                if n_vacuumed
+                else 0,
             }
         )
     )
