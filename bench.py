@@ -203,6 +203,26 @@ def main() -> None:
     # scheduling constants; at sf1 it measures execution. Best-effort —
     # any failure leaves the primary artifact intact.
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/flumedb_testdata_sf1")
+    if (
+        sf_guess <= 0.2
+        and not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet"))
+        and not os.environ.get("SPARK_GRAFT_NO_SF1")
+    ):
+        # the sf1 decade is the headline scale claim — synthesize it
+        # (~3 min, one-time; deterministic) rather than silently dropping
+        # the section because /tmp was wiped
+        try:
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, os.path.join(_REPO, "tools", "make_scale_data.py"), sf1_dir],
+                check=True,
+                timeout=900,
+                stdout=sys.stderr,
+                stderr=sys.stderr,
+            )
+        except Exception as exc:  # pragma: no cover
+            print(f"# sf1 synthesis failed: {exc}", file=sys.stderr)
     if sf_guess <= 0.2 and os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
         try:
             from flumedb_spark.catalog import TABLES as _tables
