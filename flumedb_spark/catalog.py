@@ -97,8 +97,11 @@ DRIVER_WINDOW: list[str] = [
     # unchanged since; o1/o7/o15 remain as §2.A representatives)
     "ns_decontamination",
     "ns_repetition_ratio",
-    "o7_since",
-    "o15_mapper_read",
+    # (o7_since / o15_mapper_read rotated out post-r3-window for
+    # ns_semantic_dedup / ns_pii_redaction: r2-green, entry SQL
+    # unchanged since; o1 remains the §2.A representative)
+    "ns_semantic_dedup",
+    "ns_pii_redaction",
     # view families (§2.B) — v1 rows were red in round 1 (HUGEINT sum)
     "v1_reduce_stats",
     # (v1_reduce_grouped rotated out late r3 for ns_weighted_sample:

@@ -569,12 +569,13 @@ def _lsh_md5_sql(d: dict, n_planes: int = 6, n_tables: int = 8, k: int = 10) -> 
     """
 
 
-def _ivf_seeded_sql(d: dict, n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
-    """IVF top-k over SEED centroids (the n_centroids lowest-id vectors
-    == Lloyd iteration 0 of operators/similarity.py ivf_train:318): the
-    Voronoi assignment, multi-probe, and candidate scoring machinery,
-    engine-portable. Production uses the trained model; the probing
-    math is identical."""
+def _ivf_assign_ctes(d: dict, n_centroids: int) -> str:
+    """Shared CTE block: flatten embeddings to exact ints, take the
+    n_centroids lowest-id vectors as seed centroids (== Lloyd iteration
+    0 of operators/similarity.py ivf_train:318), and Voronoi-assign
+    every vector to its nearest centroid. Used by the seeded-IVF ANN
+    entries and the SemDeDup entry — both engines generate from this
+    one text, so the assignment arithmetic is identical."""
     return f"""
     WITH {d['flat']},
     norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM flat GROUP BY vec_id),
@@ -599,7 +600,16 @@ def _ivf_seeded_sql(d: dict, n_centroids: int = 16, n_probe: int = 4, k: int = 1
           row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
         FROM vcs
       ) ar WHERE rn = 1
-    ),
+    )"""
+
+
+def _ivf_seeded_sql(d: dict, n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """IVF top-k over SEED centroids (the n_centroids lowest-id vectors
+    == Lloyd iteration 0 of operators/similarity.py ivf_train:318): the
+    Voronoi assignment, multi-probe, and candidate scoring machinery,
+    engine-portable. Production uses the trained model; the probing
+    math is identical."""
+    return f"""{_ivf_assign_ctes(d, n_centroids)},
     probe AS (
       SELECT vec_id AS query_id, cent_id FROM (
         SELECT vec_id, cent_id,
@@ -1153,3 +1163,110 @@ _REP_DUCK = """
 def ns_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max 5-gram repetition share per document (see _REP_SPARK)."""
     return spark.sql(_REP_SPARK)
+
+
+# ---------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space, then drop any item whose cosine to a
+# LOWER-ID item in the SAME cluster exceeds tau. The cluster step is
+# what makes it a 100 TB operator: the quadratic pair scan is bounded to
+# within-cluster pairs (cluster count scales with N, so cluster size —
+# and the per-cluster work — stays constant). Reuses the seeded-IVF
+# Voronoi assignment so both engines reproduce the clustering
+# bit-for-bit; production swaps in the trained centroids
+# (similarity.ivf_train) without touching the pair/decision machinery.
+# ---------------------------------------------------------------------
+
+
+def _semdedup_sql(d: dict, n_centroids: int = 16, tau: float = 0.35) -> str:
+    return f"""{_ivf_assign_ctes(d, n_centroids)},
+    pairs AS (
+      SELECT aa.vec_id AS va, ab.vec_id AS vb
+      FROM assign aa JOIN assign ab
+        ON ab.cent_id = aa.cent_id AND ab.vec_id < aa.vec_id
+    ),
+    pdots AS (
+      SELECT p.va, p.vb, CAST(sum(fa.e * fb.e) AS BIGINT) AS dot_i
+      FROM pairs p
+      JOIN flat fa ON fa.vec_id = p.va
+      JOIN flat fb ON fb.vec_id = p.vb AND fb.i = fa.i
+      GROUP BY 1, 2
+    ),
+    pcos AS (
+      SELECT va, vb,
+        CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS c
+      FROM pdots
+      JOIN norms na ON na.vec_id = va
+      JOIN norms nb ON nb.vec_id = vb
+    ),
+    mx AS (
+      SELECT va AS vec_id, max(c) AS max_sim,
+        CAST(max(CASE WHEN c >= {tau} THEN 1 ELSE 0 END) AS INT) AS has_dup
+      FROM pcos GROUP BY va
+    )
+    SELECT a.vec_id, a.cent_id,
+      round(coalesce(m.max_sim, CAST(-1.0 AS DOUBLE)), 6) AS max_sim_lower,
+      CAST(CASE WHEN coalesce(m.has_dup, 0) = 1 THEN 0 ELSE 1 END AS INT) AS keep
+    FROM assign a LEFT JOIN mx m ON m.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """
+
+
+@query("ns_semantic_dedup", oracle=_semdedup_sql(_ANN_DUCK))
+def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decisions over seeded clusters (see
+    _semdedup_sql)."""
+    return spark.sql(_semdedup_sql(_ANN_SPARK))
+
+
+# ---------------------------------------------------------------------
+# PII redaction — the pre-training scrubbing pass. The synthetic corpus
+# carries no organic PII, so the entry plants deterministic synthetic
+# PII (doc_id-derived email/phone + modular SSN/IP) IN THE QUERY on
+# both engines, then runs operators/text.redact_pii: per-category match
+# counts + typed-token redaction. Patterns are written without
+# backslash escapes so one literal is a valid, identically-matching
+# regex in Java (Spark) and RE2 (DuckDB).
+# ---------------------------------------------------------------------
+
+
+def _pii_augmented_text(cast_str: str) -> str:
+    """doc_id-derived synthetic PII appended to each document — same
+    expression text in Spark SQL ({cast_str}='STRING') and DuckDB
+    ('VARCHAR')."""
+    return f"""concat(text,
+      ' contact user', CAST(doc_id AS {cast_str}), '@example.com',
+      ' tel 555-867-', lpad(CAST(doc_id % 10000 AS {cast_str}), 4, '0'),
+      CASE WHEN doc_id % 3 = 0
+        THEN concat(' ssn 123-45-', lpad(CAST(doc_id % 10000 AS {cast_str}), 4, '0'))
+        ELSE '' END,
+      CASE WHEN doc_id % 5 = 0
+        THEN concat(' ip 10.0.', CAST(doc_id % 256 AS {cast_str}), '.7')
+        ELSE '' END)"""
+
+
+def _pii_duck_sql() -> str:
+    reps = "text"
+    for name, pat in text.PII_PATTERNS:
+        reps = f"regexp_replace({reps}, '{pat}', '<{name.upper()}>', 'g')"
+    counts = ",\n      ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in text.PII_PATTERNS
+    )
+    return f"""
+    WITH aug AS (SELECT doc_id, {_pii_augmented_text('VARCHAR')} AS text FROM documents)
+    SELECT doc_id,
+      {counts},
+      {reps} AS text_redacted
+    FROM aug ORDER BY doc_id
+    """
+
+
+@query("ns_pii_redaction", oracle=_pii_duck_sql())
+def ns_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + redaction over synthetically-planted PII (see
+    operators/text.redact_pii)."""
+    docs = spark.table("documents").selectExpr(
+        "doc_id", _pii_augmented_text("STRING") + " AS text"
+    )
+    return text.redact_pii(docs).orderBy("doc_id")

@@ -304,6 +304,12 @@ class Flume:
                     return  # upper bound reached: no future seq can match
                 if cap <= pos:
                     time.sleep(poll_interval)
+                    # idle poll: reload the watermark from disk so tails
+                    # observe appends committed by OTHER processes too
+                    # (same-process appends publish in-memory directly)
+                    refresh = getattr(self.log, "refresh_since", None)
+                    if refresh is not None:
+                        refresh()
 
         return tail()
 

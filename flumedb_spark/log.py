@@ -123,13 +123,21 @@ class ParquetLog:
             return meta
         return {"since": -1, "commits": 0, "files": []}
 
-    def _commit_meta(self) -> None:
+    def _commit_meta(self, meta: dict | None = None) -> None:
+        """Durably commit ``meta`` (atomic tmp+rename), THEN publish it as
+        the in-memory state. Commit-before-publish is the visibility
+        invariant concurrent readers rely on: ``ready_since()`` must
+        never run ahead of what a fresh manifest read can see, or a
+        bounded live tail can observe head=N, scan the stale manifest, and
+        terminate without the rows (observed race, test_live_since)."""
+        m = self._meta if meta is None else meta
         tmp = self.meta_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(self._meta, f)
+            json.dump(m, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.meta_path)
+        self._meta = m
 
     @property
     def since(self) -> int | None:
@@ -143,6 +151,18 @@ class ParquetLog:
         deferred read in index.js:151-155."""
         if self._meta is None:
             self._meta = self._load_meta()
+        return self._meta["since"]
+
+    def refresh_since(self) -> int:
+        """Reload the committed watermark from disk — how a polling
+        consumer (live tail) observes appends committed by OTHER
+        processes. Publishes only a forward move so the in-memory
+        observable stays monotone when racing a same-process writer's
+        commit-then-publish."""
+        loaded = self._load_meta()
+        cur = self._meta
+        if cur is None or loaded["since"] >= cur["since"]:
+            self._meta = loaded
         return self._meta["since"]
 
     def _writer_lock(self):
@@ -202,16 +222,19 @@ class ParquetLog:
         if not batch:
             if meta_updates:
                 with self._writer_lock():
-                    self._meta = self._load_meta()
-                    self._meta.update(meta_updates)
-                    self._commit_meta()
+                    meta = self._load_meta()
+                    meta.update(meta_updates)
+                    self._commit_meta(meta)
             return self.ready_since()
         encoded = [self.codec.encode(v) for v in batch]
         with self._writer_lock():
-            # re-read the manifest inside the critical section: another
-            # process may have committed since our cached state
-            self._meta = self._load_meta()
-            seqs = self._assign_seqs(encoded, self._meta["since"])
+            # re-read the manifest inside the critical section into a
+            # LOCAL dict: another process may have committed since our
+            # cached state, and self._meta stays on the last COMMITTED
+            # state until _commit_meta publishes (readers consult it
+            # concurrently — they must never see an uncommitted since)
+            meta = self._load_meta()
+            seqs = self._assign_seqs(encoded, meta["since"], meta)
             now = time.time_ns() // 1000
             table = pa.Table.from_pydict(
                 {
@@ -221,25 +244,26 @@ class ParquetLog:
                 },
                 schema=_ARROW_SCHEMA,
             )
-            commit = self._meta["commits"]
+            commit = meta["commits"]
             fname = f"{commit:010d}-{uuid.uuid4().hex[:8]}.parquet"
             pq.write_table(table, os.path.join(self.data_dir, fname))
             # one atomic meta commit makes the file visible: readers
             # consume the manifest, so a torn write (file without meta)
             # is invisible
-            self._meta["since"] = seqs[-1]
-            self._meta["commits"] = commit + 1
-            self._meta["files"] = self._meta.get("files", []) + [fname]
+            meta["since"] = seqs[-1]
+            meta["commits"] = commit + 1
+            meta["files"] = meta.get("files", []) + [fname]
             if meta_updates:
-                self._meta.update(meta_updates)
-            self._commit_meta()
+                meta.update(meta_updates)
+            self._commit_meta(meta)
         self._notify_since()
         return seqs[-1]
 
-    def _assign_seqs(self, encoded: list[str], since: int) -> list[int]:
+    def _assign_seqs(self, encoded: list[str], since: int, meta: dict) -> list[int]:
         """Dense integer seqs — the flumelog-memory choice. Subclasses
-        define other formats; seqs need only be strictly increasing
-        (README.md:138-140)."""
+        define other formats (recording tail state in ``meta``, which
+        rides the same atomic commit); seqs need only be strictly
+        increasing (README.md:138-140)."""
         start = since + 1
         return list(range(start, start + len(encoded)))
 
@@ -270,11 +294,15 @@ class ParquetLog:
         # concurrent bulk writers serialize; at cluster scale this
         # critical section is a table-format transaction instead)
         with self._writer_lock():
-            self._meta = self._load_meta()
-            return self._bulk_append_locked(encoded, StorageLevel)
+            meta = self._load_meta()
+            if self._meta is None:
+                # init barrier: publish a SEPARATE committed snapshot
+                # (not `meta` — that dict mutates pre-commit below)
+                self._meta = self._load_meta()
+            return self._bulk_append_locked(encoded, StorageLevel, meta)
 
-    def _bulk_append_locked(self, encoded: DataFrame, StorageLevel) -> int:
-        since = self._meta["since"]
+    def _bulk_append_locked(self, encoded: DataFrame, StorageLevel, meta: dict) -> int:
+        since = meta["since"]
         dense = self.DENSE
         overhead = int(getattr(self, "FRAME_OVERHEAD", 0))
         # pin partition contents/order so the stats pass and the write
@@ -298,7 +326,7 @@ class ParquetLog:
             if dense:
                 pos = since + 1
             else:
-                pos = 0 if since < 0 else since + self._last_frame
+                pos = 0 if since < 0 else since + self._frame_of(meta)
             starts: dict[int, int] = {}
             total = 0
             for pid, n, w in by_pid:
@@ -341,7 +369,7 @@ class ParquetLog:
         # then ONE atomic meta commit (crash before it = invisible orphans)
         import shutil
 
-        commit = self._meta["commits"]
+        commit = meta["commits"]
         parts = [f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")]
         new_names = []
         for i, f in enumerate(parts):
@@ -364,21 +392,24 @@ class ParquetLog:
                     break
             if last_val is None:  # all-empty batch
                 return since
-            self._meta["last_frame"] = len(last_val.encode("utf-8")) + overhead
-        self._meta["since"] = new_since
-        self._meta["commits"] = commit + 1
-        self._meta["files"] = self._meta.get("files", []) + new_names
-        self._commit_meta()
+            meta["last_frame"] = len(last_val.encode("utf-8")) + overhead
+        meta["since"] = new_since
+        meta["commits"] = commit + 1
+        meta["files"] = meta.get("files", []) + new_names
+        self._commit_meta(meta)
         self._notify_since()
         return new_since
 
     # ---- read path ----------------------------------------------------
     def df(self, spark: SparkSession) -> DataFrame:
         """The committed log as a DataFrame: manifest-listed files only
-        (torn appends and compaction leftovers are invisible)."""
-        self._meta = self._load_meta()
-        since = self._meta["since"]
-        files = self._meta.get("files", [])
+        (torn appends and compaction leftovers are invisible). Reads a
+        LOCAL manifest snapshot — read paths never publish to
+        ``self._meta``, so they can't clobber a writer's in-flight
+        commit from another thread."""
+        meta = self._load_meta()
+        since = meta["since"]
+        files = meta.get("files", [])
         if since < 0 or not files:
             return spark.createDataFrame([], LOG_SCHEMA)
         paths = [os.path.join(self.data_dir, f) for f in files]
@@ -445,8 +476,8 @@ class ParquetLog:
         small files means append granularity, not data volume, is
         setting scan cost.
         """
-        self._meta = self._load_meta()
-        files = self._meta.get("files", [])
+        meta = self._load_meta()
+        files = meta.get("files", [])
         if len(files) <= 1:
             return False
         if len(files) > max_files:
@@ -501,11 +532,11 @@ class ParquetLog:
         no-op, and the stream source reads with ignoreMissingFiles as a
         last line of defense for readers that DO outlive retention.
         """
-        self._meta = self._load_meta()
-        since = self._meta["since"]
+        snap = self._load_meta()
+        since = snap["since"]
         if since < 0:
             return 0
-        old_files = list(self._meta.get("files", []))
+        old_files = list(snap.get("files", []))
         df = self.df(spark)
         n = df.count()
         n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
@@ -535,13 +566,12 @@ class ParquetLog:
             current = self._load_meta()
             replaced = [f for f in current["files"] if f in set(old_files)]
             tail = [f for f in current["files"] if f not in set(old_files)]
-            self._meta = current
-            self._meta["files"] = new_names + tail
+            current["files"] = new_names + tail
             now = time.time()
-            self._meta["tombstones"] = self._meta.get("tombstones", []) + [
+            current["tombstones"] = current.get("tombstones", []) + [
                 {"file": f, "ts": now} for f in replaced
             ]
-            self._commit_meta()
+            self._commit_meta(current)
         return len(new_names) + len(tail)
 
     def vacuum(self, older_than_seconds: float = 600.0) -> int:
@@ -552,8 +582,8 @@ class ParquetLog:
         ``older_than_seconds`` after the swap. Returns files deleted.
         """
         with self._writer_lock():
-            self._meta = self._load_meta()
-            tomb = self._meta.get("tombstones", [])
+            meta = self._load_meta()
+            tomb = meta.get("tombstones", [])
             if not tomb:
                 return 0
             cutoff = time.time() - older_than_seconds
@@ -565,8 +595,8 @@ class ParquetLog:
                 except OSError:
                     pass  # already gone (e.g. destroyed dir): tombstone drops
             if drop:
-                self._meta["tombstones"] = keep
-                self._commit_meta()
+                meta["tombstones"] = keep
+                self._commit_meta(meta)
             return len(drop)
 
     def destroy(self) -> None:
@@ -574,8 +604,7 @@ class ParquetLog:
 
         shutil.rmtree(self.path, ignore_errors=True)
         os.makedirs(self.data_dir, exist_ok=True)
-        self._meta = {"since": -1, "commits": 0, "files": []}
-        self._commit_meta()
+        self._commit_meta({"since": -1, "commits": 0, "files": []})
         self._notify_since()
 
 
@@ -602,23 +631,22 @@ class OffsetLog(ParquetLog):
     DENSE = False
     FRAME_OVERHEAD = 16  # 2 x u32 length frame + u64 running length
 
-    def _assign_seqs(self, encoded: list[str], since: int) -> list[int]:
+    def _assign_seqs(self, encoded: list[str], since: int, meta: dict) -> list[int]:
         # first record of an empty log sits at offset 0 (reference: the
         # file starts with a frame at byte 0); later records start where
         # the previous frame ended
         seqs = []
-        pos = 0 if since < 0 else since + self._last_frame  # see below
-        # recover the previous record's frame size on reopen: persisted
-        # in meta so offsets stay contiguous across processes
+        pos = 0 if since < 0 else since + self._frame_of(meta)
+        # record the new tail frame size in the SAME dict that rides the
+        # atomic commit, so offsets stay contiguous across processes
         for e in encoded:
             seqs.append(pos)
             pos += len(e.encode("utf-8")) + self.FRAME_OVERHEAD
-        self._meta["last_frame"] = len(encoded[-1].encode("utf-8")) + self.FRAME_OVERHEAD
+        meta["last_frame"] = len(encoded[-1].encode("utf-8")) + self.FRAME_OVERHEAD
         return seqs
 
-    @property
-    def _last_frame(self) -> int:
-        lf = (self._meta or {}).get("last_frame")
+    def _frame_of(self, meta: dict) -> int:
+        lf = (meta or {}).get("last_frame")
         if lf is None:
             raise RuntimeError(
                 "offset log meta missing last_frame; log written by a "

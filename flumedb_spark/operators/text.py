@@ -109,3 +109,36 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.md5(F.trim(F.lower(F.col(text_col)))).alias("fingerprint")
     )
+
+
+#: PII patterns, applied in this order. Written without backslash
+#: escapes ([0-9] not \d, [.] not \.) so the same literal text is a
+#: valid regex in Java (Spark) and RE2 (DuckDB) — both engines use
+#: leftmost-first greedy matching for these constructs, so match sets
+#: are identical. Order matters only for readability: the four match
+#: sets are mutually disjoint (SSN ddd-dd-dddd can't align inside
+#: phone ddd-ddd-dddd and vice versa; email/IP need '@'/dots).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the pre-training redaction pass (emails, SSNs,
+    phone numbers, IPv4): per-category match counts on the input text
+    plus the redacted text with each match replaced by a typed token
+    (``<EMAIL>`` etc). Pure JVM regexp in whole-stage codegen — one
+    linear scan per pattern, no shuffle, trivially 100 TB-parallel.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    red = t
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.select("doc_id", *counts, red.alias("text_redacted"))

@@ -60,7 +60,10 @@ def make_log_batch_writer(log: ParquetLog, order_by: str | None = None):
     exposed so the retry-idempotence guard is directly testable."""
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        log.ready_since()
+        # reload committed state: the previously-committed epoch marker
+        # may have been written by a pre-crash incarnation (or another
+        # process), which the in-memory snapshot wouldn't reflect
+        log.refresh_since()
         if int(log._meta.get("sink_epoch", -1)) >= int(epoch_id):
             return  # crash-retried epoch: already committed atomically
         if order_by is not None:

@@ -64,6 +64,7 @@ def test_changed_or_new_rows_in_window():
         "ns_countmin_event_counts", "ns_weighted_sample",
         "ns_doc_chunks", "ns_sequence_packing",
         "ns_decontamination", "ns_repetition_ratio",
+        "ns_semantic_dedup", "ns_pii_redaction",
     ):
         assert n in _window_names(), n
 

@@ -95,3 +95,41 @@ def test_view_since_observable(db):
     db.append({"foo": 1})
     db.stats.get()  # gated read forces the fold
     assert seen[-1] == db.since and len(seen) > len(start)
+
+
+def test_commit_before_publish_invariant(tmp_log_dir):
+    """The in-memory watermark must never run ahead of the durable
+    manifest: at the moment _commit_meta writes, `since` still reads the
+    last COMMITTED value. (The violated form of this invariant let a
+    bounded live tail observe head=N, scan the stale manifest, and
+    terminate without the rows.)"""
+    from flumedb_spark.log import ParquetLog
+
+    log = ParquetLog(tmp_log_dir + "/log")
+    log.append({"a": 1})  # since=0 committed
+    seen = {}
+    orig = ParquetLog._commit_meta
+
+    def spy(self, meta=None):
+        seen["since_at_commit"] = self.since
+        orig(self, meta)
+
+    log._commit_meta = spy.__get__(log)
+    log.append({"a": 2})
+    assert seen["since_at_commit"] == 0  # not yet published at commit time
+    assert log.since == 1  # published after the durable write
+
+
+def test_refresh_since_sees_other_instances(tmp_log_dir):
+    """Cross-process visibility: a second log handle's snapshot is
+    stale until refresh_since reloads the committed manifest — the hook
+    the live tail polls."""
+    from flumedb_spark.log import ParquetLog
+
+    a = ParquetLog(tmp_log_dir + "/log")
+    b = ParquetLog(tmp_log_dir + "/log")
+    a.append({"x": 0})
+    assert b.ready_since() == 0
+    a.append({"x": 1})
+    assert b.ready_since() == 0  # committed snapshot, not live
+    assert b.refresh_since() == 1

@@ -365,3 +365,28 @@ def test_ivf_kmeans_training_deterministic_and_effective(spark):
     ).collect()
     got = {(r.query_id, r.neighbor_id) for r in approx}
     assert len(truth & got) / len(truth) >= 0.85
+
+
+def test_redact_pii_counts_and_tokens(spark):
+    from flumedb_spark.operators.text import redact_pii
+
+    rows = [
+        (0, "mail me at bob.smith@corp.io now"),
+        (1, "tel 555-123-4567 ssn 987-65-4321"),
+        (2, "host 192.168.1.200 is up"),
+        (3, "plain text, nothing to scrub"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in redact_pii(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["n_email"] == 1 and "<EMAIL>" in out[0]["text_redacted"]
+    assert "bob" not in out[0]["text_redacted"]
+    assert out[1]["n_phone"] == 1 and out[1]["n_ssn"] == 1
+    assert "<PHONE>" in out[1]["text_redacted"] and "<SSN>" in out[1]["text_redacted"]
+    assert "4567" not in out[1]["text_redacted"]
+    assert out[2]["n_ipv4"] == 1 and "<IPV4>" in out[2]["text_redacted"]
+    assert out[3]["text_redacted"] == rows[3][1]
+    assert sum(out[3][k] for k in ("n_email", "n_ssn", "n_phone", "n_ipv4")) == 0
