@@ -9,7 +9,7 @@ DataFrame/Structured-Streaming stack rather than ported.
 """
 
 from .engine import ClosedError, ExprMapper, Flume, ViewHandle
-from .log import LOG_SCHEMA, ParquetLog
+from .log import LOG_SCHEMA, OffsetLog, ParquetLog, VersionedLog
 from .session import get_spark
 from .views.base import FlumeView
 from .views.reduce import NativeStats, Reduce
@@ -21,8 +21,10 @@ __all__ = [
     "FlumeView",
     "LOG_SCHEMA",
     "NativeStats",
+    "OffsetLog",
     "ParquetLog",
     "Reduce",
+    "VersionedLog",
     "ViewHandle",
     "get_spark",
 ]

@@ -73,6 +73,20 @@ def _decode(raw: str) -> Any:
     return json.loads(raw)
 
 
+class CommitConflict(Exception):
+    """Another writer committed the manifest version this transaction
+    targeted (optimistic-concurrency loss — reload and replay)."""
+
+
+class _NoCommit(Exception):
+    """Raised by a write-transaction stage to return a result without
+    committing (nothing changed)."""
+
+    def __init__(self, result):
+        super().__init__("no commit")
+        self.result = result
+
+
 class ParquetLog:
     """Append-only Parquet log with dense seqs and an atomic `since` commit.
 
@@ -184,6 +198,28 @@ class ParquetLog:
 
         return lock()
 
+    def _write_txn(self, stage):
+        """Run one write transaction: load the committed manifest,
+        apply ``stage(meta)`` (mutates the dict in place, returns the
+        transaction's result), durably commit, publish. The base
+        protocol serializes writers with the cross-process flock;
+        :class:`VersionedLog` overrides this with lock-free optimistic
+        concurrency (stage replayed on commit conflict — stages must be
+        re-runnable). ``stage`` may raise :class:`_NoCommit` to return
+        a result without committing anything."""
+        with self._writer_lock():
+            meta = self._load_meta()
+            if self._meta is None:
+                # init barrier: publish a SEPARATE committed snapshot
+                # (not `meta` — that dict mutates pre-commit below)
+                self._meta = self._load_meta()
+            try:
+                result = stage(meta)
+            except _NoCommit as nc:
+                return nc.result
+            self._commit_meta(meta)
+            return result
+
     def on_since(self, cb, immediate: bool = True):
         """Observable-style `since` subscription (the reference's
         ``log.since`` IS an observable, README.md:197-201; flumedb
@@ -221,19 +257,19 @@ class ParquetLog:
         batch = values if isinstance(values, list) else [values]
         if not batch:
             if meta_updates:
-                with self._writer_lock():
-                    meta = self._load_meta()
+                def stage_meta_only(meta: dict) -> None:
                     meta.update(meta_updates)
-                    self._commit_meta(meta)
+
+                self._write_txn(stage_meta_only)
             return self.ready_since()
         encoded = [self.codec.encode(v) for v in batch]
-        with self._writer_lock():
-            # re-read the manifest inside the critical section into a
-            # LOCAL dict: another process may have committed since our
-            # cached state, and self._meta stays on the last COMMITTED
-            # state until _commit_meta publishes (readers consult it
-            # concurrently — they must never see an uncommitted since)
-            meta = self._load_meta()
+
+        def stage(meta: dict) -> int:
+            # the stage runs on a fresh committed manifest snapshot and
+            # must be RE-RUNNABLE: under optimistic concurrency
+            # (VersionedLog) a lost commit race replays it against the
+            # new state — the previously staged parquet file becomes an
+            # invisible orphan (manifest-only visibility)
             seqs = self._assign_seqs(encoded, meta["since"], meta)
             now = time.time_ns() // 1000
             table = pa.Table.from_pydict(
@@ -255,9 +291,11 @@ class ParquetLog:
             meta["files"] = meta.get("files", []) + [fname]
             if meta_updates:
                 meta.update(meta_updates)
-            self._commit_meta(meta)
+            return seqs[-1]
+
+        last = self._write_txn(stage)
         self._notify_since()
-        return seqs[-1]
+        return last
 
     def _assign_seqs(self, encoded: list[str], since: int, meta: dict) -> list[int]:
         """Dense integer seqs — the flumelog-memory choice. Subclasses
@@ -289,19 +327,19 @@ class ParquetLog:
         """
         from pyspark import StorageLevel
 
-        # the flock spans seq assignment through manifest commit: a bulk
-        # load holds the writer lock for its whole job (coarse —
-        # concurrent bulk writers serialize; at cluster scale this
-        # critical section is a table-format transaction instead)
-        with self._writer_lock():
-            meta = self._load_meta()
-            if self._meta is None:
-                # init barrier: publish a SEPARATE committed snapshot
-                # (not `meta` — that dict mutates pre-commit below)
-                self._meta = self._load_meta()
-            return self._bulk_append_locked(encoded, StorageLevel, meta)
+        # the write transaction spans seq assignment through manifest
+        # commit: a bulk load under the flock protocol holds the lock
+        # for its whole job (coarse — concurrent bulk writers
+        # serialize); under VersionedLog's optimistic protocol a lost
+        # race replays the job against the new state (at cluster scale
+        # this critical section is a table-format transaction instead)
+        last = self._write_txn(
+            lambda meta: self._bulk_append_staged(encoded, StorageLevel, meta)
+        )
+        self._notify_since()
+        return last
 
-    def _bulk_append_locked(self, encoded: DataFrame, StorageLevel, meta: dict) -> int:
+    def _bulk_append_staged(self, encoded: DataFrame, StorageLevel, meta: dict) -> int:
         since = meta["since"]
         dense = self.DENSE
         overhead = int(getattr(self, "FRAME_OVERHEAD", 0))
@@ -320,7 +358,7 @@ class ParquetLog:
                 .collect()
             )
             if not stats:
-                return since
+                raise _NoCommit(since)
             by_pid = sorted((r.pid, r.n, r.w) for r in stats)
             # per-partition start positions (seq number or byte offset)
             if dense:
@@ -391,13 +429,11 @@ class ParquetLog:
                     new_since = t.column("seq")[-1].as_py()
                     break
             if last_val is None:  # all-empty batch
-                return since
+                raise _NoCommit(since)
             meta["last_frame"] = len(last_val.encode("utf-8")) + overhead
         meta["since"] = new_since
         meta["commits"] = commit + 1
         meta["files"] = meta.get("files", []) + new_names
-        self._commit_meta(meta)
-        self._notify_since()
         return new_since
 
     # ---- read path ----------------------------------------------------
@@ -561,9 +597,9 @@ class ParquetLog:
         shutil.rmtree(tmp, ignore_errors=True)
         # appends may have landed since df() was planned: keep any
         # manifest entries newer than the compacted prefix. The swap is
-        # a write — take the cross-process writer lock like any other.
-        with self._writer_lock():
-            current = self._load_meta()
+        # a write transaction like any other (re-runnable: pure
+        # recompute over the fresh manifest).
+        def stage(current: dict) -> int:
             replaced = [f for f in current["files"] if f in set(old_files)]
             tail = [f for f in current["files"] if f not in set(old_files)]
             current["files"] = new_names + tail
@@ -571,8 +607,9 @@ class ParquetLog:
             current["tombstones"] = current.get("tombstones", []) + [
                 {"file": f, "ts": now} for f in replaced
             ]
-            self._commit_meta(current)
-        return len(new_names) + len(tail)
+            return len(new_names) + len(tail)
+
+        return self._write_txn(stage)
 
     def vacuum(self, older_than_seconds: float = 600.0) -> int:
         """Delete compaction-replaced (tombstoned) files past retention.
@@ -581,23 +618,26 @@ class ParquetLog:
         scan planned against a pre-compaction manifest stays valid for
         ``older_than_seconds`` after the swap. Returns files deleted.
         """
-        with self._writer_lock():
-            meta = self._load_meta()
+        def stage(meta: dict) -> int:
             tomb = meta.get("tombstones", [])
             if not tomb:
-                return 0
+                raise _NoCommit(0)
             cutoff = time.time() - older_than_seconds
             keep = [t for t in tomb if t["ts"] > cutoff]
             drop = [t for t in tomb if t["ts"] <= cutoff]
+            if not drop:
+                raise _NoCommit(0)
+            # deletion is idempotent: a replayed stage (commit conflict)
+            # finds the files already gone and still drops the entries
             for t in drop:
                 try:
                     os.remove(os.path.join(self.data_dir, t["file"]))
                 except OSError:
                     pass  # already gone (e.g. destroyed dir): tombstone drops
-            if drop:
-                meta["tombstones"] = keep
-                self._commit_meta(meta)
+            meta["tombstones"] = keep
             return len(drop)
+
+        return self._write_txn(stage)
 
     def destroy(self) -> None:
         import shutil
@@ -653,3 +693,132 @@ class OffsetLog(ParquetLog):
                 "different backend?"
             )
         return int(lf)
+
+
+class VersionedLog(ParquetLog):
+    """Cross-HOST multi-writer log: versioned-manifest commits with
+    lock-free optimistic concurrency (roadmap #1 — the Delta-protocol
+    shape, implemented directly so it needs no connector jars).
+
+    Protocol:
+
+    - The manifest lives in ``_log/{version:020d}.json`` — IMMUTABLE
+      files, each the full committed state (full-manifest-per-version;
+      compaction bounds manifest size, so the simpler form wins over
+      delta-actions + checkpoints at this scale).
+    - Commit = write the new manifest to a tmp file (fsync'd), then
+      ``os.link(tmp, version_path)``: link(2) fails with EEXIST
+      atomically, so exactly ONE writer claims each version — an atomic
+      compare-and-swap on any shared POSIX filesystem, across hosts,
+      with no locks held. The loser reloads the new state and REPLAYS
+      its transaction stage (stages are re-runnable by contract;
+      a replayed append's staged parquet file becomes an invisible
+      orphan, same as a torn write).
+    - Readers open the highest version present — published via link of
+      a fully-written file, so never torn. Old versions are pruned
+      after ``keep_versions`` newer commits exist (a reader holds a
+      listing for microseconds, not 16 commits).
+
+    This is the same optimistic transaction loop Delta Lake runs
+    against ``_delta_log/`` (Delta's LogStore uses put-if-absent where
+    the filesystem offers it); swapping this class in place of
+    ParquetLog upgrades the single-host flock to cross-host snapshot
+    isolation with zero change to the read path or the engine.
+    NFS caveat: requires POSIX link semantics (true for local FS and
+    properly-configured NFSv4; object stores need a put-if-absent
+    coordination service, which is exactly Delta's S3 story).
+
+    Reference parity: same contract as every other backend —
+    the full contract suite runs over it (tests/test_log_contract.py),
+    mirroring how the reference re-runs `test/memlog.js` per backend
+    (`test/offset.js:4-25`).
+    """
+
+    #: committed versions retained behind the head before pruning
+    keep_versions = 16
+
+    def __init__(self, path: str, bucket_size: int = 1_000_000, codec="json"):
+        super().__init__(path, bucket_size=bucket_size, codec=codec)
+        self.txn_dir = os.path.join(path, "_log")
+        os.makedirs(self.txn_dir, exist_ok=True)
+
+    # ---- versioned manifest I/O --------------------------------------
+    def _version_files(self) -> list[str]:
+        try:
+            return sorted(
+                f for f in os.listdir(self.txn_dir)
+                if f.endswith(".json") and not f.startswith(".")
+            )
+        except FileNotFoundError:
+            return []
+
+    def _load_meta(self) -> dict:
+        versions = self._version_files()
+        if not versions:
+            return {"since": -1, "commits": 0, "files": [], "txn_version": -1}
+        last = versions[-1]
+        with open(os.path.join(self.txn_dir, last)) as f:
+            meta = json.load(f)
+        meta["txn_version"] = int(last.split(".")[0])
+        return meta
+
+    def _commit_meta(self, meta: dict | None = None) -> None:
+        m = self._meta if meta is None else meta
+        v = int(m.get("txn_version", -1)) + 1
+        body = {k: val for k, val in m.items() if k != "txn_version"}
+        tmp = os.path.join(self.txn_dir, f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(body, f)
+            f.flush()
+            os.fsync(f.fileno())
+        target = os.path.join(self.txn_dir, f"{v:020d}.json")
+        try:
+            os.link(tmp, target)  # atomic put-if-absent: the CAS
+        except FileExistsError:
+            raise CommitConflict(f"version {v} already committed")
+        finally:
+            os.remove(tmp)
+        m["txn_version"] = v
+        self._meta = m  # publish AFTER the durable claim (same invariant)
+        self._prune_versions(v)
+
+    def _prune_versions(self, head: int) -> None:
+        for f in self._version_files():
+            try:
+                if int(f.split(".")[0]) <= head - self.keep_versions:
+                    os.remove(os.path.join(self.txn_dir, f))
+            except (ValueError, OSError):
+                pass  # racing another pruner: someone removed it first
+
+    # ---- optimistic write transactions -------------------------------
+    def _write_txn(self, stage):
+        """Lock-free: load → stage → CAS-commit; on conflict reload the
+        winner's state and replay the stage. Bounded retries guard
+        against livelock under pathological contention (64 writers all
+        replaying forever is a deployment error, not a state this class
+        should mask)."""
+        last_err: Exception | None = None
+        for _ in range(256):
+            meta = self._load_meta()
+            if self._meta is None:
+                self._meta = self._load_meta()
+            try:
+                result = stage(meta)
+            except _NoCommit as nc:
+                return nc.result
+            try:
+                self._commit_meta(meta)
+            except CommitConflict as err:
+                last_err = err
+                continue
+            return result
+        raise RuntimeError(f"versioned log: commit contention exhausted retries: {last_err}")
+
+    def destroy(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.txn_dir, exist_ok=True)
+        self._commit_meta({"since": -1, "commits": 0, "files": []})
+        self._notify_since()

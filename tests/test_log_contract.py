@@ -19,7 +19,7 @@ import math
 import pytest
 
 from flumedb_spark.engine import ClosedError, Flume
-from flumedb_spark.log import OffsetLog, ParquetLog
+from flumedb_spark.log import OffsetLog, ParquetLog, VersionedLog
 from flumedb_spark.views.level import Level
 from flumedb_spark.views.reduce import NativeStats, Reduce
 
@@ -52,11 +52,20 @@ class BulkOffsetLog(_BulkWrites, OffsetLog):
     pass
 
 
+class BulkVersionedLog(_BulkWrites, VersionedLog):
+    pass
+
+
 BACKENDS = {
     "parquet-dense": ParquetLog,
     "parquet-offset": OffsetLog,
     "parquet-dense-bulk": BulkParquetLog,
     "parquet-offset-bulk": BulkOffsetLog,
+    # cross-host optimistic-concurrency backend (versioned manifests):
+    # same contract, no locks — the reference's run-the-suite-per-backend
+    # pattern proves conformance (test/offset.js:4-25)
+    "versioned-occ": VersionedLog,
+    "versioned-occ-bulk": BulkVersionedLog,
 }
 
 MAPPERS = {

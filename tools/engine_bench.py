@@ -117,6 +117,17 @@ def main() -> None:
     vacuum_s = time.perf_counter() - t0
     total_rows = db.since + 1
 
+    # ---- OCC commit overhead: VersionedLog vs the flock'd base path ---
+    from flumedb_spark.log import VersionedLog
+
+    vlog = VersionedLog(os.path.join(root, "vlog"))
+    occ_batches = max(1, n_rows // batch // 2)
+    t0 = time.perf_counter()
+    for _ in range(occ_batches):
+        vlog.append(rows)
+    occ_s = time.perf_counter() - t0
+    assert vlog.since == occ_batches * batch - 1
+
     db.close()
     shutil.rmtree(root, ignore_errors=True)
     print(
@@ -142,6 +153,7 @@ def main() -> None:
                 "vacuum_files_per_sec": round(n_vacuumed / vacuum_s)
                 if n_vacuumed
                 else 0,
+                "occ_append_rows_per_sec": round(occ_batches * batch / occ_s),
             }
         )
     )
