@@ -108,8 +108,11 @@ DRIVER_WINDOW: list[str] = [
     # r2-green, reduce/grouped code + entry unchanged since; V1 keeps
     # v1_reduce_stats as its representative)
     "ns_weighted_sample",
-    "v2_index_key_range",
-    "v3_query_dsl",
+    # (v2_index_key_range / v3_query_dsl rotated out post-r3-window for
+    # ns_chunk_dedup / ns_tfidf_topterms: r2-green, level.py/query.py +
+    # entry SQL unchanged since; v2 keeps its r1-green point-get row)
+    "ns_chunk_dedup",
+    "ns_tfidf_topterms",
     # (v4_search_and_terms / v6_membership_exact rotated out late r3 for
     # ns_doc_chunks / ns_sequence_packing: r2-green, search.py/bloom.py +
     # entries unchanged since; v4 keeps its r1-green single-term row)

@@ -1270,3 +1270,125 @@ def ns_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _pii_augmented_text("STRING") + " AS text"
     )
     return text.redact_pii(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# Chunk-level exact dedup — duplicated-paragraph removal (the FineWeb
+# line-dedup shape at chunk granularity): split every document into
+# NON-overlapping 24-token chunks, hash each, and group across the
+# whole corpus. Linear explode + one groupBy on the hash — the same
+# skew-free shuffle shape as document-level exact dedup, so it holds at
+# 100 TB (chunk hashes are uniform; no key carries more than the
+# corpus-wide copy count of one paragraph).
+# ---------------------------------------------------------------------
+
+_CHUNKDEDUP_SPARK = """
+    WITH t AS (
+      SELECT doc_id, split(text, ' ') AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, toks,
+        explode(sequence(0,
+          CAST(ceil(size(toks) / 24.0) AS INT) - 1)) AS chunk_id
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+        md5(concat_ws(' ', slice(toks, chunk_id * 24 + 1, 24))) AS chunk_hash
+      FROM e WHERE chunk_id * 24 < size(toks)
+    )
+    SELECT chunk_hash,
+      CAST(count(*) AS BIGINT) AS n_copies,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      min(doc_id) AS first_doc_id
+    FROM chunks GROUP BY chunk_hash HAVING count(*) > 1
+    ORDER BY chunk_hash
+"""
+
+_CHUNKDEDUP_DUCK = """
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, toks,
+        unnest(range(0, CAST(ceil(len(toks) / 24.0) AS BIGINT))) AS chunk_id
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+        md5(array_to_string(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 24)], ' '))
+          AS chunk_hash
+      FROM e WHERE chunk_id * 24 < len(toks)
+    )
+    SELECT chunk_hash,
+      CAST(count(*) AS BIGINT) AS n_copies,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      min(doc_id) AS first_doc_id
+    FROM chunks GROUP BY chunk_hash HAVING count(*) > 1
+    ORDER BY chunk_hash
+"""
+
+
+@query("ns_chunk_dedup", oracle=_CHUNKDEDUP_DUCK)
+def ns_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated 24-token chunks across the corpus (see notes)."""
+    return spark.sql(_CHUNKDEDUP_SPARK)
+
+
+# ---------------------------------------------------------------------
+# TF-IDF top terms — per-document top-3 terms by tf * ln((N+1)/(df+1)).
+# The corpus-statistics scoring shape (two linear aggregations + one
+# broadcast-sized df join; no quadratic anything). Ranking ties break
+# on (tf DESC, term) so mathematically-equal scores from DIFFERENT
+# (tf, df) pairs — where last-ulp libm differences could flip an order
+# — still rank identically in both engines.
+# ---------------------------------------------------------------------
+
+_TFIDF_BODY = """
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY w
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w, tf.tf, df.df,
+        CAST(tf.tf AS DOUBLE)
+          * ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))
+          AS tfidf
+      FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, w, tf, df, tfidf,
+        row_number() OVER (
+          PARTITION BY doc_id ORDER BY tfidf DESC, tf DESC, w
+        ) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, w AS term, tf, df, round(tfidf, 6) AS tfidf,
+      CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+_TFIDF_SPARK = """
+    WITH tok AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+      LATERAL VIEW explode(toks) t AS w
+    ),
+""" + _TFIDF_BODY
+
+_TFIDF_DUCK = """
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+    ),
+""" + _TFIDF_BODY
+
+
+@query("ns_tfidf_topterms", oracle=_TFIDF_DUCK)
+def ns_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (see notes)."""
+    return spark.sql(_TFIDF_SPARK)

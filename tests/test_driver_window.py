@@ -65,6 +65,7 @@ def test_changed_or_new_rows_in_window():
         "ns_doc_chunks", "ns_sequence_packing",
         "ns_decontamination", "ns_repetition_ratio",
         "ns_semantic_dedup", "ns_pii_redaction",
+        "ns_chunk_dedup", "ns_tfidf_topterms",
     ):
         assert n in _window_names(), n
 
