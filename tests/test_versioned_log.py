@@ -178,3 +178,58 @@ def test_compaction_and_vacuum_on_versioned(spark, tmp_path):
     assert log.vacuum(older_than_seconds=0.0) > 0
     rows = log.df(spark).orderBy("seq").collect()
     assert [json.loads(r.value)["i"] for r in rows] == list(range(12))
+
+
+def test_maintenance_races_occ_writers(spark, tmp_path):
+    """OPTIMIZE/VACUUM through optimistic transactions racing appender
+    PROCESSES (no locks anywhere): dense, gap-free, exactly-once, file
+    count bounded — the versioned analogue of the flock'd
+    test_compaction_concurrent_with_writer_processes."""
+    import time as _t
+
+    path = str(tmp_path / "log")
+    VersionedLog(path).ready_since()
+    n_writers, n_appends = 3, 8
+    procs = [
+        mp.Process(target=_proc_writer, args=(path, w, n_appends))
+        for w in range(n_writers)
+    ]
+    for p in procs:
+        p.start()
+    log = VersionedLog(path)
+    for _ in range(6):  # maintenance racing the writers
+        log.maybe_compact(spark, max_files=4)
+        log.vacuum(older_than_seconds=0)
+        _t.sleep(0.05)
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    log.maybe_compact(spark, max_files=4)
+    log.vacuum(older_than_seconds=0)
+
+    total = n_writers * n_appends
+    fresh = VersionedLog(path)
+    assert fresh.ready_since() == total - 1
+    rows = fresh.df(spark).collect()
+    assert sorted(r.seq for r in rows) == list(range(total))
+    vals = {(d["w"], d["i"]) for d in (json.loads(r.value) for r in rows)}
+    assert len(vals) == total
+    assert len(fresh._load_meta()["files"]) < total
+
+
+def test_live_tail_follows_occ_process_appends(spark, tmp_path):
+    """A bounded live tail on a VersionedLog-backed engine observes
+    appends committed by ANOTHER process (refresh_since reloads the
+    versioned manifest on idle polls)."""
+    from flumedb_spark.engine import Flume
+
+    path = str(tmp_path / "log")
+    db = Flume(VersionedLog(path), spark=spark)
+    db.append([{"w": -1, "i": i} for i in range(2)])  # seqs 0,1
+    p = mp.Process(target=_proc_writer, args=(path, 7, 3))  # seqs 2,3,4
+    p.start()
+    items = list(db.stream(live=True, gt=0, lte=3, poll_interval=0.05))
+    p.join()
+    assert p.exitcode == 0
+    assert [i["seq"] for i in items] == [1, 2, 3]
+    db.close()
