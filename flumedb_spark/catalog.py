@@ -90,8 +90,11 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 # remains its proof; those entries follow after the window in
 # registration order (still run by the local checker).
 DRIVER_WINDOW: list[str] = [
-    # core log/engine ops (§2.A representatives)
-    "o1_append_visibility",
+    # (o1_append_visibility rotated out post-r3-window for
+    # ns_image_decode_meta: r2-green pure-SQL entry, text unchanged
+    # since; o2_bulk_append is the §2.A representative — it drives the
+    # real log write path, which o1's SQL form never did)
+    "ns_image_decode_meta",
     # (o3_get_point / o4_stream_range rotated out late r3 for
     # ns_decontamination / ns_repetition_ratio: r2-green, entry SQL
     # unchanged since; o1/o7/o15 remain as §2.A representatives)
@@ -117,7 +120,10 @@ DRIVER_WINDOW: list[str] = [
     # ns_doc_chunks / ns_sequence_packing: r2-green, search.py/bloom.py +
     # entries unchanged since; v4 keeps its r1-green single-term row)
     "ns_doc_chunks",
-    "v5_hashtable_latest",
+    # (v5_hashtable_latest rotated out post-r3-window for
+    # ns_image_resize_meta: r2-green, hashtable.py + entry unchanged
+    # since round 1)
+    "ns_image_resize_meta",
     "ns_sequence_packing",
     # round-3 additions: the distributed bulk write path, the four ANN
     # parity twins (cross-engine-checkable approximate search), and
@@ -159,7 +165,10 @@ DRIVER_WINDOW: list[str] = [
     # (ns_text_quality rotated out r3 for ns_bpe_tokens: r2-green,
     # text.py + entry unchanged since)
     "ns_bpe_tokens",
-    "ns_lang_id",
+    # (ns_lang_id rotated out post-r3-window for ns_audio_decode_meta:
+    # r2-green, lang-ID code path + entry SQL unchanged since r2 —
+    # text.py changes this round were additive only)
+    "ns_audio_decode_meta",
     # (ns_fingerprint rotated out r3 for interval_join_events: r2-green,
     # text.py + entry unchanged since)
     "interval_join_events",

@@ -365,6 +365,78 @@ def ns_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_metadata(payloads, use_fake=True).orderBy("doc_id")
 
 
+# -- real decode: payloads are REAL format bytes (BMP / RIFF WAV) built
+# worker-side from a deterministic doc_id formula (mmcodec.synth_*);
+# Spark decodes them with the REAL pure-stdlib codecs and emits exact
+# integers the oracle recomputes arithmetically — the hash match checks
+# the decoder, not a fake (mmcodec.py; reference scope: multimodal
+# north-star columns per BASELINE.json).
+
+
+@query(
+    "ns_image_decode_meta",
+    oracle="""
+    SELECT doc_id, 'bmp' AS format,
+      CAST(16 + doc_id % 13 AS INT) AS width,
+      CAST(8 + doc_id % 7 AS INT) AS height,
+      CAST((SELECT sum((doc_id + 3*x.i + 5*y.j + 7*c.k) % 256)
+         FROM generate_series(0, 27) x(i), generate_series(0, 13) y(j),
+              generate_series(0, 2) c(k)
+         WHERE x.i < 16 + doc_id % 13 AND y.j < 8 + doc_id % 7) AS BIGINT)
+        AS pixel_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode via the pure-stdlib codec: worker-side encode of
+    pixel(y,x,c) = (doc_id + 3x + 5y + 7c) % 256 into true 24-bit BMP
+    bytes, then a real header+pixel parse back out of them."""
+    payloads = multimodal.with_synthetic_image_payload(spark.table("documents"))
+    return multimodal.image_decode_stats(payloads).orderBy("doc_id")
+
+
+@query(
+    "ns_image_resize_meta",
+    oracle="""
+    SELECT doc_id, 'bmp' AS format,
+      8 AS width, 6 AS height,
+      CAST((SELECT sum((doc_id + 3*((x.i*(16 + doc_id % 13))//8)
+                               + 5*((y.j*(8 + doc_id % 7))//6)
+                               + 7*c.k) % 256)
+         FROM generate_series(0, 7) x(i), generate_series(0, 5) y(j),
+              generate_series(0, 2) c(k)) AS BIGINT) AS pixel_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_image_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + nearest-neighbor resize to 8x6: the oracle replays
+    the identical floor source mapping src = (dst * src_dim) // dst_dim,
+    so a resampling-arithmetic bug breaks the hash match."""
+    payloads = multimodal.with_synthetic_image_payload(spark.table("documents"))
+    return multimodal.image_resize_stats(payloads, width=8, height=6).orderBy("doc_id")
+
+
+@query(
+    "ns_audio_decode_meta",
+    oracle="""
+    SELECT doc_id,
+      CAST(8000 + 100*(doc_id % 5) AS INT) AS sample_rate,
+      CAST(200 + doc_id % 31 AS BIGINT) AS n_samples,
+      CAST((SELECT sum((doc_id*31 + s.i*7) % 65536 - 32768)
+            FROM generate_series(0, 230) s(i)
+            WHERE s.i < 200 + doc_id % 31) AS BIGINT) AS sum_samples,
+      true AS ok
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_audio_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE PCM decode via the stdlib wave module: worker-side
+    encode of sample(i) = ((doc_id*31 + 7i) % 65536) - 32768 at a
+    doc-dependent rate, then a real parse back out of the bytes."""
+    payloads = multimodal.with_synthetic_audio_payload(spark.table("documents"))
+    return multimodal.extract_audio_meta(payloads).orderBy("doc_id")
+
+
 def _simhash_md5_sql(int_div: str, lateral: str, shiftleft: str) -> str:
     """Portable md5-based 64-bit SimHash: per-token md5, hex digits
     decoded via position(c IN '0123456789abcdef') (both dialects), bit

@@ -1,0 +1,309 @@
+"""Pure-stdlib multimodal codec tests (operators/mmcodec.py).
+
+Strategy: (1) encode->decode round-trips for every format and every PNG
+filter type; (2) GOLDEN byte fixtures hand-assembled from the public
+format specs — independent of the module's own encoder, so a matched
+encoder+decoder bug cannot cancel out; (3) a scalar reference PNG
+unfilter implementation cross-checked against the vectorized decoder on
+random data; (4) the Spark-side operators decoding real bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from flumedb_spark.operators import mmcodec as mc
+from flumedb_spark.operators import multimodal
+
+
+# ---------------------------------------------------------------------
+# round-trips
+# ---------------------------------------------------------------------
+
+
+def test_bmp_ppm_roundtrip():
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (5, 7), (13, 16)]:  # odd widths exercise BMP row padding
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
+        assert np.array_equal(mc.decode_ppm(mc.encode_ppm(img)), img)
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (7, 6), dtype=np.uint8)
+    rgba = rng.randint(0, 256, (5, 4, 4), dtype=np.uint8)
+    for ft in range(5):
+        assert np.array_equal(mc.decode_png(mc.encode_png(rgb, ft)), rgb), ft
+        assert np.array_equal(mc.decode_png(mc.encode_png(gray, ft))[:, :, 0], gray), ft
+        assert np.array_equal(mc.decode_png(mc.encode_png(rgba, ft)), rgba), ft
+
+
+def test_wav_roundtrip():
+    rng = np.random.RandomState(11)
+    s = rng.randint(-32768, 32768, 777).astype(np.int16)
+    dec, rate = mc.decode_wav(mc.encode_wav(s, 44100))
+    assert rate == 44100
+    assert np.array_equal(dec, s)
+
+
+# ---------------------------------------------------------------------
+# golden fixtures — hand-assembled from the specs, NOT via the encoder
+# ---------------------------------------------------------------------
+
+
+def test_bmp_golden_bytes():
+    # 2x1 24-bit BI_RGB, pixels (RGB): (1,2,3), (4,5,6).
+    # One bottom-up row, BGR order, padded to 8 bytes (4-byte alignment).
+    pixel_row = bytes([3, 2, 1, 6, 5, 4, 0, 0])
+    header = struct.pack("<2sIHHI", b"BM", 54 + 8, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 2835, 2835, 0, 0)
+    img = mc.decode_bmp(header + info + pixel_row)
+    assert np.array_equal(img, np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8))
+
+
+def test_bmp_topdown_golden_bytes():
+    # 1x2 top-down (negative height): first stored row is the TOP row.
+    rows = bytes([3, 2, 1, 0]) + bytes([6, 5, 4, 0])  # stride 4 for w=1
+    header = struct.pack("<2sIHHI", b"BM", 54 + 8, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, 8, 2835, 2835, 0, 0)
+    img = mc.decode_bmp(header + info + rows)
+    assert np.array_equal(img, np.array([[[1, 2, 3]], [[4, 5, 6]]], dtype=np.uint8))
+
+
+def test_ppm_golden_bytes_with_comment():
+    payload = b"P6\n# a comment\n2 1\n255\n" + bytes([9, 8, 7, 6, 5, 4])
+    img = mc.decode_ppm(payload)
+    assert np.array_equal(img, np.array([[[9, 8, 7], [6, 5, 4]]], dtype=np.uint8))
+
+
+def test_pgm_golden_bytes():
+    img = mc.decode_ppm(b"P5\n2 2\n255\n" + bytes([0, 64, 128, 255]))
+    assert img.shape == (2, 2, 3)
+    assert np.array_equal(img[:, :, 0], np.array([[0, 64], [128, 255]], np.uint8))
+    assert np.array_equal(img[:, :, 0], img[:, :, 2])  # gray expanded
+
+
+def _png_chunks(w, h, color, raw):
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_golden_up_filter():
+    # 2x2 grayscale, rows filtered with Up (type 2):
+    # row0 raw = [10, 20] (prev row = 0), row1 raw = [5, 7]
+    # recon row0 = [10, 20]; recon row1 = [15, 27]
+    raw = bytes([2, 10, 20]) + bytes([2, 5, 7])
+    img = mc.decode_png(_png_chunks(2, 2, 0, raw))
+    assert np.array_equal(img[:, :, 0], np.array([[10, 20], [15, 27]], np.uint8))
+
+
+def test_png_golden_sub_and_paeth():
+    # 1x3 RGB row with Sub (type 1): raw deltas add left-neighbor per channel
+    raw = bytes([1, 10, 20, 30, 5, 5, 5, 250, 0, 0])
+    img = mc.decode_png(_png_chunks(3, 1, 2, raw))
+    # recon: (10,20,30), (15,25,35), then (15+250)%256=9 -> (9,25,35)
+    assert np.array_equal(
+        img, np.array([[[10, 20, 30], [15, 25, 35], [9, 25, 35]]], np.uint8)
+    )
+    # Paeth (type 4) on the first row degenerates to Sub (b = c = 0 -> pred = a)
+    raw4 = bytes([4, 10, 20, 30, 5, 5, 5, 1, 1, 1])
+    img4 = mc.decode_png(_png_chunks(3, 1, 2, raw4))
+    assert np.array_equal(
+        img4, np.array([[[10, 20, 30], [15, 25, 35], [16, 26, 36]]], np.uint8)
+    )
+
+
+def _reference_unfilter(raw, w, h, ch):
+    """Scalar textbook unfilter (RFC 2083 §6), independent of the
+    vectorized decoder's cumsum/broadcast tricks."""
+    stride = w * ch
+    out = []
+    prev = [0] * stride
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        line = list(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        cur = [0] * stride
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            cur[x] = (line[x] + pred) & 0xFF
+        out.append(cur)
+        prev = cur
+    return np.array(out, dtype=np.uint8).reshape(h, w, ch)
+
+
+def test_png_decoder_matches_scalar_reference():
+    rng = np.random.RandomState(17)
+    w, h, ch = 6, 5, 3
+    for _ in range(8):
+        # random filter type per row, random filtered bytes: decode both ways
+        raw = b"".join(
+            bytes([rng.randint(0, 5)]) + rng.randint(0, 256, w * ch).astype(np.uint8).tobytes()
+            for _ in range(h)
+        )
+        expect = _reference_unfilter(raw, w, h, ch)
+        got = mc.decode_png(_png_chunks(w, h, 2, raw))
+        assert np.array_equal(got, expect)
+
+
+def test_wav_golden_bytes():
+    # hand-assembled RIFF: mono, 16-bit, 8000 Hz, samples [100, -2]
+    data = struct.pack("<hh", 100, -2)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    samples, rate = mc.decode_wav(payload)
+    assert rate == 8000 and samples.tolist() == [100, -2]
+
+
+# ---------------------------------------------------------------------
+# corrupt / unsupported payloads
+# ---------------------------------------------------------------------
+
+
+def test_corrupt_payloads_raise_valueerror():
+    good_bmp = mc.encode_bmp(np.zeros((4, 4, 3), np.uint8))
+    good_png = mc.encode_png(np.zeros((4, 4, 3), np.uint8))
+    for bad in (
+        b"",
+        b"garbage bytes",
+        b"BM\x00\x01",  # truncated BMP
+        good_bmp[:40],  # cut mid-header
+        good_bmp[:60],  # cut mid-pixel-data
+        b"P6\n4 4\n255\n\x00\x01",  # truncated PPM body
+        b"\x89PNG\r\n\x1a\n",  # signature only, no chunks
+        good_png[: len(good_png) // 2],  # truncated IDAT stream
+        # complete chunk structure, garbage DEFLATE body -> ValueError
+        # (zlib.error must not leak out of the kernel)
+        _png_chunks(2, 2, 0, b"")[:33] + b"\x00\x00\x00\x03IDAT\xff\xfe\xfd"
+        + struct.pack(">I", zlib.crc32(b"IDAT\xff\xfe\xfd") & 0xFFFFFFFF)
+        + _png_chunks(2, 2, 0, b"")[-12:],
+    ):
+        with pytest.raises(ValueError):
+            mc.decode_image_pure(bad)
+    with pytest.raises(ValueError):
+        mc.decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
+def test_resize_nn_floor_mapping():
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (10, 14, 3), dtype=np.uint8)
+    out = mc.resize_nn(img, 4, 3)
+    assert out.shape == (3, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            assert np.array_equal(out[y, x], img[(y * 10) // 3, (x * 14) // 4])
+    # upscale works too
+    up = mc.resize_nn(img, 28, 20)
+    assert up.shape == (20, 28, 3)
+    assert np.array_equal(up[::2, ::2], img)
+
+
+def test_decode_image_meta_dict():
+    img = mc.synth_image(7)
+    meta = multimodal.decode_image(mc.encode_bmp(img))
+    assert meta["ok"] and meta["format"] == "bmp"
+    assert (meta["width"], meta["height"]) == (img.shape[1], img.shape[0])
+    meta = multimodal.decode_image(mc.encode_png(img))
+    assert meta["ok"] and meta["format"] == "png"
+    meta = multimodal.decode_image(b"\x89PNG")  # truncated magic only
+    assert not meta["ok"] and meta["format"] == "undecodable"
+
+
+# ---------------------------------------------------------------------
+# Spark-side: real decode through mapInPandas
+# ---------------------------------------------------------------------
+
+
+def test_spark_real_decode_mixed_formats(spark):
+    """extract_metadata's real path over a mix of BMP/PNG/PPM payloads
+    plus one corrupt blob — per-format dims right, corrupt -> ok=False,
+    no task failure."""
+    import pandas as pd
+
+    rows = []
+    for doc_id, fmt in [(0, "bmp"), (1, "png"), (2, "ppm"), (3, "bad")]:
+        img = mc.synth_image(doc_id)
+        payload = {
+            "bmp": mc.encode_bmp,
+            "png": mc.encode_png,
+            "ppm": mc.encode_ppm,
+            "bad": lambda a: b"\xde\xad\xbe\xef",
+        }[fmt](img)
+        rows.append((doc_id, bytearray(payload)))
+    payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in multimodal.extract_metadata(payloads).collect()}
+    for doc_id, fmt in [(0, "bmp"), (1, "png"), (2, "ppm")]:
+        w, h = mc.synth_image_dims(doc_id)
+        r = out[doc_id]
+        assert r.ok and r.format == fmt and (r.width, r.height) == (w, h)
+    assert not out[3].ok and out[3].format == "undecodable"
+
+
+def test_spark_real_resize_kernel(spark):
+    """resize_images(use_fake=False): decode -> NN resample -> PPM
+    re-encode, verified pixel-exact against the local kernel."""
+    ids = [4, 5, 6]
+    rows = [(d, bytearray(mc.encode_bmp(mc.synth_image(d)))) for d in ids]
+    rows.append((99, bytearray(b"not an image")))
+    payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: r
+        for r in multimodal.resize_images(
+            payloads, width=5, height=4, use_fake=False
+        ).collect()
+    }
+    for d in ids:
+        r = out[d]
+        assert r.ok
+        got = mc.decode_ppm(bytes(r.payload))
+        assert np.array_equal(got, mc.resize_nn(mc.synth_image(d), 5, 4))
+    assert not out[99].ok and bytes(out[99].payload) == b""
+
+
+def test_spark_audio_meta(spark):
+    rows = [(d, bytearray(mc.encode_wav(*mc.synth_audio(d)))) for d in (0, 3, 11)]
+    rows.append((99, bytearray(b"RIFFxxxxWAVEbroken")))
+    payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in multimodal.extract_audio_meta(payloads).collect()}
+    for d in (0, 3, 11):
+        samples, rate = mc.synth_audio(d)
+        r = out[d]
+        assert r.ok and r.sample_rate == rate and r.n_samples == len(samples)
+        assert r.sum_samples == int(samples.astype("int64").sum())
+    assert not out[99].ok

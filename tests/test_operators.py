@@ -184,21 +184,16 @@ def test_multimodal_payload_plumbing(spark, docs):
         assert r.n_bytes == src[r.doc_id]
 
 
-def test_multimodal_decode_probes_for_real_codec(spark, docs):
-    """The decode op is honest in both environments: with PIL importable
-    it decodes for real (non-image bytes -> ok=False, never a partition
-    failure); without it, demanding the real codec raises up front and
-    auto mode falls back to the deterministic fake."""
+def test_multimodal_decode_is_real_in_every_environment(spark, docs):
+    """The real decode path exists everywhere now (pure-stdlib codecs in
+    mmcodec.py; PIL extends coverage when importable): text bytes are
+    not images -> ok=False rows, never a partition failure."""
     payloads = multimodal.with_binary_payload(docs.limit(5))
-    if multimodal.pil_available():
-        rows = multimodal.extract_metadata(payloads, use_fake=False).collect()
-        assert all((not r.ok) and r.format == "undecodable" for r in rows)
-    else:
-        with pytest.raises(NotImplementedError):
-            multimodal.extract_metadata(payloads, use_fake=False)
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"\x89PNG")
-    # auto mode always produces a metadata row per payload
+    rows = multimodal.extract_metadata(payloads, use_fake=False).collect()
+    assert all((not r.ok) and r.format == "undecodable" for r in rows)
+    meta = multimodal.decode_image(b"\x89PNG")  # truncated magic
+    assert not meta["ok"] and meta["format"] == "undecodable"
+    # auto mode (= real decoders) produces a metadata row per payload
     rows = multimodal.extract_metadata(payloads).collect()
     assert len(rows) == 5 and all(r.n_bytes > 0 for r in rows)
 
