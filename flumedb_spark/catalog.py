@@ -161,7 +161,10 @@ DRIVER_WINDOW: list[str] = [
     "ns_minhash_lsh_candidates",
     "ns_simhash64",
     "ns_simhash_md5",
-    "ns_text_stats",
+    # (ns_text_stats rotated out post-r3-window for ns_rare_token_share:
+    # r2-green, text_stats code path + entry SQL unchanged since r2 —
+    # text.py changes this round were additive only)
+    "ns_rare_token_share",
     # (ns_text_quality rotated out r3 for ns_bpe_tokens: r2-green,
     # text.py + entry unchanged since)
     "ns_bpe_tokens",

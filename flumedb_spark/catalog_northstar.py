@@ -1464,3 +1464,26 @@ _TFIDF_DUCK = """
 def ns_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (see notes)."""
     return spark.sql(_TFIDF_SPARK)
+
+
+@query(
+    "ns_rare_token_share",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+    j AS (SELECT t.doc_id, f.f FROM tok t JOIN freq f ON f.w = t.w)
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN f <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      round(CAST(sum(CASE WHEN f <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS rare_share
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def ns_rare_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity signal (operators/text.rare_token_share):
+    share of a doc's tokens whose whole-corpus frequency is <= 2 — the
+    exact-integer analog of a unigram-LM perplexity filter."""
+    return text.rare_token_share(spark.table("documents"), max_freq=2)

@@ -14,7 +14,7 @@ missing supplycost column is substituted by sell-price minima).
 
 from __future__ import annotations
 
-from .catalog import shared_sql
+from .catalog import query, shared_sql
 
 # Q2: min-cost supplier per part. The Spark plan uses the argmin-via-
 # window form — ONE lineitem aggregation instead of the two the classic
@@ -26,11 +26,21 @@ from .catalog import shared_sql
 # exercised by `correlated_scalar_subquery`).
 shared_sql(
     "q2_min_cost_supplier",
+    # the selective part predicate is pushed BELOW the dominant
+    # aggregation: a broadcast join against the filtered (dim-sized)
+    # part keys shrinks the groupBy input by ~the part selectivity
+    # before any shuffle — at 100 TB this is the difference between
+    # aggregating the whole fact table and aggregating one part slice.
     """
-    WITH cost AS (
+    WITH sel AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_size = 15 AND p_type = 'STANDARD'
+    ),
+    cost AS (
       SELECT l_partkey, l_suppkey,
         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_c
-      FROM lineitem GROUP BY l_partkey, l_suppkey
+      FROM lineitem JOIN sel ON l_partkey = p_partkey
+      GROUP BY l_partkey, l_suppkey
     ),
     ranked AS (
       SELECT l_partkey, l_suppkey, cost_c,
@@ -38,11 +48,11 @@ shared_sql(
       FROM cost
     )
     SELECT p_partkey, p_name, s_name, n_name, cost_c
-    FROM part
+    FROM sel
     JOIN ranked ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON n_nationkey = s_nationkey
-    WHERE p_size = 15 AND p_type = 'STANDARD' AND cost_c = best_c
+    WHERE cost_c = best_c
     ORDER BY cost_c, p_partkey, s_name
     """,
     oracle="""
@@ -164,9 +174,7 @@ shared_sql(
 # subquery. Fraction compare is multiplied through (value*2000 > total,
 # i.e. share > 0.05% — parts average ~0.08% here, unlike TPC-H's
 # partsupp where 0.01% works) so both sides stay exact BIGINT.
-shared_sql(
-    "q11_important_parts",
-    """
+_Q11_ORACLE = """
     SELECT l_partkey, CAST(sum(price_c) AS BIGINT) AS value_c
     FROM (
       SELECT l_partkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
@@ -184,8 +192,37 @@ shared_sql(
       WHERE n_name = 'NATION_5'
     )
     ORDER BY value_c DESC, l_partkey
-    """,
-)
+"""
+
+
+@query("q11_important_parts", oracle=_Q11_ORACLE)
+def q11_important_parts(spark, sf_dir):
+    """Q11 with ONE fact-side aggregation: the classic HAVING-scalar-
+    subquery form plans the lineitem join-aggregate TWICE (Catalyst
+    inlines the subquery — the q2 lesson); here the corpus total comes
+    from an unpartitioned window over the already-grouped (part-sized)
+    result, so the joined scan runs once. The oracle keeps TPC-H's
+    correlated form — the hash match doubles as a cross-shape
+    equivalence proof."""
+    return spark.sql(
+        """
+        SELECT l_partkey, value_c FROM (
+          SELECT l_partkey, CAST(sum(price_c) AS BIGINT) AS value_c,
+                 sum(sum(price_c)) OVER () AS total_c
+          FROM (
+            SELECT l_partkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_5'
+          ) v
+          GROUP BY l_partkey
+        )
+        WHERE value_c * 2000 > total_c
+        ORDER BY value_c DESC, l_partkey
+        """
+    )
 
 # Q12: shipping-priority classes — conditional counts per line status
 # (l_linestatus stands in for the missing l_shipmode).
@@ -226,7 +263,31 @@ shared_sql(
 # the same CTE), returning all argmax suppliers.
 shared_sql(
     "q15_top_supplier",
+    # Spark side: the revenue CTE is consumed twice in the classic text
+    # (join + scalar max) and Catalyst inlines it into BOTH consumers —
+    # two lineitem aggregations. A windowed max over the already-grouped
+    # (supplier-sized) result keeps it to one. Oracle keeps the classic
+    # view-over-view form: hash match = cross-shape equivalence proof.
     """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+          AS total_revenue_c4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_c4
+    FROM supplier
+    JOIN (SELECT supplier_no, total_revenue_c4,
+            max(total_revenue_c4) OVER () AS mx FROM revenue) r
+      ON s_suppkey = supplier_no
+    WHERE total_revenue_c4 = mx
+    ORDER BY s_suppkey
+    """,
+    oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -265,7 +326,29 @@ shared_sql(
 # stays exact-integer; the per-part aggregate is a reused CTE join.
 shared_sql(
     "q17_small_quantity_revenue",
+    # Spark side: the per-part averages only matter for the one selected
+    # brand, and the correlation is per-partkey — so the brand filter is
+    # pushed below BOTH lineitem consumers (broadcast join against the
+    # dim-sized filtered part keys before the heavy groupBy). At 100 TB
+    # this aggregates one brand slice instead of every part. Oracle
+    # keeps the classic aggregate-everything form.
     """
+    WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'),
+    pq AS (
+      SELECT l_partkey AS pk,
+        CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem JOIN bp ON p_partkey = l_partkey
+      GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        AS total_price_c,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN pq ON pk = l_partkey
+    WHERE CAST(round(l_quantity * 100) AS BIGINT) * 5 * cnt < sum_qty_c
+    """,
+    oracle="""
     WITH pq AS (
       SELECT l_partkey AS pk,
         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

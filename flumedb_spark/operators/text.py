@@ -142,3 +142,40 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat in PII_PATTERNS:
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return docs.select("doc_id", *counts, red.alias("text_redacted"))
+
+
+def rare_token_share(
+    docs: DataFrame, text_col: str = "text", max_freq: int = 2
+) -> DataFrame:
+    """Corpus-frequency rarity signal — the unigram-LM-filter analog
+    (KenLM-style perplexity filters rank docs by how improbable their
+    tokens are; the exact-integer form is the share of tokens whose
+    whole-corpus frequency is <= ``max_freq``).
+
+    Shape at 100 TB: one map-side-combinable groupBy builds the corpus
+    frequency table (vocab-sized, far smaller than the token stream),
+    one equi-join on the token string brings frequencies back to token
+    instances, one final per-doc aggregate. Zipf skew on hot tokens is
+    handled by AQE's skew-join split; all arithmetic is exact integers
+    until the final rounded ratio.
+    """
+    t = F.col(text_col)
+    tok = docs.select("doc_id", F.explode(F.split(t, " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").cast("long").alias("f"))
+    joined = tok.join(freq, "w")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("f") <= max_freq, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_share"),
+        )
+        .orderBy("doc_id")
+    )

@@ -32,7 +32,7 @@ def test_all_northstar_ops_in_window():
     ns -= {
         "ns_text_quality", "ns_fingerprint", "ns_deterministic_sample",
         "ns_dataset_split_counts", "ns_stratified_sample",
-        "ns_multimodal_meta", "ns_lang_id",
+        "ns_multimodal_meta", "ns_lang_id", "ns_text_stats",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -69,6 +69,8 @@ def test_changed_or_new_rows_in_window():
         # real multimodal decode (pure-stdlib codecs, mmcodec.py)
         "ns_image_decode_meta", "ns_image_resize_meta",
         "ns_audio_decode_meta",
+        # corpus-frequency rarity signal (unigram-LM-filter analog)
+        "ns_rare_token_share",
     ):
         assert n in _window_names(), n
 
