@@ -77,6 +77,18 @@ def main() -> None:
     spark = get_spark("flumedb_spark_bench", cpus=cpus)
     qs = entry.queries()
 
+    # Per-SF serving policy, mirroring the shuffle-partition sizing
+    # above: AQE's per-stage materialization barrier buys runtime
+    # re-planning (skew splits, coalescing thousands of partitions) that
+    # has nothing to adapt at sf<=0.2 with 8 post-shuffle partitions —
+    # measured 23% of the sweep total in pure barrier latency (A/B,
+    # min-of-3, docs/SCALING.md). The sf1 scale section re-enables it:
+    # at scale AQE is the right default and the parity number should
+    # include its cost. Plans are equivalence-gated under BOTH settings
+    # (tests/test_bench_plans.py).
+    aqe_for_sf = "false" if sf_guess <= 0.2 else "true"
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_for_sf)
+
     # load phase (excluded from query timings, reported separately):
     # first registration ingests the source files into the engine's
     # managed multi-split layout (sources/ingest.py), then one cheap
@@ -227,6 +239,7 @@ def main() -> None:
         try:
             from flumedb_spark.catalog import TABLES as _tables
 
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
             for t in _tables:
                 spark.catalog.uncacheTable(t)
             qs["o7_since"](spark, sf1_dir).collect()

@@ -84,9 +84,21 @@ def test_cached_scan_not_narrowed(bench_state):
     )
 
 
-@pytest.mark.parametrize("name", JOIN_QUERIES)
-def test_star_joins_broadcast_in_final_plan(bench_state, name):
+@pytest.fixture(params=["true", "false"], ids=["aqe_on", "aqe_off"])
+def aqe_setting(bench_state, request):
+    """The bench serves sf<=0.2 sweeps with AQE off (the per-stage
+    barrier is pure latency there) and the sf1 section with AQE on —
+    the join-shape gates must hold under BOTH settings."""
     spark = bench_state
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", request.param)
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", prior)
+
+
+@pytest.mark.parametrize("name", JOIN_QUERIES)
+def test_star_joins_broadcast_in_final_plan(aqe_setting, name):
+    spark = aqe_setting
     qs = entry.queries()
     df = qs[name](spark, BENCH_SF)
     df.count()  # materialize so AQE's FINAL plan is available
@@ -109,14 +121,14 @@ TPCH_QUERIES = [
 
 
 @pytest.mark.parametrize("name", TPCH_QUERIES)
-def test_tpch_sweep_no_cartesian_and_dims_broadcast(bench_state, name):
+def test_tpch_sweep_no_cartesian_and_dims_broadcast(aqe_setting, name):
     """The round-3 TPC-H sweep: every final adaptive plan must be free
     of cartesian products (the EXISTS/NOT EXISTS and correlated
     subqueries must decorrelate to joins), and the queries that touch a
     dimension table must broadcast at least one join side. Fact-fact
     self-joins (q17/q21) may legitimately shuffle — only the cartesian
     and no-broadcast-at-all outcomes are regressions."""
-    spark = bench_state
+    spark = aqe_setting
     qs = entry.queries()
     df = qs[name](spark, BENCH_SF)
     df.count()  # materialize so AQE's FINAL plan is available

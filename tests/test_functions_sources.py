@@ -97,3 +97,51 @@ def test_approx_sketches_bounded_error(spark, sf_dir):
     exact_med = ev.select(F.expr("percentile(value, 0.5)").alias("m")).collect()[0].m
     approx_med = ev.select(F.percentile_approx("value", 0.5).alias("m")).collect()[0].m
     assert abs(approx_med - exact_med) <= 0.1 * max(abs(exact_med), 1.0)
+
+
+def test_python_udtf_map_to_keys_surface(spark, sf_dir):
+    """The reference's V2 index-key fn is a UDTF shape: one record in,
+    N index keys out (test/rebuild.js:25-32 returns an array of keys).
+    The Level view ships the explode/Arrow forms; this pins the THIRD
+    form — PySpark 4's native Python UDTF — and cross-checks it against
+    the JVM explode construction row-for-row."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql import functions as F
+    from flumedb_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+
+    @udtf(returnType="seq bigint, key string")
+    class KeysOf:
+        def eval(self, seq: int, user_id: int, event_type: str):
+            # one record -> many index keys (user key + type key)
+            yield seq, f"u:{user_id}"
+            yield seq, f"t:{event_type}"
+
+    spark.udtf.register("keys_of", KeysOf)
+    got = spark.sql(
+        """
+        SELECT t.seq, t.key
+        FROM events e,
+        LATERAL keys_of(e.event_id, e.user_id, e.event_type) t
+        WHERE e.event_id < 50
+        ORDER BY seq, key
+        """
+    ).collect()
+    expect = (
+        spark.table("events")
+        .where(F.col("event_id") < 50)
+        .select(
+            F.col("event_id").alias("seq"),
+            F.explode(
+                F.array(
+                    F.concat(F.lit("u:"), F.col("user_id")),
+                    F.concat(F.lit("t:"), F.col("event_type")),
+                )
+            ).alias("key"),
+        )
+        .orderBy("seq", "key")
+        .collect()
+    )
+    assert [(r.seq, r.key) for r in got] == [(r.seq, r.key) for r in expect]
+    assert len(got) == 100  # 50 records x 2 keys
