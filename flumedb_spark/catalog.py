@@ -159,7 +159,12 @@ DRIVER_WINDOW: list[str] = [
     "ns_dedup_exact",
     "ns_ngram_jaccard_pairs",
     "ns_minhash_lsh_candidates",
-    "ns_simhash64",
+    # (ns_simhash64 rotated out post-r3-window for
+    # ns_histogram_quantiles: simhash64 is a no_oracle rows-only row —
+    # its driver record attests nothing an oracle row wouldn't; the
+    # md5 parity twin ns_simhash_md5 stays in-window and exercises the
+    # same SimHash path oracle-checked)
+    "ns_histogram_quantiles",
     "ns_simhash_md5",
     # (ns_text_stats rotated out post-r3-window for ns_rare_token_share:
     # r2-green, text_stats code path + entry SQL unchanged since r2 —

@@ -987,6 +987,47 @@ def ns_countmin_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CMS_SPARK)
 
 
+@query(
+    "ns_histogram_quantiles",
+    # the identical fixed-grid histogram sketch + ceil-rank queries,
+    # replayed in DuckDB: 64 integer bins over [0, 51200) cents (800 c
+    # per bin), cumulative counts, first bin reaching rank
+    # ceil(q*n/10000). `//` is DuckDB's integer division (Spark: div).
+    oracle="""
+    WITH s AS (
+      SELECT least(63, greatest(0,
+               CAST((CAST(round(value * 100) AS BIGINT) * 64) // 51200 AS BIGINT)))
+             AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, n,
+        sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(n) OVER () AS total
+      FROM s
+    ),
+    q AS (SELECT CAST(unnest([5000, 9000, 9900]) AS BIGINT) AS q10k)
+    SELECT q10k,
+      CAST(min(bin) AS BIGINT) AS bin,
+      CAST(max(total) AS BIGINT) AS n_rows,
+      CAST(0 + (min(bin) + 1) * 800 AS BIGINT) AS est_hi_edge_c
+    FROM q JOIN c ON c.cum >= (q.q10k * c.total + 9999) // 10000
+    GROUP BY q10k ORDER BY q10k
+    """,
+)
+def ns_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch (operators/sketches.py) —
+    the third sketch-family member beside HLL (cardinality) and
+    count-min (frequency): 64 exact-BIGINT bin counters, merge ==
+    elementwise add == Spark's map-side combine; p50/p90/p99 rank
+    queries answered from the 64-row cumulative histogram."""
+    from .operators import sketches
+
+    sk = sketches.histogram_sketch(spark.table("events"))
+    return sketches.histogram_quantiles(sk)
+
+
 # Quality-weighted deterministic sampling: include each doc with
 # probability proportional to its quality score — the upsampling
 # primitive of a training-data mix. Exact-int Bernoulli: the md5-derived

@@ -33,6 +33,9 @@ def test_all_northstar_ops_in_window():
         "ns_text_quality", "ns_fingerprint", "ns_deterministic_sample",
         "ns_dataset_split_counts", "ns_stratified_sample",
         "ns_multimodal_meta", "ns_lang_id", "ns_text_stats",
+        # no_oracle rows-only row; its oracle-checked md5 parity twin
+        # (ns_simhash_md5) holds the in-window slot for the SimHash path
+        "ns_simhash64",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -71,6 +74,8 @@ def test_changed_or_new_rows_in_window():
         "ns_audio_decode_meta",
         # corpus-frequency rarity signal (unigram-LM-filter analog)
         "ns_rare_token_share",
+        # mergeable fixed-grid quantile sketch (third sketch member)
+        "ns_histogram_quantiles",
     ):
         assert n in _window_names(), n
 

@@ -385,3 +385,44 @@ def test_redact_pii_counts_and_tokens(spark):
     assert out[2]["n_ipv4"] == 1 and "<IPV4>" in out[2]["text_redacted"]
     assert out[3]["text_redacted"] == rows[3][1]
     assert sum(out[3][k] for k in ("n_email", "n_ssn", "n_phone", "n_ipv4")) == 0
+
+
+def test_histogram_sketch_merge_and_rank_semantics(spark, sf_dir):
+    """The quantile sketch's contract: (1) MERGEABLE — sketching two
+    disjoint halves and summing bin counts equals sketching the whole
+    (the map-side-combine identity); (2) rank queries bound the true
+    quantile within one bin width."""
+    from flumedb_spark.catalog import register_tables
+    from flumedb_spark.operators import sketches
+    from pyspark.sql import functions as F
+
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    whole = {r.bin: r.n for r in sketches.histogram_sketch(ev).collect()}
+    lo = sketches.histogram_sketch(ev.where("event_id % 2 = 0")).collect()
+    hi = sketches.histogram_sketch(ev.where("event_id % 2 = 1")).collect()
+    merged: dict = {}
+    for r in [*lo, *hi]:
+        merged[r.bin] = merged.get(r.bin, 0) + r.n
+    assert merged == whole
+
+    qs = {
+        r.q10k: r
+        for r in sketches.histogram_quantiles(
+            sketches.histogram_sketch(ev)
+        ).collect()
+    }
+    n = ev.count()
+    for q10k, row in qs.items():
+        # true quantile lies inside the answering bin: est_hi_edge - 800
+        # <= true < est_hi_edge (exact percentile_disc on scaled cents)
+        rank = (q10k * n + 9999) // 10000
+        true_c = (
+            ev.select(F.expr("CAST(round(value*100) AS BIGINT)").alias("c"))
+            .orderBy("c")
+            .limit(rank)
+            .agg(F.max("c"))
+            .collect()[0][0]
+        )
+        assert row.est_hi_edge_c - 800 <= true_c < row.est_hi_edge_c
+        assert row.n_rows == n
