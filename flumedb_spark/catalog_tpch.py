@@ -390,6 +390,14 @@ shared_sql(
 # supplier on multi-supplier finished orders).
 shared_sql(
     "q21_waiting_suppliers",
+    # A windowed single-scan rewrite (per-(order,supplier) maxima +
+    # order-level top-2) was A/B'd and LOST at both sf0.1 (0.64s vs
+    # 0.50s) and sf1 (3.63s vs 1.79s): the order-supplier "aggregate"
+    # is nearly lineitem-sized (few lines per supplier per order), so
+    # two window sorts over it cost more than the three hash semi/anti
+    # joins Catalyst decorrelates this text into. The windowed form's
+    # hash-equivalence was oracle-proven before rejecting it
+    # (docs/SCALING.md: measure, don't guess).
     """
     SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
     FROM supplier
