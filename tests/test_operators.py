@@ -426,3 +426,51 @@ def test_histogram_sketch_merge_and_rank_semantics(spark, sf_dir):
         )
         assert row.est_hi_edge_c - 800 <= true_c < row.est_hi_edge_c
         assert row.n_rows == n
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs single-key layout on (user_id, value): a conjunctive
+    box predicate must intersect (by parquet min/max footers) FEWER
+    files under the Z layout, and the second dimension must prune at
+    all (single-key layouts leave it unpruned). Data content identical
+    both layouts."""
+    from flumedb_spark.operators import zorder
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    n_files = 16
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zorder.write_zordered(ev, ["user_id", "value"], zpath, n_files)
+    (
+        ev.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    # same rows either way
+    assert spark.read.parquet(zpath).count() == ev.count()
+    zsum = spark.read.parquet(zpath).agg(F.sum("event_id")).collect()[0][0]
+    lsum = spark.read.parquet(lpath).agg(F.sum("event_id")).collect()[0][0]
+    assert zsum == lsum
+
+    # box selective in BOTH dimensions (~1/8 of each)
+    uhi = ev.agg(F.expr("percentile(user_id, 0.125)")).collect()[0][0]
+    vhi = ev.agg(F.expr("percentile(value, 0.125)")).collect()[0][0]
+    box = {"user_id": (0, float(uhi)), "value": (0.0, float(vhi))}
+    z_hit, z_tot = zorder.files_intersecting_box(zpath, box)
+    l_hit, l_tot = zorder.files_intersecting_box(lpath, box)
+    # range partitioning may leave a couple of boundary partitions
+    # empty — compare pruning FRACTIONS, not raw counts
+    assert z_tot >= 8 and l_tot >= 8
+    # linear layout: user_id prunes (~1/8 of files) but value doesn't,
+    # so the box hits the same files as the user_id filter alone;
+    # Z layout prunes on the conjunction -> a strictly smaller share
+    assert z_hit / z_tot < l_hit / l_tot, (z_hit, z_tot, l_hit, l_tot)
+    # and the value dimension alone prunes under Z but not under linear
+    vbox = {"value": (0.0, float(vhi))}
+    zv_hit, _ = zorder.files_intersecting_box(zpath, vbox)
+    lv_hit, _ = zorder.files_intersecting_box(lpath, vbox)
+    assert lv_hit == l_tot  # unpruned: every file spans all values
+    assert zv_hit < z_tot
