@@ -84,3 +84,88 @@ def test_fold_invariant_under_batching(spark, tmp_path_factory, values, data):
         i += size
     assert db.sum.get() == sum(values)
     db.close()
+
+
+# ---------------------------------------------------------------------
+# pure-codec properties (no Spark): random shapes/content/filters must
+# round-trip bit-exactly — the invariant the golden fixtures can't
+# cover exhaustively
+# ---------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ch=st.sampled_from([1, 3, 4]),
+    filter_type=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, ch, filter_type, seed):
+    import numpy as np
+
+    from flumedb_spark.operators import mmcodec as mc
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    dec = mc.decode_png(mc.encode_png(img, filter_type))
+    flat = img if ch > 1 else img[:, :, None] if img.ndim == 2 else img
+    assert dec.shape == (h, w, ch)
+    assert (dec.reshape(-1) == flat.reshape(-1)).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_ppm_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from flumedb_spark.operators import mmcodec as mc
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (mc.decode_bmp(mc.encode_bmp(img)) == img).all()
+    assert (mc.decode_ppm(mc.encode_ppm(img)) == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    import numpy as np
+
+    from flumedb_spark.operators import mmcodec as mc
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, n).astype(np.int16)
+    dec, got_rate = mc.decode_wav(mc.encode_wav(s, rate))
+    assert got_rate == rate and (dec == s).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    dw=st.integers(min_value=1, max_value=20),
+    dh=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_resize_nn_floor_mapping_property(w, h, dw, dh, seed):
+    import numpy as np
+
+    from flumedb_spark.operators import mmcodec as mc
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    out = mc.resize_nn(img, dw, dh)
+    assert out.shape == (dh, dw, 3)
+    for y in range(dh):
+        for x in range(dw):
+            assert (out[y, x] == img[(y * h) // dh, (x * w) // dw]).all()
