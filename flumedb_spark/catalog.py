@@ -97,12 +97,12 @@ DRIVER_WINDOW: list[str] = [
     "ns_image_decode_meta",
     # (o3_get_point / o4_stream_range rotated out late r3 for
     # ns_decontamination / ns_repetition_ratio: r2-green, entry SQL
-    # unchanged since; o1/o7/o15 remain as §2.A representatives)
+    # unchanged since; o2_bulk_append is the §2.A representative)
     "ns_decontamination",
     "ns_repetition_ratio",
     # (o7_since / o15_mapper_read rotated out post-r3-window for
     # ns_semantic_dedup / ns_pii_redaction: r2-green, entry SQL
-    # unchanged since; o1 remains the §2.A representative)
+    # unchanged since)
     "ns_semantic_dedup",
     "ns_pii_redaction",
     # view families (§2.B) — v1 rows were red in round 1 (HUGEINT sum)
@@ -185,7 +185,10 @@ DRIVER_WINDOW: list[str] = [
     "ns_lsh_ann_topk",
     "ns_ivf_ann_topk",
     # (ns_multimodal_meta rotated out late r3 for ns_countmin_event_counts:
-    # r2-green, multimodal.py + entry unchanged since)
+    # r2-green; multimodal.py was later restructured for the real
+    # codecs, but this entry pins use_fake=True and the _fake closure
+    # is byte-identical — the CHANGED (real) paths are attested by the
+    # three in-window ns_image/audio_* entries and the behavioral suite)
     "ns_countmin_event_counts",
     "ns_pipeline_filter_dedup_join",
     # (ns_deterministic_sample / ns_dataset_split_counts /

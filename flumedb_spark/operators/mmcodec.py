@@ -231,7 +231,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(body) < length:
             raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
-            w, h, bit_depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+            if len(body) < 13:
+                raise ValueError("truncated PNG IHDR")
+            w, h, bit_depth, color, _comp, _filt, interlace = struct.unpack_from(
+                ">IIBBBBB", body
+            )
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -308,7 +312,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         with wave.open(io.BytesIO(payload), "rb") as wf:
             nch, width, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
             frames = wf.readframes(wf.getnframes())
-    except (wave.Error, EOFError) as exc:
+    except (wave.Error, EOFError, struct.error) as exc:
         raise ValueError(f"not a decodable WAV payload: {exc}") from exc
     if width != 2:
         raise ValueError(f"unsupported WAV sample width {width}")

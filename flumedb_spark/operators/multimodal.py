@@ -27,12 +27,18 @@ META_SCHEMA = (
 )
 
 
-def pil_available() -> bool:
-    """Runtime probe: use the real codec wherever the environment has
-    one, fall back to the deterministic fake elsewhere."""
-    import importlib.util
+_PIL_PROBE: bool | None = None
 
-    return importlib.util.find_spec("PIL") is not None
+
+def pil_available() -> bool:
+    """Runtime probe (memoized — decode_image runs per row): PIL
+    extends real-decode coverage to JPEG and friends where present."""
+    global _PIL_PROBE
+    if _PIL_PROBE is None:
+        import importlib.util
+
+        _PIL_PROBE = importlib.util.find_spec("PIL") is not None
+    return _PIL_PROBE
 
 
 def decode_image(payload: bytes) -> dict:
@@ -109,11 +115,11 @@ def extract_metadata(payloads: DataFrame, use_fake: bool | None = None) -> DataF
     """
     if use_fake is None:
         use_fake = False
-    use_pil = pil_available()
 
     # nested defs pickle by value, so the closure ships with the task;
-    # mmcodec imports lazily worker-side (session.py puts the package on
-    # the worker PYTHONPATH before the JVM starts).
+    # the real path imports this module worker-side (session.py puts the
+    # package on the worker PYTHONPATH before the JVM starts) and calls
+    # the ONE decode dispatch, decode_image — no duplicated logic.
     def _fake(payload: bytes) -> dict:
         n = len(payload)
         return {
@@ -125,43 +131,9 @@ def extract_metadata(payloads: DataFrame, use_fake: bool | None = None) -> DataF
         }
 
     def _real(payload: bytes) -> dict:
-        payload = bytes(payload)
-        if use_pil:
-            import io
+        from flumedb_spark.operators.multimodal import decode_image
 
-            from PIL import Image
-
-            try:
-                img = Image.open(io.BytesIO(payload))
-                return {
-                    "n_bytes": len(payload),
-                    "format": (img.format or "unknown").lower(),
-                    "width": img.width,
-                    "height": img.height,
-                    "ok": True,
-                }
-            except Exception:
-                pass  # fall through to the pure decoders
-        from flumedb_spark.operators import mmcodec
-
-        try:
-            arr, fmt = mmcodec.decode_image_pure(payload)
-            return {
-                "n_bytes": len(payload),
-                "format": fmt,
-                "width": int(arr.shape[1]),
-                "height": int(arr.shape[0]),
-                "ok": True,
-            }
-        except ValueError:
-            # corrupt blob must never fail the partition at scale
-            return {
-                "n_bytes": len(payload),
-                "format": "undecodable",
-                "width": 0,
-                "height": 0,
-                "ok": False,
-            }
+        return decode_image(bytes(payload))
 
     decoder = _fake if use_fake else _real
 
@@ -320,7 +292,9 @@ def with_synthetic_audio_payload(docs: DataFrame) -> DataFrame:
 
 def image_decode_stats(payloads: DataFrame) -> DataFrame:
     """REAL image decode -> exact-integer statistics: format, dims, and
-    the sum of every channel value of every pixel (BIGINT)."""
+    the sum of every channel value of every pixel (BIGINT). Stats are
+    over DECODABLE blobs: a corrupt payload drops its row (never the
+    partition) — use :func:`extract_metadata` to enumerate failures."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from flumedb_spark.operators import mmcodec
@@ -328,7 +302,10 @@ def image_decode_stats(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "format": [], "width": [], "height": [], "pixel_sum": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                arr, fmt = mmcodec.decode_image_pure(bytes(p))
+                try:
+                    arr, fmt = mmcodec.decode_image_pure(bytes(p))
+                except ValueError:
+                    continue  # corrupt blob: drop the row, keep the task
                 out["doc_id"].append(doc_id)
                 out["format"].append(fmt)
                 out["width"].append(arr.shape[1])
@@ -351,7 +328,10 @@ def image_resize_stats(payloads: DataFrame, width: int, height: int) -> DataFram
         for pdf in batches:
             out = {"doc_id": [], "format": [], "width": [], "height": [], "pixel_sum": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                arr, fmt = mmcodec.decode_image_pure(bytes(p))
+                try:
+                    arr, fmt = mmcodec.decode_image_pure(bytes(p))
+                except ValueError:
+                    continue  # corrupt blob: drop the row, keep the task
                 small = mmcodec.resize_nn(arr, width, height)
                 out["doc_id"].append(doc_id)
                 out["format"].append(fmt)

@@ -45,9 +45,14 @@ def zorder_value(df: DataFrame, cols: list[str], n_bits: int = N_BITS) -> DataFr
     out = df
     buckets = []
     nb = 1 << n_bits
+    # ONE Greenwald-Khanna pass computes every dimension's cutpoints
+    # (approxQuantile accepts a column list) — k dimensions must not
+    # mean k full-dataset scans
+    all_cuts = df.stat.approxQuantile(
+        cols, [j / nb for j in range(1, nb)], 1.0 / (4 * nb)
+    )
     for i, c in enumerate(cols):
-        cuts = df.stat.approxQuantile(c, [j / nb for j in range(1, nb)], 1.0 / (4 * nb))
-        bounds = sorted(set(float(x) for x in cuts))
+        bounds = sorted(set(float(x) for x in all_cuts[i]))
         arr = F.array(*[F.lit(x) for x in bounds])
         b = F.aggregate(
             arr,

@@ -201,8 +201,48 @@ print("RESULT " + json.dumps({
     assert got["img_sum"] == sum(r.pixel_sum for r in img_local)
 
 
+def test_engine_contract_on_cluster(cluster, tmp_path):
+    """The engine itself (log + gated view reads + rebuild) running
+    against separate-JVM executors: append -> read-your-writes gate ->
+    stream -> rebuild all behave exactly as on local[N]. The fold jobs
+    and range scans execute on the cluster's executors."""
+    url, _workers = cluster
+    body = """
+import tempfile
+import flumedb_spark as fs
+
+db = fs.Flume(tempfile.mkdtemp() + "/db", spark=spark)
+db.use("sum", fs.Reduce(1, lambda a, i: (a or 0) + i["foo"]))
+db.append({"foo": 1})
+v1 = db.sum.get()                      # gated read-your-writes
+db.append([{"foo": 2}, {"foo": 3}])
+v2 = db.sum.get()
+seqs = [r["seq"] for r in db.stream(seqs=True, values=True)]
+rev = [r["seq"] for r in db.stream(reverse=True, limit=2, seqs=True, values=True)]
+db.rebuild()
+v3 = db.sum.get()                      # rebuild replays to same state
+db.close()
+try:
+    db.append({"foo": 9}); post_close = "NO RAISE"
+except Exception:
+    post_close = "raised"
+print("RESULT " + json.dumps({
+    "v1": v1, "v2": v2, "v3": v3, "seqs": seqs, "rev": rev,
+    "post_close": post_close,
+}))
+"""
+    got = _run_driver(tmp_path, url, body)
+    assert got["v1"] == 1 and got["v2"] == 6 and got["v3"] == 6
+    assert got["seqs"] == [0, 1, 2] and got["rev"] == [2, 1]
+    assert got["post_close"] == "raised"
+
+
 def test_executor_loss_mid_job_recovers_exactly(cluster, tmp_path):
-    """Kill one worker JVM while a stretched multi-stage job is in
+    """MUST RUN LAST in this module: it SIGKILLs worker 2 and the
+    module-scoped cluster fixture does not restart it — every test
+    needing two executors has to run before this one.
+
+    Kill one worker JVM while a stretched multi-stage job is in
     flight: Spark re-schedules the lost tasks (recomputing lost shuffle
     output) on the surviving executor and the aggregate is EXACT. The
     fault-tolerance half of the 100 TB story local[N] cannot test."""
@@ -240,10 +280,18 @@ print("RESULT " + json.dumps({"rows": rows}))
         env=env,
     )
     # wait for the job to be genuinely in flight, then kill worker 2
-    # (its executor dies with the process group)
+    # (its executor dies with the process group). select() guards the
+    # readline so a silently-hung driver can't block past the deadline.
+    import select
+
     out_lines: list[str] = []
     t0 = time.time()
     while time.time() - t0 < 120:
+        ready, _, _ = select.select([proc.stdout], [], [], 1.0)
+        if not ready:
+            if proc.poll() is not None:
+                break  # driver died before becoming ready
+            continue
         line = proc.stdout.readline()
         out_lines.append(line)
         if "DRIVER_READY" in line:
@@ -269,39 +317,3 @@ print("RESULT " + json.dumps({"rows": rows}))
         for k in range(7)
     )
     assert rows == expect
-
-
-def test_engine_contract_on_cluster(cluster, tmp_path):
-    """The engine itself (log + gated view reads + rebuild) running
-    against separate-JVM executors: append -> read-your-writes gate ->
-    stream -> rebuild all behave exactly as on local[N]. The fold jobs
-    and range scans execute on the cluster's executors."""
-    url, _workers = cluster
-    body = """
-import tempfile
-import flumedb_spark as fs
-
-db = fs.Flume(tempfile.mkdtemp() + "/db", spark=spark)
-db.use("sum", fs.Reduce(1, lambda a, i: (a or 0) + i["foo"]))
-db.append({"foo": 1})
-v1 = db.sum.get()                      # gated read-your-writes
-db.append([{"foo": 2}, {"foo": 3}])
-v2 = db.sum.get()
-seqs = [r["seq"] for r in db.stream(seqs=True, values=True)]
-rev = [r["seq"] for r in db.stream(reverse=True, limit=2, seqs=True, values=True)]
-db.rebuild()
-v3 = db.sum.get()                      # rebuild replays to same state
-db.close()
-try:
-    db.append({"foo": 9}); post_close = "NO RAISE"
-except Exception:
-    post_close = "raised"
-print("RESULT " + json.dumps({
-    "v1": v1, "v2": v2, "v3": v3, "seqs": seqs, "rev": rev,
-    "post_close": post_close,
-}))
-"""
-    got = _run_driver(tmp_path, url, body)
-    assert got["v1"] == 1 and got["v2"] == 6 and got["v3"] == 6
-    assert got["seqs"] == [0, 1, 2] and got["rev"] == [2, 1]
-    assert got["post_close"] == "raised"

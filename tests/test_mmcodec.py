@@ -307,3 +307,15 @@ def test_spark_audio_meta(spark):
         assert r.ok and r.sample_rate == rate and r.n_samples == len(samples)
         assert r.sum_samples == int(samples.astype("int64").sum())
     assert not out[99].ok
+
+
+def test_short_ihdr_raises_valueerror_not_struct_error():
+    """Regression: a PNG whose IHDR body is shorter than 13 bytes used
+    to leak struct.error past the ValueError-only catches — which would
+    fail a whole partition instead of yielding ok=False."""
+    short_ihdr = struct.pack(">I", 4) + b"IHDR" + b"\x00\x00\x00\x02"
+    short_ihdr += struct.pack(">I", zlib.crc32(b"IHDR\x00\x00\x00\x02") & 0xFFFFFFFF)
+    with pytest.raises(ValueError):
+        mc.decode_png(b"\x89PNG\r\n\x1a\n" + short_ihdr)
+    meta = multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + short_ihdr)
+    assert not meta["ok"] and meta["format"] == "undecodable"
