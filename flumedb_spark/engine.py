@@ -280,7 +280,8 @@ class Flume:
             # exclusive lower cursor from gt/gte; inclusive upper bound
             # from lt/lte (seqs are integers in every backend, so the
             # +-1 conversions are exact)
-            pos = opts.get("gt", -1)
+            pos = opts.get("gt")
+            pos = -1 if pos is None else int(pos)  # explicit gt=None == unbounded
             if opts.get("gte") is not None:
                 pos = max(pos, int(opts["gte"]) - 1)
             hi = None
@@ -409,7 +410,15 @@ class Flume:
                 break
         if since_opt == -1:
             return
-        target = self.log.ready_since() if since_opt is None else int(since_opt)
+        head = self.log.ready_since()
+        # an explicit target past the head is clamped: committing the
+        # view watermark beyond seqs that do not exist yet would make
+        # later appends in the gap permanently invisible (the fresh-seq
+        # filter skips everything <= the committed watermark). The
+        # reference's semantic (wrap.js:42-53) is "wait until the view
+        # REACHES N" — with a synchronous pull engine, folding to the
+        # current head is the furthest that wait can progress.
+        target = head if since_opt is None else min(int(since_opt), head)
         self._catch_up(view, target)
 
     # ---- maintenance (roadmap #7: cost-based compaction) ----------------

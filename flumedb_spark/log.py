@@ -410,8 +410,14 @@ class ParquetLog:
         commit = meta["commits"]
         parts = [f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")]
         new_names = []
+        # uuid suffix (like append's): two optimistic VersionedLog bulk
+        # writers at the same commit index must never stage identically
+        # named files — the loser would silently overwrite the winner's
+        # committed data. Relative order within the commit is preserved
+        # (the -bNNNNN index precedes the suffix lexically).
+        run_id = uuid.uuid4().hex[:8]
         for i, f in enumerate(parts):
-            name = f"{commit:010d}-b{i:05d}.parquet"
+            name = f"{commit:010d}-b{i:05d}-{run_id}.parquet"
             shutil.move(os.path.join(tmp, f), os.path.join(self.data_dir, name))
             new_names.append(name)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -437,13 +443,17 @@ class ParquetLog:
         return new_since
 
     # ---- read path ----------------------------------------------------
-    def df(self, spark: SparkSession) -> DataFrame:
+    def df(self, spark: SparkSession, meta: dict | None = None) -> DataFrame:
         """The committed log as a DataFrame: manifest-listed files only
         (torn appends and compaction leftovers are invisible). Reads a
         LOCAL manifest snapshot — read paths never publish to
         ``self._meta``, so they can't clobber a writer's in-flight
-        commit from another thread."""
-        meta = self._load_meta()
+        commit from another thread. Pass ``meta`` to plan over an
+        explicit snapshot (compaction diffs against the same snapshot
+        it scanned, so a commit landing mid-compact can't be both
+        compacted and kept in the tail)."""
+        if meta is None:
+            meta = self._load_meta()
         since = meta["since"]
         files = meta.get("files", [])
         if since < 0 or not files:
@@ -573,7 +583,11 @@ class ParquetLog:
         if since < 0:
             return 0
         old_files = list(snap.get("files", []))
-        df = self.df(spark)
+        # plan over the SAME snapshot the swap diffs against: a commit
+        # landing between two manifest loads must not be both compacted
+        # (fresh scan) and kept in the tail (old-files diff) — that
+        # would double every one of its rows
+        df = self.df(spark, meta=snap)
         n = df.count()
         n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
         tmp = os.path.join(self.path, f"compact-{uuid.uuid4().hex[:8]}")
@@ -590,8 +604,9 @@ class ParquetLog:
 
         new_names = []
         parts = [f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")]
+        run_id = uuid.uuid4().hex[:8]  # concurrent OCC compactors must not collide
         for i, f in enumerate(parts):
-            name = f"compacted-{since:012d}-{i:05d}.parquet"
+            name = f"compacted-{since:012d}-{i:05d}-{run_id}.parquet"
             shutil.move(os.path.join(tmp, f), os.path.join(self.data_dir, name))
             new_names.append(name)
         shutil.rmtree(tmp, ignore_errors=True)

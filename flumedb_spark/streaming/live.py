@@ -34,11 +34,14 @@ def stream_log(
     log: ParquetLog,
     gt: int | None = None,
     max_files_per_trigger: int | None = None,
+    with_provenance: bool = False,
 ) -> DataFrame:
     """Unbounded ``(seq, ts, value)`` stream over the log (O6).
 
     ``gt`` bounds the start like the reference's ``{gt: upto}``; new
-    appends keep flowing until the query stops.
+    appends keep flowing until the query stops. ``with_provenance``
+    appends a ``_src_file`` column (source file basename) so folds can
+    gate on manifest-committed files (``committed_file_filter``).
     """
     # compaction-safe: compact() deletes per-commit files AFTER staging
     # compacted replacements that contain every row, so a file that
@@ -50,10 +53,60 @@ def stream_log(
     reader = spark.readStream.schema(LOG_SCHEMA).option("ignoreMissingFiles", "true")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # carry the source file per row: the fold gate below admits only
+    # rows from MANIFEST-COMMITTED files. The file source discovers the
+    # data dir directly, which can surface files no committed manifest
+    # references — a torn append (file written, crash before the meta
+    # commit) or an OCC loser's replayed stage — holding the same seqs
+    # a later commit assigns to DIFFERENT values. Folding those would
+    # advance view.since past seqs whose committed records then look
+    # stale and are dropped forever.
     df = reader.parquet(log.data_dir)
+    if with_provenance:
+        df = df.select(
+            "*",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "_src_file"
+            ),
+        )
     if gt is not None:
         df = df.where(F.col("seq") > F.lit(int(gt)))
     return df
+
+
+def committed_file_filter(log: ParquetLog, batch: DataFrame, grace_seconds: float = 5.0) -> DataFrame:
+    """Admit only rows whose source file the COMMITTED manifest lists.
+
+    A discovered-but-uncommitted file is normally just an in-flight
+    append (the writer commits the same file name moments later), so
+    unknown names get a short grace poll before being treated as
+    orphans and dropped — a crashed append's retry and an OCC loser's
+    replay both re-write under a fresh uuid name, so a name that never
+    becomes committed never will be, and its rows arrive via the
+    committed file instead."""
+    import time as _time
+
+    if "_src_file" not in batch.columns:
+        return batch  # source without file provenance (custom datasource reads committed-only)
+    present = {r.f for r in batch.select(F.col("_src_file").alias("f")).distinct().collect()}
+    deadline = _time.monotonic() + grace_seconds
+    while True:
+        log.refresh_since()
+        committed = set(log._meta.get("files", []))
+        # tombstoned (compacted-away) files are KNOWN non-manifest names:
+        # their rows live on in the committed compacted files, so drop
+        # them immediately — only genuinely unknown names get the grace
+        # poll (they are usually an append whose commit is in flight)
+        tombstoned = {t.get("file") for t in log._meta.get("tombstones", [])}
+        unknown = present - committed - tombstoned
+        if not unknown or _time.monotonic() >= deadline:
+            break
+        _time.sleep(0.05)
+    drop = (present - committed) if (present - committed) else set()
+    out = batch
+    if drop:
+        out = out.where(~F.col("_src_file").isin(*drop))
+    return out.drop("_src_file")
 
 
 class LiveViewRunner:
@@ -88,6 +141,10 @@ class LiveViewRunner:
         # range. view.since is (re-)read only after acquiring, so a range
         # the reader already folded shrinks to a no-op.
         with self.engine._lock:
+            # admit only manifest-committed source files first (orphans
+            # from torn appends / OCC-loser replays can carry committed
+            # seqs with DIFFERENT values — see committed_file_filter)
+            batch = committed_file_filter(self.engine.log, batch)
             # restrict to genuinely-new records: redelivered batches after
             # a crash re-run with seq <= view.since and fold to a no-op.
             # dropDuplicates(seq): one discovery snapshot can briefly hold
@@ -112,7 +169,12 @@ class LiveViewRunner:
                 F.col("seq") > F.lit(self.view.since)
             )
         else:
-            src = stream_log(self.engine.spark, self.engine.log, gt=self.view.since)
+            src = stream_log(
+                self.engine.spark,
+                self.engine.log,
+                gt=self.view.since,
+                with_provenance=True,
+            )
         writer = (
             src.writeStream.option("checkpointLocation", self.checkpoint_dir)
             .foreachBatch(self._fold_batch)

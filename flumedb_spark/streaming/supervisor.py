@@ -67,10 +67,15 @@ class ViewSupervisor:
                     continue  # give up; gated reads still self-heal
                 self.restarts[name] = self.restarts.get(name, 0) + 1
                 # the reference's recovery: wipe view + checkpoint, rebuild
-                # from the log (index.js:56-75)
+                # from the log (index.js:56-75). Under engine._lock: a
+                # read-driven catch-up fold mid-flight would otherwise
+                # append its batch AFTER the destroy and commit partial
+                # state as fully caught-up (since=upto over one batch's
+                # records) — the same serialization every fold path uses.
                 view = self.engine._views[name]
-                view.destroy()
-                shutil.rmtree(runner.checkpoint_dir, ignore_errors=True)
+                with self.engine._lock:
+                    view.destroy()
+                    shutil.rmtree(runner.checkpoint_dir, ignore_errors=True)
                 self._launch(name)
             if self.auto_compact:
                 try:

@@ -61,8 +61,15 @@ class FlumeView:
         os.makedirs(path, exist_ok=True)
         mp = self._meta_path()
         if os.path.exists(mp):
-            with open(mp) as f:
-                self._meta = json.load(f)
+            try:
+                with open(mp) as f:
+                    self._meta = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                # torn/corrupt meta (crash mid-write): the reference's
+                # contract is destroy-and-rebuild, never poison startup
+                # (index.js:56-75) — views are always rebuildable from
+                # the log
+                self.destroy()
         # version mismatch => rebuild from scratch (README.md:26-29)
         if self._meta.get("version") not in (None, self.VERSION):
             self.destroy()
@@ -83,6 +90,8 @@ class FlumeView:
         tmp = self._meta_path() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(self._meta, f)
+            f.flush()
+            os.fsync(f.fileno())  # rename-before-data = torn meta on power loss
         os.replace(tmp, self._meta_path())
         self._notify_since()
 
@@ -134,3 +143,16 @@ class FlumeView:
 
     def _reset_state(self) -> None:  # pragma: no cover - trivial default
         pass
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count of a written parquet dir from footers only (no scan) —
+    lets folds write ONCE and drop empty outputs, instead of running
+    the (possibly Python-stage) plan twice for an emptiness probe."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    return total

@@ -81,11 +81,19 @@ class Bloom(FlumeView):
 
     def fold(self, batch: DataFrame, upto: int) -> None:
         keys = batch.select(F.expr(self.key_expr).cast("string").alias("key")).distinct()
-        if keys.limit(1).count() > 0:
-            fname = f"{upto:012d}-{uuid.uuid4().hex[:8]}.parquet"
-            keys.write.mode("overwrite").parquet(os.path.join(self._data_dir(), fname))
+        # write once, decide from footers (the probe re-ran the plan)
+        fname = f"{upto:012d}-{uuid.uuid4().hex[:8]}.parquet"
+        fpath = os.path.join(self._data_dir(), fname)
+        keys.write.mode("overwrite").parquet(fpath)
+        from .base import parquet_num_rows
+
+        if parquet_num_rows(fpath) > 0:
             self._meta["files"] = self._meta.get("files", []) + [fname]
             self._sketch = None  # invalidate; rebuilt+persisted on next probe
+        else:
+            import shutil
+
+            shutil.rmtree(fpath, ignore_errors=True)
             self._meta["sketch_valid"] = False
         self.commit(upto)
 

@@ -93,9 +93,17 @@ class Level(FlumeView):
         fname = f"{upto:012d}-{uuid.uuid4().hex[:8]}.parquet"
         fpath = os.path.join(self._data_dir(), fname)
         keys = self._keys_df(batch)
-        if keys.limit(1).count() > 0:
-            keys.write.mode("overwrite").parquet(fpath)
+        # write once, then decide from footers: the emptiness probe used
+        # to run the (possibly Python-stage) key plan a second time
+        keys.write.mode("overwrite").parquet(fpath)
+        from .base import parquet_num_rows
+
+        if parquet_num_rows(fpath) > 0:
             self._meta["files"] = self._meta.get("files", []) + [fname]
+        else:
+            import shutil
+
+            shutil.rmtree(fpath, ignore_errors=True)
         self.commit(upto)
 
     # ---- reads ---------------------------------------------------------
@@ -158,13 +166,27 @@ class Level(FlumeView):
 
     def compact(self) -> None:
         """Rewrite the manifest into one key-sorted file (run-of-the-mill
-        maintenance; at scale this is a per-key-range compaction job)."""
-        df = self.df().orderBy("key", "seq")
-        fname = f"compact-{uuid.uuid4().hex[:8]}.parquet"
-        df.write.mode("overwrite").parquet(os.path.join(self._data_dir(), fname))
-        old = self._meta["files"]
-        self._meta["files"] = [fname]
-        self.commit(self.since)
+        maintenance; at scale this is a per-key-range compaction job).
+
+        Serialized with the fold paths via engine._lock when attached:
+        without it, a fold committing a new index file between this
+        method's scan and its manifest swap would have that file's
+        postings silently dropped while view.since still claims the
+        seqs are indexed."""
+        import contextlib
+
+        lock = (
+            self._engine._lock
+            if self._engine is not None and hasattr(self._engine, "_lock")
+            else contextlib.nullcontext()
+        )
+        with lock:
+            df = self.df().orderBy("key", "seq")
+            fname = f"compact-{uuid.uuid4().hex[:8]}.parquet"
+            df.write.mode("overwrite").parquet(os.path.join(self._data_dir(), fname))
+            old = self._meta["files"]
+            self._meta["files"] = [fname]
+            self.commit(self.since)
         for f in old:
             import shutil
 

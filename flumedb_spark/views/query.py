@@ -105,7 +105,7 @@ class Query(FlumeView):
                     *[self._field(df.columns, src).alias(out) for out, src in stage["$map"].items()]
                 )
             elif "$sort" in stage:
-                col = F.col(stage["$sort"].replace(".", "_"))
+                col = self._field(df.columns, stage["$sort"])
                 df = df.orderBy(col.desc() if stage.get("$reverse") else col.asc())
             elif "$limit" in stage:
                 df = df.limit(int(stage["$limit"]))
@@ -117,9 +117,16 @@ class Query(FlumeView):
                     (op, src), = agg.items()
                     if op not in _AGG:
                         raise ValueError(f"unknown aggregate {op}")
-                    col = F.col(str(src).replace(".", "_")) if op != "$count" else F.lit(1)
+                    col = (
+                        self._field(df.columns, str(src))
+                        if op != "$count"
+                        else F.lit(1)
+                    )
                     aggs.append(_AGG[op](col).alias(out))
-                df = df.groupBy(str(by).replace(".", "_")).agg(*aggs) if by else df.agg(*aggs)
+                if by:
+                    df = df.groupBy(self._field(df.columns, str(by))).agg(*aggs)
+                else:
+                    df = df.agg(*aggs)
             else:
                 raise ValueError(f"unknown stage: {list(stage)}")
         return df

@@ -62,10 +62,18 @@ class Search(FlumeView):
             batch.select("seq", F.explode(tokens_expr(text)).alias("token"))
             .distinct()  # one posting per (token, doc)
         )
-        if posting.limit(1).count() > 0:
-            fname = f"{upto:012d}-{uuid.uuid4().hex[:8]}.parquet"
-            posting.write.mode("overwrite").parquet(os.path.join(self._data_dir(), fname))
+        # write once, decide from footers (the probe re-ran the plan)
+        fname = f"{upto:012d}-{uuid.uuid4().hex[:8]}.parquet"
+        fpath = os.path.join(self._data_dir(), fname)
+        posting.write.mode("overwrite").parquet(fpath)
+        from .base import parquet_num_rows
+
+        if parquet_num_rows(fpath) > 0:
             self._meta["files"] = self._meta.get("files", []) + [fname]
+        else:
+            import shutil
+
+            shutil.rmtree(fpath, ignore_errors=True)
         self.commit(upto)
 
     def df(self) -> DataFrame:

@@ -208,3 +208,101 @@ def test_nativestats_scaled_partials_exact_incremental(spark, tmp_log_dir):
     assert inc == one  # exact equality, not approx
     assert inc["count"] == len(vals)
     assert inc["sum"] == round(sum(round(v * 100) for v in vals) / 100, 10)
+
+
+# ---------------------------------------------------------------------
+# round-3 deep-review fixes (full-repo code review of the core)
+# ---------------------------------------------------------------------
+
+
+def test_gate_target_beyond_head_clamps(spark, tmp_path):
+    """An explicit wait-for-seq PAST the log head must not commit the
+    view watermark into the unwritten gap — records later appended
+    there would be permanently skipped by the fresh-seq filter."""
+    from flumedb_spark import Flume, Reduce
+
+    db = Flume(str(tmp_path / "db"), spark=spark)
+    db.use("sum", Reduce(1, lambda a, i: (a or 0) + i["v"]))
+    db.append([{"v": 1}, {"v": 2}])  # head = 1
+    assert db.sum.get(since=100) == 3  # clamped to head, not committed at 100
+    assert db._views["sum"].since == 1
+    db.append({"v": 10})  # seq 2 — must still be folded
+    assert db.sum.get() == 13
+    db.close()
+
+
+def test_live_tail_explicit_gt_none(spark, tmp_path):
+    """stream(live=True, gt=None) means unbounded start, not TypeError."""
+    from flumedb_spark import Flume
+
+    db = Flume(str(tmp_path / "db2"), spark=spark)
+    db.append([{"v": 1}, {"v": 2}])
+    it = db.stream(live=True, gt=None, limit=2)
+    got = [r["seq"] for r in it]
+    assert got == [0, 1]
+    db.close()
+
+
+def test_corrupt_view_meta_destroys_and_rebuilds(spark, tmp_path):
+    """A torn meta.json (crash mid-write) must trigger the reference's
+    destroy-and-rebuild, not crash engine startup (index.js:56-75)."""
+    import os
+
+    from flumedb_spark import Flume, Reduce
+
+    root = str(tmp_path / "db3")
+    db = Flume(root, spark=spark)
+    db.use("sum", Reduce(1, lambda a, i: (a or 0) + i["v"]))
+    db.append([{"v": 5}, {"v": 7}])
+    assert db.sum.get() == 12
+    db.close()
+    # tear the view meta
+    meta_path = os.path.join(root, "views", "sum", "meta.json")
+    with open(meta_path, "w") as f:
+        f.write('{"since": 1, "vers')  # truncated json
+    db2 = Flume(root, spark=spark)
+    db2.use("sum", Reduce(1, lambda a, i: (a or 0) + i["v"]))
+    assert db2.sum.get() == 12  # rebuilt from the log
+    db2.close()
+
+
+def test_query_sort_and_reduce_validate_fields(spark, tmp_path):
+    """$sort / $reduce field refs go through the same undeclared-field
+    validation as $filter/$map (KeyError, not AnalysisException)."""
+    import pytest as _pytest
+
+    from flumedb_spark import Flume
+    from flumedb_spark.views.query import Query
+
+    db = Flume(str(tmp_path / "db4"), spark=spark)
+    db.use("q", Query(1, fields={"v": "long"}))
+    db.append([{"v": 3}, {"v": 1}])
+    assert [r["v"] for r in db.q.query([{"$sort": "v"}])] == [1, 3]
+    with _pytest.raises(KeyError):
+        db.q.query([{"$sort": "likez"}])
+    with _pytest.raises(KeyError):
+        db.q.query([{"$reduce": {"total": {"$sum": "likez"}}}])
+    with _pytest.raises(KeyError):
+        db.q.query([{"$reduce": {"n": {"$count": "v"}, "by": "nope"}}])
+    db.close()
+
+
+def test_bulk_staged_names_are_collision_free(spark, tmp_path):
+    """Bulk-append staged files carry a uuid component: two optimistic
+    writers at the same commit index must never stage identical names
+    (the loser would overwrite the winner's committed data file)."""
+    import os
+    import re
+
+    from flumedb_spark import Flume
+
+    db = Flume(str(tmp_path / "db5"), spark=spark)
+    df = spark.range(0, 10).selectExpr("CAST(id AS STRING) AS value")
+    from flumedb_spark.sources.readers import append_df_to_log
+
+    append_df_to_log(db.log, spark.range(0, 10).selectExpr("id AS v"))
+    names = [f for f in os.listdir(db.log.data_dir) if "-b" in f]
+    assert names, "bulk staged no files"
+    for n in names:
+        assert re.match(r"\d{10}-b\d{5}-[0-9a-f]{8}\.parquet$", n), n
+    db.close()

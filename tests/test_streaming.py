@@ -602,3 +602,45 @@ def test_stateful_rocksdb_state_store(spark, tmp_log_dir, tmp_path):
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     db.close()
+
+
+def test_stream_fold_ignores_uncommitted_orphan_files(spark, tmp_log_dir):
+    """The file source discovers the data dir directly, so an ORPHAN
+    parquet (torn append / OCC-loser replay: file written, never
+    manifest-committed) is delivered to the fold — it must be gated out
+    by the committed-file filter, or its bogus values would be folded
+    and the later-committed real records silently dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    db = Flume(tmp_log_dir, spark=spark).use("stats", NativeStats(1, field="foo"))
+    db.append([{"foo": 1}, {"foo": 3}])  # committed seqs 0, 1
+
+    # plant an orphan holding the NEXT seq (2) with a bogus value — the
+    # exact artifact a crashed append leaves behind
+    orphan = pa.table(
+        {
+            "seq": pa.array([2], pa.int64()),
+            "ts": pa.array([0], pa.timestamp("us")),
+            "value": pa.array(['{"foo": 999}']),
+        }
+    )
+    pq.write_table(orphan, os.path.join(db.log.data_dir, "0000000002-deadbeef.parquet"))
+
+    runner = LiveViewRunner(db, "stats")
+    runner.start()
+    try:
+        runner.process_all_available()
+        s = db.stats.get(since=-1)
+        # only the committed records folded; the orphan's 999 is absent
+        # and, critically, view.since has NOT advanced past seq 1
+        assert s["count"] == 2 and s["mean"] == 2
+        assert db.stats.since == 1
+        # now the REAL seq-2 record commits (different value)
+        db.append({"foo": 5})
+        runner.process_all_available()
+        s = db.stats.get(since=-1)
+        assert s["count"] == 3 and s["mean"] == 3  # 1, 3, 5 — not 999
+    finally:
+        runner.stop()
+    db.close()
