@@ -203,8 +203,11 @@ DRIVER_WINDOW: list[str] = [
 def driver_ordered(registry: dict) -> dict:
     """Reorder a query/oracle registry so DRIVER_WINDOW comes first.
 
-    Raises if a window name is missing from the registry — a silent drop
-    here would waste a driver slot invisibly.
+    The missing-name guard checks against QUERIES deliberately (not the
+    passed registry): every window name must be a registered QUERY — a
+    silent drop there would waste a driver slot invisibly — while
+    absence from ORACLES is legitimate and intended for the rows-only
+    entries (approximate/engine-hash ops declare no oracle by design).
     """
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
     if missing:

@@ -17,10 +17,12 @@ Two halves, both engine-idiomatic:
   merge count — the same lazy-self-reference trap fixed in
   ``dedup.minhash_lsh_candidates``.
 - **Application** (:func:`bpe_tokens_col`) is pure column expressions:
-  per word, space-join the characters, then apply the learned merges in
-  rank order as chained ``replace`` calls (leftmost non-overlapping —
-  exactly the trainer's fold semantics). No Python in the hot path; at
-  100 TB this is whole-stage codegen on the scan, shuffle-free, linear.
+  per word, render the token stream fully space-delimited (every token
+  wrapped — see the function docstring for why the delimitation is
+  load-bearing), then apply the learned merges in rank order as chained
+  ``replace`` calls (leftmost non-overlapping — exactly the trainer's
+  fold semantics). No Python in the hot path; at 100 TB this is
+  whole-stage codegen on the scan, shuffle-free, linear.
 
 Determinism: merge selection tiebreaks on (count DESC, left ASC, right
 ASC); application order is merge rank. Both are total orders, so
@@ -126,15 +128,29 @@ def bpe_train(
 def bpe_tokens_col(text: Column, merges: list[tuple[str, str]]) -> Column:
     """``array<string>`` of BPE tokens for a text column — pure JVM.
 
-    Per word: space-join characters, apply merges in rank order as
-    chained global replaces, split back. Flattened across words.
+    Per word: render the token stream in DELIMITED form — every token
+    wrapped in single spaces, so adjacent tokens are separated by
+    exactly two (`` a  b ``) — then apply merges in rank order as
+    chained global replaces of `` a  b `` -> `` ab ``, and split back
+    on the double-space boundary.
+
+    The full delimitation is load-bearing: the earlier bare
+    space-join form let ``replace("a b", ...)`` match ACROSS a token
+    boundary when the right symbol was a prefix of the next token
+    (tokens ``[a, ba]`` render ``"a ba"`` and contain ``"a b"``),
+    silently merging pairs the trainer's fold never would. With both
+    tokens fully flanked, a match requires exactly the two whole
+    tokens, and leftmost non-overlapping replacement reproduces the
+    fold's greedy left-to-right semantics (each match's replacement
+    `` ab `` restores the wrap invariant, so consecutive pairs still
+    match — ``tests/test_bpe.py`` pins the adversarial cases).
     """
 
     def apply_word(w: Column) -> Column:
-        s = F.trim(F.regexp_replace(w, "(?s)(.)", "$1 "))
+        s = F.regexp_replace(w, "(?s)(.)", " $1 ")
         for a, b in merges:
-            s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
-        return F.split(s, " ")
+            s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
+        return F.split(F.trim(s), "  ")
 
     return F.flatten(
         F.transform(F.regexp_extract_all(text, F.lit(_WORD_RE), 0), apply_word)
@@ -160,10 +176,11 @@ def bpe_tokens(
 def bpe_oracle_sql(
     merges: list[tuple[str, str]], table: str = "documents", head: int = 12
 ) -> str:
-    """DuckDB SQL replaying the identical tokenization (oracle side)."""
-    inner = r"trim(regexp_replace(w, '(?s)(.)', '\1 ', 'g'))"
+    """DuckDB SQL replaying the identical tokenization (oracle side) —
+    the same delimited representation as :func:`bpe_tokens_col`."""
+    inner = r"regexp_replace(w, '(?s)(.)', ' \1 ', 'g')"
     for a, b in merges:
-        inner = f"replace({inner}, '{a} {b}', '{a}{b}')"
+        inner = f"replace({inner}, ' {a}  {b} ', ' {a}{b} ')"
     return f"""
     SELECT doc_id,
       CAST(len(toks) AS BIGINT) AS n_bpe_real_tokens,
@@ -171,7 +188,7 @@ def bpe_oracle_sql(
     FROM (
       SELECT doc_id,
         flatten(list_transform(regexp_extract_all(text, '[^ ]+'),
-                w -> str_split({inner}, ' '))) AS toks
+                w -> str_split(trim({inner}), '  '))) AS toks
       FROM {table}
     ) ORDER BY doc_id
     """

@@ -25,20 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import spread as _spread
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to core count only when the source layout is
-    under-split; decided from the scan's file list (plan metadata, never
-    ``df.rdd``). Cached/in-memory inputs report no files and keep their
-    partitioning."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if 0 < n_files * 2 < want:
-        return df.repartition(want)
-    return df
+
 
 
 # ---- shingling ------------------------------------------------------
@@ -90,7 +79,12 @@ def ngram_jaccard_pairs(
     Quadratic in matching shingles — use on small/filtered inputs or LSH
     candidates; `minhash_lsh_candidates` is the scale path.
     """
-    sh = word_shingles(docs, n, text_col)
+    # materialize the shingle table once: it feeds BOTH sides of the
+    # self-join plus the size aggregate, and a lazy plan recomputes the
+    # split/explode/distinct pipeline three times per action (the same
+    # self-join recompute trap measured and fixed in
+    # minhash_lsh_candidates — docs/SCALING.md #4)
+    sh = word_shingles(docs, n, text_col).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

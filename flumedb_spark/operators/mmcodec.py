@@ -327,6 +327,26 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------
 
 
+def to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Normalize any decoded image array to (H, W, 3) RGB: grayscale
+    and gray+alpha replicate the luminance channel; RGBA drops alpha.
+    Decoders return their native channel count (PNG color types 0/4/6),
+    but RGB-only consumers (PPM re-encode, pixel statistics over three
+    channels) need the canonical shape."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    ch = arr.shape[2]
+    if ch == 3:
+        return arr
+    if ch == 1:
+        return np.repeat(arr, 3, axis=2)
+    if ch == 2:  # gray + alpha
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if ch == 4:  # RGBA
+        return arr[:, :, :3]
+    raise ValueError(f"unsupported channel count {ch}")
+
+
 def resize_nn(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize with floor source mapping:
     src_x = floor(dst_x * W / width) — the standard integer NN kernel,

@@ -121,14 +121,9 @@ def extract_metadata(payloads: DataFrame, use_fake: bool | None = None) -> DataF
     # package on the worker PYTHONPATH before the JVM starts) and calls
     # the ONE decode dispatch, decode_image — no duplicated logic.
     def _fake(payload: bytes) -> dict:
-        n = len(payload)
-        return {
-            "n_bytes": n,
-            "format": "fake/raw",
-            "width": n % 640,
-            "height": (n * 7) % 480,
-            "ok": True,
-        }
+        from flumedb_spark.operators.multimodal import fake_decode
+
+        return fake_decode(bytes(payload))
 
     def _real(payload: bytes) -> dict:
         from flumedb_spark.operators.multimodal import decode_image
@@ -177,8 +172,12 @@ def resize_images(
                 else:
                     try:
                         arr, _fmt = mmcodec.decode_image_pure(b)
+                        # decoders return native channels (gray/RGBA PNG):
+                        # normalize to RGB so a valid non-RGB image is
+                        # RESIZED, not misreported as corrupt
+                        rgb = mmcodec.to_rgb(arr)
                         out_payloads.append(
-                            mmcodec.encode_ppm(mmcodec.resize_nn(arr, width, height))
+                            mmcodec.encode_ppm(mmcodec.resize_nn(rgb, width, height))
                         )
                         oks.append(True)
                     except ValueError:

@@ -51,9 +51,17 @@ def dataset_split(
     bucket = _bucket_expr(key_col)
     edges = []
     acc = 0.0
-    for name, w in weights.items():
+    items = list(weights.items())
+    for i, (name, w) in enumerate(items):
         acc += w
-        edges.append((name, int(acc * 65536)))
+        edge = int(acc * 65536)
+        # float accumulation can land epsilon BELOW 1.0 (0.7+0.2+0.1 ==
+        # 0.9999999999999999 -> edge 65535): when the weights are meant
+        # to cover everything, force the last edge to the full range so
+        # bucket 65535 can't silently leak into '_rest'
+        if i == len(items) - 1 and abs(acc - 1.0) < 1e-9:
+            edge = 65536
+        edges.append((name, edge))
     cases = " ".join(
         f"WHEN {bucket} < {edge} THEN '{name}'" for name, edge in edges
     )

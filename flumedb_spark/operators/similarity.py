@@ -21,27 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ._util import spread as _spread
 from pyspark.sql.window import Window
 
 SCALE = 1_000_000  # float32 has ~7 significant digits
 
 
-def _spread(df):
-    """Pair scoring is CPU-bound; a single-split input would pin it to
-    one core. Round-robin the (small) vector rows across the cores only
-    when the SOURCE LAYOUT is under-split — decided from the scan's file
-    list (plan metadata, no RDD materialization). Already-partitioned
-    corpora (the cluster case, the managed ingest layout) and in-memory/
-    cached inputs (no file list; their partitioning is already chosen)
-    skip the shuffle."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if 0 < n_files * 2 < want:
-        return df.repartition(want)
-    return df
 
 
 def _iscale(x: Column) -> Column:

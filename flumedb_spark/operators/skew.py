@@ -49,7 +49,19 @@ def salted_join(
     ``skewed`` is salted deterministically; ``other`` (usually the
     smaller/dimension side) is replicated n_salts times. Result equals
     the plain join, with each hot key spread over n_salts reducers.
+
+    ``how`` is limited to ``inner``/``left``/``left_semi``/``left_anti``:
+    the replication makes right/full outer joins WRONG (an ``other``-only
+    key appears as n_salts unmatched copies, emitting n_salts null-padded
+    rows where the plain join emits one) — for those, salt the other
+    direction or fall back to AQE's skew-join split.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): replicated-side outer joins would "
+            "duplicate unmatched keys n_salts times; use inner/left* or AQE skew-join"
+        )
     s = with_salt(skewed, skewed_unique_col, n_salts)
     o = replicate_salts(other, n_salts)
     return s.join(o, [on, "_salt"], how).drop("_salt")

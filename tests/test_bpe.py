@@ -113,3 +113,31 @@ def test_train_early_stops_below_min_freq(spark):
     df = spark.createDataFrame([("ab cd",)], ["text"])
     # every pair occurs once -> min_freq=2 stops immediately
     assert bpe_train(df, n_merges=8, min_freq=2) == []
+
+
+def test_apply_never_merges_across_token_boundaries(spark):
+    """Regression for the bare space-join replace bug: with merges
+    [('b','a'), ('a','b')] on 'abab', the first merge yields tokens
+    [a, ba, b]; the second merge's pattern must NOT match the 'a'
+    followed by the PREFIX of token 'ba'. The fold semantics are the
+    ground truth."""
+    from pyspark.sql import functions as F
+
+    from flumedb_spark.operators.bpe import _chars, _fold_merge, bpe_tokens_col
+
+    cases = [
+        ("abab", [("b", "a"), ("a", "b")]),
+        ("aaa", [("a", "a")]),
+        ("aaaa", [("a", "a")]),
+        ("abab", [("a", "b")]),
+        ("aabba", [("a", "b"), ("ab", "b")]),
+    ]
+    for text, merges in cases:
+        df = spark.createDataFrame([(text,)], "text string")
+        got = df.select(bpe_tokens_col(F.col("text"), merges).alias("t")).collect()[0].t
+        sym = _chars(F.lit(text))
+        for a, b in merges:
+            sym = _fold_merge(sym, a, b)
+        want = df.select(sym.alias("t")).collect()[0].t
+        assert got == want, (text, merges, got, want)
+        assert "".join(got) == text  # round-trip always holds

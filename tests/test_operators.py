@@ -474,3 +474,66 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     lv_hit, _ = zorder.files_intersecting_box(lpath, vbox)
     assert lv_hit == l_tot  # unpruned: every file spans all values
     assert zv_hit < z_tot
+
+
+def test_dataset_split_covers_every_bucket(spark):
+    """Weights summing to 1.0 through float accumulation (0.7+0.2+0.1
+    == 0.9999...) must still cover bucket 65535 — no silent '_rest'."""
+    from flumedb_spark.operators import sampling
+
+    df = spark.range(0, 20000).selectExpr("id AS doc_id")
+    out = sampling.dataset_split(
+        df, "doc_id", weights={"train": 0.7, "val": 0.2, "test": 0.1}
+    )
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert "_rest" not in counts, counts
+    assert sum(counts.values()) == 20000
+    # explicit partial coverage still routes the remainder to _rest
+    out2 = sampling.dataset_split(df, "doc_id", weights={"train": 0.5})
+    counts2 = {r.split: r.n for r in out2.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts2) == {"train", "_rest"}
+
+
+def test_salted_join_rejects_replicated_outer(spark):
+    """right/full outer through the replicated side would duplicate
+    unmatched keys n_salts times — refused with a clear error; the
+    legal hows still equal the plain join."""
+    from flumedb_spark.operators import skew
+
+    a = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], "k int, id string")
+    b = spark.createDataFrame([(1, 10), (3, 30)], "k int, v int")
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = sorted(
+            tuple(r) for r in skew.salted_join(a, b, "k", "id", n_salts=4, how=how).collect()
+        )
+        want = sorted(tuple(r) for r in a.join(b, "k", how).collect())
+        assert got == want, how
+    with pytest.raises(ValueError):
+        skew.salted_join(a, b, "k", "id", how="full")
+    with pytest.raises(ValueError):
+        skew.salted_join(a, b, "k", "id", how="right")
+
+
+def test_resize_real_path_handles_gray_and_rgba_png(spark):
+    """A valid grayscale or RGBA PNG must be RESIZED, not misreported
+    as corrupt (decoders return native channel counts)."""
+    import numpy as np
+
+    from flumedb_spark.operators import mmcodec as mc
+
+    gray = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    rgba = np.arange(6 * 8 * 4, dtype=np.uint8).reshape(6, 8, 4)
+    rows = [
+        (1, bytearray(mc.encode_png(gray))),
+        (2, bytearray(mc.encode_png(rgba))),
+    ]
+    payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: r
+        for r in multimodal.resize_images(payloads, width=4, height=3, use_fake=False).collect()
+    }
+    for doc_id, src in ((1, mc.to_rgb(gray)), (2, mc.to_rgb(rgba))):
+        r = out[doc_id]
+        assert r.ok, doc_id
+        got = mc.decode_ppm(bytes(r.payload))
+        assert np.array_equal(got, mc.resize_nn(src, 4, 3))
