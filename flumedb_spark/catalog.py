@@ -156,7 +156,12 @@ DRIVER_WINDOW: list[str] = [
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
     # north-star LLM-pipeline ops — all 18, none ran in round 1
-    "ns_dedup_exact",
+    # (ns_dedup_exact rotated out post-r3-window for ns_lang_id, whose
+    # code path changed late-r3 — the adjacent-marker exact-count fix
+    # in text.occurrences; exact_dup_groups' semantics are untouched
+    # since its r2-green row, and the dedup family keeps
+    # ns_ngram_jaccard_pairs + ns_minhash_lsh_candidates in-window)
+    "ns_lang_id",
     "ns_ngram_jaccard_pairs",
     "ns_minhash_lsh_candidates",
     # (ns_simhash64 rotated out post-r3-window for

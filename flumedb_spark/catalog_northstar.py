@@ -225,7 +225,12 @@ def _lang_id_oracle() -> str:
       CASE {' '.join(cases)} END AS pred_lang
     FROM (
       SELECT doc_id, {', '.join(score_exprs)}
-      FROM (SELECT doc_id, concat(' ', text, ' ') AS pt FROM documents)
+      FROM (
+        -- pad, then DOUBLE every space: adjacent marker words must not
+        -- share a delimiter (mirrors operators/text.occurrences)
+        SELECT doc_id, replace(concat(' ', text, ' '), ' ', '  ') AS pt
+        FROM documents
+      )
     ) ORDER BY doc_id
     """
 
@@ -725,7 +730,13 @@ def _recall_sql(approx_sql: str) -> str:
     """recall@10: per-query |approx top-10 ∩ exact top-10| as an exact
     integer — both engines compute BOTH sides, so any recall value
     hash-matches (the gate fails iff the engines' approx or exact sets
-    diverge)."""
+    diverge).
+
+    LEFT join from the exact side: a query whose approx set shares
+    nothing with its exact top-10 must emit ``hits = 0``, not vanish
+    (an inner join dropped zero-hit queries identically in both
+    engines — the 'any recall value' claim excluded exactly the value
+    0, and averages over returned rows overstated recall)."""
     # splice the approx query's CTEs: strip its WITH and final SELECT
     body = approx_sql.strip()
     assert body.upper().startswith("WITH")
@@ -736,9 +747,12 @@ def _recall_sql(approx_sql: str) -> str:
       SELECT query_id, neighbor_id FROM ranked WHERE rn <= 10
     ),
     {_EXACT_TOPK_CORE.lstrip()}
-    SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+    SELECT e.query_id,
+      CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        AS hits
     FROM exact e
-    JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
     GROUP BY e.query_id ORDER BY e.query_id
     """
 
@@ -763,12 +777,13 @@ def ns_ivf_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_recall_sql(_ivf_seeded_sql(_ANN_SPARK)))
 
 
-_BUCKET_DOC = """
-    ((((position(substr(md5(CAST(doc_id AS STRING)), 1, 1) IN '0123456789abcdef') - 1) * 16
-      + (position(substr(md5(CAST(doc_id AS STRING)), 2, 1) IN '0123456789abcdef') - 1)) * 16
-      + (position(substr(md5(CAST(doc_id AS STRING)), 3, 1) IN '0123456789abcdef') - 1)) * 16
-      + (position(substr(md5(CAST(doc_id AS STRING)), 4, 1) IN '0123456789abcdef') - 1))
-"""
+from .operators.sampling import _bucket_expr as _sampling_bucket_expr  # noqa: E402
+
+# single source of truth: the oracle uses the SAME generated bucket
+# expression the Spark operators run (operators/sampling.py) — a
+# hand-maintained copy here drifted-by-construction the moment the
+# sampling idiom changed
+_BUCKET_DOC = _sampling_bucket_expr("doc_id")
 
 
 @query(
@@ -858,7 +873,17 @@ def ns_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007) with md5-derived
 # 60-bit hashes and EXACT-INTEGER register sums (p=8 -> 256 registers; term 2^(53-rho) is a BIGINT, so the sum
 # has no float-order divergence; the raw estimate is one deterministic
-# double expression both engines evaluate identically). This is the
+# double expression both engines evaluate identically). The paper's
+# SMALL-RANGE correction is applied: when E_raw <= 5m/2 and some
+# registers are empty, the estimate switches to linear counting
+# m*ln(m/V) over the zero-register count V — without it the raw
+# estimator overestimates badly exactly in the regime the sf0.01 gate
+# exercises (150 true distinct -> 267 raw vs ~150 corrected). The
+# branch condition compares s53 against a PRECOMPUTED double literal
+# (alpha*m^2*2^53 / (5m/2)) so it is bit-identical cross-engine, and
+# every possible ln(256/V) output sits >=1.8e-4 away from a 4dp
+# rounding boundary (verified over all 256 V values), so engine libm
+# ulp differences cannot flip the rounded result. This is the
 # parity twin of `approx_count_distinct` (whose HLL++ registers are
 # engine-internal): it proves the sketch MERGEABILITY story — at 100 TB
 # the per-partition register maxima combine associatively (max per
@@ -880,13 +905,24 @@ _HLL_SPARK = """
       SELECT CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - coalesce(rho, 0)))
                   AS BIGINT) AS s53
       FROM allb LEFT JOIN regs ON allb.bucket = regs.bucket
+    ),
+    v AS (
+      SELECT CAST(count(*) AS BIGINT) AS v_zero
+      FROM allb LEFT JOIN regs ON allb.bucket = regs.bucket
+      WHERE regs.rho IS NULL
     )
     SELECT
       (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
       s53,
+      v_zero,
       round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
-            / CAST(s53 AS DOUBLE), 4) AS hll_raw_estimate
-    FROM s
+            / CAST(s53 AS DOUBLE), 4) AS hll_raw_estimate,
+      CASE WHEN CAST(s53 AS DOUBLE) >= 6.624895351417025e+17 AND v_zero > 0
+           THEN round(256.0 * ln(256.0 / v_zero), 4)
+           ELSE round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                      * 9007199254740992.0 / CAST(s53 AS DOUBLE), 4)
+      END AS hll_estimate
+    FROM s CROSS JOIN v
 """
 
 _HLL_DUCK = r"""
@@ -905,19 +941,31 @@ _HLL_DUCK = r"""
     s AS (
       SELECT CAST(sum((1::BIGINT << (53 - coalesce(rho, 0)))) AS BIGINT) AS s53
       FROM allb LEFT JOIN regs ON allb.bucket = regs.bucket
+    ),
+    v AS (
+      SELECT CAST(count(*) AS BIGINT) AS v_zero
+      FROM allb LEFT JOIN regs ON allb.bucket = regs.bucket
+      WHERE regs.rho IS NULL
     )
     SELECT
       (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
       s53,
+      v_zero,
       round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
-            / CAST(s53 AS DOUBLE), 4) AS hll_raw_estimate
-    FROM s
+            / CAST(s53 AS DOUBLE), 4) AS hll_raw_estimate,
+      CASE WHEN CAST(s53 AS DOUBLE) >= 6.624895351417025e+17 AND v_zero > 0
+           THEN round(256.0 * ln(256.0 / v_zero), 4)
+           ELSE round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                      * 9007199254740992.0 / CAST(s53 AS DOUBLE), 4)
+      END AS hll_estimate
+    FROM s CROSS JOIN v
 """
 
 
 @query("ns_hll_user_estimate", oracle=_HLL_DUCK)
 def ns_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic HLL distinct-user estimate (see _HLL_SPARK notes)."""
+    """Deterministic HLL distinct-user estimate with the paper's
+    small-range linear-counting correction (see _HLL_SPARK notes)."""
     return spark.sql(_HLL_SPARK)
 
 
@@ -1126,12 +1174,19 @@ def ns_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CHUNK_SPARK)
 
 
-# Sequence packing — assign whole docs to fixed token-budget packs
-# (budget=2048) by cumulative token count, the standard streaming-pack
-# heuristic for batch assembly. One window cumsum, exact integers, one
-# deterministic floor division; identical text both engines. At 100 TB
-# the ORDER BY doc_id cumsum is the one global-ordering shuffle — run
-# per shard (partition by a shard key) in production, same expression.
+# Sequence packing — CONCAT-AND-CHUNK discipline (the common
+# pretraining batch assembly: conceptually concatenate every doc's
+# tokens in doc_id order and cut the stream every 2048 tokens;
+# pack_id = floor(prefix_sum / 2048) assigns each doc to the pack
+# where its FIRST token lands). Note what this is NOT: first-fit
+# whole-doc packing — a doc straddling a 2048 boundary belongs to the
+# pack it starts in, so per-pack WHOLE-doc token sums can exceed 2048
+# by up to one doc's tail (consumers split straddlers at the
+# boundary, which is exactly how concat-and-chunk training data is
+# assembled). One window cumsum, exact integers, one deterministic
+# floor division; identical text both engines. At 100 TB the ORDER BY
+# doc_id cumsum is the one global-ordering shuffle — run per shard
+# (partition by a shard key) in production, same expression.
 shared_sql(
     "ns_sequence_packing",
     """
@@ -1168,17 +1223,19 @@ shared_sql(
 # n=8-13 — this entry uses n=3 because the synthetic corpus's random
 # word sequences produce no organic 8-gram collisions to check). Both
 # sides explode word n-grams and equi-join; the "benchmark" is the
-# corpus's three highest doc_ids (deterministic stand-in for an
-# external eval set — the join shape is the operator). At 100 TB the
+# corpus's three highest doc_ids, derived DYNAMICALLY (max(doc_id)-2)
+# so the holdout stays three docs at every SF — a hardcoded cut made
+# the "benchmark" 90% of the corpus at sf0.1, inverting the join shape
+# the comment describes. At 100 TB the
 # benchmark side is tiny and broadcasts; the corpus side is one
 # linear explode, shuffle only on the (rare) matching grams.
 _DECON_SPARK = """
     WITH corpus AS (
-      SELECT doc_id, split(text, ' ') AS toks FROM documents WHERE doc_id < 497
+      SELECT doc_id, split(text, ' ') AS toks FROM documents WHERE doc_id < (SELECT max(doc_id) - 2 FROM documents)
     ),
     bench AS (
       SELECT doc_id AS bench_id, split(text, ' ') AS toks
-      FROM documents WHERE doc_id >= 497
+      FROM documents WHERE doc_id >= (SELECT max(doc_id) - 2 FROM documents)
     ),
     corpus_grams AS (
       SELECT doc_id, concat_ws(' ', slice(toks, i, 3)) AS gram
@@ -1197,11 +1254,11 @@ _DECON_SPARK = """
 
 _DECON_DUCK = """
     WITH corpus AS (
-      SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE doc_id < 497
+      SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE doc_id < (SELECT max(doc_id) - 2 FROM documents)
     ),
     bench AS (
       SELECT doc_id AS bench_id, str_split(text, ' ') AS toks
-      FROM documents WHERE doc_id >= 497
+      FROM documents WHERE doc_id >= (SELECT max(doc_id) - 2 FROM documents)
     ),
     corpus_grams AS (
       SELECT doc_id, array_to_string(toks[i:(i + 2)], ' ') AS gram
@@ -1227,7 +1284,9 @@ _DECON_DUCK = """
 
 @query("ns_decontamination", oracle=_DECON_DUCK)
 def ns_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-gram benchmark-overlap decontamination (see _DECON_SPARK)."""
+    """Benchmark-overlap decontamination at n=3 (production n=8-13 —
+    see the block comment: the synthetic corpus has no organic 8-gram
+    collisions to make an 8-gram entry checkable)."""
     return spark.sql(_DECON_SPARK)
 
 
@@ -1451,10 +1510,12 @@ def ns_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 # TF-IDF top terms — per-document top-3 terms by tf * ln((N+1)/(df+1)).
 # The corpus-statistics scoring shape (two linear aggregations + one
-# broadcast-sized df join; no quadratic anything). Ranking ties break
-# on (tf DESC, term) so mathematically-equal scores from DIFFERENT
-# (tf, df) pairs — where last-ulp libm differences could flip an order
-# — still rank identically in both engines.
+# broadcast-sized df join; no quadratic anything). The RANK key is the
+# 6dp-ROUNDED score (not the raw double): near-equal scores from
+# different (tf, df) pairs differ by libm ulps between JVM and DuckDB,
+# and a raw-double primary sort could flip their order cross-engine
+# before any tiebreak engages — rounding collapses such pairs into the
+# deterministic (tf DESC, term) tiebreak instead.
 # ---------------------------------------------------------------------
 
 _TFIDF_BODY = """
@@ -1477,7 +1538,7 @@ _TFIDF_BODY = """
     r AS (
       SELECT doc_id, w, tf, df, tfidf,
         row_number() OVER (
-          PARTITION BY doc_id ORDER BY tfidf DESC, tf DESC, w
+          PARTITION BY doc_id ORDER BY round(tfidf, 6) DESC, tf DESC, w
         ) AS rnk
       FROM scored
     )

@@ -23,12 +23,22 @@ def n_bpe_tokens(text: Column) -> Column:
 
 
 def occurrences(text: Column, word: str) -> Column:
-    """Non-overlapping occurrences of ``' word '`` in the padded text —
-    deterministic marker-density counter (leftmost non-overlap semantics
-    are identical across engines)."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    """EXACT whole-word occurrence count via the replace trick.
+
+    The text is padded and every space DOUBLED before counting, so
+    adjacent occurrences no longer share a delimiter: the naive
+    ``' word '`` count over single-spaced text yields 2 for
+    ``'the the the'`` (the middle match consumes both flanking spaces);
+    with doubled spaces each word is independently flanked and the
+    count is exact. Identical non-overlapping replace semantics in both
+    engines."""
+    doubled = F.regexp_replace(
+        F.concat(F.lit(" "), text, F.lit(" ")), " ", "  "
+    )
     pat = f" {word} "
-    return (F.length(padded) - F.length(F.regexp_replace(padded, pat, ""))) / len(pat)
+    return (
+        F.length(doubled) - F.length(F.regexp_replace(doubled, pat, ""))
+    ) / len(pat)
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -32,7 +32,7 @@ def test_all_northstar_ops_in_window():
     ns -= {
         "ns_text_quality", "ns_fingerprint", "ns_deterministic_sample",
         "ns_dataset_split_counts", "ns_stratified_sample",
-        "ns_multimodal_meta", "ns_lang_id", "ns_text_stats",
+        "ns_multimodal_meta", "ns_dedup_exact", "ns_text_stats",
         # no_oracle rows-only row; its oracle-checked md5 parity twin
         # (ns_simhash_md5) holds the in-window slot for the SimHash path
         "ns_simhash64",
@@ -76,6 +76,8 @@ def test_changed_or_new_rows_in_window():
         "ns_rare_token_share",
         # mergeable fixed-grid quantile sketch (third sketch member)
         "ns_histogram_quantiles",
+        # lang-ID re-entered: adjacent-marker exact-count fix
+        "ns_lang_id",
     ):
         assert n in _window_names(), n
 
