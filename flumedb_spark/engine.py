@@ -79,7 +79,10 @@ class ViewHandle:
     def __init__(self, engine: "Flume", view: FlumeView):
         self._engine = engine
         self._view = view
-        self.meta: dict[str, int] = {}
+        self._closed = False
+        # every method counter pre-initialized to 0 (wrap.js:135):
+        # metrics readers see zeros before the first call, not KeyError
+        self.meta: dict[str, int] = {mname: 0 for mname in view.METHODS}
         for mname, kind in view.METHODS.items():
             self._mount(mname, kind)
 
@@ -89,6 +92,7 @@ class ViewHandle:
         inner = getattr(self._view, mname)
 
         def call(*args, since: int | None = None, **kw):
+            self._throw_if_view_closed()
             self._engine._throw_if_closed()
             self.meta[mname] = self.meta.get(mname, 0) + 1
             if kind != "sync":  # sync bypasses the gate (wrap.js:89-95)
@@ -96,6 +100,23 @@ class ViewHandle:
             return inner(*args, **kw)
 
         setattr(self, mname, call)
+
+    def _throw_if_view_closed(self) -> None:
+        if self._closed:
+            raise ClosedError(f"flumedb view is closed: {self._view.name}")
+
+    def close(self) -> None:
+        """Per-view close (wrap.js:107-115): tear down this view while
+        the engine stays open; subsequent calls on the handle raise.
+        Divergence note on metering: the reference also bumps a source
+        method's counter once per DELIVERED item (pull.through,
+        wrap.js:73-77); source methods here return DataFrames whose
+        rows materialize outside the engine, so per-item metering lives
+        on the engine's own stream()/feed paths instead."""
+        if self._closed:
+            return
+        self._closed = True
+        self._view.close()
 
     @property
     def since(self) -> int:
@@ -109,6 +130,7 @@ class ViewHandle:
     def ready(self, since: int | None = None) -> None:
         """One-shot barrier: returns when the view is caught up
         (README.md:254-257)."""
+        self._throw_if_view_closed()
         self._engine._throw_if_closed()
         self._engine._gate(self._view, since)
 
@@ -258,6 +280,7 @@ class Flume:
         """Collected range scan. ``live=True`` returns a generator that
         emits the bounded prefix then tails new appends (O6) — the
         driver-side form; `streaming.live` is the cluster form."""
+        self._throw_if_closed()  # index.js:149-151: stream throws after close
         if not live:
             items = [
                 self._row_to_item(r, seqs, values)
@@ -311,6 +334,11 @@ class Flume:
                     refresh = getattr(self.log, "refresh_since", None)
                     if refresh is not None:
                         refresh()
+            # the loop exits this way only when close() landed mid-tail:
+            # the reference ABORTS live streams with an error on close
+            # (index.js:198-201 via pull-abortable) — never a clean end
+            # indistinguishable from an empty log
+            raise ClosedError("flumedb closed while tailing")
 
         return tail()
 
@@ -363,10 +391,23 @@ class Flume:
             if not hasattr(view, attr):
                 raise TypeError(f"view must have method/prop: {attr}")  # index.js:174-182
         view.attach(self, name, os.path.join(self.dir, "views", name), self.spark)
+        # view ahead of the log (log truncated/replaced between runs) =>
+        # destroy NOW, at registration (index.js:36-37 runs this check in
+        # buildView at use()-time; deferring it to the first gated read
+        # would keep exposing phantom state through since / on_since /
+        # sync methods / since=-1 reads — test/memlog.js:98-126).
+        # A fresh view (since == -1) can never be ahead: skip the check
+        # so registering views doesn't consume the log's pre-first-
+        # operation undefined-since window (README.md:197-201).
+        if view.since > -1 and view.since > self.log.ready_since():
+            view.destroy()
         self._views[name] = view
         handle = ViewHandle(self, view)
         self._handles[name] = handle
         setattr(self, name, handle)
+        # reference links each view's meta into the engine's
+        # (index.js:185): db.meta[name][method] readable from the start
+        self.meta[name] = handle.meta
         return self
 
     def _feed(self, view: FlumeView, gt: int, lte: int) -> None:
@@ -395,30 +436,63 @@ class Flume:
                     self._feed(view, view.since, target)
                 except Exception:
                     # crash-restart: a corrupt view never poisons the log —
-                    # destroy and rebuild from 0 (index.js:56-75)
-                    view.destroy()
-                    self._feed(view, -1, target)
+                    # destroy and rebuild from 0 (index.js:56-75). The
+                    # reference retries its destroy+rebuild loop forever
+                    # (index.js:59-74); a synchronous engine bounds it
+                    # (a deterministic fold error would livelock) but
+                    # retries MORE than once so one transient failure
+                    # during the rebuild itself doesn't surface to the
+                    # reader with the view wiped.
+                    last: Exception | None = None
+                    for _ in range(3):
+                        view.destroy()
+                        try:
+                            self._feed(view, -1, target)
+                            last = None
+                            break
+                        except Exception as exc:  # noqa: PERF203
+                            last = exc
+                    if last is not None:
+                        raise last
 
     def _gate(self, view: FlumeView, since_opt: int | None) -> None:
         """Read-after-write gate (O10-O12, wrap.js:29-61): block until the
         view reflects the log head *as of call time* (or an explicit seq);
         ``since=-1`` opts out of catch-up (README.md:249-252)."""
+        if since_opt == -1:
+            # the opt-out bypasses the master switch too (wrap.js:30-41:
+            # the after<0 branch returns current state immediately and
+            # never consults isReady) — a since=-1 reader must not block
+            # on a not-yet-ready engine
+            self._throw_if_closed()
+            return
         while not self._ready.is_set():  # O13 master switch
             if self.closed:
                 raise ClosedError("closed while waiting")
             if self._ready.wait(timeout=0.05):
                 break
-        if since_opt == -1:
-            return
+        if self.closed:
+            # close() releases waiters by setting the event: they must
+            # observe closed and RAISE (the reference drains its waiting
+            # queue with an error, wrap.js:98-112) — never run a
+            # catch-up fold on a closed engine and return success
+            raise ClosedError("closed while waiting")
         head = self.log.ready_since()
-        # an explicit target past the head is clamped: committing the
+        # since=0 is FALSY in the reference (wrap.js:42 `else if
+        # (after)`): it falls through to the full head gate exactly like
+        # since=None/undefined — there is no way to request
+        # wait-for-seq-0 in the reference API, so none here either.
+        # An explicit target past the head is clamped: committing the
         # view watermark beyond seqs that do not exist yet would make
         # later appends in the gap permanently invisible (the fresh-seq
         # filter skips everything <= the committed watermark). The
         # reference's semantic (wrap.js:42-53) is "wait until the view
         # REACHES N" — with a synchronous pull engine, folding to the
         # current head is the furthest that wait can progress.
-        target = head if since_opt is None else min(int(since_opt), head)
+        if since_opt is None or int(since_opt) == 0:
+            target = head
+        else:
+            target = min(int(since_opt), head)
         self._catch_up(view, target)
 
     # ---- maintenance (roadmap #7: cost-based compaction) ----------------
