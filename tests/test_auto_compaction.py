@@ -65,8 +65,14 @@ def test_supervisor_auto_compact_daemon(spark, tmp_path):
         s = db.stats.get()  # gated read: exact, whatever the interleaving
         assert s["count"] == 12 and s["sum"] == sum(range(12))
         # replaced files are tombstoned, not deleted — in-flight
-        # micro-batches can re-read them; retention-gated vacuum GCs
-        assert db.log.vacuum(older_than_seconds=0) >= 0
+        # micro-batches can re-read them; retention-gated vacuum GCs.
+        # The auto-compactions above tombstoned files, so a zero-
+        # retention vacuum must delete SOMETHING (>= 0 was vacuous: it
+        # holds on every code path) and reads must survive the GC.
+        if db.log._load_meta().get("tombstones"):
+            assert db.log.vacuum(older_than_seconds=0) > 0
+        s2 = db.stats.get()
+        assert s2["count"] == 12 and s2["sum"] == sum(range(12))
     finally:
         sup.stop()
     db.close()

@@ -36,7 +36,13 @@ class _BulkWrites:
 
         batch = values if isinstance(values, list) else [values]
         spark = SparkSession.getActiveSession()
-        if meta_updates or not batch or spark is None:
+        # the *-bulk parametrizations exist to run the contract over the
+        # DISTRIBUTED write path: a missing active session must fail
+        # loudly, not silently degrade into re-running the driver path
+        assert spark is not None or meta_updates or not batch, (
+            "bulk contract backend requires an active SparkSession"
+        )
+        if meta_updates or not batch:
             return super().append(values, meta_updates)
         encoded = [(self.codec.encode(v),) for v in batch]
         # createDataFrame splits the list into contiguous in-order
@@ -128,15 +134,25 @@ def test_view_ahead_of_log_rebuilds(db, spark, backend, tmp_log_dir, mapper):
     db.append([{"foo": 1}, {"foo": 2}])
     assert db.sum.get() == 3
     db.close()
-    # replace the log with a shorter one (memlog.js:98-126: log truncated
-    # behind the view's back) -> view is ahead, must destroy + rebuild
+    # replace the LOG with a shorter one but KEEP the view's persisted
+    # state (memlog.js:98-126: log truncated behind the view's back).
+    # Deleting the whole log dir would also delete <log>/views/sum and
+    # the destroy-then-rebuild logic would never run — the fresh view
+    # would trivially start at -1 (a vacuous pass).
+    import os
     import shutil
 
-    shutil.rmtree(tmp_log_dir + "/log")
-    db2 = Flume(backend(tmp_log_dir + "/log"), mapper=mapper, spark=spark)
+    root = tmp_log_dir + "/log"
+    for entry in os.listdir(root):
+        if entry != "views":
+            p = os.path.join(root, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    db2 = Flume(backend(root), mapper=mapper, spark=spark)
     db2.append({"foo": 7})
     db2.use("sum", Reduce(1, lambda a, i: (a or 0) + i["foo"]))
-    assert db2.sum.get() == 7  # old accumulator (3) discarded, not merged
+    # the persisted accumulator (3, since ahead of the truncated log)
+    # must be DISCARDED by the view-ahead destroy, not merged
+    assert db2.sum.get() == 7
     db2.close()
 
 

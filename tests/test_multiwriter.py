@@ -23,6 +23,19 @@ def _writer(path, writer_id, n_batches, batch_size):
         )
 
 
+def _looping_writer(path, writer_id, batch_size, stop_flag, counter_dir):
+    """Appends batches until the stop flag appears (bounded as a crash
+    safety net), then records its committed batch count — lets the
+    maintenance test PROVE overlap instead of hoping the timing worked."""
+    log = ParquetLog(path)
+    b = 0
+    while not os.path.exists(stop_flag) and b < 200:
+        log.append([{"w": writer_id, "b": b, "i": i} for i in range(batch_size)])
+        b += 1
+    with open(os.path.join(counter_dir, f"w{writer_id}"), "w") as f:
+        f.write(str(b))
+
+
 def _offset_writer(path, writer_id, n_batches):
     log = OffsetLog(path)
     for b in range(n_batches):
@@ -81,6 +94,7 @@ def test_lock_file_not_in_manifest(tmp_path):
     log.append({"a": 1})
     assert os.path.exists(os.path.join(log.path, ".lock"))
     meta = json.load(open(log.meta_path))
+    assert len(meta["files"]) == 1  # all() over [] would pass vacuously
     assert all(f.endswith(".parquet") for f in meta["files"])
 
 
@@ -94,31 +108,49 @@ def test_compaction_concurrent_with_writer_processes(spark, tmp_path):
 
     path = str(tmp_path / "log")
     ParquetLog(path).ready_since()  # init the dir
-    n_writers, n_batches, batch_size = 3, 6, 5
+    batch_size = 5
+    stop_flag = str(tmp_path / "stop")
+    counter_dir = str(tmp_path / "counts")
+    os.makedirs(counter_dir)
     procs = [
-        mp.Process(target=_writer, args=(path, w, n_batches, batch_size))
-        for w in range(n_writers)
+        mp.Process(
+            target=_looping_writer, args=(path, w, batch_size, stop_flag, counter_dir)
+        )
+        for w in range(3)
     ]
     for p in procs:
         p.start()
+    # writers loop UNTIL the flag appears, so every compaction completed
+    # before the flag is PROVABLY concurrent with live writers — the
+    # old fixed-iteration loop could quietly run all its maintenance
+    # against an already-quiesced log and still pass
     log = ParquetLog(path)
-    for _ in range(8):  # maintenance racing the writers
-        log.maybe_compact(spark, max_files=4)
+    live_compactions = 0
+    deadline = _t.monotonic() + 120
+    while live_compactions < 2 and _t.monotonic() < deadline:
+        if log.maybe_compact(spark, max_files=4) is not None:
+            live_compactions += 1
         log.vacuum(older_than_seconds=0)
-        _t.sleep(0.05)
+        _t.sleep(0.02)
+    open(stop_flag, "w").write("stop")
     for p in procs:
-        p.join()
+        p.join(timeout=120)
         assert p.exitcode == 0
+    assert live_compactions >= 2, "maintenance never overlapped live writers"
     log.maybe_compact(spark, max_files=4)
     log.vacuum(older_than_seconds=0)
 
-    total = n_writers * n_batches * batch_size
+    per_writer = {
+        w: int(open(os.path.join(counter_dir, f"w{w}")).read()) for w in range(3)
+    }
+    total = sum(per_writer.values()) * batch_size
+    assert total > 0
     fresh = ParquetLog(path)  # re-read from disk, no cached state
     assert fresh.ready_since() == total - 1
     rows = fresh.df(spark).collect()
     assert sorted(r.seq for r in rows) == list(range(total))
     vals = {(d["w"], d["b"], d["i"]) for d in (json.loads(r.value) for r in rows)}
     assert len(vals) == total
-    # maintenance actually did something: file count bounded well below
-    # the 18 commit files the writers produced
-    assert len(fresh._load_meta()["files"]) < 18
+    # maintenance actually bounded the manifest (writers produced
+    # sum(per_writer) commit files before compaction folded them)
+    assert len(fresh._load_meta()["files"]) < sum(per_writer.values())

@@ -169,7 +169,13 @@ def test_supervisor_maintains_all_views(spark, tmp_log_dir):
     db.close()
 
 
-def test_supervisor_restarts_failed_query(spark, tmp_log_dir):
+def test_supervisor_clean_stop_is_not_restarted(spark, tmp_log_dir):
+    """A CLEANLY-stopped maintenance query is deliberately NOT
+    restarted by the supervisor (only failed queries are — that path
+    is covered by test_supervisor_recovers_from_failing_fold); gated
+    reads still self-heal through the engine's own catch-up (O10).
+    (Previously named *_restarts_failed_query, which it never
+    tested.)"""
     from flumedb_spark.streaming.supervisor import ViewSupervisor, wait_until
 
     db = Flume(tmp_log_dir, spark=spark)
@@ -179,16 +185,14 @@ def test_supervisor_restarts_failed_query(spark, tmp_log_dir):
     try:
         sup.process_all_available()
         assert db.stats.get(since=-1)["count"] == 2
-        # simulate a crashed maintenance query: stop it un-cleanly by
-        # killing via exception path — closest we can do is stop() then
-        # fake an exception marker; instead kill the runner's query and
-        # verify the supervisor restarts on a real failure injected by
-        # breaking the checkpoint... simplest reliable fault: stop the
-        # query and delete its checkpoint commits mid-flight, then
-        # append; a cleanly-stopped query is NOT restarted (by design),
-        # so assert the no-restart path first:
         sup.runners["stats"].query.stop()
         assert wait_until(lambda: not sup.runners["stats"].query.isActive)
+        # give the monitor a couple of poll cycles: it must NOT restart
+        import time as _t
+
+        _t.sleep(0.6)
+        assert not sup.runners["stats"].query.isActive
+        assert sup.restarts.get("stats", 0) == 0
         db.append({"foo": 5})
         # gated read still self-heals through the engine path (O10)
         assert db.stats.get()["count"] == 3
@@ -452,12 +456,21 @@ def test_log_stream_sink_exactly_once(spark, tmp_path):
         assert [_json.loads(r.value)["k"] for r in rows] == [0, 1, 2, 3, 4]
 
         # crash-retry simulation: redeliver through the REAL sink writer
-        # with an already-committed epoch -> no-op
+        # with an already-committed epoch -> no-op. The epoch comes from
+        # the QUERY's own progress (what Spark would redeliver on a
+        # crash-retry), NOT from the sink's bookkeeping — reading
+        # sink_log._meta['sink_epoch'] here would be circular: it is the
+        # exact field the dedup guard compares against, so a sink that
+        # recorded the WRONG epoch would still pass.
         from flumedb_spark.sources.readers import make_log_batch_writer
 
         batch = spark.createDataFrame([(9, "dup")], "k long, v string")
-        epoch = sink_log._meta["sink_epoch"]
+        epoch = int(q.lastProgress["batchId"])
         make_log_batch_writer(sink_log)(batch, epoch)
+        assert sink_log.df(spark).count() == 5
+        # the guard holds for every epoch Spark could retry (0..last)
+        for past in range(epoch + 1):
+            make_log_batch_writer(sink_log)(batch, past)
         assert sink_log.df(spark).count() == 5
         # and a NEW epoch appends normally
         with open(os.path.join(src_dir, "b.jsonl"), "w") as f:

@@ -60,7 +60,11 @@ def test_conflict_replays_stage(tmp_path):
         t = pq.read_table(os.path.join(a.data_dir, f))
         for seq, val in zip(t.column("seq").to_pylist(), t.column("value").to_pylist()):
             if seq <= meta["since"]:
-                rows.setdefault(seq, json.loads(val))
+                # duplicate seqs across manifest files = a broken replay
+                # left stale staged data committed (setdefault would
+                # silently mask it behind manifest order)
+                assert seq not in rows, f"duplicate committed seq {seq}"
+                rows[seq] = json.loads(val)
     assert {s: v["who"] for s, v in rows.items()} == {
         0: "init", 1: "b", 2: "a",
     }
@@ -111,6 +115,16 @@ def _proc_writer(path, writer_id, n_appends):
     log = VersionedLog(path)
     for i in range(n_appends):
         log.append({"w": writer_id, "i": i})
+
+
+def _looping_occ_writer(path, writer_id, stop_flag, counter_dir):
+    log = VersionedLog(path)
+    i = 0
+    while not os.path.exists(stop_flag) and i < 200:
+        log.append({"w": writer_id, "i": i})
+        i += 1
+    with open(os.path.join(counter_dir, f"w{writer_id}"), "w") as f:
+        f.write(str(i))
 
 
 def test_occ_processes_dense(spark, tmp_path):
@@ -189,25 +203,41 @@ def test_maintenance_races_occ_writers(spark, tmp_path):
 
     path = str(tmp_path / "log")
     VersionedLog(path).ready_since()
-    n_writers, n_appends = 3, 8
+    stop_flag = str(tmp_path / "stop")
+    counter_dir = str(tmp_path / "counts")
+    os.makedirs(counter_dir)
     procs = [
-        mp.Process(target=_proc_writer, args=(path, w, n_appends))
-        for w in range(n_writers)
+        mp.Process(
+            target=_looping_occ_writer, args=(path, w, stop_flag, counter_dir)
+        )
+        for w in range(3)
     ]
     for p in procs:
         p.start()
+    # writers loop until the flag: every compaction completed before it
+    # is PROVABLY concurrent with live OCC writers (the old fixed loop
+    # could run entirely against a quiesced log and still pass)
     log = VersionedLog(path)
-    for _ in range(6):  # maintenance racing the writers
-        log.maybe_compact(spark, max_files=4)
+    live_compactions = 0
+    deadline = _t.monotonic() + 120
+    while live_compactions < 2 and _t.monotonic() < deadline:
+        if log.maybe_compact(spark, max_files=4) is not None:
+            live_compactions += 1
         log.vacuum(older_than_seconds=0)
-        _t.sleep(0.05)
+        _t.sleep(0.02)
+    open(stop_flag, "w").write("stop")
     for p in procs:
-        p.join()
+        p.join(timeout=120)
         assert p.exitcode == 0
+    assert live_compactions >= 2, "maintenance never overlapped live writers"
     log.maybe_compact(spark, max_files=4)
     log.vacuum(older_than_seconds=0)
 
-    total = n_writers * n_appends
+    per_writer = {
+        w: int(open(os.path.join(counter_dir, f"w{w}")).read()) for w in range(3)
+    }
+    total = sum(per_writer.values())
+    assert total > 0
     fresh = VersionedLog(path)
     assert fresh.ready_since() == total - 1
     rows = fresh.df(spark).collect()
@@ -223,13 +253,36 @@ def test_live_tail_follows_occ_process_appends(spark, tmp_path):
     versioned manifest on idle polls)."""
     from flumedb_spark.engine import Flume
 
+    import queue
+    import threading
+
     path = str(tmp_path / "log")
     db = Flume(VersionedLog(path), spark=spark)
     db.append([{"w": -1, "i": i} for i in range(2)])  # seqs 0,1
+    # start the tail and consume the EXISTING prefix FIRST, so the
+    # remaining items can only arrive through the cross-process
+    # refresh_since path (the old ordering let a fast child commit
+    # everything before the tail's first scan, serving the whole range
+    # from the initial snapshot and never exercising refresh at all)
+    gen = db.stream(live=True, gt=0, lte=3, poll_interval=0.05)
+    first = next(gen)
+    assert first["seq"] == 1
     p = mp.Process(target=_proc_writer, args=(path, 7, 3))  # seqs 2,3,4
     p.start()
-    items = list(db.stream(live=True, gt=0, lte=3, poll_interval=0.05))
+    out: "queue.Queue" = queue.Queue()
+
+    def drain():
+        try:
+            out.put(("ok", [i["seq"] for i in gen]))
+        except Exception as exc:  # pragma: no cover - failure path
+            out.put(("err", exc))
+
+    t = threading.Thread(target=drain, daemon=True)
+    t.start()
+    t.join(timeout=120)  # a broken refresh_since HANGS the tail: fail, don't freeze
+    assert not t.is_alive(), "cross-process tail never observed the child's commits"
+    kind, rest = out.get()
+    assert kind == "ok" and rest == [2, 3]
     p.join()
     assert p.exitcode == 0
-    assert [i["seq"] for i in items] == [1, 2, 3]
     db.close()
