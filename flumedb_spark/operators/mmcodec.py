@@ -17,7 +17,9 @@ byte string must never fail a 100 TB partition).
 
 Format references (public specs): BMP = BITMAPFILEHEADER +
 BITMAPINFOHEADER (Windows GDI docs); PPM/PGM = netpbm P6/P5; PNG =
-RFC 2083 (chunk layout, DEFLATE, filter types 0-4); WAV = RIFF PCM.
+RFC 2083 (chunk layout, DEFLATE, filter types 0-4); WAV = RIFF PCM;
+GIF = GIF87a/89a (LZW with variable code width, CLEAR/EOI, graphics
+control extensions for transparency/disposal).
 """
 
 from __future__ import annotations
@@ -46,6 +48,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -404,3 +408,221 @@ def synth_audio(doc_id: int) -> tuple[np.ndarray, int]:
     i = np.arange(n)
     samples = (((doc_id * 31 + i * 7) % 65536) - 32768).astype(np.int16)
     return samples, 8000 + 100 * (doc_id % 5)
+
+
+# ---------------------------------------------------------------------
+# GIF — multi-frame images via pure-Python LZW (GIF87a/89a spec).
+# The REAL kernel behind frame sampling: a video-lite format this
+# container can genuinely decode (no ffmpeg needed).
+# ---------------------------------------------------------------------
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-flavor LZW: variable code width, CLEAR/EOI codes, MSB-last
+    bit packing (LSB-first within the byte stream)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def reset():
+        return {i: [i] for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    next_code = eoi + 1
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table, width = reset()
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]  # the KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """GIF-flavor LZW encoder (string-table build mirrors the decoder)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:  # table full: reset (keeps width bounded)
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(frames: list[np.ndarray]) -> bytes:
+    """List of (H, W, 3) uint8 frames (same dims) -> animated GIF bytes.
+
+    Each frame is quantized to its own 256-color local palette (frames
+    here are synthetic/test fixtures with few distinct colors; raises
+    if a frame exceeds 256)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)  # no global color table
+    for f in frames:
+        f = np.asarray(f, dtype=np.uint8)
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        flat = f.reshape(-1, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("encode_gif supports <=256 colors per frame")
+        # local color table size: power of two >= len(colors), min 2
+        bits_needed = max(1, int(np.ceil(np.log2(max(len(colors), 2)))))
+        table_n = 1 << bits_needed
+        palette = np.zeros((table_n, 3), dtype=np.uint8)
+        palette[: len(colors)] = colors
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x80 | (bits_needed - 1))
+        out += palette.tobytes()
+        min_code = max(2, bits_needed)
+        lzw = _lzw_encode(min_code, inverse.astype(int).tolist())
+        out.append(min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> list[np.ndarray]:
+    """GIF bytes -> list of (H, W, 3) uint8 RGB frames (composited
+    draw-over onto the logical screen; disposal 2 restores background;
+    transparency honored via the GCE transparent index)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    try:
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                label = payload[pos]
+                pos += 1
+                if label == 0xF9:  # graphics control
+                    size = payload[pos]
+                    gflags = payload[pos + 1]
+                    disposal = (gflags >> 2) & 0x07
+                    transparent = payload[pos + 4] if (gflags & 1) else None
+                    pos += size + 1
+                while payload[pos] != 0:  # skip (remaining) sub-blocks
+                    pos += payload[pos] + 1
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                left, top, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos)
+                pos += 9
+                if iflags & 0x40:
+                    raise ValueError("interlaced GIF not supported")
+                table = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                    pos += n * 3
+                if table is None:
+                    raise ValueError("GIF frame with no color table")
+                min_code = payload[pos]
+                pos += 1
+                data = bytearray()
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    data += payload[pos + 1 : pos + 1 + ln]
+                    pos += ln + 1
+                pos += 1
+                idx = np.array(_lzw_decode(min_code, bytes(data)), dtype=np.int32)
+                if idx.size < fw * fh:
+                    raise ValueError("truncated GIF frame data")
+                idx = idx[: fw * fh].reshape(fh, fw)
+                region = canvas[top : top + fh, left : left + fw]
+                rgb = table[np.clip(idx, 0, len(table) - 1)]
+                if transparent is not None:
+                    mask = (idx != transparent)[:, :, None]
+                    region[:] = np.where(mask, rgb, region)
+                else:
+                    region[:] = rgb
+                frames.append(canvas.copy())
+                if disposal == 2:  # restore background (black) in the region
+                    canvas[top : top + fh, left : left + fw] = 0
+                transparent = None
+                disposal = 0
+            else:
+                raise ValueError(f"bad GIF block 0x{block:02x}")
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated GIF payload: {exc}") from exc
+    if not frames:
+        raise ValueError("GIF contains no frames")
+    return frames

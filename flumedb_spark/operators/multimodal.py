@@ -197,25 +197,44 @@ def resize_images(
 
 
 def sample_frames(
-    payloads: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, use_fake: bool = True
+    payloads: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    use_fake: bool = True,
+    every_n_frames: int = 1,
 ) -> DataFrame:
-    """Frame-sampling plumbing: one binary 'video' in -> N 'frame' rows
-    out (a 1->many UDTF-shaped mapInPandas). The real kernel seeks
-    keyframes with ffmpeg; the deterministic fake slices the byte
-    stream every ``every_n_bytes``."""
+    """Frame sampling: one binary 'video' in -> N 'frame' rows out
+    (a 1->many UDTF-shaped mapInPandas).
+
+    ``use_fake=False`` runs the REAL kernel over animated GIF payloads
+    (pure-Python LZW decode, ``mmcodec.decode_gif``): the composited
+    frames are sampled every ``every_n_frames``, capped at
+    ``max_frames``, each re-encoded as binary PPM in ``frame_payload``
+    (undecodable blobs drop their rows, never the task). For true
+    video containers (mp4 etc.) the same closure shape takes an ffmpeg
+    keyframe seek where that library exists. The deterministic fake
+    slices the byte stream every ``every_n_bytes`` (plumbing tests
+    over arbitrary bytes)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not use_fake:
+            from flumedb_spark.operators import mmcodec
         for pdf in batches:
-            if not use_fake:
-                raise NotImplementedError(
-                    "video codecs not available in this environment"
-                )
             ids, idxs, frames, totals = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(p)
-                chunks = [
-                    b[i : i + every_n_bytes] for i in range(0, len(b), every_n_bytes)
-                ][:max_frames]
+                if use_fake:
+                    chunks = [
+                        b[i : i + every_n_bytes]
+                        for i in range(0, len(b), every_n_bytes)
+                    ][:max_frames]
+                else:
+                    try:
+                        decoded = mmcodec.decode_gif(b)
+                    except ValueError:
+                        continue  # corrupt blob: drop rows, keep the task
+                    sampled = decoded[::every_n_frames][:max_frames]
+                    chunks = [mmcodec.encode_ppm(f) for f in sampled]
                 for j, c in enumerate(chunks):
                     ids.append(doc_id)
                     idxs.append(j)

