@@ -185,15 +185,30 @@ DRIVER_WINDOW: list[str] = [
     # (ns_fingerprint rotated out r3 for interval_join_events: r2-green,
     # text.py + entry unchanged since)
     "interval_join_events",
+    # round-4: the streaming surface's oracle row — a REAL Structured
+    # Streaming run (append mode, watermark late-drop over 3 pinned
+    # micro-batches) hash-checked against a DuckDB reproduction of the
+    # exact emission/late-filter semantics (VERDICT r3 #7)
+    "stream_windowed_counts",
     "ns_similarity_topk",
+    # round-4: the BLAS mapInPandas path, previously the only
+    # never-driver-checked catalog entry, now oracle-checked via
+    # exact-int quantization (same round(x*1e6) rule as the JVM path —
+    # integer-valued float64 matmuls are exact at d=64)
+    "ns_similarity_topk_np",
     "ns_embedding_neardup",
-    "ns_lsh_ann_topk",
-    "ns_ivf_ann_topk",
+    # (ns_lsh_ann_topk / ns_ivf_ann_topk rotated out r4: both are
+    # no_oracle rows-only rows whose driver record attests nothing
+    # falsifiable, while their oracle-checked parity twins
+    # ns_lsh_ann_topk_md5 / ns_ivf_ann_topk_seeded + the two recall
+    # twins are in-window and r3-green — VERDICT r3 "What's wrong" #4)
     # (ns_multimodal_meta rotated out late r3 for ns_countmin_event_counts:
     # r2-green; multimodal.py was later restructured for the real
-    # codecs, but this entry pins use_fake=True and the _fake closure
-    # is byte-identical — the CHANGED (real) paths are attested by the
-    # three in-window ns_image/audio_* entries and the behavioral suite)
+    # codecs, but this entry pins use_fake=True and its _fake closure is
+    # behavior-identical — it delegates to the module-level fake_decode
+    # with the same formula (not byte-identical; the helper was factored
+    # out in r3) — the CHANGED (real) paths are attested by the three
+    # in-window ns_image/audio_* entries and the behavioral suite)
     "ns_countmin_event_counts",
     "ns_pipeline_filter_dedup_join",
     # (ns_deterministic_sample / ns_dataset_split_counts /
@@ -820,6 +835,97 @@ shared_sql(
     ORDER BY purchase_seq, click_seq
     """,
 )
+
+@query(
+    "stream_windowed_counts",
+    # The STREAMING extension surface's oracle row (VERDICT r3 #7): a
+    # REAL Structured Streaming execution of windowed_event_counts
+    # (tumbling 1h windows, 30min watermark, append mode) over three
+    # deterministic micro-batches, reproduced in DuckDB as plain SQL.
+    # b0 = event_id%10 NOT IN (3,7) (80%), b1 = %10=7, b2 = %10=3 —
+    # each spread over the whole time range, so most of b2 arrives
+    # LATE relative to the watermark and is dropped.
+    # Empirically pinned Spark semantics (see tests/test_streaming.py
+    # ::test_stream_windowed_counts_batch_lag): the LATE-EVENT filter
+    # in batch N uses the watermark computed from data through batch
+    # N-2 (it lags eviction by one batch — watermarkForLateEvents), so
+    # b1 is never filtered and b2 filters against wm_after_b0 =
+    # max(ts in b0) - 30min; EVICTION/emission uses the current
+    # watermark, and the trailing no-data micro-batch flushes every
+    # window with end <= final watermark = max(all ts) - 30min.
+    oracle="""
+    WITH b0 AS (SELECT ts FROM events WHERE event_id % 10 NOT IN (3, 7)),
+         b2 AS (SELECT ts FROM events WHERE event_id % 10 = 3),
+         wm0 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM b0),
+         fw  AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+         survive AS (
+           SELECT ts FROM events WHERE event_id % 10 != 3
+           UNION ALL
+           SELECT ts FROM b2
+           WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm0)
+         )
+    SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, count(*) AS n
+    FROM survive
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM fw)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .streaming.live import windowed_event_counts
+
+    events = spark.table("events").select("event_id", "ts")
+    work = tempfile.mkdtemp(prefix="stream_win_")
+    try:
+        stream_dir = os.path.join(work, "in")
+        os.makedirs(stream_dir)
+        # three single-file micro-batches, arrival order pinned via mtime
+        for i, pred in enumerate(
+            (
+                ~(F.col("event_id") % 10).isin(3, 7),
+                F.col("event_id") % 10 == 7,
+                F.col("event_id") % 10 == 3,
+            )
+        ):
+            staged = os.path.join(work, f"stage{i}")
+            events.where(pred).coalesce(1).write.parquet(staged)
+            part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+            dst = os.path.join(stream_dir, f"b{i}.parquet")
+            shutil.move(os.path.join(staged, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        src = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        agg = windowed_event_counts(
+            src, window="1 hour", watermark="30 minutes", ts_col="ts"
+        )
+        qname = f"swc_{_uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.table(qname)
+            .select(F.unix_micros("win_start").alias("win_start_us"), "n")
+            .orderBy("win_start_us")
+            .collect()
+        )
+        spark.catalog.dropTempView(qname)
+        return spark.createDataFrame(rows, "win_start_us long, n long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
 
 shared_sql(
     "json_extraction",

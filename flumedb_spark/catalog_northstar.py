@@ -300,15 +300,43 @@ def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ns_similarity_topk_np")
+@query(
+    "ns_similarity_topk_np",
+    oracle=(
+        "WITH "
+        + _FLAT_DUCK
+        + """,
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
+      FROM flat a JOIN flat b ON a.i = b.i AND b.vec_id != a.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_raw
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    ORDER BY query_id, rank
+    """
+    ),
+)
 def ns_similarity_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Serving-path variant of ns_similarity_topk: one BLAS matmul per
-    Arrow batch instead of per-element JVM lambdas.  Scores agree with
-    the int-exact form to ~1e-12 but float summation order differs by
-    ulps, so this entry is rows-only (the int-exact query above stays
-    the oracle form)."""
+    """BLAS-path variant of ns_similarity_topk: one numpy matmul per
+    Arrow batch (mapInPandas) instead of per-element JVM lambdas.
+    ``exact_int=True`` applies the same round(x*1e6) quantization as the
+    JVM int_dot path — integer-valued float64 matmuls are exact at d=64,
+    so this entry hashes against the SAME DuckDB oracle as the JVM form
+    (the float serving mode stays available via exact_int=False)."""
     return similarity.cosine_topk_np(
-        spark.table("embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+        spark.table("embeddings"), query_ids=[0, 1, 2, 3, 4], k=10, exact_int=True
     )
 
 

@@ -492,7 +492,27 @@ class Flume:
         if since_opt is None or int(since_opt) == 0:
             target = head
         else:
-            target = min(int(since_opt), head)
+            target = int(since_opt)
+            if target > head:
+                # cross-process read-after-write: the cached watermark can
+                # trail a commit made by ANOTHER process. Re-read the
+                # committed manifest, then bounded-poll (the reference
+                # queues the waiter until the view reaches N,
+                # wrap.js:42-53) before clamping to whatever exists.
+                refresh = getattr(self.log, "refresh_since", None)
+                if refresh is not None:
+                    import time as _time
+
+                    deadline = _time.monotonic() + float(
+                        getattr(self, "gate_wait_seconds", 2.0)
+                    )
+                    head = refresh()
+                    while head < target and _time.monotonic() < deadline:
+                        if self.closed:
+                            raise ClosedError("closed while waiting")
+                        _time.sleep(0.02)
+                        head = refresh()
+            target = min(target, head)
         self._catch_up(view, target)
 
     # ---- maintenance (roadmap #7: cost-based compaction) ----------------

@@ -548,8 +548,9 @@ def encode_gif(frames: list[np.ndarray]) -> bytes:
 
 def decode_gif(payload: bytes) -> list[np.ndarray]:
     """GIF bytes -> list of (H, W, 3) uint8 RGB frames (composited
-    draw-over onto the logical screen; disposal 2 restores background;
-    transparency honored via the GCE transparent index)."""
+    draw-over onto the logical screen; disposal 2 restores background,
+    disposal 3 restores the pre-frame canvas; transparency honored via
+    the GCE transparent index)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
@@ -607,6 +608,14 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
                 if idx.size < fw * fh:
                     raise ValueError("truncated GIF frame data")
                 idx = idx[: fw * fh].reshape(fh, fw)
+                # disposal 3 (restore-to-previous): snapshot the region
+                # BEFORE this frame draws, restore it after the frame is
+                # emitted (GIF89a spec §23, disposal method 3)
+                prev_region = (
+                    canvas[top : top + fh, left : left + fw].copy()
+                    if disposal == 3
+                    else None
+                )
                 region = canvas[top : top + fh, left : left + fw]
                 rgb = table[np.clip(idx, 0, len(table) - 1)]
                 if transparent is not None:
@@ -617,6 +626,8 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
                 frames.append(canvas.copy())
                 if disposal == 2:  # restore background (black) in the region
                     canvas[top : top + fh, left : left + fw] = 0
+                elif disposal == 3:  # restore canvas to pre-frame state
+                    canvas[top : top + fh, left : left + fw] = prev_region
                 transparent = None
                 disposal = 0
             else:

@@ -484,32 +484,66 @@ def cosine_topk_np(
     query_ids: list[int] | None = None,
     k: int = 10,
     vec_col: str = "embedding",
+    exact_int: bool = False,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact top-k via numpy matmul inside mapInPandas — the vectorized
     Python alternative to the JVM zip_with/aggregate path.
 
     The (small) query matrix ships inside the closure; each Arrow batch
     of corpus vectors scores against all queries with one BLAS matmul.
-    ~10-100x fewer interpreter ops than per-element lambdas; float64
-    summation order differs from the sequential JVM fold by ulps, so
-    this variant is for serving, not for oracle-hashed outputs (scores
-    agree with `cosine_topk` to ~1e-12; rank ties broken identically).
+    ~10-100x fewer interpreter ops than per-element lambdas.
+
+    ``exact_int=True`` quantizes components with the SAME round(x*1e6)
+    rule as the JVM ``int_dot`` path before the matmul; integer-valued
+    float64 products are exact while ``d * (SCALE*max|x|)^2 < 2^53``
+    (d=64 unit-ish vectors: ~2e13, comfortably inside), so scores equal
+    ``cosine_topk`` / the DuckDB oracle bit-for-bit. The default float
+    path is for serving: summation order differs from the sequential
+    JVM fold by ulps (~1e-12; rank ties broken identically).
+
+    Scale guard: the query matrix is built with a driver ``collect``.
+    With ``query_ids=None`` that would collect the WHOLE table — a
+    driver OOM at 100 TB — so unbounded calls are rejected above
+    ``max_query_rows`` rows; route big all-pairs jobs to ``cosine_topk``
+    (JVM broadcast) or ``lsh_ann_topk`` / ``near_dup_pairs`` instead.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = (
+    q_df = (
         embeddings.where(F.col("vec_id").isin(query_ids))
         if query_ids is not None
         else embeddings
-    ).select("vec_id", vec_col).collect()
+    ).select("vec_id", vec_col)
+    if query_ids is None:
+        n = q_df.limit(max_query_rows + 1).count()
+        if n > max_query_rows:
+            raise ValueError(
+                f"cosine_topk_np with query_ids=None would collect the full "
+                f"embeddings table (> {max_query_rows} rows) to the driver; "
+                "pass query_ids, raise max_query_rows explicitly, or use the "
+                "distributed cosine_topk / lsh_ann_topk paths"
+            )
+    q_rows = q_df.collect()
+
+    def quant(m: "np.ndarray") -> "np.ndarray":
+        # Spark F.round / DuckDB round: half away from zero (np.round is
+        # half-to-even — NOT equivalent)
+        v = m * float(SCALE)
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
     q_ids = np.array([r.vec_id for r in q_rows])
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    if exact_int:
+        q_mat = quant(q_mat)
     q_norm = np.linalg.norm(q_mat, axis=1)
 
     def run(batches):
         for pdf in batches:
             mat = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+            if exact_int:
+                mat = quant(mat)
             norms = np.linalg.norm(mat, axis=1)
             sims = (mat @ q_mat.T) / np.outer(norms, q_norm)  # (batch, nq)
             n_rows, n_q = sims.shape

@@ -74,21 +74,23 @@ def stream_log(
     return df
 
 
-def committed_file_filter(log: ParquetLog, batch: DataFrame, grace_seconds: float = 5.0) -> DataFrame:
-    """Admit only rows whose source file the COMMITTED manifest lists.
+def resolve_committed_files(
+    log: ParquetLog, present: set, grace_seconds: float = 5.0
+) -> set:
+    """Grace-poll the committed manifest until it covers ``present``.
 
     A discovered-but-uncommitted file is normally just an in-flight
     append (the writer commits the same file name moments later), so
     unknown names get a short grace poll before being treated as
-    orphans and dropped — a crashed append's retry and an OCC loser's
-    replay both re-write under a fresh uuid name, so a name that never
-    becomes committed never will be, and its rows arrive via the
-    committed file instead."""
+    orphans — a crashed append's retry and an OCC loser's replay both
+    re-write under a fresh uuid name, so a name that never becomes
+    committed never will be. Returns the final committed-file set.
+
+    Runs lock-free (pure manifest reads + sleeps) so callers can poll
+    BEFORE taking the engine lock — the in-flight-append case must not
+    stall gated reads for the grace window."""
     import time as _time
 
-    if "_src_file" not in batch.columns:
-        return batch  # source without file provenance (custom datasource reads committed-only)
-    present = {r.f for r in batch.select(F.col("_src_file").alias("f")).distinct().collect()}
     deadline = _time.monotonic() + grace_seconds
     while True:
         log.refresh_since()
@@ -100,9 +102,26 @@ def committed_file_filter(log: ParquetLog, batch: DataFrame, grace_seconds: floa
         tombstoned = {t.get("file") for t in log._meta.get("tombstones", [])}
         unknown = present - committed - tombstoned
         if not unknown or _time.monotonic() >= deadline:
-            break
+            return committed
         _time.sleep(0.05)
-    drop = (present - committed) if (present - committed) else set()
+
+
+def committed_file_filter(
+    log: ParquetLog,
+    batch: DataFrame,
+    grace_seconds: float = 5.0,
+    committed: set | None = None,
+) -> DataFrame:
+    """Admit only rows whose source file the COMMITTED manifest lists.
+
+    Pass ``committed`` (from ``resolve_committed_files``) to skip the
+    grace poll — the lock-held fold path pre-resolves it lock-free."""
+    if "_src_file" not in batch.columns:
+        return batch  # source without file provenance (custom datasource reads committed-only)
+    present = {r.f for r in batch.select(F.col("_src_file").alias("f")).distinct().collect()}
+    if committed is None:
+        committed = resolve_committed_files(log, present, grace_seconds)
+    drop = present - committed
     out = batch
     if drop:
         out = out.where(~F.col("_src_file").isin(*drop))
@@ -134,6 +153,19 @@ class LiveViewRunner:
 
     def _fold_batch(self, batch: DataFrame, epoch_id: int) -> None:
         view = self.view
+        # Resolve the committed-file set BEFORE taking the engine lock:
+        # the grace poll (up to 5s when a batch carries a not-yet-
+        # committed in-flight append) must not stall every gated read
+        # and fold for the window.
+        committed = None
+        if "_src_file" in batch.columns:
+            present = {
+                r.f
+                for r in batch.select(F.col("_src_file").alias("f"))
+                .distinct()
+                .collect()
+            }
+            committed = resolve_committed_files(self.engine.log, present)
         # Serialize with the engine's read-driven catch-up: Flume._gate ->
         # _catch_up folds under engine._lock, and without taking the same
         # lock here both paths can fold overlapping seq ranges — for
@@ -144,7 +176,9 @@ class LiveViewRunner:
             # admit only manifest-committed source files first (orphans
             # from torn appends / OCC-loser replays can carry committed
             # seqs with DIFFERENT values — see committed_file_filter)
-            batch = committed_file_filter(self.engine.log, batch)
+            batch = committed_file_filter(
+                self.engine.log, batch, committed=committed
+            )
             # restrict to genuinely-new records: redelivered batches after
             # a crash re-run with seq <= view.since and fold to a no-op.
             # dropDuplicates(seq): one discovery snapshot can briefly hold

@@ -89,12 +89,18 @@ class Bloom(FlumeView):
 
         if parquet_num_rows(fpath) > 0:
             self._meta["files"] = self._meta.get("files", []) + [fname]
-            self._sketch = None  # invalidate; rebuilt+persisted on next probe
+            # invalidate BOTH the in-memory sketch and the committed
+            # validity flag: a persisted sketch that predates this file
+            # would return definitive-False for the file's keys after a
+            # process restart (bloom contract: False is definitive)
+            self._sketch = None
+            self._meta["sketch_valid"] = False
         else:
             import shutil
 
+            # empty batch: the persisted sketch (if any) still covers
+            # every committed key — leave sketch_valid untouched
             shutil.rmtree(fpath, ignore_errors=True)
-            self._meta["sketch_valid"] = False
         self.commit(upto)
 
     def keys_df(self) -> DataFrame:

@@ -306,3 +306,35 @@ def test_bulk_staged_names_are_collision_free(spark, tmp_path):
     for n in names:
         assert re.match(r"\d{10}-b\d{5}-[0-9a-f]{8}\.parquet$", n), n
     db.close()
+
+
+# ---------------------------------------------------------------------
+# round-4 advisor fixes
+# ---------------------------------------------------------------------
+
+
+def test_gate_observes_cross_process_commit(spark, tmp_path):
+    """ready(since=N) where N was committed by ANOTHER process must
+    refresh the on-disk watermark (wrap.js:42-53 queues the waiter until
+    the view reaches N) instead of silently clamping to the stale cached
+    head and returning a view that does not contain seq N."""
+    from flumedb_spark import Flume, Reduce
+
+    path = str(tmp_path / "xproc")
+    db_reader = Flume(path, spark=spark)
+    db_reader.use("sum", Reduce(1, lambda a, i: (a or 0) + i["v"]))
+    db_reader.append([{"v": 1}, {"v": 2}])  # head = 1, cached
+    assert db_reader.sum.get() == 3
+
+    # "another process": a second engine over the same directory commits
+    # seqs 2-3; the reader's cached watermark still says head=1
+    db_writer = Flume(path, spark=spark)
+    db_writer.append([{"v": 10}, {"v": 100}])
+    assert db_writer.log.ready_since() == 3
+    db_writer.close()
+
+    assert db_reader.log.ready_since() == 1  # stale cache, precondition
+    # explicit wait-for-seq-3: must observe the cross-process commit
+    assert db_reader.sum.get(since=3) == 113
+    assert db_reader._views["sum"].since == 3
+    db_reader.close()

@@ -431,3 +431,33 @@ def test_spark_real_frame_sampling_from_gif(spark):
         for j, r in enumerate(rows_d):
             got = mc.decode_ppm(bytes(r.frame_payload))
             assert np.array_equal(got, fs[j * 2])
+
+
+def test_gif_disposal_restore_previous():
+    """Disposal 3 (restore-to-previous): the frame following a
+    disposal-3 frame composites onto the PRE-frame canvas, not onto the
+    disposal-3 frame's pixels (GIF89a spec section 23)."""
+    gif = b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+    gif += bytes([255, 0, 0, 0, 255, 0])  # GCT: red, green
+    # frame 1: all red, no GCE (disposal 0)
+    d1 = mc._lzw_encode(2, [0, 0])
+    gif += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0) + bytes([2, len(d1)]) + d1 + b"\x00"
+    # GCE: disposal 3 (bits 2-4 = 011), no transparency
+    gif += bytes([0x21, 0xF9, 4, 0x03 << 2, 0, 0, 0, 0])
+    # frame 2: all green, 1x1 sub-rect at left=1 — draws over the right pixel
+    d2 = mc._lzw_encode(2, [1])
+    gif += struct.pack("<BHHHHB", 0x2C, 1, 0, 1, 1, 0) + bytes([2, len(d2)]) + d2 + b"\x00"
+    # GCE: transparent index 1, draw-over — green pixels of frame 3 are
+    # holes; what shows through must be frame 1's RED (restored canvas),
+    # not frame 2's green
+    gif += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 1, 0])
+    d3 = mc._lzw_encode(2, [1, 1])
+    gif += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0) + bytes([2, len(d3)]) + d3 + b"\x00"
+    gif += b"\x3b"
+    frames = mc.decode_gif(gif)
+    assert len(frames) == 3
+    red, green = [255, 0, 0], [0, 255, 0]
+    assert np.array_equal(frames[0], np.array([[red, red]], np.uint8))
+    assert np.array_equal(frames[1], np.array([[red, green]], np.uint8))
+    # disposal 3 restored the right pixel to red before frame 3 drew
+    assert np.array_equal(frames[2], np.array([[red, red]], np.uint8))

@@ -275,6 +275,35 @@ def test_cosine_topk_np_agrees_with_jvm(spark, embeddings):
         assert abs(a.cosine - b.cosine) <= 1e-6 + 1e-12
 
 
+def test_cosine_topk_np_exact_int_matches_jvm_exactly(spark, embeddings):
+    """exact_int mode quantizes with the same round(x*1e6) rule as the
+    JVM int_dot path; integer-valued float64 matmuls are exact at d=64,
+    so every rounded score must be bit-identical (the basis for the
+    ns_similarity_topk_np oracle row)."""
+    jvm = similarity.cosine_topk(embeddings, query_ids=[0, 1, 2], k=8).collect()
+    npq = similarity.cosine_topk_np(
+        embeddings, query_ids=[0, 1, 2], k=8, exact_int=True
+    ).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank, r.cosine) for r in jvm] == [
+        (r.query_id, r.neighbor_id, r.rank, r.cosine) for r in npq
+    ]
+
+
+def test_cosine_topk_np_unbounded_collect_guard(spark, embeddings):
+    """query_ids=None would collect the WHOLE table to the driver — a
+    driver OOM at 100 TB — so unbounded calls above max_query_rows must
+    raise (VERDICT r3 scale-killer #1) and point at the distributed
+    paths; an explicit higher cap still works."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cosine_topk_np|query_ids"):
+        similarity.cosine_topk_np(embeddings, k=3, max_query_rows=10)
+    # explicit opt-in cap above the table size: allowed
+    n = embeddings.count()
+    out = similarity.cosine_topk_np(embeddings, k=1, max_query_rows=n)
+    assert out.count() == n
+
+
 def test_cdc_upsert_and_scd2(spark):
     from flumedb_spark.operators import cdc
 

@@ -657,3 +657,67 @@ def test_stream_fold_ignores_uncommitted_orphan_files(spark, tmp_log_dir):
     finally:
         runner.stop()
     db.close()
+
+
+def test_stream_windowed_counts_batch_lag(spark, tmp_path):
+    """Pins the Spark watermark semantics the stream_windowed_counts
+    oracle encodes: the late-event filter in batch N uses the watermark
+    from data through batch N-2 (one batch BEHIND eviction), so a late
+    row arriving in the same batch as its window's eviction is still
+    merged, while one arriving a batch later is dropped."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    sd = tmp_path / "in"
+    sd.mkdir()
+    # b0: hour-0 row + hour-10 row  -> wm after b0 = 09:30
+    pq.write_table(
+        pa.table({"ts": [t0, t0 + dt.timedelta(hours=10)]}), str(sd / "b0.parquet")
+    )
+    # b1: benign hour-10 row; eviction wm = 09:30 emits window 0 (n=1);
+    # late filter still uses the initial wm, so nothing is dropped here
+    pq.write_table(
+        pa.table({"ts": [t0 + dt.timedelta(hours=10, minutes=5)]}),
+        str(sd / "b1.parquet"),
+    )
+    # b2: late hour-0 row AFTER eviction -> filtered (wm after b0 = 09:30)
+    pq.write_table(
+        pa.table({"ts": [t0 + dt.timedelta(minutes=1)]}), str(sd / "b2.parquet")
+    )
+    for i in range(3):
+        os.utime(sd / f"b{i}.parquet", (1_700_000_000 + i * 100,) * 2)
+    src = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sd))
+    )
+    agg = (
+        src.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("s"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_lag_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        s["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for s in p["stateOperators"]
+    )
+    rows = {r.s: r.n for r in spark.sql("SELECT * FROM wm_lag_out").collect()}
+    # window 0 emitted with ONLY the b0 row (late b2 row dropped), and
+    # window 10 withheld (end 11:00 > final wm 09:35)
+    assert rows == {t0: 1}
+    assert dropped == 1

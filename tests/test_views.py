@@ -213,3 +213,23 @@ def test_bloom_sketch_persists_across_instances(spark, tmp_log_dir):
     assert db2.seen.might_have("bob") is True
     assert db2.seen.might_have("zzznope") is False
     db2.close()
+
+
+def test_bloom_no_false_negative_after_append_and_restart(spark, tmp_log_dir):
+    """Regression: a fold AFTER the sketch was persisted must invalidate
+    the committed sketch_valid flag, or a restarted process answers a
+    definitive False for keys in the newer file (breaking the bloom
+    'False is definitive' contract)."""
+    db = Flume(tmp_log_dir, spark=spark)
+    db.append(DOCS)
+    db.use("seen", Bloom(1, key_expr="get_json_object(value, '$.author')", expected_items=100))
+    assert db.seen.might_have("alice") is True  # builds + persists sketch
+    # non-empty fold after persistence: must flip committed sketch_valid off
+    db.append({"author": "newkey_zed", "tags": [], "text": "", "likes": 0})
+    assert db.seen.has("newkey_zed") is True  # drives the fold through the gate
+    db.close()
+    db2 = Flume(tmp_log_dir, spark=spark)
+    db2.use("seen", Bloom(1, key_expr="get_json_object(value, '$.author')", expected_items=100))
+    # the stale persisted sketch must NOT be loaded as valid
+    assert db2.seen.might_have("newkey_zed") is True
+    db2.close()
