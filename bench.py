@@ -316,7 +316,51 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - best-effort section
             out["sf1"] = {"error": str(exc)}
 
-    print(json.dumps(out))
+    # Emission contract (VERDICT r3 #1): the driver tail-captures stdout
+    # and parses the LAST line as JSON — round 3's single giant line
+    # (per-query maps for four sections + sf1) overflowed the capture
+    # and recorded "parsed": null, hiding the round's perf recovery.
+    # So: full detail goes to a sidecar file + an EARLIER stdout line;
+    # the FINAL line is a compact summary (headline per-query map +
+    # paired spark/duckdb ratios for every section and both SFs, ~1 KB).
+    full_path = os.path.join(_REPO, "bench_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        full_path = None
+    print(json.dumps(out))  # full detail (non-final line; may be long)
+    print(json.dumps(compact_summary(out, full_path)))
+
+
+def compact_summary(out: dict, full_path: str | None = None) -> dict:
+    """The driver-parseable FINAL stdout line: headline per-query map +
+    paired spark/duckdb ratios for every benched section and both SFs.
+    Must stay well under the driver's tail capture (~2.5 KB) — pinned by
+    tests/test_bench_emission.py."""
+
+    def _ratio(section: str):
+        sec = out.get(section)
+        return sec.get("spark_vs_duckdb_ratio") if isinstance(sec, dict) else None
+
+    return {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "load_sec": out.get("load_sec"),
+        "sf": out.get("sf"),
+        "cpus": out.get("cpus"),
+        "paired_ratio_primary_sf": out.get("spark_vs_duckdb_ratio"),
+        "paired_ratio_tpch": _ratio("tpch"),
+        "paired_ratio_extras": _ratio("northstar_extras"),
+        "paired_ratio_sf1": _ratio("sf1"),
+        "sf1_total_sec": (
+            out["sf1"].get("total_sec") if isinstance(out.get("sf1"), dict) else None
+        ),
+        "n_queries": len(out["queries"]),
+        "full": full_path,
+    }
 
 
 def _duckdb_pass(

@@ -86,9 +86,15 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 # every entry whose SQL changed since round 1 (their round-1 attestation
 # is stale), the 13 relational entries the driver never ran, and one
 # representative per core-op / view family.  Everything else was
-# driver-green in round 1 with unchanged text, so CORRECTNESS_r01
-# remains its proof; those entries follow after the window in
-# registration order (still run by the local checker).
+# driver-green in a prior round; those entries follow after the window
+# in registration order.
+#
+# ROTATION FRESHNESS IS MECHANIZED (round 4): the per-rotation comments
+# below record WHY each entry left the window, but the claim that
+# out-of-window code paths still pass is no longer a comment — the full
+# catalog (in-window AND out) re-runs against its DuckDB oracles every
+# suite run in tests/test_full_gate.py, so a regression in a rotated-out
+# path fails CI immediately rather than shipping on a stale attestation.
 DRIVER_WINDOW: list[str] = [
     # (o1_append_visibility rotated out post-r3-window for
     # ns_image_decode_meta: r2-green pure-SQL entry, text unchanged

@@ -72,6 +72,59 @@ class ExprMapper:
         self.expr = expr
 
 
+class MeteredDataFrame:
+    """Delivery-counting wrapper for a ``source`` method's DataFrame
+    (wrap.js:73-77): each driver-side materialization bumps the method
+    counter by the number of rows delivered, the DataFrame analogue of
+    the reference's ``pull.through`` on the returned stream. Lazy
+    transformations (`.where`, `.select`, ...) delegate and return plain
+    DataFrames — items are counted where they are DELIVERED, i.e. when
+    THIS object materializes."""
+
+    def __init__(self, df: DataFrame, bump: Callable[[int], None]):
+        object.__setattr__(self, "_df", df)
+        object.__setattr__(self, "_bump", bump)
+
+    def collect(self):
+        rows = self._df.collect()
+        self._bump(len(rows))
+        return rows
+
+    def toPandas(self):
+        pdf = self._df.toPandas()
+        self._bump(len(pdf))
+        return pdf
+
+    def count(self) -> int:
+        n = self._df.count()
+        self._bump(n)
+        return n
+
+    def toLocalIterator(self, *a, **kw):
+        for row in self._df.toLocalIterator(*a, **kw):
+            self._bump(1)
+            yield row
+
+    def first(self):
+        row = self._df.first()
+        if row is not None:
+            self._bump(1)
+        return row
+
+    def take(self, num: int):
+        rows = self._df.take(num)
+        self._bump(len(rows))
+        return rows
+
+    def head(self, n: int | None = None):
+        if n is None:
+            return self.first()
+        return self.take(n)
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_df"), name)
+
+
 class ViewHandle:
     """Per-view method wrapper: consistency gate + call metering
     (`wrap.js`). Mounted at ``db.<name>``."""
@@ -97,7 +150,18 @@ class ViewHandle:
             self.meta[mname] = self.meta.get(mname, 0) + 1
             if kind != "sync":  # sync bypasses the gate (wrap.js:89-95)
                 self._engine._gate(self._view, since)
-            return inner(*args, **kw)
+            out = inner(*args, **kw)
+            if kind == "source" and isinstance(out, DataFrame):
+                # O20 per-item metering on source methods (wrap.js:73-77):
+                # the reference bumps the same counter once per call AND
+                # once per delivered item (pull.through on the returned
+                # stream). The returned DataFrame is the stream here, so
+                # materializing it delivers the items — count them then.
+                def bump(n: int, _m=mname):
+                    self.meta[_m] = self.meta.get(_m, 0) + int(n)
+
+                out = MeteredDataFrame(out, bump)
+            return out
 
         setattr(self, mname, call)
 
@@ -107,12 +171,7 @@ class ViewHandle:
 
     def close(self) -> None:
         """Per-view close (wrap.js:107-115): tear down this view while
-        the engine stays open; subsequent calls on the handle raise.
-        Divergence note on metering: the reference also bumps a source
-        method's counter once per DELIVERED item (pull.through,
-        wrap.js:73-77); source methods here return DataFrames whose
-        rows materialize outside the engine, so per-item metering lives
-        on the engine's own stream()/feed paths instead."""
+        the engine stays open; subsequent calls on the handle raise."""
         if self._closed:
             return
         self._closed = True

@@ -59,6 +59,32 @@ def test_stream_meters_calls_plus_items(spark, tmp_log_dir):
     db.close()
 
 
+def test_source_method_meters_calls_plus_items_across_rebuild(spark, tmp_log_dir):
+    """O20 on SOURCE-typed view methods (wrap.js:73-77): the reference
+    bumps the method's counter once per call AND once per item delivered
+    through the returned stream — the last §2.A contract line previously
+    covered only on the engine's own feed paths. The returned DataFrame
+    is the stream; materializing it delivers the items."""
+    db = Flume(tmp_log_dir, spark=spark)
+    db.use("idx", Level(1, key_fn=lambda v: [v["k"]]))
+    for i in range(5):
+        db.append({"k": f"k{i}"})
+    rows = db.idx.read(gte="k0").collect()  # source method: Level.read
+    assert len(rows) == 5
+    assert db.idx.meta["read"] == 1 + 5  # one call + five delivered items
+    # lazy transforms delegate; only materializations of the returned
+    # frame count (a second consumption re-delivers and re-counts)
+    assert db.idx.read(lte="k1").count() == 2
+    assert db.idx.meta["read"] == 6 + 1 + 2
+    # per-item counts survive a rebuild: the view state is rebuilt, the
+    # handle's counters keep accumulating (wrap.js meta lives on the
+    # wrapper, not the view)
+    db.rebuild()
+    assert db.idx.read(gte="k4").collect()[0].key == "k4"
+    assert db.idx.meta["read"] == 9 + 1 + 1
+    db.close()
+
+
 # ---------------------------------------------------------------------
 # late-round-3 reference-parity review fixes
 # ---------------------------------------------------------------------

@@ -76,6 +76,41 @@ def first_diff(s: pd.DataFrame, d: pd.DataFrame):
     return None
 
 
+def check_one(spark, con, name: str, fn, oracles: dict, sf_dir: str) -> str | None:
+    """Driver-faithful check of one entry. Returns None on pass or a
+    rows-only entry, else a failure-description string."""
+    try:
+        sdf = fn(spark, sf_dir).toPandas()
+    except Exception as e:
+        return f"SPARK ERROR {type(e).__name__}: {str(e)[:300]}"
+    if name not in oracles:
+        return None  # rows-only by design
+    try:
+        ddf = con.execute(oracles[name]).df()
+    except Exception as e:
+        return f"DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}"
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        return f"columns {sorted(sdf.columns)} != {sorted(ddf.columns)}"
+    try:
+        s, d = canonicalize(sdf), canonicalize(ddf)
+    except TypeError as e:
+        return f"CANONICALIZER ERR (driver would err too): {e}"
+    if len(s) != len(d):
+        return f"rowcount {len(s)} != {len(d)}"
+    dtype_bad = [
+        (c, str(s[c].dtype), str(d[c].dtype))
+        for c in s.columns
+        if str(s[c].dtype) != str(d[c].dtype)
+    ]
+    if dtype_bad:
+        return f"dtype mismatch {dtype_bad}"
+    diff = first_diff(s, d)
+    if diff:
+        i, c, a, b = diff
+        return f"first diff row {i} col {c}: spark={a!r} duck={b!r}"
+    return None
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -91,52 +126,15 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as e:
-            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+        err = check_one(spark, con, name, fn, oracles, sf_dir)
+        if err is not None:
+            print(f"FAIL  {name}: {err}")
             n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"rows  {name}: rows-only check, {len(sdf)} rows")
+        elif name not in oracles:
+            print(f"rows  {name}: rows-only check")
             n_rowsonly += 1
-            continue
-        try:
-            ddf = con.execute(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL  {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
-            n_fail += 1
-            continue
-        if sorted(sdf.columns) != sorted(ddf.columns):
-            print(f"FAIL  {name}: columns {sorted(sdf.columns)} != {sorted(ddf.columns)}")
-            n_fail += 1
-            continue
-        try:
-            s, d = canonicalize(sdf), canonicalize(ddf)
-        except TypeError as e:
-            print(f"FAIL  {name}: CANONICALIZER ERR (driver would err too): {e}")
-            n_fail += 1
-            continue
-        if len(s) != len(d):
-            print(f"FAIL  {name}: rowcount {len(s)} != {len(d)}")
-            n_fail += 1
-            continue
-        dtype_bad = [
-            (c, str(s[c].dtype), str(d[c].dtype))
-            for c in s.columns
-            if str(s[c].dtype) != str(d[c].dtype)
-        ]
-        if dtype_bad:
-            print(f"FAIL  {name}: dtype mismatch {dtype_bad}")
-            n_fail += 1
-            continue
-        diff = first_diff(s, d)
-        if diff:
-            i, c, a, b = diff
-            print(f"FAIL  {name}: first diff row {i} col {c}: spark={a!r} duck={b!r}")
-            n_fail += 1
         else:
-            print(f"PASS  {name} ({len(s)} rows)")
+            print(f"PASS  {name}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     if os.environ.get("CHECK_JSON_OUT"):
