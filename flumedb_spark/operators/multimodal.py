@@ -2,10 +2,15 @@
 payloads with typed metadata, processed via Arrow-batched mapInPandas.
 
 The decode step is REAL for BMP / binary PPM/PGM / non-interlaced 8-bit
-PNG / PCM WAV via the pure-stdlib codecs in ``mmcodec`` (numpy + zlib +
-wave — nothing this container lacks); PIL, when importable, extends
-coverage to JPEG and friends. A deterministic fake decoder remains
-available for reproducible cross-engine oracles over arbitrary bytes.
+PNG / PCM WAV / animated GIF via the pure-stdlib codecs in ``mmcodec``
+(numpy + zlib + wave — nothing this container lacks); PIL, when
+importable, extends image coverage to JPEG and friends, and an ffmpeg
+binary, when present, extends video coverage to true containers
+(mp4/webm/avi — ``ffmpeg_sample_frames``). Where neither exists the
+boundary is EXPLICIT: recognized-but-undecodable containers raise a
+clearly-marked NotImplementedError rather than returning fake frames.
+A deterministic fake decoder remains available for reproducible
+cross-engine oracles over arbitrary bytes.
 
 At 100 TB: binary payloads dominate size — keep them in their own
 column chunk (Parquet does this for free), filter on metadata columns
@@ -39,6 +44,91 @@ def pil_available() -> bool:
 
         _PIL_PROBE = importlib.util.find_spec("PIL") is not None
     return _PIL_PROBE
+
+
+_FFMPEG_PROBE: str | bool | None = None
+
+
+def ffmpeg_path() -> str | None:
+    """Runtime probe (memoized) for an ffmpeg binary — the video
+    analogue of ``pil_available``: true containers (mp4/webm/avi) decode
+    through it where present; ``FLUMEDB_SPARK_FFMPEG`` overrides the
+    PATH lookup (tests point it at a stub)."""
+    global _FFMPEG_PROBE
+    if _FFMPEG_PROBE is None:
+        import os
+        import shutil
+
+        _FFMPEG_PROBE = (
+            os.environ.get("FLUMEDB_SPARK_FFMPEG") or shutil.which("ffmpeg") or False
+        )
+    return _FFMPEG_PROBE or None
+
+
+def sniff_video_container(payload: bytes) -> str | None:
+    """Identify a true video container by magic bytes (public specs:
+    ISO BMFF ftyp box, EBML header, RIFF/AVI)."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        return "webm"  # EBML (matroska/webm)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
+    return None
+
+
+def split_ppm_stream(buf: bytes) -> list:
+    """Parse a concatenation of binary P6 frames (ffmpeg's image2pipe
+    ppm output) into (H, W, 3) arrays."""
+    from flumedb_spark.operators import mmcodec
+
+    frames, pos = [], 0
+    while pos < len(buf):
+        if buf[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad PPM stream at byte {pos}")
+        w, h, _maxval, off = mmcodec._pnm_header(buf[pos:])
+        end = pos + off + w * h * 3
+        frames.append(mmcodec.decode_ppm(buf[pos:end]))
+        pos = end
+    return frames
+
+
+def ffmpeg_sample_frames(
+    payload: bytes,
+    every_n_frames: int = 1,
+    max_frames: int = 8,
+    ffmpeg_bin: str | None = None,
+) -> list:
+    """Decode up to ``max_frames`` sampled frames from a true video
+    container via ffmpeg (bounded: only the first
+    ``max_frames * every_n_frames`` frames are decoded, so cost does not
+    scale with video length). Raises ValueError on decode failure,
+    NotImplementedError when no ffmpeg binary is available."""
+    ff = ffmpeg_bin or ffmpeg_path()
+    if ff is None:
+        raise NotImplementedError(
+            "true video container decode requires an ffmpeg binary "
+            "(none on PATH; set FLUMEDB_SPARK_FFMPEG) — GIF decodes "
+            "via the pure-Python mmcodec path without it"
+        )
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            ff, "-v", "error", "-i", "pipe:0",
+            "-frames:v", str(max_frames * every_n_frames),
+            "-f", "image2pipe", "-c:v", "ppm", "pipe:1",
+        ],
+        input=payload,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        timeout=120,
+    )
+    if proc.returncode != 0 or not proc.stdout:
+        raise ValueError(
+            f"ffmpeg decode failed: {proc.stderr.decode('utf-8', 'replace')[:200]}"
+        )
+    return split_ppm_stream(proc.stdout)[::every_n_frames][:max_frames]
 
 
 def decode_image(payload: bytes) -> dict:
@@ -206,19 +296,26 @@ def sample_frames(
     """Frame sampling: one binary 'video' in -> N 'frame' rows out
     (a 1->many UDTF-shaped mapInPandas).
 
-    ``use_fake=False`` runs the REAL kernel over animated GIF payloads
-    (pure-Python LZW decode, ``mmcodec.decode_gif``): the composited
-    frames are sampled every ``every_n_frames``, capped at
+    ``use_fake=False`` runs the REAL kernel: animated GIF payloads
+    decode via the pure-Python LZW path (``mmcodec.decode_gif``); TRUE
+    video containers (mp4/webm/avi, identified by magic) decode through
+    ffmpeg where a binary is present (``ffmpeg_sample_frames`` —
+    bounded to the first ``max_frames * every_n_frames`` frames) and
+    raise a clearly-marked NotImplementedError where it is not — the
+    capability boundary is explicit, never a silent wrong answer.
+    Frames are sampled every ``every_n_frames``, capped at
     ``max_frames``, each re-encoded as binary PPM in ``frame_payload``
-    (undecodable blobs drop their rows, never the task). For true
-    video containers (mp4 etc.) the same closure shape takes an ffmpeg
-    keyframe seek where that library exists. The deterministic fake
-    slices the byte stream every ``every_n_bytes`` (plumbing tests
+    (CORRUPT blobs drop their rows, never the task). The deterministic
+    fake slices the byte stream every ``every_n_bytes`` (plumbing tests
     over arbitrary bytes)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not use_fake:
             from flumedb_spark.operators import mmcodec
+            from flumedb_spark.operators.multimodal import (
+                ffmpeg_sample_frames,
+                sniff_video_container,
+            )
         for pdf in batches:
             ids, idxs, frames, totals = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
@@ -230,10 +327,18 @@ def sample_frames(
                     ][:max_frames]
                 else:
                     try:
-                        decoded = mmcodec.decode_gif(b)
+                        if sniff_video_container(b) is not None:
+                            # NotImplementedError (no ffmpeg) propagates:
+                            # a missing capability fails loudly
+                            sampled = ffmpeg_sample_frames(
+                                b, every_n_frames, max_frames
+                            )
+                        else:
+                            sampled = mmcodec.decode_gif(b)[::every_n_frames][
+                                :max_frames
+                            ]
                     except ValueError:
                         continue  # corrupt blob: drop rows, keep the task
-                    sampled = decoded[::every_n_frames][:max_frames]
                     chunks = [mmcodec.encode_ppm(f) for f in sampled]
                 for j, c in enumerate(chunks):
                     ids.append(doc_id)

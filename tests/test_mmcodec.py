@@ -461,3 +461,56 @@ def test_gif_disposal_restore_previous():
     assert np.array_equal(frames[1], np.array([[red, green]], np.uint8))
     # disposal 3 restored the right pixel to red before frame 3 drew
     assert np.array_equal(frames[2], np.array([[red, red]], np.uint8))
+
+
+def test_video_container_probe_and_boundary(spark):
+    """True video containers (mp4/webm/avi) are identified by magic and
+    routed through ffmpeg WHERE PRESENT; where absent the boundary is a
+    clearly-marked NotImplementedError — never silent fake frames."""
+    # magic sniffing (public specs: ISO BMFF ftyp / EBML / RIFF-AVI)
+    mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64
+    webm = b"\x1aE\xdf\xa3" + b"\x00" * 64
+    avi = b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 64
+    assert multimodal.sniff_video_container(mp4) == "mp4"
+    assert multimodal.sniff_video_container(webm) == "webm"
+    assert multimodal.sniff_video_container(avi) == "avi"
+    assert multimodal.sniff_video_container(b"GIF89a" + b"\x00" * 32) is None
+    # driver-side: no ffmpeg binary -> explicit capability error
+    if multimodal.ffmpeg_path() is None:
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            multimodal.ffmpeg_sample_frames(mp4)
+        # executor-side: a recognized container fails the job loudly
+        # (GIFs in the same batch would still decode; corrupt blobs
+        # still drop) rather than producing fake frames
+        payloads = spark.createDataFrame(
+            [(1, bytearray(mp4))], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+            multimodal.sample_frames(payloads, use_fake=False).collect()
+
+
+def test_ffmpeg_plumbing_with_stub_binary(tmp_path):
+    """Drives the REAL ffmpeg subprocess plumbing (invocation, bounded
+    -frames:v, PPM stream parsing, every-Nth sampling) against a stub
+    binary that emits a known P6 stream — the decode step itself is the
+    only thing faked, per the container-libs-absent environment."""
+    rng = np.random.RandomState(5)
+    frames = _palette_frames(rng, 4, 5, 6)
+    stream = b"".join(mc.encode_ppm(f) for f in frames)
+    fixture = tmp_path / "frames.ppmstream"
+    fixture.write_bytes(stream)
+    stub = tmp_path / "ffmpeg"
+    stub.write_text(f"#!/bin/sh\ncat > /dev/null\ncat {fixture}\n")
+    stub.chmod(0o755)
+    got = multimodal.ffmpeg_sample_frames(
+        b"\x00\x00\x00\x18ftypisom" + b"\x00" * 32,
+        every_n_frames=2,
+        max_frames=8,
+        ffmpeg_bin=str(stub),
+    )
+    assert len(got) == 2  # 4 frames sampled every 2nd
+    assert np.array_equal(got[0], frames[0])
+    assert np.array_equal(got[1], frames[2])
+    # split_ppm_stream rejects garbage between frames
+    with pytest.raises(ValueError):
+        multimodal.split_ppm_stream(stream + b"junk")
