@@ -148,10 +148,15 @@ DRIVER_WINDOW: list[str] = [
     # argmin_argmax, value_histogram, session_windows_native,
     # unpivot_stack — their r2 attestation stands)
     "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
+    # (q4_order_priority / q7_nation_volume / q8_market_share /
+    # q9_product_profit rotated out r4 for the four NEW operator-family
+    # oracle rows below: all four q-rows r3-driver-green, catalog_tpch.py
+    # untouched this round, and the live full gate (test_full_gate.py)
+    # re-checks them every suite run)
+    "ns_salted_join",
+    "ns_salted_distinct_count",
+    "ns_scd2_history",
+    "ns_zorder_morton",
     "q11_important_parts",
     "q12_priority_classes",
     "q13_customer_distribution",

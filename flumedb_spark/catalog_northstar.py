@@ -1617,3 +1617,120 @@ def ns_rare_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of a doc's tokens whose whole-corpus frequency is <= 2 — the
     exact-integer analog of a unigram-LM perplexity filter."""
     return text.rare_token_share(spark.table("documents"), max_freq=2)
+
+
+# ---------------------------------------------------------------------
+# round-4: oracle rows for the skew / CDC / layout operator families
+# (previously test-attested only — every first-class operator family
+# should carry a falsifiable cross-engine row; see docs/COVERAGE.md)
+# ---------------------------------------------------------------------
+
+from .operators import cdc as _cdc  # noqa: E402
+from .operators import skew as _skew  # noqa: E402
+from .operators import zorder as _zorder  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@query(
+    "ns_salted_join",
+    # the PLAIN join is the oracle: salting is a physical rewrite (hot
+    # keys spread over n_salts reducers) that must be result-invariant
+    oracle="""
+    SELECT e.event_id AS seq, e.user_id, c.c_name
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    ORDER BY seq
+    """,
+)
+def ns_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted equi-join (operators/skew.salted_join): the skewed
+    side gets a deterministic xxhash64 salt, the dimension side is
+    replicated across salts, and the result must hash-equal the plain
+    join — proving the physical rewrite changes the shuffle, not the
+    answer."""
+    events = spark.table("events")
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    joined = _skew.salted_join(
+        events, dim, on="user_id", skewed_unique_col="event_id", n_salts=8
+    )
+    return joined.select(
+        F.col("event_id").alias("seq"), "user_id", "c_name"
+    ).orderBy("seq")
+
+
+@query(
+    "ns_salted_distinct_count",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ns_salted_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count(DISTINCT) for hot groups
+    (operators/skew.salted_distinct_count): partial distinct per
+    (group, salt), exact merge — must equal the plain distinct count."""
+    out = _skew.salted_distinct_count(
+        spark.table("events"), "event_type", "user_id", "event_id", n_salts=8
+    )
+    return out.orderBy("event_type")
+
+
+@query(
+    "ns_scd2_history",
+    # the full SCD-2 semantics as one window expression over the union
+    oracle="""
+    WITH allrows AS (
+      SELECT user_id, event_id AS seq, event_type FROM events
+      WHERE user_id < 30 AND event_id % 5 != 0
+      UNION ALL
+      SELECT user_id, event_id AS seq, event_type FROM events
+      WHERE user_id < 30 AND event_id % 5 = 0
+    )
+    SELECT user_id, seq, event_type,
+      seq AS valid_from,
+      lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to,
+      lead(seq) OVER (PARTITION BY user_id ORDER BY seq) IS NULL AS is_current
+    FROM allrows ORDER BY user_id, seq
+    """,
+)
+def ns_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 CDC apply (operators/cdc.scd2_apply): change rows merged
+    into history with (valid_from, valid_to, is_current) validity ranges
+    derived from the change sequence."""
+    ev = spark.table("events").where(F.col("user_id") < 30)
+    base = ev.select("user_id", F.col("event_id").alias("seq"), "event_type")
+    history = base.where(F.col("seq") % 5 != 0)
+    updates = base.where(F.col("seq") % 5 == 0)
+    return _cdc.scd2_apply(history, updates, key="user_id", seq_col="seq").orderBy(
+        "user_id", "seq"
+    )
+
+
+def _morton_oracle_sql(n_bits: int = 5) -> str:
+    """DuckDB reproduction of zorder._interleave over two modular
+    dimensions: bit j of dim d lands at position j*2+d."""
+    terms = []
+    for d, expr in enumerate(("(user_id % 32)", "(event_id % 32)")):
+        for j in range(n_bits):
+            terms.append(f"((({expr} >> {j}) & 1) << {j * 2 + d})")
+    z = " | ".join(terms)
+    return f"""
+    SELECT event_id AS seq, CAST({z} AS BIGINT) AS z
+    FROM events ORDER BY seq
+    """
+
+
+@query("ns_zorder_morton", oracle=_morton_oracle_sql())
+def ns_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave (operators/zorder._interleave) — the
+    bit arithmetic at the heart of the multi-dimensional layout writer,
+    cross-checked bit-for-bit over two modular dimensions (the
+    production path buckets by approxQuantile rank first; the interleave
+    itself is the exactness-critical piece)."""
+    ev = spark.table("events")
+    z = _zorder._interleave(
+        [F.pmod(F.col("user_id"), F.lit(32)), F.pmod(F.col("event_id"), F.lit(32))],
+        n_bits=5,
+    )
+    return ev.select(F.col("event_id").alias("seq"), z.alias("z")).orderBy("seq")

@@ -61,8 +61,9 @@ def test_changed_or_new_rows_in_window():
         "ns_ivf_ann_recall10",
         "ns_neardup_clusters",        # new: candidates -> dedup decisions
         # new late-round-3: the TPC-H sweep + trained BPE + interval join
-        "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
-        "q8_market_share", "q9_product_profit", "q11_important_parts",
+        # (q4/q7/q8/q9 rotated out r4 after going driver-green in r3 —
+        # catalog_tpch.py untouched in r4, live full gate re-checks them)
+        "q2_min_cost_supplier", "q11_important_parts",
         "q12_priority_classes", "q13_customer_distribution",
         "q15_top_supplier", "q16_part_supplier_counts",
         "q17_small_quantity_revenue", "q20_part_promotion",
@@ -83,10 +84,15 @@ def test_changed_or_new_rows_in_window():
         "ns_histogram_quantiles",
         # lang-ID re-entered: adjacent-marker exact-count fix
         "ns_lang_id",
-        # round-4 new/changed rows: the streaming-surface oracle row and
-        # the BLAS path's new exact-int oracle mode
+        # round-4 new/changed rows: the streaming-surface oracle row, the
+        # BLAS path's new exact-int oracle mode, and the four operator-
+        # family oracle rows (skew/CDC/Z-order)
         "stream_windowed_counts",
         "ns_similarity_topk_np",
+        "ns_salted_join",
+        "ns_salted_distinct_count",
+        "ns_scd2_history",
+        "ns_zorder_morton",
     ):
         assert n in _window_names(), n
 
