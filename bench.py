@@ -112,10 +112,16 @@ def main() -> None:
     qs["o7_since"](spark, sf_dir).collect()
     from flumedb_spark.catalog import TABLES
 
-    # cache at the ingest layout's width: AQE coalesces small shuffles at
-    # runtime, so the cached *input* stays ~cores-wide and scans/joins
-    # keep full map-side parallelism (narrowing here capped q1/q3/q5/q10
-    # at 8 of 32 cores in round 2 — measured regression, don't re-add).
+    # cache FACTS at the ingest layout's width: AQE coalesces small
+    # shuffles at runtime, so the cached *input* stays ~cores-wide and
+    # scans/joins keep full map-side parallelism (narrowing facts capped
+    # q1/q3/q5/q10 at 8 of 32 cores in round 2 — measured regression,
+    # don't re-add; gate: tests/test_bench_plans.py). DIMENSIONS narrow
+    # by size (~300k rows/partition): a 32-task scan stage over a
+    # 1500-row dim is pure scheduling floor — star joins measured -26%
+    # at sf0.1 (r4 A/B). The rule scales: at sf100k a 15B-row customer
+    # still caches ~50k partitions wide.
+    _narrow_dims(spark)
     for t in TABLES:
         spark.catalog.cacheTable(t)
         spark.table(t).count()  # materialize the cache
@@ -327,6 +333,7 @@ def main() -> None:
             for t in _tables:
                 spark.catalog.uncacheTable(t)
             qs["o7_since"](spark, sf1_dir).collect()
+            _narrow_dims(spark)
             for t in _tables:
                 spark.catalog.cacheTable(t)
                 spark.table(t).count()
@@ -380,7 +387,18 @@ def main() -> None:
     print(json.dumps(compact_summary(out, full_path)))
 
 
-def compact_summary(out: dict, full_path: str | None = None) -> dict:
+DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
+
+
+def _narrow_dims(spark, rows_per_partition: int = 300_000) -> None:
+    """Re-register dimension views coalesced to ~rows_per_partition
+    before caching: dim scan stages at small SFs are dozens of
+    near-empty tasks per star join. Facts are untouched (the r2
+    no-narrowing rule and its plan gate apply to facts/map width)."""
+    for t in DIM_TABLES:
+        df = spark.table(t)
+        w = max(1, df.count() // rows_per_partition)
+        df.coalesce(w).createOrReplaceTempView(t)
     """The driver-parseable FINAL stdout line: headline per-query map +
     paired spark/duckdb ratios for every benched section and both SFs.
     Must stay well under the driver's tail capture (~2.5 KB) — pinned by

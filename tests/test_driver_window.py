@@ -61,10 +61,10 @@ def test_changed_or_new_rows_in_window():
         "ns_ivf_ann_recall10",
         "ns_neardup_clusters",        # new: candidates -> dedup decisions
         # new late-round-3: the TPC-H sweep + trained BPE + interval join
-        # (q4/q7/q8/q9 rotated out r4 after going driver-green in r3 —
+        # (q4/q7/q8/q9/q12 rotated out r4 after going driver-green in r3 —
         # catalog_tpch.py untouched in r4, live full gate re-checks them)
         "q2_min_cost_supplier", "q11_important_parts",
-        "q12_priority_classes", "q13_customer_distribution",
+        "q13_customer_distribution",
         "q15_top_supplier", "q16_part_supplier_counts",
         "q17_small_quantity_revenue", "q20_part_promotion",
         "q21_waiting_suppliers", "q22_global_sales_opportunity",
@@ -88,6 +88,7 @@ def test_changed_or_new_rows_in_window():
         # BLAS path's new exact-int oracle mode, and the four operator-
         # family oracle rows (skew/CDC/Z-order)
         "stream_windowed_counts",
+        "stream_stateful_key_stats",
         "ns_similarity_topk_np",
         "ns_salted_join",
         "ns_salted_distinct_count",
