@@ -399,6 +399,9 @@ def _narrow_dims(spark, rows_per_partition: int = 300_000) -> None:
         df = spark.table(t)
         w = max(1, df.count() // rows_per_partition)
         df.coalesce(w).createOrReplaceTempView(t)
+
+
+def compact_summary(out: dict, full_path: str | None = None) -> dict:
     """The driver-parseable FINAL stdout line: headline per-query map +
     paired spark/duckdb ratios for every benched section and both SFs.
     Must stay well under the driver's tail capture (~2.5 KB) — pinned by
