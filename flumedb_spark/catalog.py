@@ -157,12 +157,13 @@ DRIVER_WINDOW: list[str] = [
     "ns_salted_distinct_count",
     "ns_scd2_history",
     "ns_zorder_morton",
-    # (q12_priority_classes rotated out r4 for the custom-stateful
-    # streaming oracle row: q12 r3-driver-green, catalog_tpch.py
-    # untouched this round, live full gate re-checks it)
+    # (q12_priority_classes / q13_customer_distribution rotated out r4
+    # for the custom-stateful streaming oracle row and the URL-dedup
+    # row: both q-rows r3-driver-green, catalog_tpch.py untouched this
+    # round, live full gate re-checks them)
     "stream_stateful_key_stats",
+    "ns_url_dedup",
     "q11_important_parts",
-    "q13_customer_distribution",
     "q15_top_supplier",
     "q16_part_supplier_counts",
     "q17_small_quantity_revenue",

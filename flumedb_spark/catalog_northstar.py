@@ -1734,3 +1734,67 @@ def ns_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=5,
     )
     return ev.select(F.col("event_id").alias("seq"), z.alias("z")).orderBy("seq")
+
+
+_URL_CANON_DUCK = r"""
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM:443/p/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&id=7'
+          WHEN 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) || '?id=7&utm_campaign=x&fbclid=abc'
+          WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) || '/#frag'
+          ELSE 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com:80/p/' || CAST(doc_id % 40 AS VARCHAR)
+        END AS url
+      FROM documents
+    ), nofrag AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM u
+    ), rebuilt AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+          || regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS url
+      FROM nofrag
+    ), canon AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(url, '^(http://[^/?#:]*):80([/?]|$)', '\1\2'),
+                      '^(https://[^/?#:]*):443([/?]|$)', '\1\2'),
+                    '([?&])(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref_src)=[^&]*', '\1', 'g'),
+                  '[?&]+$', ''),
+                '[?]&+', '?', 'g'),
+              '&&+', '&', 'g'),
+            '[?&]+$', ''),
+          '/$', '') AS canonical_url
+      FROM rebuilt
+    )
+    SELECT canonical_url, min(doc_id) AS keeper_doc_id,
+      count(*) AS n_dups
+    FROM canon GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("ns_url_dedup", oracle=_URL_CANON_DUCK)
+def ns_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup over canonical URLs
+    (operators/text.canonicalize_url + url_dedup_groups): fragment
+    strip, scheme/host lowercase, default-port drop, tracking-param
+    strip (utm_*/fbclid/...), separator collapse, trailing-slash strip
+    — the crawl-corpus dedup key, all RE2-safe JVM regexps. The URL
+    fixture derives deterministically from doc_id (case/port/param/
+    fragment variants that collide after canonicalization)."""
+    k = (F.col("doc_id") % 7).cast("string")
+    m = (F.col("doc_id") % 40).cast("string")
+    c = F.col("doc_id") % 4
+    url = (
+        F.when(c == 0, F.concat(F.lit("HTTPS://Site"), k, F.lit(".Example.COM:443/p/"), m, F.lit("?utm_source=feed&id=7")))
+        .when(c == 1, F.concat(F.lit("https://site"), k, F.lit(".example.com/p/"), m, F.lit("?id=7&utm_campaign=x&fbclid=abc")))
+        .when(c == 2, F.concat(F.lit("https://site"), k, F.lit(".example.com/p/"), m, F.lit("/#frag")))
+        .otherwise(F.concat(F.lit("http://site"), k, F.lit(".example.com:80/p/"), m))
+    )
+    docs = spark.table("documents").select("doc_id").withColumn("url", url)
+    return text.url_dedup_groups(docs)

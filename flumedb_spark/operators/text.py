@@ -154,6 +154,58 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", *counts, red.alias("text_redacted"))
 
 
+#: tracking query parameters stripped by URL canonicalization — the
+#: standard crawl-dedup list (utm_* campaign tags + click identifiers)
+TRACKING_PARAM_RE = "(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref_src)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Crawl-corpus URL canonicalization (the dedup key for URL-level
+    dedup in public pipeline descriptions — CCNet/C4-style):
+
+    - strip the fragment,
+    - lowercase scheme://host,
+    - drop default ports (:80 http, :443 https),
+    - strip tracking params (utm_*, fbclid, gclid, ...),
+    - collapse dangling ?/& separators, strip trailing '/'.
+
+    Written with RE2-safe regexes (no lookarounds, no backslash
+    classes) so the same patterns run identically in Spark's Java
+    regex and DuckDB's RE2 — both global-replace semantics resume
+    scanning after each replacement, so match sets align."""
+    u = F.trim(url)
+    u = F.regexp_replace(u, "#.*$", "")  # fragment
+    scheme_host = F.lower(
+        F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    )
+    rest = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(scheme_host, rest)
+    u = F.regexp_replace(u, "^(http://[^/?#:]*):80([/?]|$)", "$1$2")
+    u = F.regexp_replace(u, "^(https://[^/?#:]*):443([/?]|$)", "$1$2")
+    u = F.regexp_replace(u, "([?&])" + TRACKING_PARAM_RE + "=[^&]*", "$1")
+    u = F.regexp_replace(u, "[?&]+$", "")  # dangling separators at end
+    u = F.regexp_replace(u, "[?]&+", "?")  # ?&x -> ?x
+    u = F.regexp_replace(u, "&&+", "&")  # x&&y -> x&y
+    u = F.regexp_replace(u, "[?&]+$", "")  # re-check after collapses
+    u = F.regexp_replace(u, "/$", "")  # trailing slash
+    return u
+
+
+def url_dedup_groups(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level exact dedup over the canonical form: one group per
+    canonical URL with the keeper (min doc_id) and duplicate count —
+    the URL analogue of exact_dup_groups, one shuffle, JVM-only."""
+    canon = docs.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
 def rare_token_share(
     docs: DataFrame, text_col: str = "text", max_freq: int = 2
 ) -> DataFrame:

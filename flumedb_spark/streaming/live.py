@@ -28,6 +28,31 @@ from pyspark.sql import functions as F
 
 from ..log import LOG_SCHEMA, ParquetLog
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+DEFAULT_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession, enabled: bool = True) -> None:
+    """Route streaming state to the RocksDB provider.
+
+    At 100 TB of keyed state (windowed aggs, applyInPandasWithState
+    accumulators, stream-stream join buffers) the default
+    HDFSBackedStateStoreProvider keeps every version in executor JVM
+    heap — an OOM ceiling; RocksDB keeps state off-heap on local disk
+    with incremental changelog checkpointing. The provider is read when
+    a query STARTS, so call this before ``writeStream.start()`` /
+    ``LiveViewRunner.start()``. Verified available in this build
+    (tests/test_streaming.py::test_rocksdb_state_store_stateful_agg).
+    """
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        ROCKSDB_PROVIDER if enabled else DEFAULT_PROVIDER,
+    )
+
 
 def stream_log(
     spark: SparkSession,

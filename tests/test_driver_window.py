@@ -61,10 +61,9 @@ def test_changed_or_new_rows_in_window():
         "ns_ivf_ann_recall10",
         "ns_neardup_clusters",        # new: candidates -> dedup decisions
         # new late-round-3: the TPC-H sweep + trained BPE + interval join
-        # (q4/q7/q8/q9/q12 rotated out r4 after going driver-green in r3 —
-        # catalog_tpch.py untouched in r4, live full gate re-checks them)
+        # (q4/q7/q8/q9/q12/q13 rotated out r4 after going driver-green in
+        # r3 — catalog_tpch.py untouched in r4, live full gate re-checks)
         "q2_min_cost_supplier", "q11_important_parts",
-        "q13_customer_distribution",
         "q15_top_supplier", "q16_part_supplier_counts",
         "q17_small_quantity_revenue", "q20_part_promotion",
         "q21_waiting_suppliers", "q22_global_sales_opportunity",
@@ -94,6 +93,7 @@ def test_changed_or_new_rows_in_window():
         "ns_salted_distinct_count",
         "ns_scd2_history",
         "ns_zorder_morton",
+        "ns_url_dedup",
     ):
         assert n in _window_names(), n
 

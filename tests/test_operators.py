@@ -566,3 +566,27 @@ def test_resize_real_path_handles_gray_and_rgba_png(spark):
         assert r.ok, doc_id
         got = mc.decode_ppm(bytes(r.payload))
         assert np.array_equal(got, mc.resize_nn(src, 4, 3))
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule verified against hand-computed
+    canonical forms — variants that must collide, and distinctions that
+    must survive (scheme, host, path, non-tracking params)."""
+    cases = [
+        # (input, canonical)
+        ("HTTPS://Site.Example.COM:443/p/1?utm_source=x&id=7", "https://site.example.com/p/1?id=7"),
+        ("https://site.example.com/p/1?id=7&utm_campaign=y&fbclid=z", "https://site.example.com/p/1?id=7"),
+        ("https://site.example.com/p/1/#frag", "https://site.example.com/p/1"),
+        ("http://site.example.com:80/p/1", "http://site.example.com/p/1"),
+        ("http://site.example.com:8080/p/1", "http://site.example.com:8080/p/1"),  # non-default port kept
+        ("https://site.example.com/p/1?utm_a=1&utm_b=2", "https://site.example.com/p/1"),  # all params tracking
+        ("https://site.example.com/P/1", "https://site.example.com/P/1"),  # path case preserved
+        ("https://other.example.com/p/1", "https://other.example.com/p/1"),  # host distinction survives
+    ]
+    from flumedb_spark.operators.text import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in cases]
+    # the first two variants collide on the canonical key
+    assert got[0] == got[1]

@@ -721,3 +721,54 @@ def test_stream_windowed_counts_batch_lag(spark, tmp_path):
     # window 10 withheld (end 11:00 > final wm 09:35)
     assert rows == {t0: 1}
     assert dropped == 1
+
+
+def test_rocksdb_state_store_stateful_agg(spark, tmp_log_dir, tmp_path):
+    """The 100 TB state-store posture: the RocksDB provider (off-heap
+    state, incremental changelog checkpoints) must actually run in this
+    build — drive the applyInPandasWithState accumulator under it and
+    confirm both the results and the rocksdb metrics in progress."""
+    from flumedb_spark.streaming.live import (
+        DEFAULT_PROVIDER,
+        use_rocksdb_state_store,
+    )
+    from flumedb_spark.streaming.stateful import parsed_log_stream, running_key_stats
+
+    use_rocksdb_state_store(spark)
+    try:
+        db = Flume(tmp_log_dir, spark=spark)
+        db.append(
+            [{"user_id": u, "value": float(v)} for u, v in [(1, 10), (2, 5), (1, 20)]]
+        )
+        src = parsed_log_stream(stream_log(spark, db.log))
+        q = (
+            running_key_stats(src)
+            .writeStream.format("memory")
+            .queryName("rocks_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = {
+                r.user_id: (r.n, r.total)
+                for r in spark.sql("SELECT * FROM rocks_out").collect()
+            }
+            assert rows[1] == (2, 30.0) and rows[2] == (1, 5.0)
+            metrics = {
+                k
+                for p in q.recentProgress
+                for s in p["stateOperators"]
+                for k in s.get("customMetrics", {})
+            }
+            assert any(k.startswith("rocksdb") for k in metrics), metrics
+        finally:
+            q.stop()
+        db.close()
+    finally:
+        use_rocksdb_state_store(spark, enabled=False)
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == DEFAULT_PROVIDER
+        )
