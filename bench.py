@@ -53,6 +53,24 @@ HEADLINE = [
 ]
 
 
+# TPC-H sweep section list (the 14 shapes added in round 3)
+TPCH = [
+    "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "q11_important_parts",
+    "q12_priority_classes", "q13_customer_distribution",
+    "q15_top_supplier", "q16_part_supplier_counts",
+    "q17_small_quantity_revenue", "q20_part_promotion",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+]
+
+# north-star training-pipeline extras added after the headline set froze
+EXTRAS = [
+    "ns_bpe_tokens", "ns_rare_token_share", "ns_image_decode_meta",
+    "ns_audio_decode_meta", "ns_semantic_dedup", "ns_neardup_clusters",
+    "ns_decontamination", "ns_chunk_dedup",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -96,10 +114,16 @@ def main() -> None:
     # expression paths — steady-state methodology; DuckDB has no JIT to
     # warm, so this keeps the comparison about execution, not compilers).
     t0 = time.perf_counter()
-    # run every headline query once at the smallest SF: compiles each
+    # run every benched query once at the smallest SF: compiles each
     # query shape (codegen cache is keyed on generated source, which is
-    # input-path-independent) without touching the benched data volume
-    for name in HEADLINE:
+    # input-path-independent) without touching the benched data volume.
+    # ALL sections warm HERE, before the benched SF registers: a warm
+    # call at sf0.001 re-registers every temp view (catalog memoizes per
+    # sf_dir), which would silently discard the narrowed-dim views and
+    # orphan their cache entries if it ran after the load phase (r4
+    # review finding — the TPCH/extras sections used to warm late and
+    # so measured uncached, un-narrowed dims).
+    for name in HEADLINE + TPCH + EXTRAS:
         try:
             qs[name](spark, "/root/testdata/sf0.001").count()
         except Exception:
@@ -172,29 +196,7 @@ def main() -> None:
     # ETL DAG submitted together. Compared against the SAME DuckDB
     # paired-subset total (DuckDB's per-query submission cost is sub-ms,
     # so sequential is already its best case).
-    batched_sec = None
-    try:
-        from functools import reduce as _reduce
-
-        from pyspark.sql import functions as F
-
-        parts = [
-            prepared[n].select(
-                F.lit(n).alias("q"),
-                F.to_json(F.struct(*[F.col(c) for c in prepared[n].columns])).alias("r"),
-            )
-            for n in paired
-        ]
-        batched = _reduce(lambda a, b: a.unionByName(b), parts)
-        batched.count()  # warm/codegen for the union shape
-        batched_sec = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            batched.count()
-            batched_sec = min(batched_sec, time.perf_counter() - t0)
-        batched_sec = round(batched_sec, 4)
-    except Exception as exc:  # pragma: no cover - best-effort section
-        print(f"# batched submission failed: {exc}", file=sys.stderr)
+    batched_sec = _batched_submission(prepared, paired)
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -221,22 +223,10 @@ def main() -> None:
     # round-over-round primary metric stays comparable): the 14 shapes
     # added in round 3, paired with DuckDB under the same methodology
     # (min-of-2 interleaved passes, same process/window).
-    TPCH = [
-        "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
-        "q8_market_share", "q9_product_profit", "q11_important_parts",
-        "q12_priority_classes", "q13_customer_distribution",
-        "q15_top_supplier", "q16_part_supplier_counts",
-        "q17_small_quantity_revenue", "q20_part_promotion",
-        "q21_waiting_suppliers", "q22_global_sales_opportunity",
-    ]
     primary = dict(timings)  # sf0.1 minimums across all benched sections
     try:
         tq: dict[str, float] = {}
-        for name in TPCH:  # warm/codegen pass at the small SF
-            try:
-                qs[name](spark, "/root/testdata/sf0.001").count()
-            except Exception:
-                pass
+        # (warmed in the load phase, BEFORE the benched SF registered)
         tprep = {name: qs[name](spark, sf_dir) for name in TPCH}
         for _ in range(2):
             for name in TPCH:
@@ -248,12 +238,17 @@ def main() -> None:
         tduck = _duckdb_pass(sf_dir, cpus, n_passes=2, names=TPCH)
         tp = [n for n in TPCH if n in tduck]
         ts_, td_ = round(sum(tq[n] for n in tp), 4), round(sum(tduck[n] for n in tp), 4)
+        tbatched = _batched_submission(tprep, tp)
         out["tpch"] = {
             "queries": tq,
             "total_sec": round(sum(tq.values()), 4),
             "duckdb_queries": tduck,
             "paired_subset_sec": {"spark": ts_, "duckdb": td_},
             "spark_vs_duckdb_ratio": round(ts_ / td_, 3) if td_ else None,
+            "batched_sec": tbatched,
+            "batched_vs_duckdb_ratio": (
+                round(tbatched / td_, 3) if tbatched and td_ else None
+            ),
         }
     except Exception as exc:  # pragma: no cover - best-effort section
         out["tpch"] = {"error": str(exc)}
@@ -264,18 +259,9 @@ def main() -> None:
     # decontamination, chunk dedup), paired with DuckDB under the same
     # methodology. Separate section so the round-over-round primary
     # metric stays comparable (the TPC-H precedent).
-    EXTRAS = [
-        "ns_bpe_tokens", "ns_rare_token_share", "ns_image_decode_meta",
-        "ns_audio_decode_meta", "ns_semantic_dedup", "ns_neardup_clusters",
-        "ns_decontamination", "ns_chunk_dedup",
-    ]
     try:
         xq: dict[str, float] = {}
-        for name in EXTRAS:  # warm/codegen pass at the small SF
-            try:
-                qs[name](spark, "/root/testdata/sf0.001").count()
-            except Exception:
-                pass
+        # (warmed in the load phase, BEFORE the benched SF registered)
         xprep = {name: qs[name](spark, sf_dir) for name in EXTRAS}
         for _ in range(2):
             for name in EXTRAS:
@@ -387,6 +373,38 @@ def main() -> None:
     print(json.dumps(compact_summary(out, full_path)))
 
 
+def _batched_submission(prepared: dict, names: list[str]) -> float | None:
+    """Min-of-3 seconds for the whole set of prepared plans as ONE
+    Spark action: each result tagged + json-packed to a common 2-column
+    schema, unioned, one count(). Amortizes the per-query scheduling
+    floor and overlaps all queries' stages across cores — the shape of
+    a multi-query ETL DAG submitted together."""
+    try:
+        import time as _time
+        from functools import reduce as _reduce
+
+        from pyspark.sql import functions as F
+
+        parts = [
+            prepared[n].select(
+                F.lit(n).alias("q"),
+                F.to_json(F.struct(*[F.col(c) for c in prepared[n].columns])).alias("r"),
+            )
+            for n in names
+        ]
+        batched = _reduce(lambda a, b: a.unionByName(b), parts)
+        batched.count()  # warm/codegen for the union shape
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            batched.count()
+            best = min(best, _time.perf_counter() - t0)
+        return round(best, 4)
+    except Exception as exc:  # pragma: no cover - best-effort section
+        print(f"# batched submission failed: {exc}", file=sys.stderr)
+        return None
+
+
 DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
 
@@ -423,6 +441,11 @@ def compact_summary(out: dict, full_path: str | None = None) -> dict:
         "batched_headline_sec": out.get("batched_headline_sec"),
         "batched_vs_duckdb_ratio": out.get("batched_vs_duckdb_ratio"),
         "paired_ratio_tpch": _ratio("tpch"),
+        "batched_ratio_tpch": (
+            out["tpch"].get("batched_vs_duckdb_ratio")
+            if isinstance(out.get("tpch"), dict)
+            else None
+        ),
         "paired_ratio_extras": _ratio("northstar_extras"),
         "paired_ratio_sf1": _ratio("sf1"),
         "sf1_total_sec": (

@@ -74,12 +74,20 @@ class ExprMapper:
 
 class MeteredDataFrame:
     """Delivery-counting wrapper for a ``source`` method's DataFrame
-    (wrap.js:73-77): each driver-side materialization bumps the method
-    counter by the number of rows delivered, the DataFrame analogue of
-    the reference's ``pull.through`` on the returned stream. Lazy
-    transformations (`.where`, `.select`, ...) delegate and return plain
-    DataFrames — items are counted where they are DELIVERED, i.e. when
-    THIS object materializes."""
+    (wrap.js:73-77): each DRIVER-side materialization of this object
+    (``collect``/``toPandas``/``count``/``take``/``head``/``first``/
+    ``toLocalIterator``) bumps the method counter by the number of rows
+    delivered — the DataFrame analogue of the reference's
+    ``pull.through`` on the returned stream.
+
+    Scope (deliberate): lazy transformations (`.where`, `.select`, ...)
+    delegate and return plain DataFrames, and executor-side consumers
+    (``foreach``/``foreachPartition``, ``write.*``) and display
+    (``show``) pass through unmetered — those deliver rows on executors
+    or to a sink, where a driver-dict bump cannot observe them (an
+    accumulator-based meter would double-count task retries). Items are
+    counted where the reference counts them: rows handed to the
+    CALLER."""
 
     def __init__(self, df: DataFrame, bump: Callable[[int], None]):
         object.__setattr__(self, "_df", df)
@@ -221,6 +229,13 @@ class Flume:
         self._views: dict[str, FlumeView] = {}
         self._handles: dict[str, ViewHandle] = {}
         self.meta: dict[str, int] = {"append": 0, "get": 0, "stream": 0}
+        # Bound on the cross-process wait in _gate for an explicit
+        # ready(since=N) beyond the local head: the first manifest
+        # refresh is immediate (a committed-elsewhere seq resolves with
+        # zero sleep); only a genuinely not-yet-committed target polls,
+        # for at most this long, before head-clamping. Tune down for
+        # callers that probe speculative seqs, up for slow writers.
+        self.gate_wait_seconds: float = 2.0
         self._lock = threading.RLock()
         # O21: logs may export extra ops onto the engine facade
         # (index.js:270-283) — type-checked, name-conflict throw

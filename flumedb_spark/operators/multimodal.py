@@ -102,8 +102,10 @@ def ffmpeg_sample_frames(
     """Decode up to ``max_frames`` sampled frames from a true video
     container via ffmpeg (bounded: only the first
     ``max_frames * every_n_frames`` frames are decoded, so cost does not
-    scale with video length). Raises ValueError on decode failure,
-    NotImplementedError when no ffmpeg binary is available."""
+    scale with video length). Raises ValueError on per-payload decode
+    failure or timeout (callers drop the row), NotImplementedError when
+    no RUNNABLE ffmpeg binary is available (missing or misconfigured —
+    a capability/config error that must fail loudly)."""
     ff = ffmpeg_bin or ffmpeg_path()
     if ff is None:
         raise NotImplementedError(
@@ -113,17 +115,31 @@ def ffmpeg_sample_frames(
         )
     import subprocess
 
-    proc = subprocess.run(
-        [
-            ff, "-v", "error", "-i", "pipe:0",
-            "-frames:v", str(max_frames * every_n_frames),
-            "-f", "image2pipe", "-c:v", "ppm", "pipe:1",
-        ],
-        input=payload,
-        stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
-        timeout=120,
-    )
+    try:
+        proc = subprocess.run(
+            [
+                ff, "-v", "error", "-i", "pipe:0",
+                "-frames:v", str(max_frames * every_n_frames),
+                "-f", "image2pipe", "-c:v", "ppm", "pipe:1",
+            ],
+            input=payload,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            timeout=120,
+        )
+    except subprocess.TimeoutExpired as exc:
+        # a hung decode on one pathological payload must drop that ROW
+        # (callers catch ValueError), never fail the task 4x and abort
+        # the whole job
+        raise ValueError(f"ffmpeg decode timed out after 120s: {exc}") from exc
+    except OSError as exc:
+        # bad FLUMEDB_SPARK_FFMPEG path / non-executable binary: a
+        # CONFIG error, not a per-payload one — fail loudly like the
+        # missing-binary case (silently dropping every video row would
+        # mask the misconfiguration)
+        raise NotImplementedError(
+            f"ffmpeg binary not runnable ({ff}): {exc}"
+        ) from exc
     if proc.returncode != 0 or not proc.stdout:
         raise ValueError(
             f"ffmpeg decode failed: {proc.stderr.decode('utf-8', 'replace')[:200]}"

@@ -528,10 +528,19 @@ def cosine_topk_np(
     q_rows = q_df.collect()
 
     def quant(m: "np.ndarray") -> "np.ndarray":
-        # Spark F.round / DuckDB round: half away from zero (np.round is
-        # half-to-even — NOT equivalent)
+        # Spark F.round / DuckDB round: half AWAY from zero. Neither
+        # np.round (half-to-even) nor floor(v+0.5) is equivalent — the
+        # latter fails at v = 0.49999999999999994 (largest double < .5),
+        # where v+0.5 rounds UP to exactly 1.0 and floor gives 1 while
+        # HALF_UP gives 0. Compare the fractional part in exact binary
+        # instead: frac = v - floor(v) is exact for |v| < 2^52, and the
+        # >= 0.5 test matches both engines' decision on the true double.
         v = m * float(SCALE)
-        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+        f = np.floor(v)
+        up = np.where(v - f >= 0.5, f + 1.0, f)  # half-up for v >= 0
+        c = np.ceil(v)
+        dn = np.where(c - v >= 0.5, c - 1.0, c)  # half-down->away for v < 0
+        return np.where(v >= 0, up, dn)
 
     q_ids = np.array([r.vec_id for r in q_rows])
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)

@@ -136,14 +136,21 @@ def committed_file_filter(
     batch: DataFrame,
     grace_seconds: float = 5.0,
     committed: set | None = None,
+    present: set | None = None,
 ) -> DataFrame:
     """Admit only rows whose source file the COMMITTED manifest lists.
 
-    Pass ``committed`` (from ``resolve_committed_files``) to skip the
-    grace poll — the lock-held fold path pre-resolves it lock-free."""
+    Pass ``present`` AND ``committed`` (from a prior collect +
+    ``resolve_committed_files``) to make this a pure plan rewrite — the
+    lock-held fold path pre-resolves both lock-free so no Spark job
+    runs under the engine lock."""
     if "_src_file" not in batch.columns:
         return batch  # source without file provenance (custom datasource reads committed-only)
-    present = {r.f for r in batch.select(F.col("_src_file").alias("f")).distinct().collect()}
+    if present is None:
+        present = {
+            r.f
+            for r in batch.select(F.col("_src_file").alias("f")).distinct().collect()
+        }
     if committed is None:
         committed = resolve_committed_files(log, present, grace_seconds)
     drop = present - committed
@@ -182,7 +189,7 @@ class LiveViewRunner:
         # the grace poll (up to 5s when a batch carries a not-yet-
         # committed in-flight append) must not stall every gated read
         # and fold for the window.
-        committed = None
+        committed = present = None
         if "_src_file" in batch.columns:
             present = {
                 r.f
@@ -202,7 +209,7 @@ class LiveViewRunner:
             # from torn appends / OCC-loser replays can carry committed
             # seqs with DIFFERENT values — see committed_file_filter)
             batch = committed_file_filter(
-                self.engine.log, batch, committed=committed
+                self.engine.log, batch, committed=committed, present=present
             )
             # restrict to genuinely-new records: redelivered batches after
             # a crash re-run with seq <= view.since and fold to a no-op.
