@@ -341,12 +341,17 @@ def main() -> None:
             p1 = [n for n in sf1_names if n in duck1]
             s1 = round(sum(t1[n] for n in p1), 4)
             d1 = round(sum(duck1[n] for n in p1), 4)
+            b1 = _batched_submission(prep1, p1)
             out["sf1"] = {
                 "queries": t1,
                 "total_sec": round(sum(t1.values()), 4),
                 "duckdb_queries": duck1,
                 "paired_subset_sec": {"spark": s1, "duckdb": d1},
                 "spark_vs_duckdb_ratio": round(s1 / d1, 3) if d1 else None,
+                "batched_sec": b1,
+                "batched_vs_duckdb_ratio": (
+                    round(b1 / d1, 3) if b1 and d1 else None
+                ),
                 "scaling_x_vs_primary": {
                     n: round(t1[n] / primary[n], 2)
                     for n in sf1_names
@@ -448,6 +453,11 @@ def compact_summary(out: dict, full_path: str | None = None) -> dict:
         ),
         "paired_ratio_extras": _ratio("northstar_extras"),
         "paired_ratio_sf1": _ratio("sf1"),
+        "batched_ratio_sf1": (
+            out["sf1"].get("batched_vs_duckdb_ratio")
+            if isinstance(out.get("sf1"), dict)
+            else None
+        ),
         "sf1_total_sec": (
             out["sf1"].get("total_sec") if isinstance(out.get("sf1"), dict) else None
         ),
