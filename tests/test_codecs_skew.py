@@ -116,3 +116,30 @@ def test_salt_is_deterministic(spark, skewed_df):
     a = {r.row_id: r._salt for r in skew.with_salt(skewed_df, "row_id", 8).collect()}
     b = {r.row_id: r._salt for r in skew.with_salt(skewed_df, "row_id", 8).collect()}
     assert a == b  # retries reproduce identical salts (exactly-once safe)
+
+
+def test_salted_join_spreads_hot_key_partitions(spark, skewed_df):
+    """The POINT of salting: under a shuffle join (broadcast disabled),
+    the join keys are (k, _salt), so one hot key hashes across n_salts
+    reducer partitions instead of one. Assert the plan keys include the
+    salt and that the hot key's rows actually land in >1 shuffle
+    partition."""
+    from flumedb_spark.operators import skew
+    from pyspark.sql import functions as F
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dim = skewed_df.select("k").distinct().withColumn("dim_name", F.concat(F.lit("d"), "k"))
+        s = skew.with_salt(skewed_df, "row_id", 8)
+        # the hot key's (k=0, 90% of rows) rows spread across >1 salt
+        n_salts_hot = (
+            s.where(F.col("k") == 0).select("_salt").distinct().count()
+        )
+        assert n_salts_hot > 1, "hot key not spread across salts"
+        joined = skew.salted_join(skewed_df, dim, "k", "row_id", n_salts=8)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan  # join keys carry the salt
+        assert "BroadcastHashJoin" not in plan  # really a shuffle join
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)

@@ -590,3 +590,22 @@ def test_canonicalize_url_rules(spark):
     assert got == [c for _, c in cases]
     # the first two variants collide on the canonical key
     assert got[0] == got[1]
+
+
+def test_canonicalize_url_idempotent(spark):
+    """Canonicalization must be idempotent — canonical forms are stored
+    as dedup keys, and re-canonicalizing an already-canonical URL (e.g.
+    on a second pipeline pass) must not change it."""
+    from flumedb_spark.operators.text import canonicalize_url
+
+    urls = [
+        "HTTPS://Site.Example.COM:443/p/1?utm_source=x&id=7&utm_b=2",
+        "http://h.example.com:80/a/b/?fbclid=1#frag",
+        "https://h.example.com/x?gclid=9",
+        "https://h.example.com/x?a=1&utm_c=3&b=2",
+        "ftp://Mixed.Case.Host/Path/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("c"))
+    twice = once.select(canonicalize_url(F.col("c")).alias("c"))
+    assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
