@@ -611,6 +611,15 @@ class Flume:
         for name, view in self._views.items():
             if getattr(view, "maybe_compact", None) and view.maybe_compact():
                 out["views"].append(name)  # type: ignore[union-attr]
+            # view-side vacuum: snapshots/index files replaced by folds
+            # or compaction are deletion-deferred (views/base.py
+            # defer_delete) and die here once past retention. Under the
+            # engine lock: the meta mutation + commit must not race a
+            # concurrent fold's json.dump of the same dict.
+            if getattr(view, "collect_garbage", None):
+                with self._lock:
+                    if view.collect_garbage(older_than_seconds=vacuum_after):
+                        view.commit(view.since)
         return out
 
     # ---- lifecycle (O16/O18) -------------------------------------------

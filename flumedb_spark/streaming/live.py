@@ -198,6 +198,38 @@ class LiveViewRunner:
                 .collect()
             }
             committed = resolve_committed_files(self.engine.log, present)
+            # Post-grace triage of still-unknown files (r4 review): a
+            # slow same-name commit (>grace window: GC pause, disk
+            # stall) must NOT be silently dropped — the checkpointed
+            # file source never redelivers, so the view would advance
+            # past those seqs forever. Distinguish by seq: rows whose
+            # seqs exceed the committed head can only come from an
+            # in-flight append → FAIL the batch (checkpoint does not
+            # advance; the supervisor restarts and redelivers after the
+            # commit lands). Rows whose seqs are all <= head are a torn
+            # append / OCC-loser orphan whose authoritative rows live in
+            # committed files → safe to drop.
+            tomb = {
+                t.get("file")
+                for t in self.engine.log._meta.get("tombstones", [])
+            }
+            unknown = present - committed - tomb
+            if unknown:
+                head = self.engine.log.refresh_since()
+                mx = (
+                    batch.where(F.col("_src_file").isin(*unknown))
+                    .agg(F.max("seq").alias("m"))
+                    .collect()[0]
+                    .m
+                )
+                if mx is not None and int(mx) > head:
+                    raise RuntimeError(
+                        "micro-batch carries uncommitted file(s) past the "
+                        f"grace window: {sorted(unknown)[:3]} (max seq {mx} "
+                        f"> committed head {head}); failing the batch so "
+                        "the checkpoint does not advance — the supervisor "
+                        "restart redelivers it once the commit lands"
+                    )
         # Serialize with the engine's read-driven catch-up: Flume._gate ->
         # _catch_up folds under engine._lock, and without taking the same
         # lock here both paths can fold overlapping seq ranges — for
@@ -220,11 +252,19 @@ class LiveViewRunner:
             fresh = batch.where(F.col("seq") > F.lit(view.since)).dropDuplicates(
                 ["seq"]
             )
-            row = fresh.agg(F.max("seq").alias("m")).collect()[0]
-            if row.m is None:
-                return
-            mapped = self.engine._mapped(fresh.select("seq", "ts", "value"))
-            view.fold(mapped, int(row.m))
+            # persist before the max-seq agg: the agg and the view's own
+            # fold action would otherwise EACH re-run the source scan +
+            # filters + any Python mapper stage, doubling the Spark work
+            # done while this lock blocks every gated read
+            fresh = fresh.persist()
+            try:
+                row = fresh.agg(F.max("seq").alias("m")).collect()[0]
+                if row.m is None:
+                    return
+                mapped = self.engine._mapped(fresh.select("seq", "ts", "value"))
+                view.fold(mapped, int(row.m))
+            finally:
+                fresh.unpersist()
 
     def start(self, trigger_seconds: float | None = None):
         if self.source == "datasource":

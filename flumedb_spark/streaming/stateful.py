@@ -34,7 +34,10 @@ def _update(
     else:
         n, total, last_seq = 0, 0.0, -1
     for pdf in pdfs:
-        n += len(pdf)
+        # n counts VALUED events (rows whose value parsed non-null), so
+        # n and total always describe the same row set and total/n is a
+        # true mean; last_seq still advances over every delivered row
+        n += int(pdf["value"].notna().sum())
         total += float(pdf["value"].sum())
         if len(pdf):
             last_seq = max(last_seq, int(pdf["seq"].max()))

@@ -134,6 +134,49 @@ class FlumeView:
         ``self.commit(upto)`` exactly once at the end."""
         raise NotImplementedError
 
+    # ---- retention-gated deletion (r4 review) ---------------------------
+    #: seconds a replaced snapshot/index file survives after being
+    #: superseded — concurrent readers whose plans were resolved against
+    #: the old manifest (and lazy 'source' DataFrames handed to callers)
+    #: can still scan it. The log solved the same race with tombstones +
+    #: vacuum; this is the view-side analogue.
+    GARBAGE_RETENTION_SECONDS: float = 600.0
+
+    def defer_delete(self, *rel_paths: str) -> None:
+        """Queue view-relative paths for retention-gated deletion
+        instead of deleting immediately (callers commit afterwards, so
+        the garbage list is durable)."""
+        import time as _time
+
+        g = self._meta.setdefault("garbage", [])
+        now = _time.time()
+        g.extend({"path": p, "ts": now} for p in rel_paths)
+
+    def collect_garbage(self, older_than_seconds: float | None = None) -> int:
+        """Delete queued paths older than the retention window. Called
+        from later folds / maintain(); returns how many were removed."""
+        import time as _time
+
+        keep_age = (
+            self.GARBAGE_RETENTION_SECONDS
+            if older_than_seconds is None
+            else older_than_seconds
+        )
+        now = _time.time()
+        g = self._meta.get("garbage", [])
+        if not g:
+            return 0
+        kept, dropped = [], 0
+        for e in g:
+            if now - e["ts"] >= keep_age:
+                shutil.rmtree(os.path.join(self.path, e["path"]), ignore_errors=True)
+                dropped += 1
+            else:
+                kept.append(e)
+        if dropped:
+            self._meta["garbage"] = kept
+        return dropped
+
     # ---- state hooks ---------------------------------------------------
     def _load_state(self) -> None:  # pragma: no cover - trivial default
         pass
@@ -143,6 +186,27 @@ class FlumeView:
 
     def _reset_state(self) -> None:  # pragma: no cover - trivial default
         pass
+
+
+def write_fold_file(view: "FlumeView", df: DataFrame, upto: int, data_dir: str) -> str | None:
+    """Write-once fold output for manifest-of-files views (Level /
+    Search / Bloom share this protocol): write ``df`` as one parquet
+    dir named ``{upto}-{uuid}``, decide emptiness from footers (never
+    re-run the — possibly Python-stage — plan), remove if empty.
+    Returns the file name to append to the manifest, or None.
+
+    Deliberately does NOT touch the manifest or commit: callers differ
+    in what must happen atomically around the append (Bloom invalidates
+    its sketch under a lock)."""
+    import uuid as _uuid
+
+    fname = f"{upto:012d}-{_uuid.uuid4().hex[:8]}.parquet"
+    fpath = os.path.join(data_dir, fname)
+    df.write.mode("overwrite").parquet(fpath)
+    if parquet_num_rows(fpath) > 0:
+        return fname
+    shutil.rmtree(fpath, ignore_errors=True)
+    return None
 
 
 def parquet_num_rows(path: str) -> int:

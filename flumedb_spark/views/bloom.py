@@ -19,7 +19,6 @@ auditing, partitioned by key hash.
 from __future__ import annotations
 
 import os
-import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -55,6 +54,16 @@ class Bloom(FlumeView):
         self.m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
         self.k = max(1, round(self.m / expected_items * math.log(2)))
         self._sketch: bytearray | None = None
+        # Serializes sketch build/persist against concurrent folds:
+        # readers call _ensure_sketch WITHOUT the engine lock, so a fold
+        # landing mid-build could otherwise be overwritten by a sketch
+        # computed from the pre-fold file list persisted with
+        # sketch_valid=True — definitive false negatives (bloom contract
+        # violation). Lock order: engine._lock -> _sketch_lock (fold
+        # path); readers take only _sketch_lock — no cycle.
+        import threading
+
+        self._sketch_lock = threading.RLock()
 
     def _data_dir(self) -> str:
         return os.path.join(self.path, "keys")
@@ -80,28 +89,22 @@ class Bloom(FlumeView):
         self._sketch = None
 
     def fold(self, batch: DataFrame, upto: int) -> None:
+        from .base import write_fold_file
+
         keys = batch.select(F.expr(self.key_expr).cast("string").alias("key")).distinct()
-        # write once, decide from footers (the probe re-ran the plan)
-        fname = f"{upto:012d}-{uuid.uuid4().hex[:8]}.parquet"
-        fpath = os.path.join(self._data_dir(), fname)
-        keys.write.mode("overwrite").parquet(fpath)
-        from .base import parquet_num_rows
-
-        if parquet_num_rows(fpath) > 0:
-            self._meta["files"] = self._meta.get("files", []) + [fname]
-            # invalidate BOTH the in-memory sketch and the committed
-            # validity flag: a persisted sketch that predates this file
-            # would return definitive-False for the file's keys after a
-            # process restart (bloom contract: False is definitive)
-            self._sketch = None
-            self._meta["sketch_valid"] = False
-        else:
-            import shutil
-
-            # empty batch: the persisted sketch (if any) still covers
-            # every committed key — leave sketch_valid untouched
-            shutil.rmtree(fpath, ignore_errors=True)
-        self.commit(upto)
+        fname = write_fold_file(self, keys, upto, self._data_dir())
+        with self._sketch_lock:
+            if fname is not None:
+                self._meta["files"] = self._meta.get("files", []) + [fname]
+                # invalidate BOTH the in-memory sketch and the committed
+                # validity flag: a persisted sketch that predates this file
+                # would return definitive-False for the file's keys after a
+                # process restart (bloom contract: False is definitive)
+                self._sketch = None
+                self._meta["sketch_valid"] = False
+            # (empty batch: the persisted sketch still covers every
+            # committed key — sketch_valid stays untouched)
+            self.commit(upto)
 
     def keys_df(self) -> DataFrame:
         files = [os.path.join(self._data_dir(), f) for f in self._meta.get("files", [])]
@@ -120,27 +123,47 @@ class Bloom(FlumeView):
         return F.expr(f"array({pos})")
 
     def _ensure_sketch(self) -> bytearray | None:
-        if self._sketch is None:
-            # distinct set positions <= n*k — a compact int set; at scale
-            # this becomes a treeAggregate of per-partition bitmaps
-            rows = (
-                self.keys_df()
-                .select(F.explode(self._positions_expr()).alias("pos"))
-                .distinct()
-                .collect()
-            )
-            if rows:
-                bf = bytearray((self.m + 7) // 8)
-                for r in rows:
-                    p = int(r.pos)
-                    bf[p >> 3] |= 1 << (p & 7)
-                self._sketch = bf
-                # persist: the sketch is part of view state, so fresh
-                # processes probe without a rebuild scan
-                with open(self._sketch_path(), "wb") as f:
-                    f.write(bytes(bf))
-                self._meta["sketch_valid"] = True
-                self.commit(self.since)
+        if self._sketch is not None:
+            return self._sketch
+        # snapshot the file list under the lock; build OUTSIDE it (the
+        # collect is the expensive part and must not stall folds)
+        with self._sketch_lock:
+            built_from = list(self._meta.get("files", []))
+        # distinct set positions <= n*k — a compact int set; at scale
+        # this becomes a treeAggregate of per-partition bitmaps
+        files = [os.path.join(self._data_dir(), f) for f in built_from]
+        src = (
+            self.spark.read.parquet(*files).distinct()
+            if files
+            else self.spark.createDataFrame([], "key string")
+        )
+        rows = (
+            src.select(F.explode(self._positions_expr()).alias("pos"))
+            .distinct()
+            .collect()
+        )
+        if not rows:
+            return self._sketch
+        bf = bytearray((self.m + 7) // 8)
+        for r in rows:
+            p = int(r.pos)
+            bf[p >> 3] |= 1 << (p & 7)
+        with self._sketch_lock:
+            # a fold may have added a file while we built: persisting a
+            # sketch missing its keys with sketch_valid=True would be a
+            # definitive false negative after restart. Only publish when
+            # the file list is unchanged; otherwise discard — the caller
+            # (might_have) degrades to the exact check, never to a
+            # possibly-false negative.
+            if list(self._meta.get("files", [])) != built_from:
+                return None
+            self._sketch = bf
+            # persist: the sketch is part of view state, so fresh
+            # processes probe without a rebuild scan
+            with open(self._sketch_path(), "wb") as f:
+                f.write(bytes(bf))
+            self._meta["sketch_valid"] = True
+            self.commit(self.since)
         return self._sketch
 
     def has(self, key: Any) -> bool:
@@ -153,7 +176,12 @@ class Bloom(FlumeView):
         """Sketch membership: False is definitive, True is 'maybe'."""
         bf = self._ensure_sketch()
         if bf is None:
-            return False
+            # no stable sketch: an EMPTY key table is a definitive no;
+            # a contended build (folds landing during it) degrades to
+            # the exact check — never to a possibly-false negative
+            if not self._meta.get("files"):
+                return False
+            return self.has(key)
         # probe positions computed with the SAME JVM hash as the build
         row = (
             self.spark.createDataFrame([(str(key),)], "key string")

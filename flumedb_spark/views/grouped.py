@@ -95,9 +95,12 @@ class GroupedStats(FlumeView):
         merged.write.mode("overwrite").parquet(os.path.join(self.path, snap))
         old = self._meta.get("snapshot")
         self._meta["snapshot"] = snap
-        self.commit(upto)
+        # retention-gated (see Hashtable.fold): concurrent readers may
+        # still scan the replaced snapshot
         if old:
-            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+            self.defer_delete(old)
+        self.collect_garbage()
+        self.commit(upto)
 
     # ---- reads ---------------------------------------------------------
     @staticmethod

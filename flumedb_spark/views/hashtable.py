@@ -94,9 +94,13 @@ class Hashtable(FlumeView):
         merged.write.mode("overwrite").parquet(os.path.join(self.path, snap))
         old = self._meta.get("snapshot")
         self._meta["snapshot"] = snap
-        self.commit(upto)
+        # retention-gated: a concurrent reader (or a lazy df_snapshot
+        # handed to a caller) may still be scanning the old snapshot —
+        # immediate rmtree raced it with FileNotFound (r4 review)
         if old:
-            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+            self.defer_delete(old)
+        self.collect_garbage()
+        self.commit(upto)
 
     # ---- reads ---------------------------------------------------------
     def get(self, key: Any) -> Any:

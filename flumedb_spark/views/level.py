@@ -90,20 +90,12 @@ class Level(FlumeView):
         return exploded.select(F.col("key").cast(self.key_type).alias("key"), "seq")
 
     def fold(self, batch: DataFrame, upto: int) -> None:
-        fname = f"{upto:012d}-{uuid.uuid4().hex[:8]}.parquet"
-        fpath = os.path.join(self._data_dir(), fname)
-        keys = self._keys_df(batch)
-        # write once, then decide from footers: the emptiness probe used
-        # to run the (possibly Python-stage) key plan a second time
-        keys.write.mode("overwrite").parquet(fpath)
-        from .base import parquet_num_rows
+        from .base import write_fold_file
 
-        if parquet_num_rows(fpath) > 0:
+        fname = write_fold_file(self, self._keys_df(batch), upto, self._data_dir())
+        if fname is not None:
             self._meta["files"] = self._meta.get("files", []) + [fname]
-        else:
-            import shutil
-
-            shutil.rmtree(fpath, ignore_errors=True)
+        self.collect_garbage()
         self.commit(upto)
 
     # ---- reads ---------------------------------------------------------
@@ -186,8 +178,13 @@ class Level(FlumeView):
             df.write.mode("overwrite").parquet(os.path.join(self._data_dir(), fname))
             old = self._meta["files"]
             self._meta["files"] = [fname]
+            # retention-gated deletion (r4 review): a gated read that
+            # resolved df() over the old manifest may still be scanning
+            # after the lock releases (reads collect OUTSIDE the lock,
+            # and read() hands callers a lazy DataFrame) — the same
+            # reader-vs-rewrite race ParquetLog solves with tombstones
+            # + vacuum. Old files die on a later fold/compact/maintain
+            # once the retention window passes.
+            self.defer_delete(*[os.path.join("idx", f) for f in old])
+            self.collect_garbage()
             self.commit(self.since)
-        for f in old:
-            import shutil
-
-            shutil.rmtree(os.path.join(self._data_dir(), f), ignore_errors=True)

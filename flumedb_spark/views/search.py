@@ -17,7 +17,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -62,18 +61,11 @@ class Search(FlumeView):
             batch.select("seq", F.explode(tokens_expr(text)).alias("token"))
             .distinct()  # one posting per (token, doc)
         )
-        # write once, decide from footers (the probe re-ran the plan)
-        fname = f"{upto:012d}-{uuid.uuid4().hex[:8]}.parquet"
-        fpath = os.path.join(self._data_dir(), fname)
-        posting.write.mode("overwrite").parquet(fpath)
-        from .base import parquet_num_rows
+        from .base import write_fold_file
 
-        if parquet_num_rows(fpath) > 0:
+        fname = write_fold_file(self, posting, upto, self._data_dir())
+        if fname is not None:
             self._meta["files"] = self._meta.get("files", []) + [fname]
-        else:
-            import shutil
-
-            shutil.rmtree(fpath, ignore_errors=True)
         self.commit(upto)
 
     def df(self) -> DataFrame:

@@ -620,11 +620,15 @@ def test_stateful_rocksdb_state_store(spark, tmp_log_dir, tmp_path):
 def test_stream_fold_ignores_uncommitted_orphan_files(spark, tmp_log_dir):
     """The file source discovers the data dir directly, so an ORPHAN
     parquet (torn append / OCC-loser replay: file written, never
-    manifest-committed) is delivered to the fold — it must be gated out
-    by the committed-file filter, or its bogus values would be folded
-    and the later-committed real records silently dropped."""
+    manifest-committed) is delivered to the fold. r4 contract: while the
+    orphan's seqs exceed the committed head it is indistinguishable from
+    an IN-FLIGHT append whose commit is slow, so the batch FAILS (the
+    checkpoint must not advance — silently dropping a slow commit would
+    lose its rows forever); once the real commit covers those seqs the
+    redelivered batch drops the orphan and folds only committed rows."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import pytest as _pytest
 
     db = Flume(tmp_log_dir, spark=spark).use("stats", NativeStats(1, field="foo"))
     db.append([{"foo": 1}, {"foo": 3}])  # committed seqs 0, 1
@@ -643,19 +647,28 @@ def test_stream_fold_ignores_uncommitted_orphan_files(spark, tmp_log_dir):
     runner = LiveViewRunner(db, "stats")
     runner.start()
     try:
-        runner.process_all_available()
-        s = db.stats.get(since=-1)
-        # only the committed records folded; the orphan's 999 is absent
-        # and, critically, view.since has NOT advanced past seq 1
-        assert s["count"] == 2 and s["mean"] == 2
-        assert db.stats.since == 1
-        # now the REAL seq-2 record commits (different value)
-        db.append({"foo": 5})
-        runner.process_all_available()
-        s = db.stats.get(since=-1)
-        assert s["count"] == 3 and s["mean"] == 3  # 1, 3, 5 — not 999
+        # seq 2 > committed head 1: could be an in-flight commit — the
+        # batch must FAIL (not silently drop), checkpoint un-advanced
+        with _pytest.raises(Exception, match="uncommitted|grace"):
+            runner.process_all_available()
+        assert db.stats.since <= 1  # nothing bogus folded
     finally:
         runner.stop()
+
+    # the REAL seq-2 record commits (different value, fresh file name);
+    # a restarted runner redelivers from the un-advanced checkpoint, now
+    # drops the orphan (its seqs are covered by the committed head) and
+    # folds only committed rows
+    db.append({"foo": 5})
+    runner2 = LiveViewRunner(db, "stats")
+    runner2.start()
+    try:
+        runner2.process_all_available()
+        s = db.stats.get(since=-1)
+        assert s["count"] == 3 and s["mean"] == 3  # 1, 3, 5 — not 999
+        assert db.stats.since == 2
+    finally:
+        runner2.stop()
     db.close()
 
 

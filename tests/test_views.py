@@ -233,3 +233,33 @@ def test_bloom_no_false_negative_after_append_and_restart(spark, tmp_log_dir):
     # the stale persisted sketch must NOT be loaded as valid
     assert db2.seen.might_have("newkey_zed") is True
     db2.close()
+
+
+def test_snapshot_deletion_is_retention_gated(spark, tmp_log_dir):
+    """r4 review: a fold must NOT rmtree the replaced snapshot/index
+    files immediately — a concurrent reader (or a lazy source DataFrame
+    handed to a caller) may still scan them. Replaced files are
+    deletion-deferred and die via maintain()'s vacuum once past
+    retention."""
+    import os
+
+    from flumedb_spark import Flume
+
+    db = Flume(tmp_log_dir, spark=spark)
+    db.use("ht", Hashtable(1, key_expr="get_json_object(value, '$.author')"))
+    db.append(DOCS)
+    assert db.ht.get("alice") is not None  # fold 1 -> snapshot A
+    snap_a = db._views["ht"]._meta["snapshot"]
+    # grab a lazy frame over snapshot A (the caller-held reader)
+    lazy = db.ht.df_snapshot()
+    db.append({"author": "zed", "tags": [], "text": "", "likes": 1})
+    assert db.ht.get("zed") is not None  # fold 2 -> snapshot B, A deferred
+    a_path = os.path.join(db._views["ht"].path, snap_a)
+    assert os.path.exists(a_path), "old snapshot deleted immediately"
+    assert lazy.count() >= 3  # caller's lazy frame still scans fine
+    # vacuum with zero retention removes it
+    db.maintain(vacuum_after_seconds=0.0)
+    assert not os.path.exists(a_path)
+    # the garbage queue is durably trimmed
+    assert db._views["ht"]._meta.get("garbage", []) == []
+    db.close()
