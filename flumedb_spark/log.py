@@ -615,8 +615,24 @@ class ParquetLog:
         # a write transaction like any other (re-runnable: pure
         # recompute over the fresh manifest).
         def stage(current: dict) -> int:
-            replaced = [f for f in current["files"] if f in set(old_files)]
-            tail = [f for f in current["files"] if f not in set(old_files)]
+            old = set(old_files)  # hoisted: per-element set() is O(n^2)
+            cur = set(current["files"])
+            # concurrent-compactor guard (r4 review): if ANOTHER
+            # compaction already replaced part of our snapshot's prefix,
+            # our new files would DUPLICATE the rows the other
+            # compactor's output (now in the tail) already carries —
+            # permanently, since neither copy gets tombstoned. Abort;
+            # our staged files become harmless orphans.
+            if old - cur:
+                import shutil as _shutil
+
+                for name in new_names:
+                    _shutil.rmtree(
+                        os.path.join(self.data_dir, name), ignore_errors=True
+                    )
+                raise _NoCommit(len(current["files"]))
+            replaced = [f for f in current["files"] if f in old]
+            tail = [f for f in current["files"] if f not in old]
             current["files"] = new_names + tail
             now = time.time()
             current["tombstones"] = current.get("tombstones", []) + [
