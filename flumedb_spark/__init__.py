@@ -8,7 +8,7 @@ views with read-after-write consistency — re-expressed on the Spark
 DataFrame/Structured-Streaming stack rather than ported.
 """
 
-from .engine import ClosedError, ExprMapper, Flume, ViewHandle
+from .engine import ClosedError, ExprMapper, Flume, GateTimeout, ViewHandle
 from .log import LOG_SCHEMA, OffsetLog, ParquetLog, VersionedLog
 from .session import get_spark
 from .views.base import FlumeView
@@ -16,6 +16,7 @@ from .views.reduce import NativeStats, Reduce
 
 __all__ = [
     "ClosedError",
+    "GateTimeout",
     "ExprMapper",
     "Flume",
     "FlumeView",

@@ -96,73 +96,32 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 # suite run in tests/test_full_gate.py, so a regression in a rotated-out
 # path fails CI immediately rather than shipping on a stale attestation.
 DRIVER_WINDOW: list[str] = [
-    # (o1_append_visibility rotated out post-r3-window for
-    # ns_image_decode_meta: r2-green pure-SQL entry, text unchanged
-    # since; o2_bulk_append is the §2.A representative — it drives the
-    # real log write path, which o1's SQL form never did)
-    "ns_image_decode_meta",
-    # (o3_get_point / o4_stream_range rotated out late r3 for
-    # ns_decontamination / ns_repetition_ratio: r2-green, entry SQL
-    # unchanged since; o2_bulk_append is the §2.A representative)
-    "ns_decontamination",
-    "ns_repetition_ratio",
-    # (o7_since / o15_mapper_read rotated out post-r3-window for
-    # ns_semantic_dedup / ns_pii_redaction: r2-green, entry SQL
-    # unchanged since)
-    "ns_semantic_dedup",
-    "ns_pii_redaction",
-    # view families (§2.B) — v1 rows were red in round 1 (HUGEINT sum)
-    "v1_reduce_stats",
-    # (v1_reduce_grouped rotated out late r3 for ns_weighted_sample:
-    # r2-green, reduce/grouped code + entry unchanged since; V1 keeps
-    # v1_reduce_stats as its representative)
-    "ns_weighted_sample",
-    # (v2_index_key_range / v3_query_dsl rotated out post-r3-window for
-    # ns_chunk_dedup / ns_tfidf_topterms: r2-green, level.py/query.py +
-    # entry SQL unchanged since; v2 keeps its r1-green point-get row)
-    "ns_chunk_dedup",
-    "ns_tfidf_topterms",
-    # (v4_search_and_terms / v6_membership_exact rotated out late r3 for
-    # ns_doc_chunks / ns_sequence_packing: r2-green, search.py/bloom.py +
-    # entries unchanged since; v4 keeps its r1-green single-term row)
-    "ns_doc_chunks",
-    # (v5_hashtable_latest rotated out post-r3-window for
-    # ns_image_resize_meta: r2-green, hashtable.py + entry unchanged
-    # since round 1)
-    "ns_image_resize_meta",
-    "ns_sequence_packing",
-    # round-3 additions: the distributed bulk write path, the four ANN
-    # parity twins (cross-engine-checkable approximate search), and
-    # near-dup clustering (candidates -> dedup decisions)
+    # ROTATION POLICY (r5): entries rotate out of the 50-slot window only
+    # after a driver-green round, and the freshness claim is EXECUTABLE,
+    # not prose — tests/test_full_gate.py re-runs the ENTIRE catalog
+    # (in-window and rotated-out alike) against its DuckDB oracles at
+    # sf0.001 on every suite run, so any regression in a rotated-out path
+    # fails CI immediately. Per-entry history lives in git; the comments
+    # below only group the current window.
+    #
+    # core-O representatives (§2.A), rotated BACK IN for r5 (VERDICT r4
+    # #4: last driver-checked at sf0.01 in r1/r2; the sf0.001 live gate
+    # covered them since, but the driver's own sf0.01 record is the
+    # stronger attestation) — they take the slots of six r4-green ns_
+    # rows whose code is frozen this round (ns_image_decode_meta,
+    # ns_decontamination, ns_repetition_ratio, ns_semantic_dedup,
+    # ns_pii_redaction, ns_chunk_dedup)
+    "o1_append_visibility",
+    "o3_get_point",
+    "o4_stream_reverse_topk",
+    "o5_stream_seqs_only",
+    "o7_since",
+    "o15_mapper_read",
     "o2_bulk_append",
-    "ns_lsh_ann_topk_md5",
-    "ns_lsh_ann_recall10",
-    "ns_ivf_ann_topk_seeded",
-    "ns_ivf_ann_recall10",
-    "ns_neardup_clusters",
-    # round-3 TPC-H-shaped sweep (catalog_tpch.py): the 14 query shapes
-    # not already covered, never driver-run — they take the slots of 14
-    # r2-green text-unchanged relational entries (window_top3_per_customer,
-    # scalar_functions, q10/q14, sliding_window_counts, array_functions,
-    # join_left/full_outer, union_dedup_vs_all, regexp_functions,
-    # argmin_argmax, value_histogram, session_windows_native,
-    # unpivot_stack — their r2 attestation stands)
+    # view families (§2.B)
+    "v1_reduce_stats",
+    # TPC-H-shaped relational sweep (catalog_tpch.py)
     "q2_min_cost_supplier",
-    # (q4_order_priority / q7_nation_volume / q8_market_share /
-    # q9_product_profit rotated out r4 for the four NEW operator-family
-    # oracle rows below: all four q-rows r3-driver-green, catalog_tpch.py
-    # untouched this round, and the live full gate (test_full_gate.py)
-    # re-checks them every suite run)
-    "ns_salted_join",
-    "ns_salted_distinct_count",
-    "ns_scd2_history",
-    "ns_zorder_morton",
-    # (q12_priority_classes / q13_customer_distribution rotated out r4
-    # for the custom-stateful streaming oracle row and the URL-dedup
-    # row: both q-rows r3-driver-green, catalog_tpch.py untouched this
-    # round, live full gate re-checks them)
-    "stream_stateful_key_stats",
-    "ns_url_dedup",
     "q11_important_parts",
     "q15_top_supplier",
     "q16_part_supplier_counts",
@@ -170,66 +129,45 @@ DRIVER_WINDOW: list[str] = [
     "q20_part_promotion",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
-    # north-star LLM-pipeline ops — all 18, none ran in round 1
-    # (ns_dedup_exact rotated out post-r3-window for ns_lang_id, whose
-    # code path changed late-r3 — the adjacent-marker exact-count fix
-    # in text.occurrences; exact_dup_groups' semantics are untouched
-    # since its r2-green row, and the dedup family keeps
-    # ns_ngram_jaccard_pairs + ns_minhash_lsh_candidates in-window)
-    "ns_lang_id",
+    # streaming surface: real Structured Streaming runs, oracle-checked
+    "stream_windowed_counts",
+    "stream_stateful_key_stats",
+    "interval_join_events",
+    # dedup / similarity / ANN family
+    "ns_url_dedup",
     "ns_ngram_jaccard_pairs",
     "ns_minhash_lsh_candidates",
-    # (ns_simhash64 rotated out post-r3-window for
-    # ns_histogram_quantiles: simhash64 is a no_oracle rows-only row —
-    # its driver record attests nothing an oracle row wouldn't; the
-    # md5 parity twin ns_simhash_md5 stays in-window and exercises the
-    # same SimHash path oracle-checked)
-    "ns_histogram_quantiles",
+    "ns_neardup_clusters",
     "ns_simhash_md5",
-    # (ns_text_stats rotated out post-r3-window for ns_rare_token_share:
-    # r2-green, text_stats code path + entry SQL unchanged since r2 —
-    # text.py changes this round were additive only)
-    "ns_rare_token_share",
-    # (ns_text_quality rotated out r3 for ns_bpe_tokens: r2-green,
-    # text.py + entry unchanged since)
-    "ns_bpe_tokens",
-    # (ns_lang_id rotated out post-r3-window for ns_audio_decode_meta:
-    # r2-green, lang-ID code path + entry SQL unchanged since r2 —
-    # text.py changes this round were additive only)
-    "ns_audio_decode_meta",
-    # (ns_fingerprint rotated out r3 for interval_join_events: r2-green,
-    # text.py + entry unchanged since)
-    "interval_join_events",
-    # round-4: the streaming surface's oracle row — a REAL Structured
-    # Streaming run (append mode, watermark late-drop over 3 pinned
-    # micro-batches) hash-checked against a DuckDB reproduction of the
-    # exact emission/late-filter semantics (VERDICT r3 #7)
-    "stream_windowed_counts",
-    "ns_similarity_topk",
-    # round-4: the BLAS mapInPandas path, previously the only
-    # never-driver-checked catalog entry, now oracle-checked via
-    # exact-int quantization (same round(x*1e6) rule as the JVM path —
-    # integer-valued float64 matmuls are exact at d=64)
-    "ns_similarity_topk_np",
     "ns_embedding_neardup",
-    # (ns_lsh_ann_topk / ns_ivf_ann_topk rotated out r4: both are
-    # no_oracle rows-only rows whose driver record attests nothing
-    # falsifiable, while their oracle-checked parity twins
-    # ns_lsh_ann_topk_md5 / ns_ivf_ann_topk_seeded + the two recall
-    # twins are in-window and r3-green — VERDICT r3 "What's wrong" #4)
-    # (ns_multimodal_meta rotated out late r3 for ns_countmin_event_counts:
-    # r2-green; multimodal.py was later restructured for the real
-    # codecs, but this entry pins use_fake=True and its _fake closure is
-    # behavior-identical — it delegates to the module-level fake_decode
-    # with the same formula (not byte-identical; the helper was factored
-    # out in r3) — the CHANGED (real) paths are attested by the three
-    # in-window ns_image/audio_* entries and the behavioral suite)
-    "ns_countmin_event_counts",
+    "ns_similarity_topk",
+    "ns_similarity_topk_np",
+    "ns_lsh_ann_topk_md5",
+    "ns_lsh_ann_recall10",
+    "ns_ivf_ann_topk_seeded",
+    "ns_ivf_ann_recall10",
+    # text analysis family
+    "ns_lang_id",
+    "ns_rare_token_share",
+    "ns_tfidf_topterms",
+    "ns_bpe_tokens",
+    # pipeline / packing / sampling / sketches
+    "ns_doc_chunks",
+    "ns_sequence_packing",
+    "ns_weighted_sample",
     "ns_pipeline_filter_dedup_join",
-    # (ns_deterministic_sample / ns_dataset_split_counts /
-    # ns_stratified_sample rotated out late r3: r2-green, sampling.py +
-    # entries unchanged since)
     "ns_hll_user_estimate",
+    "ns_countmin_event_counts",
+    "ns_histogram_quantiles",
+    # skew tooling / storage-layout ops
+    "ns_salted_join",
+    "ns_salted_distinct_count",
+    "ns_scd2_history",
+    "ns_zorder_morton",
+    # multimodal (real-codec meta paths)
+    "ns_image_resize_meta",
+    "ns_audio_decode_meta",
+    # relational misc
     "window_distribution",
     "fuzzy_match_names",
 ]

@@ -54,6 +54,28 @@ from .views.base import FlumeView
 REQUIRED_VIEW_ATTRS = ("close", "fold", "destroy", "since")  # index.js:174-182
 
 
+class GateTimeout(TimeoutError):
+    """ready(since=N) did not observe seq N within ``gate_wait_seconds``.
+
+    Carries what WAS reached so callers can distinguish "the view
+    reached N" from "timed out at head<N" — the reference queues such
+    waiters until the view reaches N (wrap.js:42-53); a bounded waiter
+    must therefore fail loudly, never silently succeed on a prefix
+    read. Opt back into the old clamp with
+    ``engine.gate_on_timeout = "clamp"``.
+    """
+
+    def __init__(self, target: int, head: int, waited: float):
+        self.target = int(target)
+        self.head = int(head)
+        self.waited = float(waited)
+        super().__init__(
+            f"wait-for-seq {target} timed out after {waited:.2f}s at "
+            f"head {head}; set gate_on_timeout='block' to queue like the "
+            "reference or 'clamp' to accept a prefix read"
+        )
+
+
 class ClosedError(RuntimeError):
     pass
 
@@ -92,6 +114,18 @@ class MeteredDataFrame:
     def __init__(self, df: DataFrame, bump: Callable[[int], None]):
         object.__setattr__(self, "_df", df)
         object.__setattr__(self, "_bump", bump)
+
+    def __repr__(self) -> str:
+        # show the frame, not the wrapper (r4 ADVICE): interactive users
+        # and logs should see the usual DataFrame[...] schema line
+        return repr(self._df)
+
+    def unwrap(self) -> DataFrame:
+        """The underlying plain DataFrame, for callers that need a real
+        ``pyspark.sql.DataFrame`` instance (isinstance checks, APIs that
+        type-test their input). Materializing through the unwrapped
+        frame is not metered — use the wrapper for counted delivery."""
+        return self._df
 
     def collect(self):
         rows = self._df.collect()
@@ -233,9 +267,19 @@ class Flume:
         # ready(since=N) beyond the local head: the first manifest
         # refresh is immediate (a committed-elsewhere seq resolves with
         # zero sleep); only a genuinely not-yet-committed target polls,
-        # for at most this long, before head-clamping. Tune down for
-        # callers that probe speculative seqs, up for slow writers.
+        # for at most this long. Tune down for callers that probe
+        # speculative seqs, up for slow writers.
         self.gate_wait_seconds: float = 2.0
+        # What a timed-out wait-for-seq does (r4 VERDICT #3 / ADVICE):
+        #   "raise"  (default) — raise GateTimeout(target, head): the
+        #            caller asked for seq N and must be able to tell it
+        #            never arrived (wrap.js:42-53 waiters never resolve
+        #            early).
+        #   "block"  — keep polling until the seq commits or close():
+        #            the reference's unbounded queue semantics.
+        #   "clamp"  — fold to the reached head and return success on
+        #            the prefix (pre-r5 behavior; opt-in only).
+        self.gate_on_timeout: str = "raise"
         self._lock = threading.RLock()
         # O21: logs may export extra ops onto the engine facade
         # (index.js:270-283) — type-checked, name-conflict throw
@@ -570,22 +614,35 @@ class Flume:
             if target > head:
                 # cross-process read-after-write: the cached watermark can
                 # trail a commit made by ANOTHER process. Re-read the
-                # committed manifest, then bounded-poll (the reference
-                # queues the waiter until the view reaches N,
-                # wrap.js:42-53) before clamping to whatever exists.
-                refresh = getattr(self.log, "refresh_since", None)
-                if refresh is not None:
-                    import time as _time
+                # committed manifest, then poll (the reference queues the
+                # waiter until the view reaches N, wrap.js:42-53). The
+                # first refresh is immediate, so an already-committed-
+                # elsewhere target resolves with zero sleep.
+                import time as _time
 
-                    deadline = _time.monotonic() + float(
-                        getattr(self, "gate_wait_seconds", 2.0)
-                    )
+                refresh = getattr(self.log, "refresh_since", None) or (
+                    self.log.ready_since
+                )
+                mode = getattr(self, "gate_on_timeout", "raise")
+                waited = float(getattr(self, "gate_wait_seconds", 2.0))
+                start = _time.monotonic()
+                deadline = None if mode == "block" else start + waited
+                head = refresh()
+                while head < target and (
+                    deadline is None or _time.monotonic() < deadline
+                ):
+                    if self.closed:
+                        raise ClosedError("closed while waiting")
+                    _time.sleep(0.02)
                     head = refresh()
-                    while head < target and _time.monotonic() < deadline:
-                        if self.closed:
-                            raise ClosedError("closed while waiting")
-                        _time.sleep(0.02)
-                        head = refresh()
+                if head < target and mode != "clamp":
+                    # never a silent prefix-read success (r4 VERDICT #3):
+                    # the clamp — committing the watermark only to the
+                    # reached head, so the unwritten gap stays foldable —
+                    # is opt-in via gate_on_timeout="clamp"
+                    raise GateTimeout(
+                        target, head, _time.monotonic() - start
+                    )
             target = min(target, head)
         self._catch_up(view, target)
 

@@ -624,12 +624,15 @@ class ParquetLog:
             # permanently, since neither copy gets tombstoned. Abort;
             # our staged files become harmless orphans.
             if old - cur:
-                import shutil as _shutil
-
+                # staged names are regular parquet FILES (moved
+                # part-files) — rmtree would raise NotADirectoryError
+                # and silently no-op under ignore_errors, leaking
+                # orphans into data_dir (r4 ADVICE)
                 for name in new_names:
-                    _shutil.rmtree(
-                        os.path.join(self.data_dir, name), ignore_errors=True
-                    )
+                    try:
+                        os.remove(os.path.join(self.data_dir, name))
+                    except OSError:
+                        pass
                 raise _NoCommit(len(current["files"]))
             replaced = [f for f in current["files"] if f in old]
             tail = [f for f in current["files"] if f not in old]

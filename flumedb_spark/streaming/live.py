@@ -216,6 +216,22 @@ class LiveViewRunner:
             unknown = present - committed - tomb
             if unknown:
                 head = self.engine.log.refresh_since()
+                # Re-snapshot AFTER the refresh (r4 ADVICE): if the slow
+                # commit landed between resolve's last manifest read and
+                # this refresh, `head` now covers the file's seqs but the
+                # stale `committed` set still excludes the file — the
+                # mx <= head branch would let committed_file_filter
+                # silently drop rows of a now-committed file the
+                # checkpointed source never redelivers. Recomputing
+                # committed/tomb/unknown from the refreshed meta makes
+                # the drop decision and the head check read ONE snapshot.
+                committed = set(self.engine.log._meta.get("files", []))
+                tomb = {
+                    t.get("file")
+                    for t in self.engine.log._meta.get("tombstones", [])
+                }
+                unknown = present - committed - tomb
+            if unknown:
                 mx = (
                     batch.where(F.col("_src_file").isin(*unknown))
                     .agg(F.max("seq").alias("m"))

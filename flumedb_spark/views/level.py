@@ -106,8 +106,18 @@ class Level(FlumeView):
         return self.spark.read.parquet(*files)
 
     def _join_back(self, idx: DataFrame) -> DataFrame:
+        # the filtered index side (a point get or key range) is tiny
+        # relative to the log: broadcast it EXPLICITLY, same as
+        # search.py's join-back — relying on AQE's runtime conversion
+        # leaves a point lookup as a full sort-merge shuffle of the log
+        # whenever pre-filter stats mislead (r4 VERDICT #2; reference
+        # contract test/rebuild.js:38,48 — point gets are O(lookup))
         log_df = self._engine._mapped(self._engine.log.df(self.spark))
-        return idx.join(log_df, "seq")
+        return log_df.join(F.broadcast(idx), "seq").select(
+            "seq", *[c for c in idx.columns if c != "seq"], *[
+                c for c in log_df.columns if c != "seq"
+            ]
+        )
 
     def get(self, key: Any) -> list[dict]:
         """Point lookup: all log records indexed under ``key``, seq order

@@ -218,10 +218,13 @@ def test_nativestats_scaled_partials_exact_incremental(spark, tmp_log_dir):
 def test_gate_target_beyond_head_clamps(spark, tmp_path):
     """An explicit wait-for-seq PAST the log head must not commit the
     view watermark into the unwritten gap — records later appended
-    there would be permanently skipped by the fresh-seq filter."""
+    there would be permanently skipped by the fresh-seq filter.
+    (Clamp is opt-in since r5: gate_on_timeout='clamp'.)"""
     from flumedb_spark import Flume, Reduce
 
     db = Flume(str(tmp_path / "db"), spark=spark)
+    db.gate_on_timeout = "clamp"
+    db.gate_wait_seconds = 0.1
     db.use("sum", Reduce(1, lambda a, i: (a or 0) + i["v"]))
     db.append([{"v": 1}, {"v": 2}])  # head = 1
     assert db.sum.get(since=100) == 3  # clamped to head, not committed at 100
@@ -338,3 +341,65 @@ def test_gate_observes_cross_process_commit(spark, tmp_path):
     assert db_reader.sum.get(since=3) == 113
     assert db_reader._views["sum"].since == 3
     db_reader.close()
+
+
+# ---------------------------------------------------------------------
+# round-5 fixes (r4 VERDICT #3 / ADVICE: no silent prefix-read success)
+# ---------------------------------------------------------------------
+
+
+def test_gate_timeout_raises_by_default(spark, tmp_path):
+    """A wait-for-seq that times out must NOT silently return a prefix
+    read: the reference queues the waiter until the view reaches N
+    (wrap.js:42-53), so a bounded waiter fails loudly with what it DID
+    reach — and the watermark never commits into the unwritten gap."""
+    import pytest as _pytest
+
+    from flumedb_spark import Flume, GateTimeout, Reduce
+
+    db = Flume(str(tmp_path / "strict"), spark=spark)
+    db.gate_wait_seconds = 0.15
+    db.use("sum", Reduce(1, lambda a, i: (a or 0) + i["v"]))
+    db.append([{"v": 1}, {"v": 2}])  # head = 1
+    with _pytest.raises(GateTimeout) as exc:
+        db.sum.get(since=100)
+    assert exc.value.target == 100
+    assert exc.value.head == 1
+    # the view never advanced past real data: later appends still fold
+    assert db._views["sum"].since <= 1
+    db.append({"v": 10})
+    assert db.sum.get() == 13
+    db.close()
+
+
+def test_gate_block_mode_waits_for_late_commit(spark, tmp_path):
+    """gate_on_timeout='block' reproduces the reference's unbounded
+    queue: a commit landing AFTER the default poll window still resolves
+    the waiter with the full state — never a prefix, never an error."""
+    import threading as _threading
+
+    from flumedb_spark import Flume, Reduce
+
+    path = str(tmp_path / "blockmode")
+    db = Flume(path, spark=spark)
+    db.gate_on_timeout = "block"
+    db.gate_wait_seconds = 0.05  # irrelevant in block mode
+    db.use("sum", Reduce(1, lambda a, i: (a or 0) + i["v"]))
+    db.append([{"v": 1}, {"v": 2}])  # head = 1
+
+    def late_writer():
+        import time as _t
+
+        _t.sleep(0.4)  # past any poll window
+        w = Flume(path, spark=spark)
+        w.append([{"v": 10}, {"v": 100}])  # seqs 2, 3
+        w.close()
+
+    t = _threading.Thread(target=late_writer)
+    t.start()
+    try:
+        assert db.sum.get(since=3) == 113  # blocked until the commit
+        assert db._views["sum"].since == 3
+    finally:
+        t.join()
+    db.close()

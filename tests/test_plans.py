@@ -101,3 +101,28 @@ def test_plans_inspect_api(spark, sf_dir):
     assert is_python_free(df)
     assert has_broadcast_join(qs["q3_top_revenue_orders"](spark, sf_dir))
     assert not is_python_free(qs["ns_multimodal_meta"](spark, sf_dir))  # the one sanctioned Python stage
+
+
+def test_level_point_get_broadcasts_index(spark, tmp_path):
+    # a Level point lookup filters the index to a handful of seqs, then
+    # joins back to the FULL log — the index side must broadcast
+    # explicitly (like Search's join-back), not rely on AQE runtime
+    # conversion: at 100 TB with misleading pre-filter stats, a
+    # sort-merge shuffle of the log for a point get is the failure mode
+    # (reference contract test/rebuild.js:38,48 — O(lookup), not
+    # O(log-scan-shuffle)). r4 VERDICT #2.
+    from flumedb_spark import Flume
+    from flumedb_spark.plans import has_broadcast_join
+    from flumedb_spark.views.level import Level
+
+    db = Flume(str(tmp_path / "lvl"), spark=spark)
+    db.use("by_tag", Level(1, key_fn=lambda v: v["tags"]))
+    db.append([{"tags": [f"t{i % 5}"], "n": i} for i in range(20)])
+    assert db.by_tag.get("t3")  # correctness: the lookup still works
+    view = db._views["by_tag"]
+    import pyspark.sql.functions as F
+
+    idx = view.df().where(F.col("key") == F.lit("t3"))
+    joined = view._join_back(idx)
+    assert has_broadcast_join(joined), "Level join-back lost its explicit broadcast"
+    db.close()
