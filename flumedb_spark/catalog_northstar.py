@@ -470,6 +470,35 @@ def ns_audio_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_audio_meta(payloads).orderBy("doc_id")
 
 
+@query(
+    "ns_video_meta",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 1 THEN 'mp42' ELSE 'isom' END AS brand,
+      CAST(1000 + (doc_id*37) % 240000 AS BIGINT) AS duration_ms,
+      CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS INT) AS n_tracks,
+      CAST(160 + 16*(doc_id % 60) AS INT) AS width,
+      CAST(90 + 9*(doc_id % 60) AS INT) AS height,
+      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+           ELSE 'vp09' END AS video_codec,
+      CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'mp4a' END AS audio_codec,
+      true AS ok
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO BMFF container parse, no system library: worker-side
+    synthesis of a structurally-valid ftyp+moov skeleton per doc
+    (mmcodec.synth_video, every field a real box field), then a real
+    box-walk parse back out (mmcodec.decode_mp4_meta — ISO/IEC 14496-12
+    layout). The oracle replays the synth formulas arithmetically, so a
+    box-offset bug (mvhd v0/v1, tkhd 16.16 dims, stsd fourcc) breaks
+    the hash. Frame decode remains behind the explicit ffmpeg boundary
+    (multimodal.ffmpeg_sample_frames)."""
+    payloads = multimodal.with_synthetic_video_payload(spark.table("documents"))
+    return multimodal.extract_video_meta(payloads).orderBy("doc_id")
+
+
 def _simhash_md5_sql(int_div: str, lateral: str, shiftleft: str) -> str:
     """Portable md5-based 64-bit SimHash: per-token md5, hex digits
     decoded via position(c IN '0123456789abcdef') (both dialects), bit

@@ -637,3 +637,215 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
     if not frames:
         raise ValueError("GIF contains no frames")
     return frames
+
+
+# ---------------------------------------------------------------------
+# ISO BMFF (mp4/mov) container metadata — parse, no decode
+# ---------------------------------------------------------------------
+# Box layout per the public ISO/IEC 14496-12 spec: [u32 size][4cc type]
+# (size==1 -> u64 largesize follows; size==0 -> box runs to EOF).
+# Frame DECODE still requires ffmpeg (multimodal.ffmpeg_sample_frames);
+# this parser makes container METADATA (duration, track layout, codec
+# fourccs, display dims) first-class without any system library — the
+# fields a 100 TB video-corpus pipeline filters and buckets on before
+# it ever pays for a decode.
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in buf[start:end]."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", buf[pos : pos + 4])[0]
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated largesize box header")
+            size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < (body - pos) or pos + size > end:
+            raise ValueError(f"mp4: box {btype!r} overruns container")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, start: int, end: int, btype: bytes):
+    for t, b, e in _iter_boxes(buf, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def decode_mp4_meta(payload: bytes) -> dict:
+    """Container metadata from an ISO BMFF (mp4/mov) payload.
+
+    Returns ``{brand, timescale, duration, n_tracks, width, height,
+    video_codec, audio_codec}`` — duration in mvhd timescale units
+    (exact ints; seconds = duration/timescale is the caller's float).
+    Raises ValueError on malformed boxes (callers drop the row)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("mp4: no ftyp box")
+    brand = payload[8:12].decode("ascii", "replace")
+    moov = _find_box(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    ms, me = moov
+
+    mvhd = _find_box(payload, ms, me, b"mvhd")
+    if mvhd is None:
+        raise ValueError("mp4: no mvhd box")
+    vs, _ve = mvhd
+    version = payload[vs]
+    if version == 1:
+        timescale = struct.unpack(">I", payload[vs + 4 + 16 : vs + 4 + 20])[0]
+        duration = struct.unpack(">Q", payload[vs + 4 + 20 : vs + 4 + 28])[0]
+    else:
+        timescale = struct.unpack(">I", payload[vs + 4 + 8 : vs + 4 + 12])[0]
+        duration = struct.unpack(">I", payload[vs + 4 + 12 : vs + 4 + 16])[0]
+
+    n_tracks = 0
+    width = height = 0
+    video_codec = audio_codec = None
+    for t, ts_, te in _iter_boxes(payload, ms, me):
+        if t != b"trak":
+            continue
+        n_tracks += 1
+        handler = None
+        mdia = _find_box(payload, ts_, te, b"mdia")
+        if mdia is not None:
+            hdlr = _find_box(payload, mdia[0], mdia[1], b"hdlr")
+            if hdlr is not None:
+                hs = hdlr[0]
+                handler = payload[hs + 8 : hs + 12]  # after version/flags + pre_defined
+            codec = None
+            minf = _find_box(payload, mdia[0], mdia[1], b"minf")
+            if minf is not None:
+                stbl = _find_box(payload, minf[0], minf[1], b"stbl")
+                if stbl is not None:
+                    stsd = _find_box(payload, stbl[0], stbl[1], b"stsd")
+                    if stsd is not None:
+                        ss = stsd[0] + 8  # version/flags + entry_count
+                        if ss + 8 <= stsd[1]:
+                            codec = payload[ss + 4 : ss + 8].decode("ascii", "replace")
+            if handler == b"vide":
+                video_codec = video_codec or codec
+                tkhd = _find_box(payload, ts_, te, b"tkhd")
+                if tkhd is not None:
+                    ks = tkhd[0]
+                    body = ks + 4  # after version/flags
+                    off = body + (84 if payload[ks] == 1 else 72)
+                    # 16.16 fixed-point display dimensions
+                    width = struct.unpack(">I", payload[off : off + 4])[0] >> 16
+                    height = struct.unpack(">I", payload[off + 4 : off + 8])[0] >> 16
+            elif handler == b"soun":
+                audio_codec = audio_codec or codec
+    return {
+        "brand": brand,
+        "timescale": int(timescale),
+        "duration": int(duration),
+        "n_tracks": n_tracks,
+        "width": int(width),
+        "height": int(height),
+        "video_codec": video_codec,
+        "audio_codec": audio_codec,
+    }
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full_box(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def encode_mp4_skeleton(
+    duration: int,
+    timescale: int = 1000,
+    width: int = 640,
+    height: int = 360,
+    video_codec: str = "avc1",
+    audio_codec: str | None = "mp4a",
+    brand: str = "isom",
+) -> bytes:
+    """A structurally-valid ISO BMFF skeleton (ftyp + moov with real
+    mvhd/trak/tkhd/mdia/hdlr/stsd boxes, no media data) — the
+    synthesizer twin of ``decode_mp4_meta`` for tests and the synthetic
+    corpus: every field the parser reads is a real box field here."""
+
+    def _trak(handler: bytes, codec: str, w: int, h: int) -> bytes:
+        tkhd = _full_box(
+            b"tkhd",
+            0,
+            7,
+            struct.pack(">II", 0, 0)          # creation/modification
+            + struct.pack(">II", 1, 0)        # track id + reserved
+            + struct.pack(">I", duration)
+            + b"\x00" * 8                     # reserved
+            + struct.pack(">hhhh", 0, 0, 0x0100 if handler == b"soun" else 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16)
+        )
+        sample_entry = _box(codec.encode("ascii"), b"\x00" * 8)
+        stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        hdlr = _full_box(b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00")
+        mdhd = _full_box(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    ftyp = _box(b"ftyp", brand.encode("ascii") + struct.pack(">I", 0x200) + b"isommp41")
+    mvhd = _full_box(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 3),  # next track id
+    )
+    traks = _trak(b"vide", video_codec, width, height)
+    if audio_codec:
+        traks += _trak(b"soun", audio_codec, 0, 0)
+    moov = _box(b"moov", mvhd + traks)
+    return ftyp + moov
+
+
+def synth_video_params(doc_id: int) -> dict:
+    """Deterministic mp4 container params (the arithmetic an SQL oracle
+    replays): duration_ms = 1000 + (doc_id*37) % 240000 at timescale
+    1000; width = 160 + 16*(doc_id % 60); height = 90 + 9*(doc_id % 60);
+    video codec cycles avc1/hev1/vp09 by doc_id % 3; every 5th doc is
+    video-only (no audio track); brand mp42 for odd doc_ids else isom."""
+    return {
+        "duration": 1000 + (doc_id * 37) % 240000,
+        "timescale": 1000,
+        "width": 160 + 16 * (doc_id % 60),
+        "height": 90 + 9 * (doc_id % 60),
+        "video_codec": ("avc1", "hev1", "vp09")[doc_id % 3],
+        "audio_codec": None if doc_id % 5 == 0 else "mp4a",
+        "brand": "mp42" if doc_id % 2 else "isom",
+    }
+
+
+def synth_video(doc_id: int) -> bytes:
+    p = synth_video_params(doc_id)
+    return encode_mp4_skeleton(
+        duration=p["duration"],
+        timescale=p["timescale"],
+        width=p["width"],
+        height=p["height"],
+        video_codec=p["video_codec"],
+        audio_codec=p["audio_codec"],
+        brand=p["brand"],
+    )

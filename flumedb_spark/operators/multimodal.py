@@ -388,6 +388,10 @@ IMAGE_STATS_SCHEMA = "doc_id long, format string, width int, height int, pixel_s
 AUDIO_META_SCHEMA = (
     "doc_id long, sample_rate int, n_samples long, sum_samples long, ok boolean"
 )
+VIDEO_META_SCHEMA = (
+    "doc_id long, brand string, duration_ms long, n_tracks int, width int, "
+    "height int, video_codec string, audio_codec string, ok boolean"
+)
 
 
 def with_synthetic_image_payload(docs: DataFrame) -> DataFrame:
@@ -513,3 +517,63 @@ def extract_audio_meta(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+def with_synthetic_video_payload(docs: DataFrame) -> DataFrame:
+    """doc_id -> real ISO BMFF bytes (``mmcodec.synth_video``): a
+    structurally-valid ftyp+moov skeleton whose every parsed field comes
+    from the deterministic ``synth_video_params`` formula."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flumedb_spark.operators import mmcodec
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [mmcodec.synth_video(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def extract_video_meta(payloads: DataFrame) -> DataFrame:
+    """REAL ISO BMFF (mp4/mov) container parse — no system library, no
+    frame decode: brand, exact duration_ms (duration*1000 // timescale),
+    track count, display dims, and codec fourccs, the fields a video
+    corpus filters/buckets on before paying for any decode. Malformed
+    container -> ok=False row, never a partition failure. Frame DECODE
+    stays behind ffmpeg_sample_frames' explicit capability boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flumedb_spark.operators import mmcodec
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "brand": [], "duration_ms": [], "n_tracks": [],
+                "width": [], "height": [], "video_codec": [], "audio_codec": [],
+                "ok": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    m = mmcodec.decode_mp4_meta(bytes(p))
+                    ts = m["timescale"] or 1
+                    out["brand"].append(m["brand"])
+                    out["duration_ms"].append(m["duration"] * 1000 // ts)
+                    out["n_tracks"].append(m["n_tracks"])
+                    out["width"].append(m["width"])
+                    out["height"].append(m["height"])
+                    out["video_codec"].append(m["video_codec"])
+                    out["audio_codec"].append(m["audio_codec"])
+                    out["ok"].append(True)
+                except ValueError:
+                    for k in ("brand", "video_codec", "audio_codec"):
+                        out[k].append(None)
+                    for k in ("duration_ms", "n_tracks", "width", "height"):
+                        out[k].append(0)
+                    out["ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, VIDEO_META_SCHEMA)

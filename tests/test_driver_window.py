@@ -26,10 +26,11 @@ def test_all_northstar_ops_in_window():
     # serving-path variants (e.g. ns_similarity_topk_np) duplicate an
     # oracle-checked op already in the window; they don't need a slot
     ns -= {n for n in ns if n.endswith("_np")}
-    # rotated out late in round 3 (r2-green, text.py/sampling.py +
-    # entry text unchanged since — their r2 attestation stands) to make
-    # room for the new oracle-checkable entries
+    # rotated out after a driver-green round (freshness is executable:
+    # tests/test_full_gate.py re-runs the whole catalog vs DuckDB each
+    # suite run — see catalog.DRIVER_WINDOW's rotation policy):
     ns -= {
+        # r3 rotations (r2-green, entry text unchanged since)
         "ns_text_quality", "ns_fingerprint", "ns_deterministic_sample",
         "ns_dataset_split_counts", "ns_stratified_sample",
         "ns_multimodal_meta", "ns_dedup_exact", "ns_text_stats",
@@ -41,6 +42,11 @@ def test_all_northstar_ops_in_window():
         # (ns_lsh_ann_topk_md5 / ns_ivf_ann_topk_seeded + recall twins)
         # are in-window and r3-green
         "ns_lsh_ann_topk", "ns_ivf_ann_topk",
+        # r5 rotations: r4-green, code frozen this round — their slots
+        # went to the six core-O entries rotated back in (VERDICT r4 #4)
+        "ns_image_decode_meta", "ns_decontamination",
+        "ns_repetition_ratio", "ns_semantic_dedup", "ns_pii_redaction",
+        "ns_chunk_dedup",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -68,15 +74,17 @@ def test_changed_or_new_rows_in_window():
         "q17_small_quantity_revenue", "q20_part_promotion",
         "q21_waiting_suppliers", "q22_global_sales_opportunity",
         "ns_bpe_tokens", "interval_join_events",
-        "ns_hll_user_estimate", "window_distribution", "fuzzy_match_names",
+        "ns_hll_user_estimate", "window_distribution",
+        # (fuzzy_match_names rotated out r5: r4-driver-green, frozen —
+        # its slot went to the new ns_video_meta row)
         "ns_countmin_event_counts", "ns_weighted_sample",
         "ns_doc_chunks", "ns_sequence_packing",
-        "ns_decontamination", "ns_repetition_ratio",
-        "ns_semantic_dedup", "ns_pii_redaction",
-        "ns_chunk_dedup", "ns_tfidf_topterms",
+        "ns_tfidf_topterms",
         # real multimodal decode (pure-stdlib codecs, mmcodec.py)
-        "ns_image_decode_meta", "ns_image_resize_meta",
+        "ns_image_resize_meta",
         "ns_audio_decode_meta",
+        # r5 new: real ISO BMFF container-metadata parse
+        "ns_video_meta",
         # corpus-frequency rarity signal (unigram-LM-filter analog)
         "ns_rare_token_share",
         # mergeable fixed-grid quantile sketch (third sketch member)
@@ -94,6 +102,10 @@ def test_changed_or_new_rows_in_window():
         "ns_scd2_history",
         "ns_zorder_morton",
         "ns_url_dedup",
+        # r5: the six core-O entries rotated BACK IN (VERDICT r4 #4 —
+        # driver sf0.01 re-attestation after r1/r2 rotation)
+        "o1_append_visibility", "o3_get_point", "o4_stream_reverse_topk",
+        "o5_stream_seqs_only", "o7_since", "o15_mapper_read",
     ):
         assert n in _window_names(), n
 

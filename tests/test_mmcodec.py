@@ -514,3 +514,69 @@ def test_ffmpeg_plumbing_with_stub_binary(tmp_path):
     # split_ppm_stream rejects garbage between frames
     with pytest.raises(ValueError):
         multimodal.split_ppm_stream(stream + b"junk")
+
+
+# ---------------------------------------------------------------------
+# ISO BMFF (mp4) container metadata — parse without decode
+# ---------------------------------------------------------------------
+
+
+def test_mp4_meta_roundtrip_all_field_paths():
+    # every parser-read field comes from a real box field of the
+    # synthesized skeleton; exercise v0 mvhd, both codec cycles, and
+    # the video-only (no soun trak) shape
+    for doc_id in (0, 1, 2, 5, 59, 137, 9999):
+        p = mc.synth_video_params(doc_id)
+        m = mc.decode_mp4_meta(mc.synth_video(doc_id))
+        assert m["brand"] == p["brand"]
+        assert m["duration"] == p["duration"]
+        assert m["timescale"] == p["timescale"]
+        assert m["width"] == p["width"]
+        assert m["height"] == p["height"]
+        assert m["video_codec"] == p["video_codec"]
+        assert m["audio_codec"] == p["audio_codec"]
+        assert m["n_tracks"] == (1 if doc_id % 5 == 0 else 2)
+
+
+def test_mp4_meta_v1_mvhd_and_largesize():
+    import struct
+
+    # hand-build a v1 mvhd (64-bit duration) inside a largesize moov
+    body = struct.pack(">QQIQ", 0, 0, 90000, 2**33)  # creation, mod, timescale, duration
+    mvhd = struct.pack(">I", 8 + 4 + len(body)) + b"mvhd" + struct.pack(">I", 1 << 24) + body
+    moov_body = mvhd
+    moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_body)) + moov_body
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"iso5" + struct.pack(">I", 0)
+    m = mc.decode_mp4_meta(ftyp + moov)
+    assert m["timescale"] == 90000
+    assert m["duration"] == 2**33  # survives >32-bit
+    assert m["brand"] == "iso5"
+    assert m["n_tracks"] == 0
+
+
+def test_mp4_meta_corrupt_raises_valueerror():
+    good = mc.synth_video(7)
+    for bad in (
+        b"",
+        b"notamp4atall",
+        good[:20],                      # truncated inside moov
+        good[:4] + b"xxxx" + good[8:],  # ftyp magic destroyed
+    ):
+        with pytest.raises(ValueError):
+            mc.decode_mp4_meta(bad)
+
+
+def test_spark_video_meta_corrupt_payload_is_row_not_failure(spark):
+    # corrupt blob -> ok=False ROW; the partition (and the other rows)
+    # survive — the 100 TB contract shared by every multimodal kernel
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3]}))
+    payloads = multimodal.with_synthetic_video_payload(docs).toPandas()
+    payloads.loc[payloads["doc_id"] == 2, "payload"] = b"garbage-not-a-container"
+    pdf = multimodal.extract_video_meta(
+        spark.createDataFrame(payloads)
+    ).orderBy("doc_id").toPandas()
+    assert list(pdf["ok"]) == [True, False, True]
+    assert pdf.loc[pdf["doc_id"] == 2, "duration_ms"].item() == 0
+    assert pdf.loc[pdf["doc_id"] == 1, "video_codec"].item() == "hev1"
