@@ -660,6 +660,7 @@ class Flume:
         """
         self._throw_if_closed()
         vacuum_after = policy.pop("vacuum_after_seconds", 600.0)
+        export_delta = policy.pop("export_delta", False)
         out: dict[str, object] = {"log": None, "views": []}
         out["log"] = self.log.maybe_compact(self.spark, **policy)
         # OPTIMIZE/VACUUM separation: deletion of compaction-replaced
@@ -677,6 +678,13 @@ class Flume:
                 with self._lock:
                     if view.collect_garbage(older_than_seconds=vacuum_after):
                         view.commit(view.since)
+        if export_delta:
+            # interop sync (sources/delta_export.py): refresh the log's
+            # external Delta transaction log after compaction/vacuum so
+            # outside readers see the post-OPTIMIZE file set
+            from .sources.delta_export import export_delta_log
+
+            out["delta_version"] = export_delta_log(self.log, operation="OPTIMIZE")
         return out
 
     # ---- lifecycle (O16/O18) -------------------------------------------

@@ -153,3 +153,17 @@ def _no_versions(root):
     return not os.path.exists(d) or not [
         f for f in os.listdir(d) if f.endswith(".json") and not f.startswith(".")
     ]
+
+
+def test_maintain_export_delta_flag(tmp_path, spark):
+    # engine integration: maintain(export_delta=True) refreshes the
+    # external Delta log after compaction/vacuum
+    from flumedb_spark import Flume
+
+    db = Flume(str(tmp_path / "eng"), spark=spark)
+    db.append([{"v": i} for i in range(4)])
+    out = db.maintain(export_delta=True)
+    assert out["delta_version"] >= 0
+    snap = read_delta_snapshot(db.log.path)
+    assert snap["files"] == {f"data/{n}" for n in db.log._meta["files"]}
+    db.close()
