@@ -72,20 +72,26 @@ EXTRAS = [
 
 
 def main() -> None:
+    bench_start = time.monotonic()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
 
     # size POST-SHUFFLE partitions to the shuffled data volume (the
-    # cluster policy is 100-200MB per shuffle partition; at sf<=0.2 the
-    # largest shuffle is ~tens of MB, so 8 partitions — map-side width
-    # is untouched, scans stay ~cores-wide). Measured at sf0.1: ~19%
-    # faster than 32 post-shuffle tasks of pure scheduling floor.
+    # cluster policy is 100-200MB per shuffle partition; map-side width
+    # is untouched, scans stay ~cores-wide).
     import re
 
     m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
     sf_guess = float(m.group(1)) if m else 0.1
+    # r5: "1", not "8", at tiny SFs — the sizing rule (100-200MB per
+    # post-shuffle partition) yields ONE partition for tens-of-MB
+    # shuffles, and the A/B (min-of-3 interleaved, quiet host) showed
+    # every heavy query flat-or-faster and the batched DAG -30%: with 24
+    # queries' stages overlapping, per-query single-reducer stages still
+    # fill all cores while task-scheduling floor drops ~4x. The sf1/sf10
+    # sections set their own width explicitly below.
     os.environ.setdefault(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8" if sf_guess <= 0.2 else str(max(cpus, 8))
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "1" if sf_guess <= 0.2 else str(max(cpus, 8))
     )
 
     from flumedb_spark.session import get_spark
@@ -155,12 +161,18 @@ def main() -> None:
     # methodology: measures the engine, not scheduler jitter on a shared
     # host). Passes are INTERLEAVED (full sweep 1, then sweep 2, ...) so
     # a transient host stall can't inflate every pass of one query.
-    # Round 4: each DataFrame is PREPARED once per SF and the passes time
-    # the action only — the prepared-statement analogue (VERDICT r3 #5:
-    # fewer driver round-trips). Python-side plan construction (dozens of
-    # py4j calls for the DataFrame-API entries) is submission overhead,
-    # not engine execution; Catalyst still re-analyzes and re-optimizes
-    # on every action, and DuckDB's own per-pass parse is sub-ms.
+    # Round 5 NOTE — why the timed action is count() and NOT a fully
+    # prepared (plan-pinned) Dataset re-collected per pass: repeating an
+    # action on the SAME JVM Dataset reuses its materialized shuffle map
+    # outputs (MapOutputTracker skips every map stage), so passes 2+
+    # execute only the final stage — measured ~14ms flat for EVERY
+    # query, i.e. result-reuse, not query execution. That is not
+    # comparable to DuckDB's full re-runs and was rejected. count() on a
+    # prepared DataFrame re-plans its own aggregate and re-executes all
+    # stages end-to-end; the per-query Catalyst planning it pays
+    # (~30-100ms measured) is real Spark serving cost and stays in the
+    # number. The batched DAG below is the shape where that cost
+    # amortizes honestly (one plan per sweep, full execution).
     prepared = {name: qs[name](spark, sf_dir) for name in HEADLINE}
     best: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -316,6 +328,10 @@ def main() -> None:
             from flumedb_spark.catalog import TABLES as _tables
 
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+            # scale sections size their own post-shuffle width (the
+            # benched-SF "1" would serialize sf1/sf10 shuffles): 8
+            # matches the width the r4 parity numbers were taken at.
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
             for t in _tables:
                 spark.catalog.uncacheTable(t)
             qs["o7_since"](spark, sf1_dir).collect()
@@ -361,6 +377,67 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - best-effort section
             out["sf1"] = {"error": str(exc)}
 
+    # third decade (sf10): the crossover point where Spark overtakes
+    # DuckDB overall (docs/SCALING.md addendum 4) — driver-visible
+    # since r5 (VERDICT r4 #5). Data presence is the guard: sf10 is
+    # 1.6 GB synthesized once by `tools/make_scale_data.py
+    # /tmp/flumedb_testdata_sf10 10` with SPARK_GRAFT_SCALE_SRC=<sf1>;
+    # the bench never synthesizes it inline (10+ min). A time-budget
+    # guard keeps a slow host from starving the final emission. The
+    # query set is the 14-shape sweep pinned in docs/SCALING.md so the
+    # driver artifact and the docs table stay comparable.
+    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/flumedb_testdata_sf10")
+    sf10_names = [
+        "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
+        "topk_orders", "window_top3_per_customer", "sessionize_30min",
+        "q9_product_profit", "q21_waiting_suppliers", "ns_dedup_exact",
+        "ns_minhash_lsh_candidates", "ns_text_stats", "ns_simhash_md5",
+        "v1_reduce_stats", "ns_similarity_topk_np",
+    ]
+    if sf_guess > 0.2 or os.environ.get("SPARK_GRAFT_NO_SF10"):
+        out["sf10"] = {"skipped": "primary sf > 0.2 or SPARK_GRAFT_NO_SF10 set"}
+    elif not os.path.exists(os.path.join(sf10_dir, "lineitem.parquet")):
+        out["sf10"] = {
+            "skipped": f"no sf10 data at {sf10_dir} (synthesize with "
+            "tools/make_scale_data.py <dir> 10, SPARK_GRAFT_SCALE_SRC=<sf1 dir>)"
+        }
+    elif time.monotonic() - bench_start > 1500:
+        out["sf10"] = {"skipped": "time budget: >1500s elapsed before sf10 section"}
+    else:
+        try:
+            from flumedb_spark.catalog import TABLES as _tables
+
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            for t in _tables:
+                spark.catalog.uncacheTable(t)
+            qs["o7_since"](spark, sf10_dir).collect()
+            _narrow_dims(spark)
+            for t in _tables:
+                spark.catalog.cacheTable(t)
+                spark.table(t).count()
+            prep10 = {name: qs[name](spark, sf10_dir) for name in sf10_names}
+            t10: dict[str, float] = {}
+            for name in sf10_names:  # warm pass (codegen/caches), not recorded
+                prep10[name].count()
+            for name in sf10_names:  # single timed pass (time budget)
+                t0 = time.perf_counter()
+                prep10[name].count()
+                t10[name] = round(time.perf_counter() - t0, 4)
+            duck10 = _duckdb_pass(sf10_dir, cpus, n_passes=1, names=sf10_names)
+            p10 = [n for n in sf10_names if n in duck10]
+            s10 = round(sum(t10[n] for n in p10), 4)
+            d10 = round(sum(duck10[n] for n in p10), 4)
+            out["sf10"] = {
+                "queries": t10,
+                "total_sec": round(sum(t10.values()), 4),
+                "duckdb_queries": duck10,
+                "paired_subset_sec": {"spark": s10, "duckdb": d10},
+                "spark_vs_duckdb_ratio": round(s10 / d10, 3) if d10 else None,
+            }
+        except Exception as exc:  # pragma: no cover - best-effort section
+            out["sf10"] = {"error": str(exc)}
+
     # Emission contract (VERDICT r3 #1): the driver tail-captures stdout
     # and parses the LAST line as JSON — round 3's single giant line
     # (per-query maps for four sections + sf1) overflowed the capture
@@ -398,6 +475,11 @@ def _batched_submission(prepared: dict, names: list[str]) -> float | None:
             for n in names
         ]
         batched = _reduce(lambda a, b: a.unionByName(b), parts)
+        # count(), not a plan-pinned collect: same honesty rule as the
+        # sequential passes (a pinned Dataset re-collected would reuse
+        # shuffle outputs and time only the final stage). Each timed
+        # pass re-plans the union ONCE — the amortized serving shape —
+        # and re-executes every stage.
         batched.count()  # warm/codegen for the union shape
         best = float("inf")
         for _ in range(3):
@@ -434,6 +516,8 @@ def compact_summary(out: dict, full_path: str | None = None) -> dict:
         sec = out.get(section)
         return sec.get("spark_vs_duckdb_ratio") if isinstance(sec, dict) else None
 
+    batched_ratio = out.get("batched_vs_duckdb_ratio")
+    seq_ratio = out.get("spark_vs_duckdb_ratio")
     return {
         "metric": out["metric"],
         "value": out["value"],
@@ -442,9 +526,21 @@ def compact_summary(out: dict, full_path: str | None = None) -> dict:
         "load_sec": out.get("load_sec"),
         "sf": out.get("sf"),
         "cpus": out.get("cpus"),
-        "paired_ratio_primary_sf": out.get("spark_vs_duckdb_ratio"),
+        # r5 (VERDICT r4 #1): the primary serving metric at the benched
+        # SF is the batched multi-query DAG — the realistic shape of a
+        # pipeline sweep, where Spark's per-query planning constant
+        # amortizes. Sequential (per-query submission, planning paid 24x)
+        # is recorded alongside; both are full executions (see the
+        # methodology note in main()).
+        "paired_ratio_primary_sf": (
+            batched_ratio if batched_ratio is not None else seq_ratio
+        ),
+        "primary_ratio_metric": (
+            "batched_dag" if batched_ratio is not None else "sequential"
+        ),
+        "paired_ratio_sequential": seq_ratio,
         "batched_headline_sec": out.get("batched_headline_sec"),
-        "batched_vs_duckdb_ratio": out.get("batched_vs_duckdb_ratio"),
+        "batched_vs_duckdb_ratio": batched_ratio,
         "paired_ratio_tpch": _ratio("tpch"),
         "batched_ratio_tpch": (
             out["tpch"].get("batched_vs_duckdb_ratio")
@@ -460,6 +556,12 @@ def compact_summary(out: dict, full_path: str | None = None) -> dict:
         ),
         "sf1_total_sec": (
             out["sf1"].get("total_sec") if isinstance(out.get("sf1"), dict) else None
+        ),
+        "paired_ratio_sf10": _ratio("sf10"),
+        "sf10_skipped": (
+            out["sf10"].get("skipped")
+            if isinstance(out.get("sf10"), dict)
+            else None
         ),
         "n_queries": len(out["queries"]),
         "full": full_path,
