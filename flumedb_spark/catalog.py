@@ -164,14 +164,14 @@ DRIVER_WINDOW: list[str] = [
     "ns_salted_distinct_count",
     "ns_scd2_history",
     "ns_zorder_morton",
-    # multimodal (real-codec meta paths; ns_video_meta is NEW in r5 —
-    # new entries must take a window slot, so it replaces the r4-green
-    # frozen fuzzy_match_names)
+    # multimodal (real-codec meta paths; ns_video_meta and
+    # ns_jpeg_decode are NEW in r5 — new entries must take a window
+    # slot, so they replace the r4-green frozen fuzzy_match_names and
+    # window_distribution)
     "ns_image_resize_meta",
     "ns_audio_decode_meta",
     "ns_video_meta",
-    # relational misc
-    "window_distribution",
+    "ns_jpeg_decode",
 ]
 
 

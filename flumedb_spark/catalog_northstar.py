@@ -499,6 +499,29 @@ def ns_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_video_meta(payloads).orderBy("doc_id")
 
 
+@query(
+    "ns_jpeg_decode",
+    oracle="""
+    SELECT doc_id, 'jpeg' AS format,
+      CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+      CAST(16*24*3 * (2*(doc_id % 100)) AS BIGINT) AS pixel_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode via the pure-Python T.81 codec
+    (operators/jpegcodec.py): worker-side encode of a constant-color
+    image whose parameters make the lossy round-trip exactly the
+    identity (see with_synthetic_jpeg_payload), then the full real
+    decode — Huffman entropy decoding, DC prediction, byte unstuffing,
+    dequantize+IDCT, BT.601 — with the pixel sum hash-checked against
+    pure doc_id arithmetic. The gradient/noise cases are covered by
+    quantization-bounded round-trips and the hand-assembled
+    spec-arithmetic goldens in tests/test_mmcodec.py."""
+    payloads = multimodal.with_synthetic_jpeg_payload(spark.table("documents"))
+    return multimodal.image_decode_stats(payloads).orderBy("doc_id")
+
+
 def _simhash_md5_sql(int_div: str, lateral: str, shiftleft: str) -> str:
     """Portable md5-based 64-bit SimHash: per-token md5, hex digits
     decoded via position(c IN '0123456789abcdef') (both dialects), bit

@@ -50,6 +50,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"  # SOI + first marker byte
     return None
 
 
@@ -371,6 +373,12 @@ def decode_image_pure(payload: bytes) -> tuple[np.ndarray, str]:
         return decode_ppm(payload), fmt
     if fmt == "png":
         return decode_png(payload), "png"
+    if fmt == "jpeg":
+        # baseline JFIF via the pure-Python codec (jpegcodec.py) — the
+        # last common format that used to require PIL
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload), "jpeg"
     raise ValueError("unrecognized image payload")
 
 

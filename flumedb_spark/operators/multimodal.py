@@ -577,3 +577,30 @@ def extract_video_meta(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
+def with_synthetic_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """doc_id -> REAL baseline JPEG bytes: a constant-color 16x24 image
+    at value V = 2*(doc_id % 100), quality 50. The parameters make the
+    lossy codec EXACT: V even and q[0,0]=16 at quality 50 mean the
+    DC-only round-trip is the identity (DC = 8*(V-128)/16 = (V-128)/2
+    with no fractional part; reconstruction 2*DC + 128 = V), so a SQL
+    oracle can predict the decoded pixel sum arithmetically while the
+    Spark side runs the full real entropy-decode path (Huffman, DC
+    prediction, byte unstuffing, IDCT, color convert)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from flumedb_spark.operators.jpegcodec import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                v = 2 * (int(d) % 100)
+                payloads.append(
+                    encode_jpeg(np.full((16, 24, 3), v, dtype=np.uint8), quality=50)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")

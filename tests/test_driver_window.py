@@ -74,17 +74,20 @@ def test_changed_or_new_rows_in_window():
         "q17_small_quantity_revenue", "q20_part_promotion",
         "q21_waiting_suppliers", "q22_global_sales_opportunity",
         "ns_bpe_tokens", "interval_join_events",
-        "ns_hll_user_estimate", "window_distribution",
-        # (fuzzy_match_names rotated out r5: r4-driver-green, frozen —
-        # its slot went to the new ns_video_meta row)
+        "ns_hll_user_estimate",
+        # (fuzzy_match_names / window_distribution rotated out r5:
+        # r4-driver-green, frozen — their slots went to the new
+        # ns_video_meta / ns_jpeg_decode rows)
         "ns_countmin_event_counts", "ns_weighted_sample",
         "ns_doc_chunks", "ns_sequence_packing",
         "ns_tfidf_topterms",
         # real multimodal decode (pure-stdlib codecs, mmcodec.py)
         "ns_image_resize_meta",
         "ns_audio_decode_meta",
-        # r5 new: real ISO BMFF container-metadata parse
+        # r5 new: real ISO BMFF container-metadata parse + pure-Python
+        # baseline JPEG decode (exact constant-color oracle)
         "ns_video_meta",
+        "ns_jpeg_decode",
         # corpus-frequency rarity signal (unigram-LM-filter analog)
         "ns_rare_token_share",
         # mergeable fixed-grid quantile sketch (third sketch member)

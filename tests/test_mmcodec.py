@@ -580,3 +580,143 @@ def test_spark_video_meta_corrupt_payload_is_row_not_failure(spark):
     assert list(pdf["ok"]) == [True, False, True]
     assert pdf.loc[pdf["doc_id"] == 2, "duration_ms"].item() == 0
     assert pdf.loc[pdf["doc_id"] == 1, "video_codec"].item() == "hev1"
+
+
+# ---------------------------------------------------------------------
+# baseline JPEG (pure-Python codec, jpegcodec.py)
+# ---------------------------------------------------------------------
+
+
+def _jfif_headers_gray():
+    """Shared hand-assembled header segments for the golden tests:
+    SOI + DQT(Annex-K luma, zigzag wire order) + SOF0(8x8 gray) +
+    DHT(DC+AC luma)."""
+    import struct as st
+
+    from flumedb_spark.operators import jpegcodec as jc
+
+    out = bytearray(b"\xff\xd8")
+    qwire = bytes(int(v) for v in jc.QT_LUMA[jc.ZIGZAG])
+    out += b"\xff\xdb" + st.pack(">H", 2 + 65) + b"\x00" + qwire
+    sof = st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
+    for tcth, (bits, vals) in ((0x00, jc.HT_DC_LUMA), (0x10, jc.HT_AC_LUMA)):
+        body = bytes([tcth]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + st.pack(">H", 2 + len(body)) + body
+    out += b"\xff\xda" + st.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    return out
+
+
+def test_jpeg_golden_dc_only_from_spec_arithmetic():
+    """A hand-assembled DC-only 8x8 JPEG whose expected pixels come from
+    T.81 arithmetic done BY HAND — independent of the encoder, so a
+    matched encoder+decoder bug cannot cancel here.
+
+    Entropy data: DC category 6 (Annex-K DC-luma code '1110'),
+    magnitude bits '101000' (= +40), AC EOB ('1010'), 1-padded to two
+    bytes -> 0xEA 0x2B. Decoded pixel = round(idct_dc) + 128 where
+    idct_dc = (1/8) * DIFF * q00 = 0.125 * 40 * 16 = 80 -> all 208."""
+    from flumedb_spark.operators.jpegcodec import decode_jpeg
+
+    payload = bytes(_jfif_headers_gray()) + b"\xea\x2b" + b"\xff\xd9"
+    arr = decode_jpeg(payload)
+    assert arr.shape == (8, 8, 3)
+    assert (arr == 208).all()
+
+
+def test_jpeg_golden_single_ac_coefficient():
+    """DC=0 plus one AC coefficient: run/size 0x01 (AC-luma code '00'),
+    magnitude bit '1' (= +1) lands at zigzag index 1 = natural (0,1);
+    then EOB. Expected pixels: idct of coef[0,1] = q[0,1] * 1 = 11 ->
+    pixel(x) = 0.5*sqrt(1/8)... computed here with the same separable
+    basis the spec defines, NOT with the codec's own encode path."""
+    import numpy as np
+
+    from flumedb_spark.operators.jpegcodec import decode_jpeg
+
+    # DC cat 0 ('00'), AC (0,1)->'00' + bit '1', EOB '1010' => 00 00 1 1010 + pad
+    # bits: 0000110 10 + 1111111 pad -> assemble: '000011010' + '1111111' = 16 bits
+    bits = "00" + "00" + "1" + "1010"
+    bits += "1" * (16 - len(bits))
+    ent = int(bits, 2).to_bytes(2, "big")
+    payload = bytes(_jfif_headers_gray()) + ent + b"\xff\xd9"
+    arr = decode_jpeg(payload)
+
+    coef = np.zeros((8, 8))
+    coef[0, 1] = 11.0  # q[0,1] (Annex K) * value 1
+    c = np.zeros((8, 8))
+    for k in range(8):
+        s = np.sqrt(0.125) if k == 0 else 0.5
+        for n_ in range(8):
+            c[k, n_] = s * np.cos((2 * n_ + 1) * k * np.pi / 16.0)
+    expect = np.clip(np.round(c.T @ coef @ c + 128.0), 0, 255).astype(np.uint8)
+    assert (arr[:, :, 0] == expect).all()
+
+
+def test_jpeg_roundtrip_within_quantization_error():
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [(xx * 255 // 55), (yy * 255 // 39), ((xx + yy) * 255 // 94)], axis=-1
+    ).astype(np.uint8)
+    from flumedb_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    for sub in ("4:4:4", "4:2:0"):
+        for q in (95, 75):
+            dec = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            bound = 4 if (sub, q) == ("4:4:4", 95) else 12
+            assert err.mean() < bound, (sub, q, err.mean())
+
+
+def test_jpeg_restart_markers_roundtrip():
+    from flumedb_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([(xx * 3) % 256, (yy * 5) % 256, (xx + yy) % 256], axis=-1).astype(
+        np.uint8
+    )
+    enc = encode_jpeg(img, quality=92, subsampling="4:2:0", restart_interval=2)
+    assert b"\xff\xdd" in enc  # DRI present
+    dec = decode_jpeg(enc)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 20  # checker-ish content, just bounded
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    from flumedb_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    g = (np.mgrid[0:13, 0:19][0] * 17 % 256).astype(np.uint8)  # non-multiple-of-8
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (13, 19, 3)
+    err = np.abs(dec[:, :, 0].astype(int) - g.astype(int))
+    assert err.mean() < 8
+
+
+def test_jpeg_rejects_progressive_and_corrupt():
+    from flumedb_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    i = bytes(enc).find(b"\xff\xc0")
+    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    for bad in (b"", b"\xff\xd8\xff\xd9", bytes(enc)[:30]):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_jpeg_dispatches_through_image_pure_path():
+    # the shared dispatch (sniff -> decode) and the Spark-side decode
+    # operator both pick JPEG up with no PIL in the container
+    from flumedb_spark.operators.jpegcodec import encode_jpeg
+
+    img = (np.mgrid[0:16, 0:16][0] * 16).astype(np.uint8)
+    payload = encode_jpeg(np.stack([img] * 3, axis=-1), quality=95)
+    assert mc.sniff_format(payload) == "jpeg"
+    arr, fmt = mc.decode_image_pure(payload)
+    assert fmt == "jpeg" and arr.shape == (16, 16, 3)
+    meta = multimodal.decode_image(payload)
+    assert meta["ok"] and meta["width"] == 16 and meta["height"] == 16
+    assert meta["format"] == "jpeg"
