@@ -857,3 +857,203 @@ def synth_video(doc_id: int) -> bytes:
         audio_codec=p["audio_codec"],
         brand=p["brand"],
     )
+
+
+# ---------------------------------------------------------------------
+# EBML (Matroska/WebM) container metadata — parse, no decode
+# ---------------------------------------------------------------------
+# Element layout per the public RFC 8794 (EBML) + Matroska spec: each
+# element is [vint id][vint size][body]. Like decode_mp4_meta, this
+# surfaces the filter/bucket fields (duration, track layout, codec ids,
+# display dims) without any system library; frame decode stays behind
+# the explicit ffmpeg boundary.
+
+_EBML_HEADER = 0x1A45DFA3
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKTYPE = 0x83
+_MKV_CODECID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_AUDIO = 0xE1
+_MKV_PIXELW = 0xB0
+_MKV_PIXELH = 0xBA
+_MKV_TIMESCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_DOCTYPE = 0x4282
+_MKV_SAMPLEFREQ = 0xB5
+
+
+def _ebml_vint(buf: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Read one EBML variable-length integer at ``pos``. Element IDs
+    keep the length-marker bit (matching the spec's ID constants);
+    sizes strip it. Returns (value, next_pos)."""
+    if pos >= len(buf):
+        raise ValueError("ebml: truncated vint")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("ebml: invalid vint lead byte")
+    length = 9 - first.bit_length()
+    if pos + length > len(buf):
+        raise ValueError("ebml: truncated vint body")
+    v = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        v = (v << 8) | buf[pos + i]
+    return v, pos + length
+
+
+def _ebml_children(buf: bytes, start: int, end: int):
+    pos = start
+    while pos < end:
+        eid, p1 = _ebml_vint(buf, pos, keep_marker=True)
+        size, p2 = _ebml_vint(buf, p1, keep_marker=False)
+        body_end = end if size == (1 << 56) - 1 else p2 + size  # unknown-size
+        if body_end > end:
+            raise ValueError("ebml: element overruns parent")
+        yield eid, p2, body_end
+        pos = body_end
+
+
+def _ebml_uint(buf: bytes, start: int, end: int) -> int:
+    v = 0
+    for i in range(start, end):
+        v = (v << 8) | buf[i]
+    return v
+
+
+def decode_webm_meta(payload: bytes) -> dict:
+    """Container metadata from an EBML (webm/mkv) payload: doc_type,
+    timescale (ns/tick), duration (float ticks), track count, first
+    video dims + codec id, first audio codec id. ValueError on
+    malformed input (callers drop the row)."""
+    if payload[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("ebml: no EBML header")
+    doc_type = None
+    timescale = 1_000_000  # matroska default: 1ms ticks
+    duration = 0.0
+    n_tracks = 0
+    width = height = 0
+    video_codec = audio_codec = None
+    top = list(_ebml_children(payload, 0, len(payload)))
+    for eid, bs, be in top:
+        if eid == _EBML_HEADER:
+            for hid, hs, he in _ebml_children(payload, bs, be):
+                if hid == _MKV_DOCTYPE:
+                    doc_type = payload[hs:he].split(b"\x00")[0].decode("ascii", "replace")
+        elif eid == _MKV_SEGMENT:
+            for sid, ss, se in _ebml_children(payload, bs, be):
+                if sid == _MKV_INFO:
+                    for iid, is_, ie in _ebml_children(payload, ss, se):
+                        if iid == _MKV_TIMESCALE:
+                            timescale = _ebml_uint(payload, is_, ie)
+                        elif iid == _MKV_DURATION:
+                            raw = payload[is_:ie]
+                            duration = struct.unpack(
+                                ">f" if len(raw) == 4 else ">d", raw
+                            )[0]
+                elif sid == _MKV_TRACKS:
+                    for tid, ts, te in _ebml_children(payload, ss, se):
+                        if tid != _MKV_TRACKENTRY:
+                            continue
+                        n_tracks += 1
+                        ttype = 0
+                        codec = None
+                        vw = vh = 0
+                        for fid, fs, fe in _ebml_children(payload, ts, te):
+                            if fid == _MKV_TRACKTYPE:
+                                ttype = _ebml_uint(payload, fs, fe)
+                            elif fid == _MKV_CODECID:
+                                codec = payload[fs:fe].decode("ascii", "replace")
+                            elif fid == _MKV_VIDEO:
+                                for vid_, vs, ve in _ebml_children(payload, fs, fe):
+                                    if vid_ == _MKV_PIXELW:
+                                        vw = _ebml_uint(payload, vs, ve)
+                                    elif vid_ == _MKV_PIXELH:
+                                        vh = _ebml_uint(payload, vs, ve)
+                        if ttype == 1 and video_codec is None:
+                            video_codec, width, height = codec, vw, vh
+                        elif ttype == 2 and audio_codec is None:
+                            audio_codec = codec
+    if doc_type is None:
+        raise ValueError("ebml: no DocType")
+    return {
+        "doc_type": doc_type,
+        "timescale": int(timescale),
+        "duration": float(duration),
+        "n_tracks": n_tracks,
+        "width": int(width),
+        "height": int(height),
+        "video_codec": video_codec,
+        "audio_codec": audio_codec,
+    }
+
+
+def _ebml_encode_id(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _ebml_encode_size(n: int) -> bytes:
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (8 - length)) << (8 * (length - 1)) | n).to_bytes(
+                length, "big"
+            )
+    raise ValueError("ebml: size too large")
+
+
+def _ebml_elem(eid: int, body: bytes) -> bytes:
+    return _ebml_encode_id(eid) + _ebml_encode_size(len(body)) + body
+
+
+def _ebml_uint_body(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def encode_webm_skeleton(
+    duration_ticks: float,
+    timescale: int = 1_000_000,
+    width: int = 640,
+    height: int = 360,
+    video_codec: str = "V_VP9",
+    audio_codec: str | None = "A_OPUS",
+    doc_type: str = "webm",
+) -> bytes:
+    """A structurally-valid EBML/webm skeleton (header + Segment with
+    real Info and Tracks elements, no clusters) — the synthesizer twin
+    of ``decode_webm_meta``."""
+    header = _ebml_elem(
+        _EBML_HEADER,
+        _ebml_elem(0x4286, b"\x01")          # EBMLVersion
+        + _ebml_elem(0x42F7, b"\x01")        # EBMLReadVersion
+        + _ebml_elem(_MKV_DOCTYPE, doc_type.encode("ascii"))
+        + _ebml_elem(0x4287, b"\x04")        # DocTypeVersion
+        + _ebml_elem(0x4285, b"\x02"),       # DocTypeReadVersion
+    )
+    info = _ebml_elem(
+        _MKV_INFO,
+        _ebml_elem(_MKV_TIMESCALE, _ebml_uint_body(timescale))
+        + _ebml_elem(_MKV_DURATION, struct.pack(">d", float(duration_ticks))),
+    )
+    vtrack = _ebml_elem(
+        _MKV_TRACKENTRY,
+        _ebml_elem(0xD7, b"\x01")            # TrackNumber
+        + _ebml_elem(_MKV_TRACKTYPE, b"\x01")
+        + _ebml_elem(_MKV_CODECID, video_codec.encode("ascii"))
+        + _ebml_elem(
+            _MKV_VIDEO,
+            _ebml_elem(_MKV_PIXELW, _ebml_uint_body(width))
+            + _ebml_elem(_MKV_PIXELH, _ebml_uint_body(height)),
+        ),
+    )
+    tracks = vtrack
+    if audio_codec:
+        tracks += _ebml_elem(
+            _MKV_TRACKENTRY,
+            _ebml_elem(0xD7, b"\x02")
+            + _ebml_elem(_MKV_TRACKTYPE, b"\x02")
+            + _ebml_elem(_MKV_CODECID, audio_codec.encode("ascii"))
+            + _ebml_elem(_MKV_AUDIO, _ebml_elem(_MKV_SAMPLEFREQ, struct.pack(">f", 48000.0))),
+        )
+    segment = _ebml_elem(_MKV_SEGMENT, info + _ebml_elem(_MKV_TRACKS, tracks))
+    return header + segment

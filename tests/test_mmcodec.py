@@ -720,3 +720,38 @@ def test_jpeg_dispatches_through_image_pure_path():
     meta = multimodal.decode_image(payload)
     assert meta["ok"] and meta["width"] == 16 and meta["height"] == 16
     assert meta["format"] == "jpeg"
+
+
+# ---------------------------------------------------------------------
+# EBML (webm/mkv) container metadata
+# ---------------------------------------------------------------------
+
+
+def test_webm_meta_roundtrip():
+    b = mc.encode_webm_skeleton(
+        12345.0, timescale=1_000_000, width=1920, height=1080,
+        video_codec="V_VP9", audio_codec="A_OPUS",
+    )
+    assert multimodal.sniff_video_container(b) == "webm"
+    m = mc.decode_webm_meta(b)
+    assert m["doc_type"] == "webm"
+    assert m["duration"] == 12345.0 and m["timescale"] == 1_000_000
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["n_tracks"] == 2
+    assert m["video_codec"] == "V_VP9" and m["audio_codec"] == "A_OPUS"
+
+    # video-only matroska
+    m2 = mc.decode_webm_meta(
+        mc.encode_webm_skeleton(7.5, width=320, height=240,
+                                video_codec="V_AV1", audio_codec=None,
+                                doc_type="matroska")
+    )
+    assert m2["doc_type"] == "matroska"
+    assert m2["n_tracks"] == 1 and m2["audio_codec"] is None
+
+
+def test_webm_meta_corrupt_raises():
+    good = mc.encode_webm_skeleton(5.0)
+    for bad in (b"", b"not ebml", good[:12], b"\x1aE\xdf\xa3\xff"):
+        with pytest.raises(ValueError):
+            mc.decode_webm_meta(bad)
