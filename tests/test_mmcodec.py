@@ -693,14 +693,20 @@ def test_jpeg_grayscale_and_odd_dims():
     assert err.mean() < 8
 
 
-def test_jpeg_rejects_progressive_and_corrupt():
+def test_jpeg_rejects_arithmetic_and_corrupt():
     from flumedb_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
 
     img = np.zeros((8, 8), dtype=np.uint8)
     enc = bytearray(encode_jpeg(img))
     i = bytes(enc).find(b"\xff\xc0")
+    # SOF9 (arithmetic sequential) must be rejected loudly
+    arith = bytes(enc[:i]) + b"\xff\xc9" + bytes(enc[i + 2 :])
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(arith)
+    # a SOF2 swap alone makes an INVALID stream (a baseline scan header
+    # is not a legal progressive band) — must raise, not misdecode
     prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError):
         decode_jpeg(prog)
     for bad in (b"", b"\xff\xd8\xff\xd9", bytes(enc)[:30]):
         with pytest.raises(ValueError):
@@ -755,3 +761,102 @@ def test_webm_meta_corrupt_raises():
     for bad in (b"", b"not ebml", good[:12], b"\x1aE\xdf\xa3\xff"):
         with pytest.raises(ValueError):
             mc.decode_webm_meta(bad)
+
+
+# ---------------------------------------------------------------------
+# progressive JPEG (T.81 Annex G)
+# ---------------------------------------------------------------------
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """Spectral-selection progressive (DC scan + per-component AC scans)
+    encodes IDENTICAL quantized coefficients to baseline, so the decoder
+    must reconstruct bit-identical pixels — a strong cross-path check of
+    the whole progressive machinery (interleaved DC, non-interleaved AC
+    geometry, EOBRUN/ZRL) against the already-golden baseline path."""
+    from flumedb_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [(xx * 255 // 55), (yy * 255 // 39), ((xx + yy) * 255 // 94)], axis=-1
+    ).astype(np.uint8)
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    gray = (np.mgrid[0:13, 0:19][0] * 17 % 256).astype(np.uint8)
+    for im, sub, q in (
+        (img, "4:4:4", 90),
+        (img, "4:2:0", 90),
+        (noise, "4:4:4", 95),
+        (gray, "4:4:4", 85),
+    ):
+        prog = decode_jpeg(encode_jpeg_progressive(im, quality=q, subsampling=sub))
+        base = decode_jpeg(encode_jpeg(im, quality=q, subsampling=sub))
+        assert np.array_equal(prog, base), (sub, q)
+
+
+def _sos_gray(ss, se, ah, al):
+    import struct as st
+
+    body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+    return b"\xff\xda" + st.pack(">H", 2 + len(body)) + body
+
+
+def test_jpeg_progressive_successive_approximation_golden():
+    """Hand-assembled 8x8 gray progressive stream exercising the
+    successive-approximation paths the spectral-only encoder never
+    emits — expected pixels computed from T.81 arithmetic by hand:
+
+    scan1 DC (Ah=0, Al=1): diff 0 (cat 0 = '00')            -> 0x3F
+    scan2 DC refine (Ah=1, Al=0): one 0 bit                 -> 0x7F
+    scan3 AC 1-63 (Ah=0, Al=1): (r0,s1)='00'+bit 1, EOB     -> 0x35
+        => coef[zigzag 1] = +1 << 1 = 2
+    scan4 AC refine (Ah=1, Al=0): EOB '1010' + corr bit 1   -> 0xAF
+        => |2| & 1 == 0, coef += 1 -> 3
+    final: natural (0,1) coefficient = 3 * q01(=11) = 33."""
+    import struct as st
+
+    from flumedb_spark.operators import jpegcodec as jc
+    from flumedb_spark.operators.jpegcodec import decode_jpeg
+
+    hdr = bytearray(b"\xff\xd8")
+    qwire = bytes(int(v) for v in jc.QT_LUMA[jc.ZIGZAG])
+    hdr += b"\xff\xdb" + st.pack(">H", 2 + 65) + b"\x00" + qwire
+    sof = st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    hdr += b"\xff\xc2" + st.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for tcth, (bits, vals) in ((0x00, jc.HT_DC_LUMA), (0x10, jc.HT_AC_LUMA)):
+        body = bytes([tcth]) + bytes(bits) + bytes(vals)
+        hdr += b"\xff\xc4" + st.pack(">H", 2 + len(body)) + body
+
+    stream = (
+        bytes(hdr)
+        + _sos_gray(0, 0, 0, 1) + b"\x3f"
+        + _sos_gray(0, 0, 1, 0) + b"\x7f"
+        + _sos_gray(1, 63, 0, 1) + b"\x35"
+        + _sos_gray(1, 63, 1, 0) + b"\xaf"
+        + b"\xff\xd9"
+    )
+    arr = decode_jpeg(stream)
+
+    coef = np.zeros((8, 8))
+    coef[0, 1] = 33.0
+    c = np.zeros((8, 8))
+    for k in range(8):
+        s = np.sqrt(0.125) if k == 0 else 0.5
+        for n_ in range(8):
+            c[k, n_] = s * np.cos((2 * n_ + 1) * k * np.pi / 16.0)
+    expect = np.clip(np.round(c.T @ coef @ c + 128.0), 0, 255).astype(np.uint8)
+    assert (arr[:, :, 0] == expect).all()
+
+
+def test_jpeg_progressive_rejects_malformed_scans():
+    from flumedb_spark.operators.jpegcodec import decode_jpeg, encode_jpeg_progressive
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    enc = encode_jpeg_progressive(img, quality=90)
+    # truncation inside the scan chain must raise, not loop or return junk
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:-20])
