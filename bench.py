@@ -408,7 +408,10 @@ def main() -> None:
             from flumedb_spark.catalog import TABLES as _tables
 
             spark.conf.set("spark.sql.adaptive.enabled", "true")
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            # sf10 shuffles are ~GBs — the 100-200MB rule gives ~cores
+            # width here, and the interleaved A/B agrees (q21 10.7->5.9s,
+            # q9 -24%, q3/q5 -10% at 32 vs 8; 64 regresses on overhead)
+            spark.conf.set("spark.sql.shuffle.partitions", str(min(cpus, 32)))
             for t in _tables:
                 spark.catalog.uncacheTable(t)
             qs["o7_since"](spark, sf10_dir).collect()
