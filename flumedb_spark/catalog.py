@@ -158,7 +158,6 @@ DRIVER_WINDOW: list[str] = [
     "ns_pipeline_filter_dedup_join",
     "ns_hll_user_estimate",
     "ns_countmin_event_counts",
-    "ns_histogram_quantiles",
     # skew tooling / storage-layout ops
     "ns_salted_join",
     "ns_salted_distinct_count",
@@ -172,6 +171,10 @@ DRIVER_WINDOW: list[str] = [
     "ns_audio_decode_meta",
     "ns_video_meta",
     "ns_jpeg_decode",
+    # unified mixed-format media triage (mp4/webm/avi/flac/mp3) — NEW
+    # r5; takes the slot of the r4-green frozen ns_histogram_quantiles
+    # (hll + countmin keep the sketch family in-window)
+    "ns_media_meta",
 ]
 
 

@@ -1057,3 +1057,181 @@ def encode_webm_skeleton(
         )
     segment = _ebml_elem(_MKV_SEGMENT, info + _ebml_elem(_MKV_TRACKS, tracks))
     return header + segment
+
+
+# ---------------------------------------------------------------------
+# FLAC / MP3 audio metadata + RIFF/AVI container metadata (parse only)
+# ---------------------------------------------------------------------
+# Public specs: FLAC format docs (xiph), MPEG-1/2 audio frame headers
+# (ISO/IEC 11172-3 / 13818-3), OpenDML AVI (MainAVIHeader/AVIStreamHeader).
+# Same contract as every parser here: metadata without system libraries,
+# ValueError on malformed payloads (callers drop the row); SAMPLE decode
+# for these compressed codecs stays out of scope (ffmpeg boundary).
+
+
+def decode_flac_meta(payload: bytes) -> dict:
+    """STREAMINFO fields from a FLAC payload: sample_rate, channels,
+    bits_per_sample, total_samples."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("flac: no fLaC magic")
+    pos = 4
+    while pos + 4 <= len(payload):
+        head = payload[pos]
+        btype = head & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 0:  # STREAMINFO
+            if len(body) < 34:
+                raise ValueError("flac: truncated STREAMINFO")
+            packed = int.from_bytes(body[10:18], "big")
+            return {
+                "sample_rate": (packed >> 44) & 0xFFFFF,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "bits_per_sample": ((packed >> 36) & 0x1F) + 1,
+                "total_samples": packed & ((1 << 36) - 1),
+            }
+        if head & 0x80:  # last block and no STREAMINFO seen
+            break
+        pos += 4 + blen
+    raise ValueError("flac: no STREAMINFO block")
+
+
+def encode_flac_skeleton(
+    sample_rate: int = 44100,
+    channels: int = 2,
+    bits_per_sample: int = 16,
+    total_samples: int = 0,
+) -> bytes:
+    """STREAMINFO-only FLAC skeleton — the synthesizer twin."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    body = (
+        (4096).to_bytes(2, "big") * 2          # min/max blocksize
+        + b"\x00\x00\x00" * 2                   # min/max framesize (unknown)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                          # md5 of raw samples (unset)
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}
+
+
+def decode_mp3_meta(payload: bytes) -> dict:
+    """First-frame header fields of an MPEG-1 Layer III payload (ID3v2
+    tags skipped): bitrate_kbps, sample_rate, and a CBR duration
+    estimate in milliseconds."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("mp3: truncated ID3v2 header")
+        size = 0
+        for b in payload[6:10]:  # syncsafe
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    end = min(len(payload) - 3, pos + 4096)
+    while pos <= end:
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            h1 = payload[pos + 1]
+            version = (h1 >> 3) & 0x3   # 3 = MPEG-1
+            layer = (h1 >> 1) & 0x3     # 1 = Layer III
+            if version == 3 and layer == 1:
+                h2 = payload[pos + 2]
+                br_idx, sr_idx = h2 >> 4, (h2 >> 2) & 0x3
+                if 0 < br_idx < 15 and sr_idx in _MP3_RATES:
+                    kbps = _MP3_BITRATES_V1L3[br_idx]
+                    rate = _MP3_RATES[sr_idx]
+                    audio_bytes = len(payload) - pos
+                    return {
+                        "bitrate_kbps": kbps,
+                        "sample_rate": rate,
+                        "duration_ms_est": audio_bytes * 8 // kbps,
+                    }
+        pos += 1
+    raise ValueError("mp3: no MPEG-1 Layer III frame sync found")
+
+
+def decode_avi_meta(payload: bytes) -> dict:
+    """MainAVIHeader + stream types from a RIFF/AVI payload: frame
+    period (us), total frames, dims, stream count, video/audio handler
+    fourccs."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF/AVI payload")
+
+    def chunks(start, end):
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            if pos + 8 + size > end:
+                raise ValueError("avi: chunk overruns container")
+            yield cid, pos + 8, pos + 8 + size
+            pos += 8 + size + (size & 1)  # word-aligned
+
+    out = {
+        "usec_per_frame": 0, "total_frames": 0, "width": 0, "height": 0,
+        "n_streams": 0, "video_handler": None, "audio_handler": None,
+    }
+    seen_avih = False
+    for cid, bs, be in chunks(12, len(payload)):
+        if cid != b"LIST" or payload[bs : bs + 4] != b"hdrl":
+            continue
+        for hid, hs, he in chunks(bs + 4, be):
+            if hid == b"avih":
+                if he - hs < 40:
+                    raise ValueError("avi: truncated avih")
+                vals = struct.unpack("<10I", payload[hs : hs + 40])
+                out["usec_per_frame"] = vals[0]
+                out["total_frames"] = vals[4]
+                out["n_streams"] = vals[6]
+                out["width"], out["height"] = vals[8], vals[9]
+                seen_avih = True
+            elif hid == b"LIST" and payload[hs : hs + 4] == b"strl":
+                ftype = handler = None
+                for sid, ss, se in chunks(hs + 4, he):
+                    if sid == b"strh" and se - ss >= 8:
+                        ftype = payload[ss : ss + 4]
+                        handler = payload[ss + 4 : ss + 8].decode("ascii", "replace")
+                if ftype == b"vids" and out["video_handler"] is None:
+                    out["video_handler"] = handler
+                elif ftype == b"auds" and out["audio_handler"] is None:
+                    out["audio_handler"] = handler
+    if not seen_avih:
+        raise ValueError("avi: no avih header")
+    return out
+
+
+def encode_avi_skeleton(
+    usec_per_frame: int = 33333,
+    total_frames: int = 100,
+    width: int = 640,
+    height: int = 480,
+    video_handler: str = "mjpg",
+    audio_handler: str | None = "\x01\x00\x00\x00",
+) -> bytes:
+    """Header-only RIFF/AVI skeleton — the synthesizer twin."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<10I", usec_per_frame, 0, 0, 0, total_frames, 0,
+            2 if audio_handler else 1, 0, width, height,
+        ) + b"\x00" * 16,
+    )
+    vstrh = chunk(b"strh", b"vids" + video_handler.encode("latin1")[:4].ljust(4, b"\x00") + b"\x00" * 48)
+    strls = chunk(b"LIST", b"strl" + vstrh)
+    if audio_handler:
+        astrh = chunk(b"strh", b"auds" + audio_handler.encode("latin1")[:4].ljust(4, b"\x00") + b"\x00" * 48)
+        strls += chunk(b"LIST", b"strl" + astrh)
+    hdrl = chunk(b"LIST", b"hdrl" + avih + strls)
+    movi = chunk(b"LIST", b"movi")
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -604,3 +604,152 @@ def with_synthetic_jpeg_payload(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, kind string, format string, duration_ms long, width int, "
+    "height int, sample_rate int, n_tracks int, ok boolean"
+)
+
+
+def media_synth_params(doc_id: int) -> dict:
+    """Deterministic per-doc media container params (SQL-replayable):
+    format cycles mp4/webm/avi/flac/mp3 by doc_id % 5; every numeric
+    field is pure integer arithmetic on doc_id."""
+    d = int(doc_id)
+    fmt = ("mp4", "webm", "avi", "flac", "mp3")[d % 5]
+    if fmt == "mp4":
+        return {"format": fmt, "kind": "video",
+                "duration_ms": 1000 + (d * 37) % 240000,
+                "width": 160 + 16 * (d % 60), "height": 90 + 9 * (d % 60),
+                "sample_rate": 0, "n_tracks": 1 if d % 5 == 0 else 2}
+    if fmt == "webm":
+        return {"format": fmt, "kind": "video",
+                "duration_ms": 500 + (d * 13) % 10000,
+                "width": 320 + 8 * (d % 40), "height": 240 + 6 * (d % 40),
+                "sample_rate": 0, "n_tracks": 2}
+    if fmt == "avi":
+        frames = 24 + d % 1000
+        return {"format": fmt, "kind": "video",
+                "duration_ms": 33333 * frames // 1000,
+                "width": 640, "height": 480, "sample_rate": 0, "n_tracks": 2}
+    if fmt == "flac":
+        rate = 32000 + 1000 * (d % 17)
+        total = 8000 + d % 5000
+        return {"format": fmt, "kind": "audio",
+                "duration_ms": total * 1000 // rate,
+                "width": 0, "height": 0, "sample_rate": rate, "n_tracks": 1}
+    n_payload = 204 + d % 800  # 4-byte header + body
+    return {"format": "mp3", "kind": "audio",
+            "duration_ms": n_payload * 8 // 128,
+            "width": 0, "height": 0, "sample_rate": 44100, "n_tracks": 1}
+
+
+def _media_synth_bytes(doc_id: int) -> bytes:
+    from flumedb_spark.operators import mmcodec
+
+    d = int(doc_id)
+    p = media_synth_params(d)
+    fmt = p["format"]
+    if fmt == "mp4":
+        return mmcodec.synth_video(d)
+    if fmt == "webm":
+        return mmcodec.encode_webm_skeleton(
+            float(p["duration_ms"]), timescale=1_000_000,
+            width=p["width"], height=p["height"],
+            video_codec="V_VP9" if d % 2 else "V_AV1", audio_codec="A_OPUS",
+        )
+    if fmt == "avi":
+        return mmcodec.encode_avi_skeleton(
+            usec_per_frame=33333, total_frames=24 + d % 1000,
+            width=640, height=480, video_handler="mjpg",
+        )
+    if fmt == "flac":
+        return mmcodec.encode_flac_skeleton(
+            sample_rate=p["sample_rate"], channels=1 + d % 2,
+            bits_per_sample=16, total_samples=8000 + d % 5000,
+        )
+    return b"\xff\xfb\x90\x00" + b"\x00" * (200 + d % 800)
+
+
+def with_synthetic_media_payload(docs: DataFrame) -> DataFrame:
+    """doc_id -> real container bytes, format cycling mp4/webm/avi/flac/
+    mp3 — a mixed-format corpus for the unified metadata extractor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [_media_synth_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def extract_media_meta(payloads: DataFrame) -> DataFrame:
+    """Unified container-metadata extraction over MIXED media payloads:
+    magic-sniffs each blob and dispatches to the matching real parser
+    (ISO BMFF, EBML, RIFF/AVI, FLAC, MPEG audio), normalizing to one
+    schema — the single-pass triage a mixed 100 TB media corpus runs
+    before any routing or decode. Unrecognized/corrupt -> ok=False."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flumedb_spark.operators import mmcodec
+
+        cols = ("kind", "format", "duration_ms", "width", "height",
+                "sample_rate", "n_tracks")
+
+        def one(p: bytes) -> dict:
+            if len(p) >= 12 and p[4:8] == b"ftyp":
+                m = mmcodec.decode_mp4_meta(p)
+                ts = m["timescale"] or 1
+                return {"kind": "video", "format": "mp4",
+                        "duration_ms": m["duration"] * 1000 // ts,
+                        "width": m["width"], "height": m["height"],
+                        "sample_rate": 0, "n_tracks": m["n_tracks"]}
+            if p[:4] == b"\x1aE\xdf\xa3":
+                m = mmcodec.decode_webm_meta(p)
+                return {"kind": "video", "format": "webm",
+                        "duration_ms": int(m["duration"] * m["timescale"] // 1_000_000),
+                        "width": m["width"], "height": m["height"],
+                        "sample_rate": 0, "n_tracks": m["n_tracks"]}
+            if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                m = mmcodec.decode_avi_meta(p)
+                return {"kind": "video", "format": "avi",
+                        "duration_ms": m["usec_per_frame"] * m["total_frames"] // 1000,
+                        "width": m["width"], "height": m["height"],
+                        "sample_rate": 0, "n_tracks": m["n_streams"]}
+            if p[:4] == b"fLaC":
+                m = mmcodec.decode_flac_meta(p)
+                return {"kind": "audio", "format": "flac",
+                        "duration_ms": m["total_samples"] * 1000 // m["sample_rate"],
+                        "width": 0, "height": 0,
+                        "sample_rate": m["sample_rate"], "n_tracks": 1}
+            m = mmcodec.decode_mp3_meta(p)  # raises ValueError if not mp3
+            return {"kind": "audio", "format": "mp3",
+                    "duration_ms": m["duration_ms_est"],
+                    "width": 0, "height": 0,
+                    "sample_rate": m["sample_rate"], "n_tracks": 1}
+
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    m = one(bytes(p))
+                    for c in cols:
+                        out[c].append(m[c])
+                    out["ok"].append(True)
+                except ValueError:
+                    for c in ("kind", "format"):
+                        out[c].append(None)
+                    for c in ("duration_ms", "width", "height", "sample_rate", "n_tracks"):
+                        out[c].append(0)
+                    out["ok"].append(False)
+            cols_order = ["doc_id", "kind", "format", "duration_ms", "width",
+                          "height", "sample_rate", "n_tracks", "ok"]
+            yield pd.DataFrame({c: out[c] for c in cols_order})
+
+    return payloads.mapInPandas(run, MEDIA_META_SCHEMA)

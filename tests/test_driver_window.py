@@ -44,9 +44,10 @@ def test_all_northstar_ops_in_window():
         "ns_lsh_ann_topk", "ns_ivf_ann_topk",
         # r5 rotations: r4-green, code frozen this round — their slots
         # went to the six core-O entries rotated back in (VERDICT r4 #4)
+        # and (histogram_quantiles) to the new ns_media_meta row
         "ns_image_decode_meta", "ns_decontamination",
         "ns_repetition_ratio", "ns_semantic_dedup", "ns_pii_redaction",
-        "ns_chunk_dedup",
+        "ns_chunk_dedup", "ns_histogram_quantiles",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -75,7 +76,8 @@ def test_changed_or_new_rows_in_window():
         "q21_waiting_suppliers", "q22_global_sales_opportunity",
         "ns_bpe_tokens", "interval_join_events",
         "ns_hll_user_estimate",
-        # (fuzzy_match_names / window_distribution rotated out r5:
+        # (ns_histogram_quantiles also rotated out r5 for ns_media_meta;
+        #  fuzzy_match_names / window_distribution rotated out r5:
         # r4-driver-green, frozen — their slots went to the new
         # ns_video_meta / ns_jpeg_decode rows)
         "ns_countmin_event_counts", "ns_weighted_sample",
@@ -88,10 +90,11 @@ def test_changed_or_new_rows_in_window():
         # baseline JPEG decode (exact constant-color oracle)
         "ns_video_meta",
         "ns_jpeg_decode",
+        "ns_media_meta",
         # corpus-frequency rarity signal (unigram-LM-filter analog)
         "ns_rare_token_share",
-        # mergeable fixed-grid quantile sketch (third sketch member)
-        "ns_histogram_quantiles",
+        # (ns_histogram_quantiles rotated out r5 for ns_media_meta —
+        #  hll + countmin keep the sketch family in-window)
         # lang-ID re-entered: adjacent-marker exact-count fix
         "ns_lang_id",
         # round-4 new/changed rows: the streaming-surface oracle row, the

@@ -860,3 +860,63 @@ def test_jpeg_progressive_rejects_malformed_scans():
     # truncation inside the scan chain must raise, not loop or return junk
     with pytest.raises(ValueError):
         decode_jpeg(enc[:-20])
+
+
+# ---------------------------------------------------------------------
+# FLAC / MP3 / AVI metadata + unified media triage
+# ---------------------------------------------------------------------
+
+
+def test_flac_streaminfo_roundtrip():
+    m = mc.decode_flac_meta(mc.encode_flac_skeleton(48000, 2, 24, 1234567))
+    assert m == {
+        "sample_rate": 48000, "channels": 2,
+        "bits_per_sample": 24, "total_samples": 1234567,
+    }
+    for bad in (b"", b"fLaX", b"fLaC\x00\x00\x00\x22" + b"\x00" * 10):
+        with pytest.raises(ValueError):
+            mc.decode_flac_meta(bad)
+
+
+def test_mp3_frame_header_and_id3_skip():
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 1000  # MPEG-1 L3 128kbps 44100
+    m = mc.decode_mp3_meta(frame)
+    assert m["bitrate_kbps"] == 128 and m["sample_rate"] == 44100
+    assert m["duration_ms_est"] == len(frame) * 8 // 128
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + frame
+    assert mc.decode_mp3_meta(id3)["bitrate_kbps"] == 128
+    with pytest.raises(ValueError):
+        mc.decode_mp3_meta(b"\x00" * 100)
+
+
+def test_avi_header_roundtrip():
+    avi = mc.encode_avi_skeleton(40000, 250, 720, 576, "xvid")
+    assert multimodal.sniff_video_container(avi) == "avi"
+    m = mc.decode_avi_meta(avi)
+    assert m["usec_per_frame"] == 40000 and m["total_frames"] == 250
+    assert (m["width"], m["height"]) == (720, 576)
+    assert m["video_handler"] == "xvid" and m["n_streams"] == 2
+    for bad in (b"RIFFxxxxWAVE", avi[:40]):
+        with pytest.raises(ValueError):
+            mc.decode_avi_meta(bad)
+
+
+def test_spark_mixed_media_triage(spark):
+    # one pass over a MIXED corpus: each format parsed by its real
+    # parser, corrupt rows -> ok=False, partition survives
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(10))}))
+    payloads = multimodal.with_synthetic_media_payload(docs).toPandas()
+    payloads.loc[payloads["doc_id"] == 7, "payload"] = b"garbage"
+    pdf = (
+        multimodal.extract_media_meta(spark.createDataFrame(payloads))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(pdf["format"][:5]) == ["mp4", "webm", "avi", "flac", "mp3"]
+    assert not pdf.loc[pdf["doc_id"] == 7, "ok"].item()
+    ok = pdf[pdf["ok"]]
+    for _, row in ok.iterrows():
+        p = multimodal.media_synth_params(int(row["doc_id"]))
+        assert row["format"] == p["format"] and row["duration_ms"] == p["duration_ms"]
