@@ -1235,3 +1235,94 @@ def encode_avi_skeleton(
     movi = chunk(b"LIST", b"movi")
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------
+# TIFF metadata — IFD walk (TIFF 6.0 spec), parse only
+# ---------------------------------------------------------------------
+
+_TIFF_TYPES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # byte width per field type
+
+
+def decode_tiff_meta(payload: bytes) -> dict:
+    """First-IFD fields of a TIFF payload: width, height,
+    bits_per_sample, samples_per_pixel, compression, n_ifds (page
+    count). Both byte orders (II/MM). ValueError on malformed input."""
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("tiff: bad byte-order/magic header")
+    bo = "<" if payload[:2] == b"II" else ">"
+    off = struct.unpack(bo + "I", payload[4:8])[0]
+    out = {"width": 0, "height": 0, "bits_per_sample": 1,
+           "samples_per_pixel": 1, "compression": 1, "n_ifds": 0}
+    first = True
+    seen = set()
+    while off:
+        if off in seen or off + 2 > len(payload):
+            raise ValueError("tiff: bad IFD offset")
+        seen.add(off)
+        n = struct.unpack(bo + "H", payload[off : off + 2])[0]
+        end = off + 2 + n * 12
+        if end + 4 > len(payload):
+            raise ValueError("tiff: truncated IFD")
+        if first:
+            for i in range(n):
+                e = off + 2 + i * 12
+                tag, ftype, count = struct.unpack(bo + "HHI", payload[e : e + 8])
+                width = _TIFF_TYPES.get(ftype)
+                if width is None or width * count > 4:
+                    continue  # offset-valued or exotic: not needed for these tags
+                fmt = {1: "B", 3: "H", 4: "I"}.get(ftype)
+                if fmt is None:
+                    continue
+                val = struct.unpack(bo + fmt, payload[e + 8 : e + 8 + width])[0]
+                if tag == 256:
+                    out["width"] = val
+                elif tag == 257:
+                    out["height"] = val
+                elif tag == 258:
+                    out["bits_per_sample"] = val
+                elif tag == 259:
+                    out["compression"] = val
+                elif tag == 277:
+                    out["samples_per_pixel"] = val
+            first = False
+        out["n_ifds"] += 1
+        off = struct.unpack(bo + "I", payload[end : end + 4])[0]
+    if out["n_ifds"] == 0:
+        raise ValueError("tiff: no IFD")
+    return out
+
+
+def encode_tiff_skeleton(
+    width: int = 640,
+    height: int = 480,
+    bits_per_sample: int = 8,
+    samples_per_pixel: int = 3,
+    compression: int = 1,
+    n_pages: int = 1,
+    big_endian: bool = False,
+) -> bytes:
+    """Header+IFD-only TIFF skeleton (no strip data) — the synthesizer
+    twin of ``decode_tiff_meta``; supports multi-page chains and both
+    byte orders."""
+    bo = ">" if big_endian else "<"
+    entries = [
+        (256, 3, 1, width), (257, 3, 1, height), (258, 3, 1, bits_per_sample),
+        (259, 3, 1, compression), (277, 3, 1, samples_per_pixel),
+    ]
+
+    def ifd(next_off: int) -> bytes:
+        body = struct.pack(bo + "H", len(entries))
+        for tag, ftype, count, val in entries:
+            body += struct.pack(bo + "HHI", tag, ftype, count)
+            body += struct.pack(bo + "H", val) + b"\x00\x00"
+        return body + struct.pack(bo + "I", next_off)
+
+    ifd_len = 2 + len(entries) * 12 + 4
+    out = (b"MM\x00*" if big_endian else b"II*\x00")
+    offsets = [8 + i * ifd_len for i in range(n_pages)]
+    out += struct.pack(bo + "I", offsets[0])
+    for i in range(n_pages):
+        nxt = offsets[i + 1] if i + 1 < n_pages else 0
+        out += ifd(nxt)
+    return out

@@ -920,3 +920,22 @@ def test_spark_mixed_media_triage(spark):
     for _, row in ok.iterrows():
         p = multimodal.media_synth_params(int(row["doc_id"]))
         assert row["format"] == p["format"] and row["duration_ms"] == p["duration_ms"]
+
+
+def test_tiff_ifd_roundtrip_both_endians_and_multipage():
+    for be in (False, True):
+        m = mc.decode_tiff_meta(
+            mc.encode_tiff_skeleton(1920, 1080, 16, 1, 5, n_pages=3, big_endian=be)
+        )
+        assert m == {
+            "width": 1920, "height": 1080, "bits_per_sample": 16,
+            "samples_per_pixel": 1, "compression": 5, "n_ifds": 3,
+        }
+    for bad in (b"", b"II*\x01", b"II*\x00\xff\xff\xff\xff", b"MM\x00*\x00\x00\x00\x08"):
+        with pytest.raises(ValueError):
+            mc.decode_tiff_meta(bad)
+    # IFD self-loop must raise, not hang
+    loop = mc.encode_tiff_skeleton(n_pages=1)
+    looped = loop[:-4] + loop[4:8]  # next-IFD -> first IFD offset
+    with pytest.raises(ValueError):
+        mc.decode_tiff_meta(looped)
