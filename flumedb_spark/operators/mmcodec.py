@@ -686,6 +686,26 @@ def _find_box(buf: bytes, start: int, end: int, btype: bytes):
     return None
 
 
+def _malformed_raises_valueerror(fn):
+    """Entry-point guard for the metadata parsers: ANY low-level error a
+    malformed payload can provoke (short struct slices, bad indexes,
+    huge declared sizes) must surface as ValueError — the drop-the-row
+    contract every mapInPandas caller relies on. Without this, a payload
+    whose declared box/segment size admits a truncated body raises
+    struct.error and fails the whole 100 TB partition."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload: bytes) -> dict:
+        try:
+            return fn(payload)
+        except (struct.error, IndexError, OverflowError, MemoryError) as exc:
+            raise ValueError(f"{fn.__name__}: malformed payload: {exc}") from exc
+
+    return wrapped
+
+
+@_malformed_raises_valueerror
 def decode_mp4_meta(payload: bytes) -> dict:
     """Container metadata from an ISO BMFF (mp4/mov) payload.
 
@@ -922,6 +942,7 @@ def _ebml_uint(buf: bytes, start: int, end: int) -> int:
     return v
 
 
+@_malformed_raises_valueerror
 def decode_webm_meta(payload: bytes) -> dict:
     """Container metadata from an EBML (webm/mkv) payload: doc_type,
     timescale (ns/tick), duration (float ticks), track count, first
@@ -1069,6 +1090,7 @@ def encode_webm_skeleton(
 # for these compressed codecs stays out of scope (ffmpeg boundary).
 
 
+@_malformed_raises_valueerror
 def decode_flac_meta(payload: bytes) -> dict:
     """STREAMINFO fields from a FLAC payload: sample_rate, channels,
     bits_per_sample, total_samples."""
@@ -1122,6 +1144,7 @@ _MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 25
 _MP3_RATES = {0: 44100, 1: 48000, 2: 32000}
 
 
+@_malformed_raises_valueerror
 def decode_mp3_meta(payload: bytes) -> dict:
     """First-frame header fields of an MPEG-1 Layer III payload (ID3v2
     tags skipped): bitrate_kbps, sample_rate, and a CBR duration
@@ -1156,6 +1179,7 @@ def decode_mp3_meta(payload: bytes) -> dict:
     raise ValueError("mp3: no MPEG-1 Layer III frame sync found")
 
 
+@_malformed_raises_valueerror
 def decode_avi_meta(payload: bytes) -> dict:
     """MainAVIHeader + stream types from a RIFF/AVI payload: frame
     period (us), total frames, dims, stream count, video/audio handler
@@ -1244,6 +1268,7 @@ def encode_avi_skeleton(
 _TIFF_TYPES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # byte width per field type
 
 
+@_malformed_raises_valueerror
 def decode_tiff_meta(payload: bytes) -> dict:
     """First-IFD fields of a TIFF payload: width, height,
     bits_per_sample, samples_per_pixel, compression, n_ifds (page

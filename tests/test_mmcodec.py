@@ -939,3 +939,35 @@ def test_tiff_ifd_roundtrip_both_endians_and_multipage():
     looped = loop[:-4] + loop[4:8]  # next-IFD -> first IFD offset
     with pytest.raises(ValueError):
         mc.decode_tiff_meta(looped)
+
+
+def test_metadata_parsers_never_crash_on_corruption():
+    """The drop-the-row contract, fuzzed: every truncation and random
+    byte-flip of a valid payload either parses or raises ValueError —
+    never struct.error/IndexError (which would fail a whole partition
+    instead of one row)."""
+    import random
+
+    rng = random.Random(11)
+    cases = {
+        mc.decode_mp4_meta: mc.synth_video(7),
+        mc.decode_webm_meta: mc.encode_webm_skeleton(5.0),
+        mc.decode_avi_meta: mc.encode_avi_skeleton(),
+        mc.decode_flac_meta: mc.encode_flac_skeleton(),
+        mc.decode_tiff_meta: mc.encode_tiff_skeleton(),
+        mc.decode_mp3_meta: b"\xff\xfb\x90\x00" + b"\x00" * 100,
+    }
+    for fn, p in cases.items():
+        for cut in range(len(p)):  # every prefix truncation
+            try:
+                fn(p[:cut])
+            except ValueError:
+                pass
+        for _ in range(400):  # random byte flips
+            b = bytearray(p)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass
