@@ -247,10 +247,25 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JFIF payload to (H, W, 3) uint8 RGB
-    (grayscale expands to 3 identical channels). Raises ValueError on
-    anything malformed or outside baseline (progressive, arithmetic,
-    12-bit) — the shared drop-the-row contract."""
+    """Decode a baseline-sequential or progressive-huffman JFIF payload
+    to (H, W, 3) uint8 RGB (grayscale expands to 3 identical channels).
+    Raises ValueError on anything malformed or outside those profiles
+    (arithmetic, lossless, 12-bit) — the shared drop-the-row contract."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (
+        struct.error, IndexError, KeyError, StopIteration,
+        ZeroDivisionError, OverflowError, MemoryError,
+    ) as exc:
+        # fuzz-verified entry guard: a mutated segment can provoke any
+        # of these from deep in the segment walk (unknown scan component
+        # -> StopIteration, missing table id -> KeyError, short segment
+        # -> IndexError/struct.error...). A pathological blob must drop
+        # its ROW, never fail the mapInPandas partition.
+        raise ValueError(f"jpeg: malformed payload: {exc!r}") from exc
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: no SOI")
     pos = 2

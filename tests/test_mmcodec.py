@@ -971,3 +971,38 @@ def test_metadata_parsers_never_crash_on_corruption():
                 fn(bytes(b))
             except ValueError:
                 pass
+
+
+def test_jpeg_decoder_never_crashes_on_corruption():
+    """Same fuzz contract for the JPEG decoder: truncations and byte
+    flips of valid baseline AND progressive streams either decode or
+    raise ValueError (the unguarded walk could surface StopIteration/
+    KeyError/IndexError/ZeroDivisionError from mutated segments)."""
+    import random
+
+    from flumedb_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = (np.mgrid[0:16, 0:24][0] * 11 % 256).astype(np.uint8)
+    rgb = np.stack([img] * 3, -1)
+    rng = random.Random(5)
+    for p in (
+        encode_jpeg(rgb, quality=85, subsampling="4:2:0"),
+        encode_jpeg_progressive(rgb, quality=85),
+    ):
+        for cut in range(0, len(p), 7):
+            try:
+                decode_jpeg(p[:cut])
+            except ValueError:
+                pass
+        for _ in range(600):
+            b = bytearray(p)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                decode_jpeg(bytes(b))
+            except ValueError:
+                pass
