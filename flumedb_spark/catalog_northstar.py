@@ -526,35 +526,42 @@ def ns_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ns_media_meta",
     oracle="""
     SELECT doc_id,
-      CASE WHEN doc_id % 5 IN (0,1,2) THEN 'video' ELSE 'audio' END AS kind,
-      CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
-           WHEN 2 THEN 'avi' WHEN 3 THEN 'flac' ELSE 'mp3' END AS format,
-      CAST(CASE CAST(doc_id % 5 AS INT)
+      CASE WHEN doc_id % 7 IN (0,1,2) THEN 'video'
+           WHEN doc_id % 7 = 5 THEN 'image' ELSE 'audio' END AS kind,
+      CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+           WHEN 2 THEN 'avi' WHEN 3 THEN 'flac' WHEN 4 THEN 'mp3'
+           WHEN 5 THEN 'webp' ELSE 'ogg' END AS format,
+      CAST(CASE CAST(doc_id % 7 AS INT)
         WHEN 0 THEN 1000 + (doc_id*37) % 240000
         WHEN 1 THEN 500 + (doc_id*13) % 10000
         WHEN 2 THEN (33333 * (24 + doc_id % 1000)) // 1000
         WHEN 3 THEN ((8000 + doc_id % 5000) * 1000) // (32000 + 1000*(doc_id % 17))
-        ELSE ((204 + doc_id % 800) * 8) // 128 END AS BIGINT) AS duration_ms,
-      CAST(CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 160 + 16*(doc_id % 60)
-        WHEN 1 THEN 320 + 8*(doc_id % 40) WHEN 2 THEN 640 ELSE 0 END AS INT) AS width,
-      CAST(CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 90 + 9*(doc_id % 60)
-        WHEN 1 THEN 240 + 6*(doc_id % 40) WHEN 2 THEN 480 ELSE 0 END AS INT) AS height,
-      CAST(CASE CAST(doc_id % 5 AS INT) WHEN 3 THEN 32000 + 1000*(doc_id % 17)
-        WHEN 4 THEN 44100 ELSE 0 END AS INT) AS sample_rate,
-      CAST(CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 2 WHEN 2 THEN 2
-        ELSE 1 END AS INT) AS n_tracks,
+        WHEN 4 THEN ((204 + doc_id % 800) * 8) // 128
+        ELSE 0 END AS BIGINT) AS duration_ms,
+      CAST(CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 160 + 16*(doc_id % 60)
+        WHEN 1 THEN 320 + 8*(doc_id % 40) WHEN 2 THEN 640
+        WHEN 5 THEN 64 + 4*(doc_id % 500) ELSE 0 END AS INT) AS width,
+      CAST(CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 90 + 9*(doc_id % 60)
+        WHEN 1 THEN 240 + 6*(doc_id % 40) WHEN 2 THEN 480
+        WHEN 5 THEN 48 + 3*(doc_id % 500) ELSE 0 END AS INT) AS height,
+      CAST(CASE CAST(doc_id % 7 AS INT) WHEN 3 THEN 32000 + 1000*(doc_id % 17)
+        WHEN 4 THEN 44100 WHEN 6 THEN 48000 ELSE 0 END AS INT) AS sample_rate,
+      CAST(CASE CAST(doc_id % 7 AS INT)
+        WHEN 0 THEN CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END
+        WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 1 END AS INT) AS n_tracks,
       true AS ok
     FROM documents ORDER BY doc_id
     """,
 )
 def ns_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified mixed-format media triage: per-doc REAL container bytes
-    (format cycling mp4/webm/avi/flac/mp3, every field a real box/
-    element/header field — multimodal._media_synth_bytes), magic-sniffed
-    and parsed by the matching real parser (ISO BMFF / EBML / RIFF-AVI /
-    FLAC STREAMINFO / MPEG audio frame header), normalized to one
-    schema. The oracle replays the synth formulas arithmetically, so an
-    offset bug in ANY of the five parsers breaks the hash."""
+    (format cycling mp4/webm/avi/flac/mp3/webp/ogg, every field a real
+    box/element/header field — multimodal._media_synth_bytes),
+    magic-sniffed and parsed by the matching real parser (ISO BMFF /
+    EBML / RIFF-AVI / FLAC STREAMINFO / MPEG audio frame header / WebP
+    VP8-VP8L-VP8X / Ogg OpusHead+Vorbis-id), normalized to one schema.
+    The oracle replays the synth formulas arithmetically, so an offset
+    bug in ANY of the seven parsers breaks the hash."""
     payloads = multimodal.with_synthetic_media_payload(spark.table("documents"))
     return multimodal.extract_media_meta(payloads).orderBy("doc_id")
 

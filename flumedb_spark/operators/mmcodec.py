@@ -169,11 +169,13 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(arr: np.ndarray, filter_type: int = 0, interlace: int = 0) -> bytes:
     """uint8 array -> PNG bytes. (H, W) -> grayscale; (H, W, 3) -> RGB;
     (H, W, 4) -> RGBA. ``filter_type`` applies one PNG filter to every
     scanline (0..4) — non-zero values exist to exercise the decoder's
-    unfiltering paths in tests; 0 (None) is the fast default."""
+    unfiltering paths in tests; 0 (None) is the fast default.
+    ``interlace=1`` emits Adam7: seven independently-filtered
+    sub-images in pass order (the decoder's round-trip twin)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         color, ch = 0, 1
@@ -186,6 +188,26 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         raise ValueError("encode_png expects (H,W), (H,W,3) or (H,W,4) uint8")
     if filter_type not in range(5):
         raise ValueError("filter_type must be 0..4")
+    if interlace not in (0, 1):
+        raise ValueError("interlace must be 0 or 1")
+    h, w = flat.shape[:2]
+    if interlace == 0:
+        body = _png_filter_image(flat, ch, filter_type)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = flat[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_png_filter_image(sub, ch, filter_type))
+        body = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
+    idat = zlib.compress(body, 6)
+    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+
+
+def _png_filter_image(flat: np.ndarray, ch: int, filter_type: int) -> bytes:
+    """Filter one (sub-)image's scanlines (previous-row state local to
+    the image, per the spec's per-pass filtering)."""
     h, w = flat.shape[:2]
     raw = flat.reshape(h, w * ch).astype(np.int16)
     prev = np.zeros(w * ch, dtype=np.int16)
@@ -206,9 +228,7 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             enc = cur - _paeth_predict(left, prev, up_left)
         lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), 6)
-    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+    return b"".join(lines)
 
 
 def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -249,7 +269,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length  # length + tag + body + crc
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if bit_depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+    if bit_depth != 8 or color not in _PNG_CHANNELS or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={bit_depth}, color={color}, interlace={interlace})"
         )
@@ -258,16 +278,45 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:  # corrupt DEFLATE must surface as ValueError
         raise ValueError(f"corrupt PNG image data: {exc}") from exc
+    if interlace == 0:
+        out, _ = _png_unfilter_image(raw, 0, w, h, ch)
+        return out.reshape(h, w, ch)
+    # Adam7 (RFC 2083 §2.6): seven sequential sub-images, each filtered
+    # independently (the previous-row state resets per pass), scattered
+    # onto the final grid at the standard origins/strides
+    full = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, off = _png_unfilter_image(raw, off, pw, ph, ch)
+        full[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    return full
+
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter_image(raw: bytes, offset: int, w: int, h: int, ch: int):
+    """Unfilter one (sub-)image of ``h`` scanlines of ``w`` pixels
+    starting at ``offset`` in the decompressed stream; returns the
+    (h, w*ch) uint8 array and the next stream offset."""
     stride = w * ch
-    if len(raw) < h * (stride + 1):
+    if len(raw) - offset < h * (stride + 1):
         raise ValueError("truncated PNG image data")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
+        base = offset + y * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1).astype(
+            np.int32
+        )
         if ft == 0:
             cur = line
         elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-ch] -> cumsum per lane
@@ -291,7 +340,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return out.reshape(h, w, ch)
+    return out, offset + h * (stride + 1)
 
 
 # ---------------------------------------------------------------------
@@ -1351,3 +1400,133 @@ def encode_tiff_skeleton(
         nxt = offsets[i + 1] if i + 1 < n_pages else 0
         out += ifd(nxt)
     return out
+
+
+# ---------------------------------------------------------------------
+# WebP image metadata + Ogg (Opus/Vorbis) audio metadata (parse only)
+# ---------------------------------------------------------------------
+# Public specs: WebP container + VP8/VP8L bitstream headers (RFC 6386,
+# WebP lossless spec), Ogg framing (RFC 3533), OpusHead (RFC 7845),
+# Vorbis I identification header.
+
+
+@_malformed_raises_valueerror
+def decode_webp_meta(payload: bytes) -> dict:
+    """Dims + variant from a WebP payload (lossy VP8, lossless VP8L, or
+    extended VP8X)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("webp: not a RIFF/WEBP payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("webp: truncated chunk")
+        if cid == b"VP8 ":
+            # frame tag (3) + start code 9d 01 2a + 16-bit w/h (14 bits + 2 scale)
+            if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("webp: bad VP8 start code")
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            return {"variant": "vp8", "width": w, "height": h}
+        if cid == b"VP8L":
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ValueError("webp: bad VP8L signature")
+            bits = struct.unpack("<I", body[1:5])[0]
+            return {
+                "variant": "vp8l",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+            }
+        if cid == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("webp: truncated VP8X")
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return {"variant": "vp8x", "width": w, "height": h}
+        pos += 8 + size + (size & 1)
+    raise ValueError("webp: no VP8/VP8L/VP8X chunk")
+
+
+def encode_webp_skeleton(width: int, height: int, variant: str = "vp8l") -> bytes:
+    """Header-only WebP skeleton for the parser's round-trip twin."""
+    if variant == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    elif variant == "vp8":
+        body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    elif variant == "vp8x":
+        body = b"\x00" * 4 + (width - 1).to_bytes(3, "little") + (height - 1).to_bytes(3, "little")
+        chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    else:
+        raise ValueError(f"webp: unknown variant {variant}")
+    if len(chunk) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+@_malformed_raises_valueerror
+def decode_ogg_meta(payload: bytes) -> dict:
+    """First-page identification header of an Ogg stream: codec
+    (opus/vorbis), channels, sample_rate (Opus: the 48 kHz decode rate
+    with the original input rate alongside; Vorbis: the stream rate)."""
+    if payload[:4] != b"OggS":
+        raise ValueError("ogg: no OggS capture pattern")
+    if len(payload) < 27:
+        raise ValueError("ogg: truncated page header")
+    nsegs = payload[26]
+    seg_table = payload[27 : 27 + nsegs]
+    if len(seg_table) < nsegs:
+        raise ValueError("ogg: truncated segment table")
+    body = payload[27 + nsegs : 27 + nsegs + sum(seg_table)]
+    if body[:8] == b"OpusHead":
+        if len(body) < 19:
+            raise ValueError("ogg: truncated OpusHead")
+        return {
+            "codec": "opus",
+            "channels": body[9],
+            "pre_skip": struct.unpack("<H", body[10:12])[0],
+            "sample_rate": 48000,  # Opus always decodes at 48 kHz (RFC 7845)
+            "input_sample_rate": struct.unpack("<I", body[12:16])[0],
+        }
+    if body[:7] == b"\x01vorbis":
+        if len(body) < 16:
+            raise ValueError("ogg: truncated vorbis id header")
+        return {
+            "codec": "vorbis",
+            "channels": body[11],
+            "pre_skip": 0,
+            "sample_rate": struct.unpack("<I", body[12:16])[0],
+            "input_sample_rate": struct.unpack("<I", body[12:16])[0],
+        }
+    raise ValueError("ogg: first packet is neither OpusHead nor vorbis id")
+
+
+def encode_ogg_skeleton(
+    codec: str = "opus", channels: int = 2, sample_rate: int = 44100
+) -> bytes:
+    """First-page-only Ogg skeleton (BOS page with the id header)."""
+    if codec == "opus":
+        pkt = (
+            b"OpusHead" + bytes([1, channels]) + struct.pack("<H", 312)
+            + struct.pack("<I", sample_rate) + struct.pack("<h", 0) + b"\x00"
+        )
+    elif codec == "vorbis":
+        pkt = (
+            b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+            + struct.pack("<I", sample_rate) + b"\x00" * 12 + b"\x01"
+        )
+    else:
+        raise ValueError(f"ogg: unknown codec {codec}")
+    head = (
+        b"OggS" + b"\x00" + b"\x02"          # version, header-type BOS
+        + b"\x00" * 8                         # granule
+        + struct.pack("<I", 1)                # serial
+        + struct.pack("<I", 0)                # page seq
+        + b"\x00" * 4                         # crc (unchecked by parser)
+        + bytes([1, len(pkt)])                # one segment
+    )
+    return head + pkt

@@ -614,10 +614,18 @@ MEDIA_META_SCHEMA = (
 
 def media_synth_params(doc_id: int) -> dict:
     """Deterministic per-doc media container params (SQL-replayable):
-    format cycles mp4/webm/avi/flac/mp3 by doc_id % 5; every numeric
-    field is pure integer arithmetic on doc_id."""
+    format cycles mp4/webm/avi/flac/mp3/webp/ogg by doc_id % 7; every
+    numeric field is pure integer arithmetic on doc_id."""
     d = int(doc_id)
-    fmt = ("mp4", "webm", "avi", "flac", "mp3")[d % 5]
+    fmt = ("mp4", "webm", "avi", "flac", "mp3", "webp", "ogg")[d % 7]
+    if fmt == "webp":
+        return {"format": fmt, "kind": "image", "duration_ms": 0,
+                "width": 64 + 4 * (d % 500), "height": 48 + 3 * (d % 500),
+                "sample_rate": 0, "n_tracks": 1}
+    if fmt == "ogg":
+        return {"format": fmt, "kind": "audio", "duration_ms": 0,
+                "width": 0, "height": 0,
+                "sample_rate": 48000, "n_tracks": 1}
     if fmt == "mp4":
         return {"format": fmt, "kind": "video",
                 "duration_ms": 1000 + (d * 37) % 240000,
@@ -651,6 +659,12 @@ def _media_synth_bytes(doc_id: int) -> bytes:
     d = int(doc_id)
     p = media_synth_params(d)
     fmt = p["format"]
+    if fmt == "webp":
+        variant = ("vp8", "vp8l", "vp8x")[d % 3]
+        return mmcodec.encode_webp_skeleton(p["width"], p["height"], variant)
+    if fmt == "ogg":
+        codec = "opus" if d % 2 else "vorbis"
+        return mmcodec.encode_ogg_skeleton(codec, 1 + d % 2, 48000)
     if fmt == "mp4":
         return mmcodec.synth_video(d)
     if fmt == "webm":
@@ -674,7 +688,7 @@ def _media_synth_bytes(doc_id: int) -> bytes:
 
 def with_synthetic_media_payload(docs: DataFrame) -> DataFrame:
     """doc_id -> real container bytes, format cycling mp4/webm/avi/flac/
-    mp3 — a mixed-format corpus for the unified metadata extractor."""
+    mp3/webp/ogg — a mixed-format corpus for the unified extractor."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -691,8 +705,9 @@ def with_synthetic_media_payload(docs: DataFrame) -> DataFrame:
 def extract_media_meta(payloads: DataFrame) -> DataFrame:
     """Unified container-metadata extraction over MIXED media payloads:
     magic-sniffs each blob and dispatches to the matching real parser
-    (ISO BMFF, EBML, RIFF/AVI, FLAC, MPEG audio), normalizing to one
-    schema — the single-pass triage a mixed 100 TB media corpus runs
+    (ISO BMFF, EBML, RIFF/AVI, FLAC, MPEG audio, WebP, Ogg
+    Opus/Vorbis), normalizing to one schema — the single-pass triage a
+    mixed 100 TB media corpus runs
     before any routing or decode. Unrecognized/corrupt -> ok=False."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -702,6 +717,16 @@ def extract_media_meta(payloads: DataFrame) -> DataFrame:
                 "sample_rate", "n_tracks")
 
         def one(p: bytes) -> dict:
+            if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+                m = mmcodec.decode_webp_meta(p)
+                return {"kind": "image", "format": "webp", "duration_ms": 0,
+                        "width": m["width"], "height": m["height"],
+                        "sample_rate": 0, "n_tracks": 1}
+            if p[:4] == b"OggS":
+                m = mmcodec.decode_ogg_meta(p)
+                return {"kind": "audio", "format": "ogg", "duration_ms": 0,
+                        "width": 0, "height": 0,
+                        "sample_rate": m["sample_rate"], "n_tracks": 1}
             if len(p) >= 12 and p[4:8] == b"ftyp":
                 m = mmcodec.decode_mp4_meta(p)
                 ts = m["timescale"] or 1

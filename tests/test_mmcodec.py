@@ -914,7 +914,9 @@ def test_spark_mixed_media_triage(spark):
         .orderBy("doc_id")
         .toPandas()
     )
-    assert list(pdf["format"][:5]) == ["mp4", "webm", "avi", "flac", "mp3"]
+    assert list(pdf["format"][:7] if len(pdf) >= 7 else pdf["format"]) == [
+        "mp4", "webm", "avi", "flac", "mp3", "webp", "ogg"
+    ][: len(pdf)]
     assert not pdf.loc[pdf["doc_id"] == 7, "ok"].item()
     ok = pdf[pdf["ok"]]
     for _, row in ok.iterrows():
@@ -1004,5 +1006,85 @@ def test_jpeg_decoder_never_crashes_on_corruption():
                 b[rng.randrange(len(b))] = rng.randrange(256)
             try:
                 decode_jpeg(bytes(b))
+            except ValueError:
+                pass
+
+
+def test_png_adam7_roundtrip_all_filters_and_shapes():
+    rng = np.random.RandomState(9)
+    for shape in [(9, 11, 3), (7, 6), (5, 4, 4), (1, 1, 3), (13, 3, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        want = img if img.ndim == 3 else img[:, :, None]
+        for ft in range(5):
+            dec = mc.decode_png(mc.encode_png(img, ft, interlace=1))
+            assert np.array_equal(dec, want), (shape, ft)
+
+
+def test_png_adam7_golden_pass_order():
+    """Hand-assembled 2x2 grayscale Adam7 stream (independent of the
+    encoder): non-empty passes are 1 (pixel 0,0), 6 (pixel 1,0), and
+    7 (row y=1) — each its own filtered sub-image. Values chosen
+    distinct so a pass-order or origin/stride bug misplaces them."""
+    raw = bytes([0, 10]) + bytes([0, 20]) + bytes([0, 30, 40])
+    img = mc.decode_png(_png_chunks_i(2, 2, 0, raw, interlace=1))
+    assert np.array_equal(img[:, :, 0], np.array([[10, 20], [30, 40]], np.uint8))
+
+
+def _png_chunks_i(w, h, color, raw, interlace=0):
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_webp_meta_all_variants():
+    for v in ("vp8", "vp8l", "vp8x"):
+        m = mc.decode_webp_meta(mc.encode_webp_skeleton(1024, 768, v))
+        assert m == {"variant": v, "width": 1024, "height": 768}
+    with pytest.raises(ValueError):
+        mc.decode_webp_meta(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_ogg_meta_opus_and_vorbis():
+    m = mc.decode_ogg_meta(mc.encode_ogg_skeleton("opus", 2, 44100))
+    assert m["codec"] == "opus" and m["channels"] == 2
+    assert m["sample_rate"] == 48000  # RFC 7845: Opus decodes at 48 kHz
+    assert m["input_sample_rate"] == 44100
+    v = mc.decode_ogg_meta(mc.encode_ogg_skeleton("vorbis", 6, 96000))
+    assert v["codec"] == "vorbis" and v["channels"] == 6 and v["sample_rate"] == 96000
+    with pytest.raises(ValueError):
+        mc.decode_ogg_meta(b"OggS" + b"\x00" * 23 + b"\x01\x05hello")
+
+
+def test_webp_ogg_fuzz_never_crash():
+    import random
+
+    rng = random.Random(3)
+    for fn, p in (
+        (mc.decode_webp_meta, mc.encode_webp_skeleton(33, 44)),
+        (mc.decode_ogg_meta, mc.encode_ogg_skeleton()),
+    ):
+        for cut in range(len(p)):
+            try:
+                fn(p[:cut])
+            except ValueError:
+                pass
+        for _ in range(500):
+            b = bytearray(p)
+            for _ in range(rng.randint(1, 3)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                fn(bytes(b))
             except ValueError:
                 pass
