@@ -54,8 +54,13 @@ def main() -> None:
     keep_video = (F.col("kind") == "video") & (F.col("width") >= 320) & (
         F.col("duration_ms") >= 2000
     )
-    keep_audio = (F.col("kind") == "audio") & (F.col("duration_ms") >= 10)
-    kept = meta.where(F.col("ok") & (keep_video | keep_audio))
+    # container-only formats (ogg id page, webp header) carry no
+    # duration; gate those on their own metadata instead
+    keep_audio = (F.col("kind") == "audio") & (
+        (F.col("duration_ms") >= 10) | (F.col("sample_rate") >= 44100)
+    )
+    keep_image = (F.col("kind") == "image") & (F.col("width") >= 128)
+    kept = meta.where(F.col("ok") & (keep_video | keep_audio | keep_image))
 
     # 3) the image side: real JPEG decode stats (pure-Python T.81 path)
     jpegs = multimodal.with_synthetic_jpeg_payload(docs.limit(200))
