@@ -133,8 +133,9 @@ DRIVER_WINDOW: list[str] = [
     "stream_windowed_counts",
     "stream_stateful_key_stats",
     "interval_join_events",
-    # dedup / similarity / ANN family
-    "ns_url_dedup",
+    # dedup / similarity / ANN family (ns_url_dedup rotated out late r5
+    # for the new ns_archive_listing row — the family keeps five other
+    # in-window rows)
     "ns_ngram_jaccard_pairs",
     "ns_minhash_lsh_candidates",
     "ns_neardup_clusters",
@@ -171,10 +172,13 @@ DRIVER_WINDOW: list[str] = [
     "ns_audio_decode_meta",
     "ns_video_meta",
     "ns_jpeg_decode",
-    # unified mixed-format media triage (mp4/webm/avi/flac/mp3) — NEW
-    # r5; takes the slot of the r4-green frozen ns_histogram_quantiles
-    # (hll + countmin keep the sketch family in-window)
+    # unified mixed-format media triage (mp4/webm/avi/flac/mp3/webp/ogg)
+    # — NEW r5; takes the slot of the r4-green frozen
+    # ns_histogram_quantiles (hll + countmin keep the sketch family
+    # in-window)
     "ns_media_meta",
+    # archive triage (zip central-directory listing, exploded) — NEW r5
+    "ns_archive_listing",
 ]
 
 

@@ -566,6 +566,38 @@ def ns_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_media_meta(payloads).orderBy("doc_id")
 
 
+@query(
+    "ns_archive_listing",
+    oracle="""
+    SELECT d.doc_id,
+      'f' || CAST(s.i AS VARCHAR) || '.txt' AS member,
+      CAST(10 + (d.doc_id*7 + s.i*13) % 90 AS BIGINT) AS size_u,
+      'stored' AS method,
+      true AS ok
+    FROM documents d, generate_series(0, 4) s(i)
+    WHERE s.i <= d.doc_id % 5
+    ORDER BY d.doc_id, member
+    """,
+)
+def ns_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive triage without extraction: per-doc REAL zip bytes
+    (operators/archives.synth_zip — stdlib zipfile, deterministic
+    members) enumerated via the central-directory walk and EXPLODED one
+    row per member. The oracle replays the member-name/size formulas
+    arithmetically, so a listing bug (member order, size field, method
+    mapping) breaks the hash. The compressed-size column is dropped
+    here: stored members make it equal to size_u, so it attests nothing
+    extra."""
+    from .operators import archives
+
+    payloads = archives.with_synthetic_zip_payload(spark.table("documents"))
+    return (
+        archives.archive_listing(payloads)
+        .select("doc_id", "member", "size_u", "method", "ok")
+        .orderBy("doc_id", "member")
+    )
+
+
 def _simhash_md5_sql(int_div: str, lateral: str, shiftleft: str) -> str:
     """Portable md5-based 64-bit SimHash: per-token md5, hex digits
     decoded via position(c IN '0123456789abcdef') (both dialects), bit

@@ -48,6 +48,9 @@ def test_all_northstar_ops_in_window():
         "ns_image_decode_meta", "ns_decontamination",
         "ns_repetition_ratio", "ns_semantic_dedup", "ns_pii_redaction",
         "ns_chunk_dedup", "ns_histogram_quantiles",
+        # late-r5 rotation for ns_archive_listing (dedup family keeps
+        # five other in-window rows)
+        "ns_url_dedup",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -91,6 +94,7 @@ def test_changed_or_new_rows_in_window():
         "ns_video_meta",
         "ns_jpeg_decode",
         "ns_media_meta",
+        "ns_archive_listing",
         # corpus-frequency rarity signal (unigram-LM-filter analog)
         "ns_rare_token_share",
         # (ns_histogram_quantiles rotated out r5 for ns_media_meta —
@@ -107,7 +111,7 @@ def test_changed_or_new_rows_in_window():
         "ns_salted_distinct_count",
         "ns_scd2_history",
         "ns_zorder_morton",
-        "ns_url_dedup",
+        # (ns_url_dedup rotated out late r5 for ns_archive_listing)
         # r5: the six core-O entries rotated BACK IN (VERDICT r4 #4 —
         # driver sf0.01 re-attestation after r1/r2 rotation)
         "o1_append_visibility", "o3_get_point", "o4_stream_reverse_topk",
