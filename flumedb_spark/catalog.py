@@ -130,9 +130,10 @@ DRIVER_WINDOW: list[str] = [
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
     # streaming surface: real Structured Streaming runs, oracle-checked
+    # (interval_join_events rotated out late r5 for ns_warc_listing —
+    # the streaming family keeps both stream_* rows)
     "stream_windowed_counts",
     "stream_stateful_key_stats",
-    "interval_join_events",
     # dedup / similarity / ANN family (ns_url_dedup rotated out late r5
     # for the new ns_archive_listing row — the family keeps five other
     # in-window rows)
@@ -179,6 +180,8 @@ DRIVER_WINDOW: list[str] = [
     "ns_media_meta",
     # archive triage (zip central-directory listing, exploded) — NEW r5
     "ns_archive_listing",
+    # WARC record enumeration (Common Crawl container) — NEW r5
+    "ns_warc_listing",
 ]
 
 

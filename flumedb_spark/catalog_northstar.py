@@ -598,6 +598,40 @@ def ns_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ns_warc_listing",
+    oracle="""
+    SELECT doc_id, record_type, target_uri, record_id, content_length, ok
+    FROM (
+      SELECT d.doc_id, 'warcinfo' AS record_type,
+        CAST(NULL AS VARCHAR) AS target_uri,
+        '<urn:test:' || CAST(d.doc_id AS VARCHAR) || ':info>' AS record_id,
+        CAST(17 AS BIGINT) AS content_length, true AS ok
+      FROM documents d
+      UNION ALL
+      SELECT d.doc_id, 'response',
+        'http://ex.test/' || CAST(d.doc_id AS VARCHAR) || '/' || CAST(s.i AS VARCHAR),
+        '<urn:test:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(s.i AS VARCHAR) || '>',
+        CAST(20 + (d.doc_id*11 + s.i*17) % 180 AS BIGINT), true
+      FROM documents d, generate_series(0, 3) s(i)
+      WHERE s.i <= d.doc_id % 4
+    ) ORDER BY doc_id, record_id
+    """,
+)
+def ns_warc_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) record enumeration — the Common Crawl container
+    an LLM text pipeline ingests: per-doc REAL gzipped WARC bytes
+    (archives.synth_warc: warcinfo + deterministic response records),
+    decompressed and walked record-by-record (version line, header
+    block, Content-Length-delimited bodies), exploded one row per
+    record. The oracle replays the record formulas, so a header-parse or
+    body-offset bug breaks the hash."""
+    from .operators import archives
+
+    payloads = archives.with_synthetic_warc_payload(spark.table("documents"))
+    return archives.warc_listing(payloads).orderBy("doc_id", "record_id")
+
+
 def _simhash_md5_sql(int_div: str, lateral: str, shiftleft: str) -> str:
     """Portable md5-based 64-bit SimHash: per-token md5, hex digits
     decoded via position(c IN '0123456789abcdef') (both dialects), bit

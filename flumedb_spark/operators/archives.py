@@ -129,3 +129,139 @@ def with_synthetic_zip_payload(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------
+# WARC — web-crawl records (ISO 28500), the container LLM text
+# pipelines actually ingest (Common Crawl ships WARC/WAT/WET)
+# ---------------------------------------------------------------------
+
+
+def warc_records(payload: bytes) -> list[dict]:
+    """Enumerate records of a WARC payload (plain or gzip, including
+    the per-record-member gzip Common Crawl uses): record type, target
+    URI, record id, and content length — no body parsing. ValueError on
+    malformed input (the shared drop-the-row contract)."""
+    if payload[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            # GzipFile reads CONCATENATED members, so per-record-gzipped
+            # crawl files decompress to one contiguous WARC stream
+            payload = gzip.GzipFile(fileobj=io.BytesIO(payload)).read()
+        except (OSError, EOFError, zipfile.BadZipFile) as exc:
+            raise ValueError(f"warc: bad gzip stream: {exc}") from exc
+    out = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and payload[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not payload.startswith(b"WARC/", pos):
+            raise ValueError(f"warc: expected version line at byte {pos}")
+        hdr_end = payload.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("warc: unterminated header block")
+        headers = {}
+        lines = payload[pos:hdr_end].split(b"\r\n")
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers[b"content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("warc: missing/bad Content-Length") from exc
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            raise ValueError("warc: truncated record body")
+        out.append(
+            {
+                "record_type": headers.get(b"warc-type", b"").decode("ascii", "replace"),
+                "target_uri": (
+                    headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+                    or None
+                ),
+                "record_id": headers.get(b"warc-record-id", b"").decode("ascii", "replace"),
+                "content_length": length,
+            }
+        )
+        pos = body_start + length
+    if not out:
+        raise ValueError("warc: no records")
+    return out
+
+
+def synth_warc(doc_id: int, gzipped: bool = False) -> bytes:
+    """Deterministic WARC: a warcinfo record followed by doc_id % 4 + 1
+    response records; response i targets http://ex.test/<doc_id>/<i>
+    with a body of 20 + (doc_id*11 + i*17) % 180 bytes."""
+    d = int(doc_id)
+
+    def record(rtype: str, uri: str | None, rid: str, body: bytes) -> bytes:
+        h = f"WARC/1.0\r\nWARC-Type: {rtype}\r\nWARC-Record-ID: {rid}\r\n"
+        if uri:
+            h += f"WARC-Target-URI: {uri}\r\n"
+        h += f"Content-Length: {len(body)}\r\n\r\n"
+        return h.encode("ascii") + body + b"\r\n\r\n"
+
+    out = record("warcinfo", None, f"<urn:test:{d}:info>", b"software: synth\r\n")
+    for i in range(1 + d % 4):
+        body = b"y" * (20 + (d * 11 + i * 17) % 180)
+        out += record(
+            "response", f"http://ex.test/{d}/{i}", f"<urn:test:{d}:{i}>", body
+        )
+    if gzipped:
+        import gzip
+
+        return gzip.compress(out, mtime=0)
+    return out
+
+
+def warc_listing(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> one row per WARC record (exploded), with
+    the corrupt-blob ok=False contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("record_type", "target_uri", "record_id", "content_length")
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", *cols, "ok")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    recs = warc_records(bytes(p))
+                except ValueError:
+                    out["doc_id"].append(doc_id)
+                    for c in ("record_type", "target_uri", "record_id"):
+                        out[c].append(None)
+                    out["content_length"].append(0)
+                    out["ok"].append(False)
+                    continue
+                for r in recs:
+                    out["doc_id"].append(doc_id)
+                    for c in cols:
+                        out[c].append(r[c])
+                    out["ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        run,
+        "doc_id long, record_type string, target_uri string, "
+        "record_id string, content_length long, ok boolean",
+    )
+
+
+def with_synthetic_warc_payload(docs: DataFrame, gzipped: bool = True) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        synth_warc(int(x), gzipped=gzipped) for x in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")

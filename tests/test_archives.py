@@ -71,3 +71,53 @@ def test_spark_archive_listing_explodes_and_survives_corruption(spark):
     assert len(bad) == 1 and not bad["ok"].item() and bad["member"].item() is None
     assert len(pdf[pdf["doc_id"] == 3]) == 4
     assert pdf[pdf["ok"]]["method"].eq("stored").all()
+
+
+# ---------------------------------------------------------------------
+# WARC
+# ---------------------------------------------------------------------
+
+
+def test_warc_records_plain_and_gzip():
+    for d in (0, 1, 3, 10):
+        for gz in (False, True):
+            recs = ar.warc_records(ar.synth_warc(d, gzipped=gz))
+            assert recs[0]["record_type"] == "warcinfo"
+            assert recs[0]["target_uri"] is None
+            assert len(recs) == 2 + d % 4
+            for i, r in enumerate(recs[1:]):
+                assert r["record_type"] == "response"
+                assert r["target_uri"] == f"http://ex.test/{d}/{i}"
+                assert r["record_id"] == f"<urn:test:{d}:{i}>"
+                assert r["content_length"] == 20 + (d * 11 + i * 17) % 180
+    assert ar.synth_warc(5, True) == ar.synth_warc(5, True)  # deterministic
+
+
+def test_warc_corrupt_raises_valueerror():
+    good = ar.synth_warc(3)
+    for bad in (
+        b"",
+        b"HTTP/1.1 200 OK\r\n\r\n",
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\n",  # no Content-Length
+        good[: len(good) // 2],                       # truncated body
+        b"\x1f\x8bgarbage-not-gzip",
+    ):
+        with pytest.raises(ValueError):
+            ar.warc_records(bad)
+
+
+def test_spark_warc_listing_explodes(spark):
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2]}))
+    pdf = (
+        ar.warc_listing(ar.with_synthetic_warc_payload(docs))
+        .orderBy("doc_id", "record_id")
+        .toPandas()
+    )
+    # doc 1: warcinfo + 2 responses; doc 2: warcinfo + 3 responses
+    assert len(pdf[pdf["doc_id"] == 1]) == 3
+    assert len(pdf[pdf["doc_id"] == 2]) == 4
+    assert pdf["ok"].all()
+    # record_id sort puts responses (':<i>') before warcinfo (':info')
+    assert list(pdf[pdf["doc_id"] == 1]["record_type"]) == [
+        "response", "response", "warcinfo",
+    ]

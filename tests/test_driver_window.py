@@ -77,7 +77,8 @@ def test_changed_or_new_rows_in_window():
         "q15_top_supplier", "q16_part_supplier_counts",
         "q17_small_quantity_revenue", "q20_part_promotion",
         "q21_waiting_suppliers", "q22_global_sales_opportunity",
-        "ns_bpe_tokens", "interval_join_events",
+        "ns_bpe_tokens",
+        # (interval_join_events rotated out late r5 for ns_warc_listing)
         "ns_hll_user_estimate",
         # (ns_histogram_quantiles also rotated out r5 for ns_media_meta;
         #  fuzzy_match_names / window_distribution rotated out r5:
@@ -95,6 +96,7 @@ def test_changed_or_new_rows_in_window():
         "ns_jpeg_decode",
         "ns_media_meta",
         "ns_archive_listing",
+        "ns_warc_listing",
         # corpus-frequency rarity signal (unigram-LM-filter analog)
         "ns_rare_token_share",
         # (ns_histogram_quantiles rotated out r5 for ns_media_meta —
