@@ -175,8 +175,9 @@ def warc_records(payload: bytes) -> list[dict]:
         except (KeyError, ValueError) as exc:
             raise ValueError("warc: missing/bad Content-Length") from exc
         body_start = hdr_end + 4
-        if body_start + length > n:
-            raise ValueError("warc: truncated record body")
+        if length < 0 or body_start + length > n:
+            # negative lengths would walk pos BACKWARDS and loop forever
+            raise ValueError("warc: bad record body length")
         out.append(
             {
                 "record_type": headers.get(b"warc-type", b"").decode("ascii", "replace"),
@@ -265,3 +266,181 @@ def with_synthetic_warc_payload(docs: DataFrame, gzipped: bool = True) -> DataFr
             )
 
     return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------
+# data-file triage: Avro OCF headers + Parquet footers from payloads
+# ---------------------------------------------------------------------
+# The registry pass over a drop directory of unknown data files: schema
+# name/width, codec, row counts — without loading any of them as a
+# table. Avro is parsed from the public OCF spec (stdlib only); Parquet
+# uses pyarrow's footer reader over BytesIO (no temp files).
+
+
+def _avro_varint(payload: bytes, pos: int) -> tuple[int, int]:
+    """Zigzag varint (Avro long) at ``pos`` -> (value, next_pos)."""
+    shift = acc = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("avro: truncated varint")
+        b = payload[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 63:
+            raise ValueError("avro: varint overflow")
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def avro_meta(payload: bytes) -> dict:
+    """Object-container-file metadata: schema name/type/field count,
+    codec, block and record counts (block walk, no deserialization)."""
+    import json as _json
+
+    if payload[:4] != b"Obj\x01":
+        raise ValueError("avro: no OCF magic")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _avro_varint(payload, pos)
+        if count == 0:
+            break
+        if count < 0:  # negative block count: size follows (spec)
+            _, pos = _avro_varint(payload, pos)
+            count = -count
+        if count > 1_000_000:
+            raise ValueError("avro: implausible metadata count")
+        for _ in range(count):
+            klen, pos = _avro_varint(payload, pos)
+            # negative/oversized lengths from corrupt bytes must raise,
+            # not walk pos backwards into an infinite loop (fuzz finding)
+            if klen < 0 or pos + klen > len(payload):
+                raise ValueError("avro: bad metadata key length")
+            key = payload[pos : pos + klen].decode("utf-8", "replace")
+            pos += klen
+            vlen, pos = _avro_varint(payload, pos)
+            if vlen < 0 or pos + vlen > len(payload):
+                raise ValueError("avro: bad metadata value length")
+            meta[key] = payload[pos : pos + vlen]
+            pos += vlen
+    sync = payload[pos : pos + 16]
+    if len(sync) != 16:
+        raise ValueError("avro: truncated sync marker")
+    pos += 16
+    try:
+        schema = _json.loads(meta["avro.schema"])
+    except (KeyError, ValueError) as exc:
+        raise ValueError(f"avro: bad or missing schema: {exc}") from exc
+    n_blocks = n_records = 0
+    while pos < len(payload):
+        cnt, pos = _avro_varint(payload, pos)
+        size, pos = _avro_varint(payload, pos)
+        if cnt < 0 or size < 0 or pos + size + 16 > len(payload):
+            raise ValueError("avro: truncated data block")
+        if payload[pos + size : pos + size + 16] != sync:
+            raise ValueError("avro: sync marker mismatch")
+        n_blocks += 1
+        n_records += cnt
+        pos += size + 16
+    if isinstance(schema, dict):
+        name = schema.get("name")
+        stype = schema.get("type")
+        n_fields = len(schema.get("fields", []))
+    else:
+        name, stype, n_fields = None, str(schema), 0
+    return {
+        "schema_name": name,
+        "schema_type": stype,
+        "n_fields": n_fields,
+        "codec": meta.get("avro.codec", b"null").decode("ascii", "replace"),
+        "n_blocks": n_blocks,
+        "n_records": n_records,
+    }
+
+
+def encode_avro_skeleton(
+    schema_name: str = "rec",
+    n_fields: int = 3,
+    block_counts: tuple[int, ...] = (5, 7),
+    codec: str = "null",
+) -> bytes:
+    """OCF with a real header and empty-bodied data blocks (counts are
+    real; record bytes are opaque to the header walk) — the synthesizer
+    twin of ``avro_meta``."""
+    import json as _json
+
+    def zz(v: int) -> bytes:
+        u = (v << 1) ^ (v >> 63)
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": schema_name,
+            "fields": [{"name": f"c{i}", "type": "long"} for i in range(n_fields)],
+        }
+    ).encode()
+    sync = bytes(range(16))
+    out = bytearray(b"Obj\x01")
+    out += zz(2)  # two metadata entries
+    for k, v in ((b"avro.schema", schema), (b"avro.codec", codec.encode())):
+        out += zz(len(k)) + k + zz(len(v)) + v
+    out += zz(0) + sync
+    for cnt in block_counts:
+        body = b"\x00" * cnt  # opaque to the header walk
+        out += zz(cnt) + zz(len(body)) + body + sync
+    return bytes(out)
+
+
+def parquet_meta(payload: bytes) -> dict:
+    """Footer metadata of a parquet payload via pyarrow (no temp
+    files): rows, row groups, columns, writer, first-column codec."""
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(io.BytesIO(payload))
+        md = pf.metadata
+        codec = (
+            md.row_group(0).column(0).compression.lower()
+            if md.num_row_groups
+            else None
+        )
+        return {
+            "n_rows": md.num_rows,
+            "n_row_groups": md.num_row_groups,
+            "n_columns": md.num_columns,
+            "created_by": md.created_by,
+            "codec": codec,
+        }
+    except Exception as exc:  # pyarrow raises a zoo of types on bad footers
+        raise ValueError(f"parquet: unreadable footer: {exc}") from exc
+
+
+def datafile_meta(payload: bytes) -> dict:
+    """Magic-sniffed dispatch over data-file payloads: parquet (PAR1),
+    avro (Obj\\x01) — the registry pass a lakehouse drop-directory
+    pipeline runs before loading anything as a table."""
+    if payload[:4] == b"PAR1":
+        m = parquet_meta(payload)
+        return {"format": "parquet", **m}
+    if payload[:4] == b"Obj\x01":
+        m = avro_meta(payload)
+        return {
+            "format": "avro",
+            "n_rows": m["n_records"],
+            "n_row_groups": m["n_blocks"],
+            "n_columns": m["n_fields"],
+            "created_by": m["schema_name"],
+            "codec": m["codec"],
+        }
+    raise ValueError("datafile: neither parquet nor avro magic")

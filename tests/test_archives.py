@@ -121,3 +121,61 @@ def test_spark_warc_listing_explodes(spark):
     assert list(pdf[pdf["doc_id"] == 1]["record_type"]) == [
         "response", "response", "warcinfo",
     ]
+
+
+# ---------------------------------------------------------------------
+# data-file triage (avro OCF headers, parquet footers)
+# ---------------------------------------------------------------------
+
+
+def test_avro_ocf_header_and_block_walk():
+    m = ar.avro_meta(ar.encode_avro_skeleton("mytbl", 4, (5, 7, 2), codec="deflate"))
+    assert m == {
+        "schema_name": "mytbl", "schema_type": "record", "n_fields": 4,
+        "codec": "deflate", "n_blocks": 3, "n_records": 14,
+    }
+
+
+def test_parquet_footer_meta_and_dispatch():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"a": list(range(100)), "b": ["x"] * 100}), buf, row_group_size=40
+    )
+    m = ar.parquet_meta(buf.getvalue())
+    assert (m["n_rows"], m["n_row_groups"], m["n_columns"]) == (100, 3, 2)
+    d = ar.datafile_meta(buf.getvalue())
+    assert d["format"] == "parquet" and d["n_rows"] == 100
+    d2 = ar.datafile_meta(ar.encode_avro_skeleton())
+    assert d2["format"] == "avro" and d2["n_rows"] == 12
+
+
+def test_datafile_corrupt_and_fuzz():
+    """Truncation/byte-flip fuzz for the avro and warc walkers — both
+    had (now-guarded) corrupt-length paths that could move the stream
+    position BACKWARDS into an infinite loop."""
+    import random
+
+    for bad in (b"", b"PAR1junk", b"Obj\x01\xff\xff", b"whatever"):
+        with pytest.raises(ValueError):
+            ar.datafile_meta(bad)
+    rng = random.Random(7)
+    for fn, good in (
+        (ar.avro_meta, ar.encode_avro_skeleton("t", 2, (3,))),
+        (ar.warc_records, ar.synth_warc(6, gzipped=False)),
+    ):
+        for cut in range(len(good)):
+            try:
+                fn(good[:cut])
+            except ValueError:
+                pass
+        for _ in range(1500):
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 3)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass
