@@ -17,6 +17,7 @@ filter on name/size/method columns, and only route the surviving
 from __future__ import annotations
 
 import io
+import struct
 import tarfile
 import zipfile
 from typing import Iterator
@@ -28,6 +29,18 @@ LISTING_SCHEMA = (
     "doc_id long, member string, size_u long, size_c long, "
     "method string, ok boolean"
 )
+
+# The corrupt-blob contract is "never a partition failure": a
+# pathological payload can drive stdlib zipfile/tarfile/gzip into error
+# types beyond ValueError (odd struct.errors, MemoryError from a
+# decompression bomb, IndexError from short slices) — all of them must
+# become an ok=False row, same as mmcodec's _malformed_raises_valueerror.
+_MALFORMED = (ValueError, struct.error, IndexError, OverflowError, MemoryError)
+
+# Per-payload decompression ceiling: a 100 TB ingest must not let one
+# crafted gzip member OOM an executor (WARC gzip bombs are real inputs
+# on crawl data). 1 GiB decompressed is far above any sane WARC shard.
+MAX_DECOMPRESSED = 1 << 30
 
 _ZIP_METHODS = {0: "stored", 8: "deflated", 12: "bzip2", 14: "lzma"}
 
@@ -85,7 +98,7 @@ def archive_listing(payloads: DataFrame) -> DataFrame:
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     members = list_members(bytes(p))
-                except ValueError:
+                except _MALFORMED:
                     out["doc_id"].append(doc_id)
                     out["member"].append(None)
                     out["size_u"].append(0)
@@ -137,20 +150,40 @@ def with_synthetic_zip_payload(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
+def gunzip_capped(payload: bytes, what: str = "gzip", cap: int = MAX_DECOMPRESSED) -> bytes:
+    """Decompress a gzip payload with a hard output-size ceiling.
+
+    GzipFile reads CONCATENATED members, so per-record-gzipped crawl
+    files decompress to one contiguous stream; the chunked read keeps a
+    decompression bomb from materializing past ``cap`` bytes before we
+    notice (a plain .read() would).
+    """
+    import gzip
+
+    try:
+        gz = gzip.GzipFile(fileobj=io.BytesIO(payload))
+        chunks: list[bytes] = []
+        total = 0
+        while True:
+            chunk = gz.read(1 << 22)
+            if not chunk:
+                break
+            total += len(chunk)
+            if total > cap:
+                raise ValueError(f"{what}: decompressed size exceeds {cap}-byte cap")
+            chunks.append(chunk)
+        return b"".join(chunks)
+    except (OSError, EOFError) as exc:
+        raise ValueError(f"{what}: bad gzip stream: {exc}") from exc
+
+
 def warc_records(payload: bytes) -> list[dict]:
     """Enumerate records of a WARC payload (plain or gzip, including
     the per-record-member gzip Common Crawl uses): record type, target
     URI, record id, and content length — no body parsing. ValueError on
     malformed input (the shared drop-the-row contract)."""
     if payload[:2] == b"\x1f\x8b":
-        import gzip
-
-        try:
-            # GzipFile reads CONCATENATED members, so per-record-gzipped
-            # crawl files decompress to one contiguous WARC stream
-            payload = gzip.GzipFile(fileobj=io.BytesIO(payload)).read()
-        except (OSError, EOFError, zipfile.BadZipFile) as exc:
-            raise ValueError(f"warc: bad gzip stream: {exc}") from exc
+        payload = gunzip_capped(payload, what="warc")
     out = []
     pos = 0
     n = len(payload)
@@ -232,7 +265,7 @@ def warc_listing(payloads: DataFrame) -> DataFrame:
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     recs = warc_records(bytes(p))
-                except ValueError:
+                except _MALFORMED:
                     out["doc_id"].append(doc_id)
                     for c in ("record_type", "target_uri", "record_id"):
                         out[c].append(None)

@@ -350,6 +350,15 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
             if not frame.get("progressive"):
+                if ns != len(frame["comps"]):
+                    # T.81 permits sequential multi-scan (Ns < Nf) files;
+                    # _decode_scan would return after the FIRST scan with
+                    # plausible-but-wrong pixels, so reject the layout
+                    raise ValueError(
+                        "jpeg: non-interleaved multi-scan baseline not "
+                        f"supported (scan has {ns} of {len(frame['comps'])} "
+                        "components)"
+                    )
                 return _decode_scan(
                     payload, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
                     restart_interval,

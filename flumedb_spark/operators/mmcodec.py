@@ -977,7 +977,10 @@ def _ebml_children(buf: bytes, start: int, end: int):
     while pos < end:
         eid, p1 = _ebml_vint(buf, pos, keep_marker=True)
         size, p2 = _ebml_vint(buf, p1, keep_marker=False)
-        body_end = end if size == (1 << 56) - 1 else p2 + size  # unknown-size
+        # unknown-size: VINT_DATA all ones at ANY vint length (0xFF,
+        # 0x7F 0xFF, ... through the 8-byte form), common on
+        # live-streamed/unfinalized Matroska Segments
+        body_end = end if size == (1 << (7 * (p2 - p1))) - 1 else p2 + size
         if body_end > end:
             raise ValueError("ebml: element overruns parent")
         yield eid, p2, body_end
@@ -1343,12 +1346,22 @@ def decode_tiff_meta(payload: bytes) -> dict:
                 e = off + 2 + i * 12
                 tag, ftype, count = struct.unpack(bo + "HHI", payload[e : e + 8])
                 width = _TIFF_TYPES.get(ftype)
-                if width is None or width * count > 4:
-                    continue  # offset-valued or exotic: not needed for these tags
                 fmt = {1: "B", 3: "H", 4: "I"}.get(ftype)
-                if fmt is None:
-                    continue
-                val = struct.unpack(bo + fmt, payload[e + 8 : e + 8 + width])[0]
+                if width is None or fmt is None or count == 0:
+                    continue  # exotic type: not needed for these tags
+                if width * count <= 4:
+                    src = e + 8  # value(s) inline in the entry
+                else:
+                    # value field holds an offset to the array (TIFF 6.0
+                    # §2): real RGB files store BitsPerSample as a
+                    # count-3 SHORT array out-of-line — follow it rather
+                    # than silently reporting the default
+                    src = struct.unpack(bo + "I", payload[e + 8 : e + 12])[0]
+                    if src + width * count > len(payload):
+                        raise ValueError("tiff: field value offset out of range")
+                # first element is representative for the per-sample
+                # arrays these tags allow (e.g. 8,8,8 BitsPerSample)
+                val = struct.unpack(bo + fmt, payload[src : src + width])[0]
                 if tag == 256:
                     out["width"] = val
                 elif tag == 257:
@@ -1375,30 +1388,42 @@ def encode_tiff_skeleton(
     compression: int = 1,
     n_pages: int = 1,
     big_endian: bool = False,
+    bps_as_array: bool = False,
 ) -> bytes:
     """Header+IFD-only TIFF skeleton (no strip data) — the synthesizer
     twin of ``decode_tiff_meta``; supports multi-page chains and both
-    byte orders."""
+    byte orders. ``bps_as_array`` writes BitsPerSample the way real RGB
+    files do: a count-``samples_per_pixel`` SHORT array stored
+    out-of-line behind a value offset (exercises the offset-follow
+    path)."""
     bo = ">" if big_endian else "<"
     entries = [
         (256, 3, 1, width), (257, 3, 1, height), (258, 3, 1, bits_per_sample),
         (259, 3, 1, compression), (277, 3, 1, samples_per_pixel),
     ]
+    bps_n = samples_per_pixel if bps_as_array else 1
 
-    def ifd(next_off: int) -> bytes:
+    def ifd(next_off: int, arr_off: int) -> bytes:
         body = struct.pack(bo + "H", len(entries))
         for tag, ftype, count, val in entries:
-            body += struct.pack(bo + "HHI", tag, ftype, count)
-            body += struct.pack(bo + "H", val) + b"\x00\x00"
+            if tag == 258 and bps_as_array and bps_n * 2 > 4:
+                body += struct.pack(bo + "HHI", tag, ftype, bps_n)
+                body += struct.pack(bo + "I", arr_off)
+            else:
+                body += struct.pack(bo + "HHI", tag, ftype, count)
+                body += struct.pack(bo + "H", val) + b"\x00\x00"
         return body + struct.pack(bo + "I", next_off)
 
     ifd_len = 2 + len(entries) * 12 + 4
     out = (b"MM\x00*" if big_endian else b"II*\x00")
     offsets = [8 + i * ifd_len for i in range(n_pages)]
+    arr_off = 8 + n_pages * ifd_len  # per-sample array lives after the IFDs
     out += struct.pack(bo + "I", offsets[0])
     for i in range(n_pages):
         nxt = offsets[i + 1] if i + 1 < n_pages else 0
-        out += ifd(nxt)
+        out += ifd(nxt, arr_off)
+    if bps_as_array and bps_n * 2 > 4:
+        out += struct.pack(bo + f"{bps_n}H", *([bits_per_sample] * bps_n))
     return out
 
 
@@ -1481,7 +1506,22 @@ def decode_ogg_meta(payload: bytes) -> dict:
     seg_table = payload[27 : 27 + nsegs]
     if len(seg_table) < nsegs:
         raise ValueError("ogg: truncated segment table")
-    body = payload[27 + nsegs : 27 + nsegs + sum(seg_table)]
+    body_len = sum(seg_table)
+    if len(payload) < 27 + nsegs + body_len:
+        # a truncated page must not yield a short body that still
+        # happens to pass the id-header prefix/length checks
+        raise ValueError("ogg: page body shorter than segment table claims")
+    # first packet = lacing values up to and including the first <255
+    # (RFC 3533 §6); a trailing 255 means the packet continues on the
+    # NEXT page — refuse rather than parse a partial id header
+    first_len = 0
+    for s in seg_table:
+        first_len += s
+        if s < 255:
+            break
+    else:
+        raise ValueError("ogg: id-header packet spans pages (unsupported)")
+    body = payload[27 + nsegs : 27 + nsegs + first_len]
     if body[:8] == b"OpusHead":
         if len(body) < 19:
             raise ValueError("ogg: truncated OpusHead")

@@ -403,3 +403,133 @@ def test_gate_block_mode_waits_for_late_commit(spark, tmp_path):
     finally:
         t.join()
     db.close()
+
+
+# ---------------------------------------------------------------------
+# round-6 advisor fixes (jpeg multi-scan, archive guards, tiff/ebml/ogg)
+# ---------------------------------------------------------------------
+
+
+def test_jpeg_multiscan_baseline_rejected():
+    """A baseline JPEG whose SOS covers only 1 of 3 frame components
+    (legal per T.81 sequential multi-scan) must raise ValueError, not
+    return a grayscale-expanded wrong image from the first scan."""
+    import struct as _struct
+
+    import numpy as np
+
+    from flumedb_spark.operators import jpegcodec
+
+    img = np.full((16, 16, 3), 0, dtype=np.uint8)
+    img[:, :, 0] = 200  # make channels distinct
+    enc = jpegcodec.encode_jpeg(img, quality=50)
+    jpegcodec.decode_jpeg(enc)  # sanity: untouched stream decodes
+
+    i = enc.find(b"\xff\xda")
+    assert i > 0
+    seglen = _struct.unpack(">H", enc[i + 2 : i + 4])[0]
+    body = enc[i + 4 : i + 2 + seglen]
+    assert body[0] == 3  # interleaved 3-component scan
+    # rewrite to a single-component scan header (Ns=1, first component)
+    new_sos = (
+        b"\xff\xda" + _struct.pack(">H", 8) + bytes([1]) + body[1:3] + body[-3:]
+    )
+    hacked = enc[:i] + new_sos + enc[i + 2 + seglen :]
+    with pytest.raises(ValueError):
+        jpegcodec.decode_jpeg(hacked)
+
+
+def test_gunzip_capped_stops_decompression_bombs():
+    import gzip
+
+    from flumedb_spark.operators import archives
+
+    bomb = gzip.compress(b"\x00" * 100_000, mtime=0)
+    assert archives.gunzip_capped(bomb) == b"\x00" * 100_000
+    with pytest.raises(ValueError, match="cap"):
+        archives.gunzip_capped(bomb, cap=1_000)
+
+
+def test_archive_kernels_use_broad_malformed_guard():
+    """The mapInPandas kernels catch the same error zoo as mmcodec's
+    entry guard (MemoryError from a bomb, struct/Index errors from
+    pathological stdlib paths) — never a partition failure."""
+    from flumedb_spark.operators import archives
+
+    for exc in (MemoryError, OverflowError, IndexError, ValueError):
+        assert issubclass(exc, archives._MALFORMED) or exc in archives._MALFORMED
+    import struct as _struct
+
+    assert _struct.error in archives._MALFORMED
+
+
+def test_tiff_offset_valued_bits_per_sample():
+    """Real RGB TIFFs store BitsPerSample as a count-3 SHORT array
+    behind a value offset; the decoder must follow it (reporting the
+    first element), not silently report the default of 1."""
+    from flumedb_spark.operators import mmcodec
+
+    for be in (False, True):
+        t = mmcodec.encode_tiff_skeleton(
+            width=320, height=200, bits_per_sample=8, samples_per_pixel=3,
+            big_endian=be, bps_as_array=True,
+        )
+        m = mmcodec.decode_tiff_meta(t)
+        assert m["bits_per_sample"] == 8, (be, m)
+        assert m["samples_per_pixel"] == 3
+        assert m["width"] == 320 and m["height"] == 200
+    # an offset pointing past the payload is malformed, not default-1
+    t = mmcodec.encode_tiff_skeleton(samples_per_pixel=3, bps_as_array=True)
+    with pytest.raises(ValueError):
+        mmcodec.decode_tiff_meta(t[:-2])  # chop the out-of-line array
+
+
+def test_ebml_short_form_unknown_size():
+    """Unknown-size vints shorter than the 8-byte all-ones form (e.g.
+    1-byte 0xFF on live-streamed/unfinalized Matroska Segments) must
+    parse as unknown-size, not as a literal overrunning size."""
+    from flumedb_spark.operators import mmcodec as mm
+
+    full = mm.encode_webm_skeleton(500.0, width=320, height=240)
+    seg_id = mm._ebml_encode_id(mm._MKV_SEGMENT)
+    i = full.find(seg_id)
+    assert i > 0
+    _, p2 = mm._ebml_vint(full, i + len(seg_id), keep_marker=False)
+    hacked = full[: i + len(seg_id)] + b"\xff" + full[p2:]
+    m = mm.decode_webm_meta(hacked)
+    assert m["doc_type"] == "webm"
+    assert (m["width"], m["height"]) == (320, 240)
+    # 2-byte form 0x7F 0xFF as well
+    hacked2 = full[: i + len(seg_id)] + b"\x7f\xff" + full[p2:]
+    m2 = mm.decode_webm_meta(hacked2)
+    assert (m2["width"], m2["height"]) == (320, 240)
+
+
+def test_ogg_truncated_page_and_spanning_packet_rejected():
+    """A page whose segment table claims more bytes than are present
+    must raise (not parse a short body that happens to pass the prefix
+    checks), and an id header laced across pages (trailing 255) must
+    refuse rather than parse a partial packet."""
+    import struct as _struct
+
+    from flumedb_spark.operators import mmcodec as mm
+
+    good = mm.encode_ogg_skeleton("opus", channels=2, sample_rate=44100)
+    assert mm.decode_ogg_meta(good)["channels"] == 2
+    # claim a 30-byte packet but ship only the real 19: the OpusHead
+    # prefix/length checks would still pass on the short body
+    pkt = good[28:]
+    assert len(pkt) == 19
+    head = good[:26] + bytes([1, 30])
+    with pytest.raises(ValueError, match="shorter"):
+        mm.decode_ogg_meta(head + pkt)
+    # a packet spanning pages: single lacing value 255
+    body = (pkt + b"\x00" * 255)[:255]
+    head255 = good[:26] + bytes([1, 255])
+    with pytest.raises(ValueError, match="spans"):
+        mm.decode_ogg_meta(head255 + body)
+    # multi-segment id header fully inside the page still parses: a
+    # 260-byte padded packet laces as [255, 5]
+    pkt260 = pkt + b"\x00" * 241
+    head2 = good[:26] + bytes([2, 255, 5])
+    assert mm.decode_ogg_meta(head2 + pkt260)["codec"] == "opus"
