@@ -111,12 +111,11 @@ DRIVER_WINDOW: list[str] = [
     # rows whose code is frozen this round (ns_image_decode_meta,
     # ns_decontamination, ns_repetition_ratio, ns_semantic_dedup,
     # ns_pii_redaction, ns_chunk_dedup)
-    "o1_append_visibility",
+    # (r6: o1/o5/o7/o15 rotate back OUT — freshly driver-attested at
+    # sf0.01 in r5, still live-gated every suite run — freeing slots for
+    # the new r6 rows below; o2/o3/o4 keep the core-O family in-window)
     "o3_get_point",
     "o4_stream_reverse_topk",
-    "o5_stream_seqs_only",
-    "o7_since",
-    "o15_mapper_read",
     "o2_bulk_append",
     # view families (§2.B)
     "v1_reduce_stats",
@@ -138,6 +137,8 @@ DRIVER_WINDOW: list[str] = [
     # for the new ns_archive_listing row — the family keeps five other
     # in-window rows)
     "ns_ngram_jaccard_pairs",
+    # exact-substring dedup (shared-span family) — NEW r6 (VERDICT-r5 #5)
+    "ns_substring_dedup",
     "ns_minhash_lsh_candidates",
     "ns_neardup_clusters",
     "ns_simhash_md5",
@@ -182,6 +183,13 @@ DRIVER_WINDOW: list[str] = [
     "ns_archive_listing",
     # WARC record enumeration (Common Crawl container) — NEW r5
     "ns_warc_listing",
+    # extraction stage (listing -> member/body CONTENT rows) — NEW r6
+    # (VERDICT-r5 #2): WARC response bodies + zip member extraction
+    "ns_warc_bodies",
+    "ns_archive_extract",
+    # data-file registry triage (parquet footers + avro OCF headers) —
+    # promoted to oracle attestation in r6 (VERDICT-r5 #1)
+    "ns_datafile_meta",
 ]
 
 

@@ -632,6 +632,175 @@ def ns_warc_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return archives.warc_listing(payloads).orderBy("doc_id", "record_id")
 
 
+@query(
+    "ns_warc_bodies",
+    oracle="""
+    SELECT d.doc_id,
+      '<urn:test:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(s.i AS VARCHAR) || '>' AS record_id,
+      'http://ex.test/' || CAST(d.doc_id AS VARCHAR) || '/' || CAST(s.i AS VARCHAR) AS target_uri,
+      md5(repeat('y', CAST(20 + (d.doc_id*11 + s.i*17) % 180 AS INT))) AS body_md5,
+      CAST(20 + (d.doc_id*11 + s.i*17) % 180 AS BIGINT) AS content_length,
+      true AS ok
+    FROM documents d, generate_series(0, 3) s(i)
+    WHERE s.i <= d.doc_id % 4
+    ORDER BY d.doc_id, record_id
+    """,
+)
+def ns_warc_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC response-body EXTRACTION — the Common Crawl ingest stage
+    proper (bodies, not listings): per-doc REAL gzipped WARC bytes
+    walked record-by-record, response blocks emitted as body rows
+    (warcinfo filtered kernel-side, HTTP headers stripped when present,
+    64 MiB per-body cap). The oracle replays the synth body formula
+    through md5, so a body-offset or length bug breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from .operators import archives
+
+    payloads = archives.with_synthetic_warc_payload(spark.table("documents"))
+    return (
+        archives.warc_bodies(payloads)
+        .select(
+            "doc_id",
+            "record_id",
+            "target_uri",
+            F.md5(F.col("body")).alias("body_md5"),
+            "content_length",
+            "ok",
+        )
+        .orderBy("doc_id", "record_id")
+    )
+
+
+@query(
+    "ns_archive_extract",
+    oracle="""
+    SELECT d.doc_id,
+      'f' || CAST(s.i AS VARCHAR) || '.txt' AS member,
+      md5(repeat('x', CAST(10 + (d.doc_id*7 + s.i*13) % 90 AS INT))) AS content_md5,
+      CAST(10 + (d.doc_id*7 + s.i*13) % 90 AS BIGINT) AS size,
+      false AS truncated,
+      true AS ok
+    FROM documents d, generate_series(0, 4) s(i)
+    WHERE s.i <= d.doc_id % 5
+    ORDER BY d.doc_id, member
+    """,
+)
+def ns_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive member EXTRACTION (stage two of the listing->extract
+    pipeline): per-doc REAL zip bytes, every member's content
+    decompressed inside the Arrow-batched kernel with the 64 MiB
+    per-member cap. The oracle replays the member content formula
+    through md5 — a decompression, ordering, or cap bug breaks the
+    hash."""
+    from pyspark.sql import functions as F
+
+    from .operators import archives
+
+    payloads = archives.with_synthetic_zip_payload(spark.table("documents"))
+    return (
+        archives.archive_extract(payloads)
+        .select(
+            "doc_id",
+            "member",
+            F.md5(F.col("content")).alias("content_md5"),
+            "size",
+            "truncated",
+            "ok",
+        )
+        .orderBy("doc_id", "member")
+    )
+
+
+@query(
+    "ns_datafile_meta",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'parquet' ELSE 'avro' END AS format,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 10
+           ELSE 2 + doc_id % 5 + doc_id % 3 END AS BIGINT) AS n_rows,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN (4 + doc_id % 10) // 4
+           ELSE 2 END AS BIGINT) AS n_row_groups,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
+           ELSE 1 + doc_id % 4 END AS BIGINT) AS n_columns,
+      CASE WHEN doc_id % 2 = 0 THEN
+        CASE WHEN doc_id % 4 = 0 THEN 'uncompressed' ELSE 'snappy' END
+      ELSE
+        CASE WHEN doc_id % 3 = 0 THEN 'deflate' ELSE 'null' END
+      END AS codec,
+      true AS ok
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_datafile_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-file registry triage (lakehouse drop-directory pass): REAL
+    per-doc payloads — pyarrow-written parquet on even doc_ids, Avro
+    OCF (public spec, stdlib walk) on odd — dispatched by magic bytes
+    to the footer/header parsers. The oracle replays the synthesizer
+    formulas (row counts, ceil-divided row groups, column counts, codec
+    cycling), so a footer-walk bug in either format breaks the hash.
+    created_by is excluded: the parquet value is a pyarrow version
+    string, not formula-replayable."""
+    from .operators import archives
+
+    payloads = archives.with_synthetic_datafile_payload(spark.table("documents"))
+    return (
+        archives.datafile_meta_df(payloads)
+        .select("doc_id", "format", "n_rows", "n_row_groups", "n_columns", "codec", "ok")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ns_substring_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 8),
+    win AS (
+      SELECT doc_id, gs.i AS i, md5(array_to_string(w[gs.i:gs.i+7], ' ')) AS h
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) gs
+    ),
+    dup AS (
+      SELECT DISTINCT doc_id, i FROM (
+        SELECT doc_id, i, min(doc_id) OVER (PARTITION BY h) AS keep_doc FROM win
+      ) WHERE doc_id > keep_doc
+    ),
+    ord AS (
+      SELECT doc_id, i,
+        max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_cover
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, i,
+        sum(CASE WHEN prev_cover IS NULL OR i > prev_cover + 1 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM ord
+    )
+    SELECT doc_id, min(i) AS span_start, max(i + 7) AS span_end,
+      max(i + 7) - min(i) + 1 AS n_tokens
+    FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+    """,
+)
+def ns_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (the long-shared-span family used on web
+    corpora — suffix-array semantics, bucketed): maximal token spans of
+    >= 8 consecutive tokens that also appear in an earlier document.
+    One shuffle on the md5 window hash (uniform keys, no self-join,
+    never all-pairs), then per-doc gaps-and-islands span merge. The
+    oracle replays the identical shingle/min-doc/island arithmetic.
+    100 TB note in docs/SCALING.md."""
+    from pyspark.sql import functions as F
+
+    spans = dedup.substring_dup_spans(spark.table("documents"), window=8)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def _simhash_md5_sql(int_div: str, lateral: str, shiftleft: str) -> str:
     """Portable md5-based 64-bit SimHash: per-token md5, hex digits
     decoded via position(c IN '0123456789abcdef') (both dialects), bit

@@ -177,11 +177,12 @@ def gunzip_capped(payload: bytes, what: str = "gzip", cap: int = MAX_DECOMPRESSE
         raise ValueError(f"{what}: bad gzip stream: {exc}") from exc
 
 
-def warc_records(payload: bytes) -> list[dict]:
+def warc_records(payload: bytes, with_bodies: bool = False) -> list[dict]:
     """Enumerate records of a WARC payload (plain or gzip, including
     the per-record-member gzip Common Crawl uses): record type, target
-    URI, record id, and content length — no body parsing. ValueError on
-    malformed input (the shared drop-the-row contract)."""
+    URI, record id, and content length. With ``with_bodies`` each dict
+    also carries the raw record block bytes under ``body``. ValueError
+    on malformed input (the shared drop-the-row contract)."""
     if payload[:2] == b"\x1f\x8b":
         payload = gunzip_capped(payload, what="warc")
     out = []
@@ -211,17 +212,18 @@ def warc_records(payload: bytes) -> list[dict]:
         if length < 0 or body_start + length > n:
             # negative lengths would walk pos BACKWARDS and loop forever
             raise ValueError("warc: bad record body length")
-        out.append(
-            {
-                "record_type": headers.get(b"warc-type", b"").decode("ascii", "replace"),
-                "target_uri": (
-                    headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
-                    or None
-                ),
-                "record_id": headers.get(b"warc-record-id", b"").decode("ascii", "replace"),
-                "content_length": length,
-            }
-        )
+        rec = {
+            "record_type": headers.get(b"warc-type", b"").decode("ascii", "replace"),
+            "target_uri": (
+                headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+                or None
+            ),
+            "record_id": headers.get(b"warc-record-id", b"").decode("ascii", "replace"),
+            "content_length": length,
+        }
+        if with_bodies:
+            rec["body"] = payload[body_start : body_start + length]
+        out.append(rec)
         pos = body_start + length
     if not out:
         raise ValueError("warc: no records")
@@ -477,3 +479,265 @@ def datafile_meta(payload: bytes) -> dict:
             "codec": m["codec"],
         }
     raise ValueError("datafile: neither parquet nor avro magic")
+
+
+DATAFILE_SCHEMA = (
+    "doc_id long, format string, n_rows long, n_row_groups long, "
+    "n_columns long, codec string, created_by string, ok boolean"
+)
+
+
+def datafile_meta_df(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> one datafile-registry row per payload
+    (format, rows, row groups, columns, codec) with the corrupt-blob
+    ok=False contract. The triage pass a lakehouse drop-directory
+    pipeline runs before loading anything as a table; at 100 TB the
+    footer/header walk reads tail/head bytes only, never row data."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("format", "n_rows", "n_row_groups", "n_columns", "codec", "created_by")
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", *cols, "ok")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    m = datafile_meta(bytes(p))
+                except _MALFORMED:
+                    out["doc_id"].append(doc_id)
+                    out["format"].append(None)
+                    for c in ("n_rows", "n_row_groups", "n_columns"):
+                        out[c].append(0)
+                    out["codec"].append(None)
+                    out["created_by"].append(None)
+                    out["ok"].append(False)
+                    continue
+                out["doc_id"].append(doc_id)
+                for c in cols:
+                    out[c].append(m[c])
+                out["ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, DATAFILE_SCHEMA)
+
+
+def synth_datafile(doc_id: int) -> bytes:
+    """Deterministic data-file payload: even doc_ids get a REAL parquet
+    file (pyarrow-written: 1 + d%10 rows, 1 + d%3 long columns,
+    row_group_size 4, snappy unless d%4==0), odd get a REAL Avro OCF
+    (1 + d%4 fields, blocks of 1+d%5 and 1+d%3 records, deflate header
+    when d%3==0) — formulas a SQL oracle replays arithmetically."""
+    d = int(doc_id)
+    if d % 2 == 0:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n_rows = 1 + d % 10
+        n_cols = 1 + d % 3
+        table = pa.table(
+            {f"c{i}": list(range(n_rows)) for i in range(n_cols)},
+            schema=pa.schema([(f"c{i}", pa.int64()) for i in range(n_cols)]),
+        )
+        buf = io.BytesIO()
+        pq.write_table(
+            table,
+            buf,
+            row_group_size=4,
+            compression="NONE" if d % 4 == 0 else "snappy",
+        )
+        return buf.getvalue()
+    return encode_avro_skeleton(
+        schema_name="rec",
+        n_fields=1 + d % 4,
+        block_counts=(1 + d % 5, 1 + d % 3),
+        codec="deflate" if d % 3 == 0 else "null",
+    )
+
+
+def with_synthetic_datafile_payload(docs: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [synth_datafile(int(x)) for x in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------
+# extraction stage: member bytes / WARC response bodies as rows
+# ---------------------------------------------------------------------
+# The second stage the listing pass routes into (module docstring
+# contract): given archive payloads, emit the surviving members'
+# CONTENT as rows. Per-member size is hard-capped so one pathological
+# member (zip bomb, multi-GB crawl body) cannot OOM an executor: bytes
+# past the cap are dropped and the row is flagged truncated=true, which
+# lets a 100 TB pipeline keep its memory ceiling per-task deterministic
+# (cap x rows-in-flight) regardless of input.
+
+MAX_MEMBER_BYTES = 1 << 26  # 64 MiB per member/body — far above web-doc p99
+
+EXTRACT_SCHEMA = (
+    "doc_id long, member string, content binary, size long, "
+    "truncated boolean, ok boolean"
+)
+
+
+def extract_members(
+    payload: bytes,
+    member_pattern: str | None = None,
+    cap: int = MAX_MEMBER_BYTES,
+) -> list[dict]:
+    """Extract file members of a zip/tar payload (magic-sniffed like
+    ``list_members``): (member, content, size, truncated). ``size`` is
+    the member's TRUE uncompressed size even when content is capped.
+    ``member_pattern`` filters member names kernel-side (regex search)
+    so unneeded members are never decompressed at all."""
+    import re
+
+    pat = re.compile(member_pattern) if member_pattern else None
+    out = []
+    if payload[:2] == b"PK":
+        try:
+            with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                for i in zf.infolist():
+                    if i.is_dir() or (pat and not pat.search(i.filename)):
+                        continue
+                    with zf.open(i) as f:
+                        content = f.read(cap + 1)
+                    out.append(
+                        {
+                            "member": i.filename,
+                            "content": content[:cap],
+                            "size": i.file_size,
+                            "truncated": len(content) > cap,
+                        }
+                    )
+        except (zipfile.BadZipFile, OSError, ValueError, EOFError) as exc:
+            raise ValueError(f"zip: unreadable archive: {exc}") from exc
+        return out
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:*") as tf:
+            for m in tf.getmembers():
+                if not m.isfile() or (pat and not pat.search(m.name)):
+                    continue
+                f = tf.extractfile(m)
+                content = f.read(cap + 1) if f is not None else b""
+                out.append(
+                    {
+                        "member": m.name,
+                        "content": content[:cap],
+                        "size": m.size,
+                        "truncated": len(content) > cap,
+                    }
+                )
+    except (tarfile.TarError, OSError, ValueError, EOFError) as exc:
+        raise ValueError(f"tar: unreadable archive: {exc}") from exc
+    return out
+
+
+def archive_extract(
+    payloads: DataFrame,
+    member_pattern: str | None = None,
+    cap: int = MAX_MEMBER_BYTES,
+) -> DataFrame:
+    """(doc_id, payload) -> one row per extracted member with its
+    content bytes (exploded), corrupt-blob ok=False contract. Filter on
+    a listing pass first when most members are unwanted — but when the
+    filter is a name pattern, ``member_pattern`` pushes it into the
+    kernel so skipped members are never decompressed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "member", "content", "size", "truncated", "ok")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    members = extract_members(bytes(p), member_pattern, cap)
+                except _MALFORMED:
+                    out["doc_id"].append(doc_id)
+                    out["member"].append(None)
+                    out["content"].append(None)
+                    out["size"].append(0)
+                    out["truncated"].append(False)
+                    out["ok"].append(False)
+                    continue
+                for m in members:
+                    out["doc_id"].append(doc_id)
+                    out["member"].append(m["member"])
+                    out["content"].append(m["content"])
+                    out["size"].append(m["size"])
+                    out["truncated"].append(m["truncated"])
+                    out["ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, EXTRACT_SCHEMA)
+
+
+def strip_http_payload(body: bytes) -> bytes:
+    """WARC response blocks hold the full HTTP message; the corpus text
+    lives after the header/payload boundary. Returns the HTTP payload
+    when the block starts with a status line, else the block verbatim
+    (WET conversions ship bare text)."""
+    if body[:5] in (b"HTTP/", b"http/"):
+        sep = body.find(b"\r\n\r\n")
+        if sep >= 0:
+            return body[sep + 4 :]
+    return body
+
+
+WARC_BODIES_SCHEMA = (
+    "doc_id long, record_id string, target_uri string, body binary, "
+    "content_length long, truncated boolean, ok boolean"
+)
+
+
+def warc_bodies(
+    payloads: DataFrame,
+    record_types: tuple[str, ...] = ("response",),
+    strip_http: bool = True,
+    cap: int = MAX_MEMBER_BYTES,
+) -> DataFrame:
+    """(doc_id, payload) -> one row per WARC record of the requested
+    types with its body bytes — the Common Crawl ingest stage proper
+    (response bodies, not listings). HTTP headers are stripped from
+    response blocks by default; bodies past ``cap`` are truncated and
+    flagged. Corrupt payloads yield the usual single ok=False row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "record_id", "target_uri", "body",
+                    "content_length", "truncated", "ok",
+                )
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    recs = warc_records(bytes(p), with_bodies=True)
+                except _MALFORMED:
+                    out["doc_id"].append(doc_id)
+                    out["record_id"].append(None)
+                    out["target_uri"].append(None)
+                    out["body"].append(None)
+                    out["content_length"].append(0)
+                    out["truncated"].append(False)
+                    out["ok"].append(False)
+                    continue
+                for r in recs:
+                    if record_types and r["record_type"] not in record_types:
+                        continue
+                    body = r["body"]
+                    if strip_http:
+                        body = strip_http_payload(body)
+                    out["doc_id"].append(doc_id)
+                    out["record_id"].append(r["record_id"])
+                    out["target_uri"].append(r["target_uri"])
+                    out["body"].append(body[:cap])
+                    out["content_length"].append(r["content_length"])
+                    out["truncated"].append(len(body) > cap)
+                    out["ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, WARC_BODIES_SCHEMA)

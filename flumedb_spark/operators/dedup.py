@@ -310,3 +310,88 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).alias("simhash")
     )
+
+
+# ---- exact-substring dedup -----------------------------------------
+
+
+def substring_dup_spans(
+    docs: DataFrame, window: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring duplication spans: token regions of ``window`` or
+    more consecutive tokens that also appear in an earlier document
+    (min doc_id keeps its copy) — the long-shared-span dedup family
+    used on large web corpora (suffix-array dedup's semantics, bucketed
+    for Spark).
+
+    Shape: every length-``window`` token window is hashed (md5 over the
+    space-joined tokens — 128 bits, cross-engine deterministic);
+    windows sharing a hash are grouped by ONE shuffle on the hash
+    (uniform md5 keys — no skew, no self-join, never all-pairs); an
+    occurrence in a doc newer than the group's min doc_id is
+    duplicated. Per doc, overlapping/adjacent duplicated windows merge
+    into maximal spans (gaps-and-islands over a window function).
+    Returns (doc_id, span_start, span_end, n_tokens), 1-based inclusive
+    token positions, for drop/trim decisions downstream.
+
+    At 100 TB: the window table is ~one row per corpus token — big but
+    embarrassingly shuffle-friendly (two hash exchanges: by window
+    hash, then by doc_id; both uniform). Raising ``window`` or striding
+    the candidate side trades recall for volume; stride 1 is exact.
+    Same-doc internal repetition is NOT flagged (both occurrences carry
+    one doc_id) — that is ns_repetition_ratio's job.
+    """
+    docs = _spread(docs)
+    w = window
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - (w - 1))
+    wins = (
+        docs.where(F.size(words) >= w)
+        .select(
+            "doc_id",
+            F.explode(idx).alias("i"),
+            words.alias("_w"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.array_join(F.slice(F.col("_w"), F.col("i"), w), " ")).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    keep = Window.partitionBy("h")
+    dup = (
+        wins.withColumn("keep_doc", F.min("doc_id").over(keep))
+        .where(F.col("doc_id") > F.col("keep_doc"))
+        .select("doc_id", "i")
+        .distinct()
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("i")
+    prev_cover = (
+        F.max(F.col("i") + (w - 1))
+        .over(by_pos.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    islands = (
+        dup.withColumn(
+            "new_island",
+            F.when(
+                prev_cover.isNull() | (F.col("i") > prev_cover + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(by_pos))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("i").alias("span_start"),
+            F.max(F.col("i") + (w - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )

@@ -179,3 +179,92 @@ def test_datafile_corrupt_and_fuzz():
                 fn(bytes(b))
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------
+# round-6: extraction stage (listing -> content rows) + datafile df
+# ---------------------------------------------------------------------
+
+
+def test_extract_members_roundtrips_and_caps():
+    for d in (0, 3, 9):
+        ms = ar.extract_members(ar.synth_zip(d))
+        assert len(ms) == 1 + d % 5
+        for m in ms:
+            assert m["content"] == b"x" * m["size"]
+            assert not m["truncated"]
+    capped = ar.extract_members(ar.synth_zip(9), cap=5)
+    assert all(len(m["content"]) == 5 and m["truncated"] and m["size"] > 5
+               for m in capped)
+    # size reports the TRUE size even when capped
+    assert [m["size"] for m in capped] == [m["size"] for m in ar.extract_members(ar.synth_zip(9))]
+
+
+def test_extract_members_tar_and_pattern():
+    import io as _io
+    import tarfile as _tar
+
+    buf = _io.BytesIO()
+    with _tar.open(fileobj=buf, mode="w:gz") as tf:
+        for name, data in (("a/keep.txt", b"K" * 30), ("a/skip.bin", b"S" * 10)):
+            ti = _tar.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, _io.BytesIO(data))
+    ms = ar.extract_members(buf.getvalue(), member_pattern=r"\.txt$")
+    assert [(m["member"], m["content"]) for m in ms] == [("a/keep.txt", b"K" * 30)]
+
+
+def test_warc_bodies_strip_http_and_types():
+    # handcrafted response whose block is a full HTTP message
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello corpus"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x:1>\r\n"
+        b"WARC-Target-URI: http://e.test/\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode() + http + b"\r\n\r\n"
+    )
+    recs = ar.warc_records(rec, with_bodies=True)
+    assert recs[0]["body"] == http
+    assert ar.strip_http_payload(recs[0]["body"]) == b"hello corpus"
+
+
+def test_spark_warc_bodies_and_archive_extract(spark):
+    docs = spark.range(0, 8).selectExpr("id AS doc_id")
+    payloads = ar.with_synthetic_warc_payload(docs)
+    rows = ar.warc_bodies(payloads).orderBy("doc_id", "record_id").collect()
+    # warcinfo records filtered: only responses, bodies intact
+    assert all(r.ok for r in rows)
+    assert len(rows) == sum(1 + d % 4 for d in range(8))
+    for r in rows:
+        assert bytes(r.body) == b"y" * r.content_length
+        assert not r.truncated
+    zrows = ar.archive_extract(ar.with_synthetic_zip_payload(docs)).collect()
+    assert len(zrows) == sum(1 + d % 5 for d in range(8))
+    assert all(bytes(r.content) == b"x" * r.size for r in zrows)
+    # corrupt payload -> single ok=False row, not a partition failure
+    bad = spark.createDataFrame([(99, bytearray(b"PK\x03\x04garbage"))],
+                                "doc_id long, payload binary")
+    brows = ar.archive_extract(bad).collect()
+    assert len(brows) == 1 and not brows[0].ok
+
+
+def test_spark_datafile_meta_df(spark):
+    docs = spark.range(0, 10).selectExpr("id AS doc_id")
+    rows = (
+        ar.datafile_meta_df(ar.with_synthetic_datafile_payload(docs))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.format for r in rows] == ["parquet", "avro"] * 5
+    for r in rows:
+        d = r.doc_id
+        if d % 2 == 0:
+            assert r.n_rows == 1 + d % 10 and r.n_columns == 1 + d % 3
+            assert r.n_row_groups == (4 + d % 10) // 4
+            assert r.codec == ("uncompressed" if d % 4 == 0 else "snappy")
+        else:
+            assert r.n_rows == 2 + d % 5 + d % 3 and r.n_row_groups == 2
+            assert r.created_by == "rec"
+    bad = spark.createDataFrame([(7, bytearray(b"Obj\x01\xff\xff"))],
+                                "doc_id long, payload binary")
+    brows = ar.datafile_meta_df(bad).collect()
+    assert len(brows) == 1 and not brows[0].ok

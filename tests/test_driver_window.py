@@ -115,9 +115,14 @@ def test_changed_or_new_rows_in_window():
         "ns_zorder_morton",
         # (ns_url_dedup rotated out late r5 for ns_archive_listing)
         # r5: the six core-O entries rotated BACK IN (VERDICT r4 #4 —
-        # driver sf0.01 re-attestation after r1/r2 rotation)
-        "o1_append_visibility", "o3_get_point", "o4_stream_reverse_topk",
-        "o5_stream_seqs_only", "o7_since", "o15_mapper_read",
+        # driver sf0.01 re-attestation after r1/r2 rotation); r6:
+        # o1/o5/o7/o15 rotate back OUT (freshly r5-green at sf0.01,
+        # live-gated every suite run) to free slots for the new r6 rows
+        "o3_get_point", "o4_stream_reverse_topk",
+        # r6 new rows: extraction stage (VERDICT-r5 #2), datafile-meta
+        # promotion (#1), exact-substring dedup (#5)
+        "ns_warc_bodies", "ns_archive_extract",
+        "ns_datafile_meta", "ns_substring_dedup",
     ):
         assert n in _window_names(), n
 

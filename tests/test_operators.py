@@ -609,3 +609,58 @@ def test_canonicalize_url_idempotent(spark):
     once = df.select(canonicalize_url(F.col("url")).alias("c"))
     twice = once.select(canonicalize_url(F.col("c")).alias("c"))
     assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+
+
+# ---------------------------------------------------------------------
+# round-6: exact-substring dedup
+# ---------------------------------------------------------------------
+
+
+def test_substring_dup_spans_semantics(spark):
+    from flumedb_spark.operators.dedup import substring_dup_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta gamma delta epsilon zeta eta theta"),
+            # doc 2 embeds the shared 10-token run at positions 4..13
+            (2, f"x y z {shared} unique tail words here now ok fine"),
+            # doc 3 duplicates doc 2's full text -> whole-doc span
+            (3, f"x y z {shared} unique tail words here now ok fine"),
+            # doc 4 shares nothing 8 tokens long
+            (4, "totally different content with no overlapping runs at all"),
+            # doc 5: internal repetition only (same doc) -> NOT flagged
+            (5, "r s t u v w x1 y1 " * 2 + "ending"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = substring_dup_spans(docs, window=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert 1 not in by_doc  # keeper (min doc_id) never flagged
+    assert by_doc[2] == [(4, 13)]  # exactly the embedded shared run
+    doc3_len = docs.where("doc_id = 3").selectExpr("size(split(text, ' ')) AS s").first().s
+    assert by_doc[3] == [(1, doc3_len)]  # exact dup -> whole doc
+    assert 4 not in by_doc
+    assert 5 not in by_doc  # same-doc repetition is not cross-doc dup
+
+
+def test_substring_dup_spans_merges_adjacent_windows(spark):
+    from flumedb_spark.operators.dedup import substring_dup_spans
+
+    # two shared 8-token runs separated by ONE differing token in doc 2:
+    # spans [1,8] and [10,17] must stay separate (gap at 9)
+    run_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    run_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run_a} SEP1 {run_b}"),
+            (2, f"{run_a} OTHER {run_b}"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = substring_dup_spans(docs, window=8).orderBy("span_start").collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in rows] == [
+        (2, 1, 8), (2, 10, 17),
+    ]
