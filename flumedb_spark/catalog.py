@@ -133,6 +133,10 @@ DRIVER_WINDOW: list[str] = [
     # the streaming family keeps both stream_* rows)
     "stream_windowed_counts",
     "stream_stateful_key_stats",
+    # streaming dedup-within-watermark — NEW r6 (VERDICT-r5 #8); takes
+    # the slot of r5-green frozen ns_zorder_morton (scd2 keeps the
+    # storage-layout family in-window)
+    "stream_dedup_watermark",
     # dedup / similarity / ANN family (ns_url_dedup rotated out late r5
     # for the new ns_archive_listing row — the family keeps five other
     # in-window rows)
@@ -165,7 +169,6 @@ DRIVER_WINDOW: list[str] = [
     "ns_salted_join",
     "ns_salted_distinct_count",
     "ns_scd2_history",
-    "ns_zorder_morton",
     # multimodal (real-codec meta paths; ns_video_meta and
     # ns_jpeg_decode are NEW in r5 — new entries must take a window
     # slot, so they replace the r4-green frozen fuzzy_match_names and
@@ -920,6 +923,79 @@ def _run_stream_to_memory(
     sink = spark.table(qname)
     spark.catalog.dropTempView(qname)
     return sink
+
+
+@query(
+    "stream_dedup_watermark",
+    # Streaming dropDuplicates-within-watermark (VERDICT-r5 #8) — the
+    # streaming twin of ns_dedup_exact, run as a REAL Structured
+    # Streaming query over three pinned micro-batches with injected
+    # duplicates: b0 = %10 NOT IN (3,7) originals; b1 = %10==7
+    # originals + DUPLICATE copies of b0's %10==0 rows; b2 = %10==3
+    # originals + duplicate copies of b0's %10==4 rows.
+    # Empirically pinned Spark 4.1 semantics (probe in
+    # tests/test_streaming.py::test_stream_dedup_watermark_semantics):
+    # in batch N the late-event filter uses the watermark through batch
+    # N-2 and state eviction at end of batch N uses the watermark
+    # through N-1 — so a duplicate's late-filter bound always equals
+    # the eviction bound that governed its twin's state, and EVERY
+    # duplicate is dropped (late if ts < wm, live-state if ts >= wm):
+    # exactly-once distinct output of non-late first arrivals.
+    # b1 originals are never late (wm through b(-1) = -inf); b2
+    # originals survive iff ts >= wm-through-b0.
+    oracle="""
+    WITH b0 AS (SELECT ts FROM events WHERE event_id % 10 NOT IN (3, 7)),
+         wm0 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM b0)
+    SELECT event_id, epoch_us(ts) AS ts_us FROM events
+    WHERE event_id % 10 NOT IN (3, 7) OR event_id % 10 = 7
+    UNION ALL
+    SELECT event_id, epoch_us(ts) FROM events
+    WHERE event_id % 10 = 3 AND ts >= (SELECT w FROM wm0)
+    ORDER BY event_id
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.live import dedup_within_watermark
+
+    ev = spark.table("events").select("event_id", "ts")
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        stream_dir = os.path.join(work, "in")
+        os.makedirs(stream_dir)
+        m10 = F.col("event_id") % 10
+        stages = (
+            ev.where(~m10.isin(3, 7)),
+            ev.where(m10 == 7).unionAll(ev.where(m10 == 0)),  # + dups of b0
+            ev.where(m10 == 3).unionAll(ev.where(m10 == 4)),  # + dups of b0
+        )
+        for i, batch in enumerate(stages):
+            staged = os.path.join(work, f"stage{i}")
+            batch.coalesce(1).write.parquet(staged)
+            part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+            dst = os.path.join(stream_dir, f"b{i}.parquet")
+            shutil.move(os.path.join(staged, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        out = dedup_within_watermark(
+            src, keys=("event_id",), watermark="30 minutes", ts_col="ts"
+        )
+        sink = _run_stream_to_memory(spark, out, work, output_mode="append")
+        rows = (
+            sink.select("event_id", F.unix_micros("ts").alias("ts_us"))
+            .orderBy("event_id")
+            .collect()
+        )
+        return spark.createDataFrame(rows, "event_id long, ts_us long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(

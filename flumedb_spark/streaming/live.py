@@ -336,3 +336,24 @@ def windowed_event_counts(
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("win_start"), F.col("w.end").alias("win_end"), "n")
     )
+
+
+def dedup_within_watermark(
+    events_stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — the streaming twin of
+    ns_dedup_exact, and the op a live ingest pipeline actually runs:
+    ``dropDuplicates([*keys, ts_col])`` under a watermark keeps one
+    state entry per distinct (key, event-time) and evicts entries once
+    the watermark passes their event time, so state is O(arrival skew),
+    not O(stream length). A duplicate arriving while its twin's state
+    is live is dropped; one arriving after eviction is either dropped
+    by the late-event filter or (inside the filter/eviction lag window)
+    re-emitted — semantics empirically pinned in
+    tests/test_streaming.py::test_stream_dedup_watermark_semantics."""
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicates(
+        [*keys, ts_col]
+    )

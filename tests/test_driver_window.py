@@ -51,6 +51,10 @@ def test_all_northstar_ops_in_window():
         # late-r5 rotation for ns_archive_listing (dedup family keeps
         # five other in-window rows)
         "ns_url_dedup",
+        # r6 rotation: r5-driver-green, code frozen this round; slot
+        # went to the new stream_dedup_watermark row (ns_scd2_history
+        # keeps the storage-layout family in-window)
+        "ns_zorder_morton",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -112,7 +116,7 @@ def test_changed_or_new_rows_in_window():
         "ns_salted_join",
         "ns_salted_distinct_count",
         "ns_scd2_history",
-        "ns_zorder_morton",
+        # (ns_zorder_morton rotated out r6 for stream_dedup_watermark)
         # (ns_url_dedup rotated out late r5 for ns_archive_listing)
         # r5: the six core-O entries rotated BACK IN (VERDICT r4 #4 —
         # driver sf0.01 re-attestation after r1/r2 rotation); r6:
@@ -123,6 +127,9 @@ def test_changed_or_new_rows_in_window():
         # promotion (#1), exact-substring dedup (#5)
         "ns_warc_bodies", "ns_archive_extract",
         "ns_datafile_meta", "ns_substring_dedup",
+        # r6 new: streaming dedup-within-watermark (ns_zorder_morton
+        # rotated out: r5-driver-green, frozen)
+        "stream_dedup_watermark",
     ):
         assert n in _window_names(), n
 

@@ -785,3 +785,78 @@ def test_rocksdb_state_store_stateful_agg(spark, tmp_log_dir, tmp_path):
             spark.conf.get("spark.sql.streaming.stateStore.providerClass")
             == DEFAULT_PROVIDER
         )
+
+
+def test_stream_dedup_watermark_semantics(spark, tmp_path):
+    """Empirical pin of Spark 4.1 dropDuplicates-under-watermark batch
+    semantics (the stream_dedup_watermark oracle is derived from this):
+    in batch N the late-event filter uses the watermark through batch
+    N-2 while state eviction at end of N uses the watermark through
+    N-1 — the two bounds COINCIDE for any duplicate, so every duplicate
+    is dropped (live-state if ts >= wm, late if ts < wm) and output is
+    exactly-once distinct non-late first arrivals."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flumedb_spark.streaming.live import dedup_within_watermark
+
+    work = str(tmp_path / "dedup_probe")
+    stream_dir = os.path.join(work, "in")
+    os.makedirs(stream_dir)
+
+    def ts(h, m):
+        return f"2024-01-01 {h:02d}:{m:02d}:00"
+
+    # b0 -> wm-through-b0 = 11:30
+    batches = [
+        [(1, ts(10, 0)), (2, ts(12, 0))],
+        # b1: dup of k=1 (10:00 < 11:30: state must still be live ->
+        # dropped, NOT re-emitted), new k=3/k=4; wm-through-b1 = 12:30
+        [(3, ts(11, 0)), (1, ts(10, 0)), (4, ts(13, 0))],
+        # b2: dup of k=2 (12:00 >= late-wm 11:30, state live -> drop);
+        # dup of k=3 (11:00 < late-wm 11:30 -> late-drop); new k=5
+        # (11:45 >= 11:30 -> emit)
+        [(2, ts(12, 0)), (3, ts(11, 0)), (5, ts(11, 45))],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k long, ts string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts")
+        )
+        staged = os.path.join(work, f"st{i}")
+        df.coalesce(1).write.parquet(staged)
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        shutil.move(glob.glob(os.path.join(staged, "*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    src = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out = dedup_within_watermark(src, keys=("k",), watermark="30 minutes", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_probe")
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.k, str(r.ts)) for r in spark.table("dedup_probe").collect())
+    spark.catalog.dropTempView("dedup_probe")
+    assert got == [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 12:00:00"),
+        (3, "2024-01-01 11:00:00"),
+        (4, "2024-01-01 13:00:00"),
+        (5, "2024-01-01 11:45:00"),
+    ]
+    # bounded state: the final progress's state operator must not be
+    # holding every distinct row seen (watermark evicted old entries)
+    prog = q.lastProgress
+    n_state = prog["stateOperators"][0]["numRowsTotal"]
+    assert n_state < 5, f"state not evicted: {n_state} rows held"
