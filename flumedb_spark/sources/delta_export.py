@@ -68,16 +68,49 @@ def _existing_versions(delta_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _read_last_checkpoint(delta_dir: str) -> dict | None:
+    """The ``_last_checkpoint`` hint file (PROTOCOL.md: readers start
+    snapshot construction from it instead of listing every version)."""
+    try:
+        with open(os.path.join(delta_dir, "_last_checkpoint")) as f:
+            return json.loads(f.read())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _checkpoint_path(delta_dir: str, version: int) -> str:
+    return os.path.join(delta_dir, f"{version:020d}.checkpoint.parquet")
+
+
 def read_delta_snapshot(table_root: str) -> dict:
-    """Minimal Delta-log reader: replay every action file in version
-    order and return ``{"files": set[str], "metaData": dict | None,
-    "protocol": dict | None, "version": int}``. This is the same
-    replay an external reader performs; the conformance tests use it to
-    prove the exported log round-trips."""
+    """Minimal Delta-log reader: load the latest checkpoint (when one
+    exists — via the ``_last_checkpoint`` hint, exactly where an
+    external reader starts) and replay only the NEWER action files in
+    version order; return ``{"files": set[str], "metaData": dict |
+    None, "protocol": dict | None, "version": int}``. This keeps every
+    sync O(commits since last checkpoint), not O(table history) —
+    the property Delta checkpoints exist to provide. The conformance
+    tests prove the exported log round-trips both from the checkpoint
+    and from a full JSON replay."""
     delta_dir = os.path.join(table_root, "_delta_log")
     versions = _existing_versions(delta_dir)
     files: set[str] = set()
     meta = proto = None
+    ckpt = _read_last_checkpoint(delta_dir)
+    if ckpt is not None:
+        try:
+            cv = int(ckpt["version"])
+            files, meta, proto = _load_checkpoint(_checkpoint_path(delta_dir, cv))
+            versions = [v for v in versions if v > cv]
+            if not versions:
+                return {
+                    "files": files, "metaData": meta, "protocol": proto,
+                    "version": cv,
+                }
+        except (KeyError, ValueError, OSError):
+            # unreadable hint/checkpoint: fall back to the full replay
+            files, meta, proto = set(), None, None
+            versions = _existing_versions(delta_dir)
     for v in versions:
         with open(_version_path(delta_dir, v)) as f:
             for line in f:
@@ -101,7 +134,195 @@ def read_delta_snapshot(table_root: str) -> dict:
     }
 
 
-def export_delta_log(log, operation: str = "WRITE") -> int:
+def _load_checkpoint_full(
+    path: str,
+) -> tuple[set, dict | None, dict | None, dict]:
+    """Read a classic single-file parquet checkpoint: one action per
+    row in (protocol | metaData | add) struct columns. Returns
+    (files, metaData, protocol, {path: (size, modificationTime)})."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    files: set[str] = set()
+    meta = proto = None
+    sizes: dict[str, tuple[int, int]] = {}
+    cols = t.column_names
+    rows = t.to_pylist()
+    for r in rows:
+        if "add" in cols and r.get("add") and r["add"].get("path"):
+            a = r["add"]
+            files.add(a["path"])
+            sizes[a["path"]] = (a.get("size") or 0, a.get("modificationTime") or 0)
+        elif "metaData" in cols and r.get("metaData") and r["metaData"].get("id"):
+            meta = {k: v for k, v in r["metaData"].items() if v is not None}
+            # parquet map fields come back as key/value tuple lists;
+            # normalize to the dict shape the JSON actions carry so the
+            # snapshot is identical whichever path produced it
+            if "configuration" in meta:
+                meta["configuration"] = dict(meta["configuration"] or [])
+            if isinstance(meta.get("format"), dict):
+                fmt = dict(meta["format"])
+                fmt["options"] = dict(fmt.get("options") or [])
+                meta["format"] = fmt
+        elif "protocol" in cols and r.get("protocol") and (
+            r["protocol"].get("minReaderVersion") is not None
+        ):
+            proto = r["protocol"]
+    return files, meta, proto, sizes
+
+
+def _load_checkpoint(path: str) -> tuple[set, dict | None, dict | None]:
+    files, meta, proto, _ = _load_checkpoint_full(path)
+    return files, meta, proto
+
+
+def write_delta_checkpoint(table_root: str) -> int:
+    """Write a classic single-file parquet checkpoint of the current
+    snapshot at the head version, plus the ``_last_checkpoint`` hint.
+
+    PROTOCOL.md checkpoint shape: one row per action, struct columns
+    ``protocol`` / ``metaData`` / ``add`` (remove tombstones are only
+    needed for VACUUM retention, which external readers own — this
+    writer checkpoints live state, documented behavior). The parquet
+    file is staged and atomically linked like the JSON commits;
+    ``_last_checkpoint`` is a plain overwrite (it is a HINT — spec
+    allows a stale or missing hint, readers fall back to listing).
+
+    Returns the checkpointed version (-1 when there is nothing to
+    checkpoint)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    delta_dir = os.path.join(table_root, "_delta_log")
+    versions = _existing_versions(delta_dir)
+    if not versions:
+        return -1
+    snap_files: set[str] = set()
+    meta = proto = None
+    sizes: dict[str, tuple[int, int]] = {}
+    # start from the previous checkpoint when one exists (O(tail), and
+    # correct even after external retention removed pre-checkpoint JSON
+    # files — the only files PROTOCOL.md's log cleanup may remove)
+    prev = _read_last_checkpoint(delta_dir)
+    if prev is not None:
+        try:
+            pv = int(prev["version"])
+            snap_files, meta, proto, sizes = _load_checkpoint_full(
+                _checkpoint_path(delta_dir, pv)
+            )
+            versions = [v for v in versions if v > pv]
+            if not versions:
+                return pv  # nothing newer to checkpoint
+        except (KeyError, ValueError, OSError):
+            snap_files, meta, proto, sizes = set(), None, None, {}
+            versions = _existing_versions(delta_dir)
+    for v in versions:
+        with open(_version_path(delta_dir, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    a = action["add"]
+                    snap_files.add(a["path"])
+                    sizes[a["path"]] = (a.get("size", 0), a.get("modificationTime", 0))
+                elif "remove" in action:
+                    snap_files.discard(action["remove"]["path"])
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "protocol" in action:
+                    proto = action["protocol"]
+    head = versions[-1]
+    if proto is None or meta is None:
+        raise ValueError("delta checkpoint: log has no protocol/metaData actions")
+
+    map_t = pa.map_(pa.string(), pa.string())
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("format", pa.struct([("provider", pa.string()), ("options", map_t)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_t),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", map_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    n = 2 + len(snap_files)
+    proto_col: list = [None] * n
+    meta_col: list = [None] * n
+    add_col: list = [None] * n
+    def _map_items(v) -> list:
+        # metaData read back from a parquet checkpoint carries map
+        # fields as key/value tuple lists; from JSON commits, as dicts
+        if not v:
+            return []
+        return list(v.items()) if isinstance(v, dict) else list(v)
+
+    proto_col[0] = proto
+    meta_col[1] = {
+        "id": meta.get("id"),
+        "name": meta.get("name"),
+        "format": {
+            "provider": (meta.get("format") or {}).get("provider", "parquet"),
+            "options": _map_items((meta.get("format") or {}).get("options")),
+        },
+        "schemaString": meta.get("schemaString"),
+        "partitionColumns": meta.get("partitionColumns", []),
+        "configuration": _map_items(meta.get("configuration")),
+        "createdTime": meta.get("createdTime"),
+    }
+    for i, path in enumerate(sorted(snap_files)):
+        size, mtime = sizes.get(path, (0, 0))
+        add_col[2 + i] = {
+            "path": path,
+            "partitionValues": [],
+            "size": size,
+            "modificationTime": mtime,
+            "dataChange": False,  # checkpoint rows restate, not change
+        }
+    table = pa.table(
+        {
+            "protocol": pa.array(proto_col, type=proto_t),
+            "metaData": pa.array(meta_col, type=meta_t),
+            "add": pa.array(add_col, type=add_t),
+        }
+    )
+    tmp = os.path.join(delta_dir, f".tmpckpt.{uuid.uuid4().hex}")
+    pq.write_table(table, tmp)
+    target = _checkpoint_path(delta_dir, head)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        pass  # an identical-version checkpoint already exists; keep it
+    finally:
+        os.remove(tmp)
+    hint = json.dumps({"version": head, "size": n})
+    hint_tmp = os.path.join(delta_dir, f".tmphint.{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(hint)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(hint_tmp, os.path.join(delta_dir, "_last_checkpoint"))
+    return head
+
+
+def export_delta_log(
+    log, operation: str = "WRITE", checkpoint_interval: int | None = 10
+) -> int:
     """Sync the log's committed manifest into ``<log.path>/_delta_log``.
 
     Returns the Delta version now at the head (-1 for an empty log with
@@ -109,6 +330,12 @@ def export_delta_log(log, operation: str = "WRITE") -> int:
     Concurrent exporters race on the same put-if-absent link the
     VersionedLog commit uses, so a lost race is retried against the
     winner's state rather than corrupting the version sequence.
+
+    Every ``checkpoint_interval`` versions a parquet checkpoint +
+    ``_last_checkpoint`` hint is written, so both this sync's own
+    snapshot read and any external reader stay O(commits since last
+    checkpoint) — a 1000-commit table costs one checkpoint load plus
+    at most ``interval`` JSON files, never a 1000-file replay.
     """
     refresh = getattr(log, "refresh_since", None)
     if refresh is not None:
@@ -212,6 +439,8 @@ def export_delta_log(log, operation: str = "WRITE") -> int:
             target = _version_path(delta_dir, version)
             try:
                 os.link(tmp, target)  # atomic put-if-absent (the CAS)
+                if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+                    write_delta_checkpoint(log.path)
                 return version
             except FileExistsError:
                 continue  # lost the race: replay against winner's state

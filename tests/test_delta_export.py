@@ -167,3 +167,114 @@ def test_maintain_export_delta_flag(tmp_path, spark):
     snap = read_delta_snapshot(db.log.path)
     assert snap["files"] == {f"data/{n}" for n in db.log._meta["files"]}
     db.close()
+
+
+# ---------------------------------------------------------------------
+# round-6: parquet checkpoints + _last_checkpoint (VERDICT-r5 #6)
+# ---------------------------------------------------------------------
+
+
+def test_checkpoint_written_at_interval_and_hint_shape(tmp_path):
+    import pyarrow.parquet as pq
+
+    log = VersionedLog(str(tmp_path / "dlog"))
+    for batch in range(13):  # versions 0..12 -> checkpoints at 5, 10
+        _append(log, [batch])
+        export_delta_log(log, checkpoint_interval=5)
+    delta_dir = os.path.join(log.path, "_delta_log")
+    names = os.listdir(delta_dir)
+    assert "00000000000000000005.checkpoint.parquet" in names
+    assert "00000000000000000010.checkpoint.parquet" in names
+    hint = json.loads(open(os.path.join(delta_dir, "_last_checkpoint")).read())
+    assert hint["version"] == 10
+    t = pq.read_table(os.path.join(delta_dir, "00000000000000000010.checkpoint.parquet"))
+    assert hint["size"] == t.num_rows
+    # classic checkpoint shape: struct action columns, one action/row
+    assert {"protocol", "metaData", "add"} <= set(t.column_names)
+    rows = t.to_pylist()
+    protos = [r for r in rows if r["protocol"] and r["protocol"]["minReaderVersion"] is not None]
+    metas = [r for r in rows if r["metaData"] and r["metaData"]["id"]]
+    adds = [r["add"] for r in rows if r["add"] and r["add"]["path"]]
+    assert len(protos) == 1 and len(metas) == 1
+    assert protos[0]["protocol"]["minReaderVersion"] == 1
+    assert json.loads(metas[0]["metaData"]["schemaString"])["type"] == "struct"
+    # checkpoint restates the live file set AS OF ITS VERSION (10):
+    # replay the JSON actions 0..10 and compare
+    expected = set()
+    for v in range(10 + 1):
+        for a in _actions(log.path, v):
+            if "add" in a:
+                expected.add(a["add"]["path"])
+            elif "remove" in a:
+                expected.discard(a["remove"]["path"])
+    assert {a["path"] for a in adds} == expected
+    for a in adds:
+        assert a["size"] == os.path.getsize(os.path.join(log.path, a["path"]))
+
+
+def test_snapshot_from_checkpoint_equals_full_replay(tmp_path):
+    log = VersionedLog(str(tmp_path / "dlog"))
+    for batch in range(12):
+        _append(log, [batch, batch + 100])
+        export_delta_log(log, checkpoint_interval=4)
+    with_ckpt = read_delta_snapshot(log.path)
+    # remove the hint -> reader falls back to the full JSON replay
+    os.remove(os.path.join(log.path, "_delta_log", "_last_checkpoint"))
+    full = read_delta_snapshot(log.path)
+    assert with_ckpt["files"] == full["files"]
+    assert with_ckpt["version"] == full["version"]
+    assert with_ckpt["protocol"] == full["protocol"]
+    assert {k: v for k, v in (with_ckpt["metaData"] or {}).items() if k != "format"} == {
+        k: v for k, v in (full["metaData"] or {}).items() if k != "format"
+    }
+
+
+def test_snapshot_survives_pre_checkpoint_json_retention(tmp_path):
+    """PROTOCOL.md log cleanup may delete JSON files covered by a
+    checkpoint; the reader AND the next export must not need them —
+    the executable proof of O(commits-since-checkpoint)."""
+    log = VersionedLog(str(tmp_path / "dlog"))
+    for batch in range(11):  # versions 0..10, checkpoint at 10
+        _append(log, [batch])
+        export_delta_log(log, checkpoint_interval=5)
+    delta_dir = os.path.join(log.path, "_delta_log")
+    expected = read_delta_snapshot(log.path)
+    # retention: drop every JSON file covered by the checkpoint
+    for v in range(10 + 1):
+        os.remove(os.path.join(delta_dir, f"{v:020d}.json"))
+    snap = read_delta_snapshot(log.path)
+    assert snap["files"] == expected["files"]
+    assert snap["version"] == 10
+    assert snap["protocol"] is not None and snap["metaData"] is not None
+    # the next incremental export still works (no pre-checkpoint reads)
+    _append(log, [999])
+    v = export_delta_log(log, checkpoint_interval=5)
+    assert v == 11
+    snap2 = read_delta_snapshot(log.path)
+    assert snap2["files"] == {f"data/{n}" for n in log._meta["files"]}
+    # and the NEXT checkpoint builds from the previous one + tail alone
+    for _ in range(4):
+        _append(log, [1000])
+        export_delta_log(log, checkpoint_interval=5)
+    assert json.loads(
+        open(os.path.join(delta_dir, "_last_checkpoint")).read()
+    )["version"] == 15
+    snap3 = read_delta_snapshot(log.path)
+    assert snap3["files"] == {f"data/{n}" for n in log._meta["files"]}
+
+
+def test_checkpoint_covers_compaction_removes(tmp_path, spark):
+    """A checkpoint taken after OPTIMIZE restates only live files —
+    removed (compacted-away) paths must not resurface via the
+    checkpoint path."""
+    from flumedb_spark.sources.delta_export import write_delta_checkpoint
+
+    log = VersionedLog(str(tmp_path / "dlog"))
+    _append(log, list(range(6)))
+    export_delta_log(log, checkpoint_interval=None)
+    log.compact(spark)
+    export_delta_log(log, operation="OPTIMIZE", checkpoint_interval=None)
+    v = write_delta_checkpoint(log.path)
+    assert v >= 1
+    snap = read_delta_snapshot(log.path)
+    assert snap["files"] == {f"data/{n}" for n in log._meta["files"]}
