@@ -173,6 +173,17 @@ def main() -> None:
     # (~30-100ms measured) is real Spark serving cost and stays in the
     # number. The batched DAG below is the shape where that cost
     # amortizes honestly (one plan per sweep, full execution).
+    # Width is PER-MODE since r6 (VERDICT-r5 #3): the r5 "width 1 at
+    # sf<=0.2" policy was A/B'd on the batched DAG (-30%, confirmed
+    # again this round) but taxes the SEQUENTIAL headline pass — the
+    # same-process interleaved A/B (tools/ab_seq_width.py, min-of-3)
+    # shows width 8 cuts the heavy sequential shapes 30-50% (q1 -39%,
+    # q3 -42%, window_top3 -49%) and the sweep total -18%, which is the
+    # r5 3.01->3.24 sequential drift's cause. TPC-H sequential stays at
+    # width 1 (its cascaded multi-join shapes measured +7% at width 8).
+    seq_width = "8" if sf_guess <= 0.2 else None
+    if seq_width:
+        spark.conf.set("spark.sql.shuffle.partitions", seq_width)
     prepared = {name: qs[name](spark, sf_dir) for name in HEADLINE}
     best: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -208,7 +219,16 @@ def main() -> None:
     # ETL DAG submitted together. Compared against the SAME DuckDB
     # paired-subset total (DuckDB's per-query submission cost is sub-ms,
     # so sequential is already its best case).
-    batched_sec = _batched_submission(prepared, paired)
+    # batched DAGs run width 1 (re-A/B'd r6: TPCH batched 2.17s at w1
+    # vs 2.79 at w2 / 3.06 at w8 — the overlapped stages fill cores,
+    # extra width only adds scheduling floor); rebuild the plans so the
+    # width-1 physical shape is what the union inherits
+    if seq_width:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        prepared_b = {name: qs[name](spark, sf_dir) for name in HEADLINE}
+    else:
+        prepared_b = prepared
+    batched_sec = _batched_submission(prepared_b, paired)
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -393,6 +413,11 @@ def main() -> None:
         "q9_product_profit", "q21_waiting_suppliers", "ns_dedup_exact",
         "ns_minhash_lsh_candidates", "ns_text_stats", "ns_simhash_md5",
         "v1_reduce_stats", "ns_similarity_topk_np",
+        # r6 (VERDICT-r5 #7): the deeper pipeline ops whose DuckDB side
+        # terminates within the bench budget at sf10 (probe, SCALING.md
+        # r6 addendum: bpe 100s; lsh_ann_md5 245s, semdedup/substring
+        # >600s — measured, documented, excluded)
+        "ns_bpe_tokens",
     ]
     if sf_guess > 0.2 or os.environ.get("SPARK_GRAFT_NO_SF10"):
         out["sf10"] = {"skipped": "primary sf > 0.2 or SPARK_GRAFT_NO_SF10 set"}
