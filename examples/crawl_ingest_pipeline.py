@@ -1,0 +1,112 @@
+"""Common Crawl-shaped ingest pipeline — the composed form of the
+round-6 archive/extraction operators, in the order a web-corpus ingest
+actually runs them:
+
+    WARC shards (gzipped, one payload per shard)
+      -> record triage            (warc_listing: record walk, NO body
+                                   materialization — filter on type/
+                                   length columns first)
+      -> body extraction          (warc_bodies: response blocks only,
+                                   HTTP headers stripped, 64 MiB cap)
+      -> text quality gates       (operators.text: length / token
+                                   stats, pure JVM column expressions)
+      -> exact-substring dedup    (substring_dup_spans: md5-window
+                                   shuffle, spans of >= W tokens shared
+                                   with an earlier doc)
+      -> keeper manifest          (drop docs that are mostly duplicate
+                                   span; append survivors to the log)
+
+Every stage is a DataFrame -> DataFrame transform; the WARC kernels are
+Arrow-batched mapInPandas (stateless, partition-parallel), the dedup is
+two uniform hash shuffles — the same program scales with partition
+count. Corrupt shards become ok=False rows, never task failures.
+
+Run: PYTHONPATH=/root/repo python examples/crawl_ingest_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flumedb_spark import Flume, get_spark
+from flumedb_spark.operators import archives
+from flumedb_spark.operators.dedup import substring_dup_spans
+
+
+def main() -> None:
+    spark = get_spark("crawl_ingest_example", cpus=8)
+
+    # ---- stage 0: a corpus of WARC shards (synthetic, deterministic —
+    # in production this is spark.read.format("binaryFile") over the
+    # crawl drop directory)
+    docs = spark.range(0, 64).selectExpr("id AS doc_id")
+    shards = archives.with_synthetic_warc_payload(docs, gzipped=True)
+
+    # ---- stage 1: triage WITHOUT materializing bodies — record type
+    # and length are enough to budget the extraction stage
+    listing = archives.warc_listing(shards)
+    n_records = listing.where("ok").count()
+    n_responses = listing.where("ok AND record_type = 'response'").count()
+    print(f"triage: {n_records} records, {n_responses} responses")
+
+    # ---- stage 2: extract response bodies (headers stripped, capped)
+    bodies = archives.warc_bodies(shards).where("ok AND NOT truncated")
+    texts = bodies.select(
+        # one doc per (shard, record): a stable numeric id for dedup
+        (F.col("doc_id") * 1000 + F.xxhash64("record_id") % 1000).alias("doc_id"),
+        F.col("target_uri"),
+        # in production: decode(body, 'utf-8'). The synthetic bodies are
+        # opaque filler, so derive token-shaped text from the record —
+        # docs whose bodies collide on length become exact duplicates,
+        # which is what the dedup stage exists to catch
+        F.concat_ws(
+            " ",
+            F.array_repeat(
+                F.concat(F.lit("tok"), F.col("content_length") % 60), 12
+            ),
+        ).alias("text"),
+    )
+
+    # ---- stage 3: cheap quality gates BEFORE the dedup shuffle
+    texts = texts.where(F.length("text").between(10, 1_000_000))
+
+    # ---- stage 4: exact-substring dedup (W=8 token shared spans)
+    spans = substring_dup_spans(texts, window=8)
+    doc_len = texts.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens_doc")
+    )
+    dup_share = (
+        spans.groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("dup_tokens"))
+        .join(doc_len, "doc_id")
+        .select("doc_id", (F.col("dup_tokens") / F.col("n_tokens_doc")).alias("share"))
+    )
+    drop_ids = dup_share.where("share > 0.5").select("doc_id")
+    keepers = texts.join(drop_ids, "doc_id", "left_anti")
+    print(
+        f"dedup: {texts.count()} docs -> {keepers.count()} keepers "
+        f"({drop_ids.count()} mostly-duplicate docs dropped)"
+    )
+
+    # ---- stage 5: durable keeper manifest in the engine log
+    with tempfile.TemporaryDirectory() as root:
+        db = Flume(os.path.join(root, "corpus"), spark=spark)
+        from flumedb_spark.sources.readers import append_df_to_log
+
+        append_df_to_log(
+            db.log, keepers.select("doc_id", "target_uri", "text")
+        )
+        print(f"manifest: log head seq = {db.since}")
+        db.close()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

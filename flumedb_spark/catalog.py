@@ -173,10 +173,12 @@ DRIVER_WINDOW: list[str] = [
     # ns_jpeg_decode are NEW in r5 — new entries must take a window
     # slot, so they replace the r4-green frozen fuzzy_match_names and
     # window_distribution)
-    "ns_image_resize_meta",
+    # (ns_image_resize_meta rotated out r6 — r5-driver-green, frozen —
+    # for the new ns_avi_frames row: pure MJPEG-AVI frame decode)
     "ns_audio_decode_meta",
     "ns_video_meta",
     "ns_jpeg_decode",
+    "ns_avi_frames",
     # unified mixed-format media triage (mp4/webm/avi/flac/mp3/webp/ogg)
     # — NEW r5; takes the slot of the r4-green frozen
     # ns_histogram_quantiles (hll + countmin keep the sketch family

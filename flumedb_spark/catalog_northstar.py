@@ -523,6 +523,31 @@ def ns_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_avi_frames",
+    oracle="""
+    SELECT d.doc_id, CAST(s.i AS INT) AS frame_idx,
+      CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+      CAST(16*24*3 * (2*((d.doc_id + s.i) % 100)) AS BIGINT) AS pixel_sum,
+      true AS ok
+    FROM documents d, generate_series(0, 2) s(i)
+    WHERE s.i <= d.doc_id % 3
+    ORDER BY d.doc_id, frame_idx
+    """,
+)
+def ns_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO FRAME decode WITHOUT ffmpeg (narrows the r5 boundary):
+    per-doc REAL playable MJPEG AVIs (RIFF avih/strh/strf headers, one
+    00dc JPEG chunk per frame; odd doc_ids ship the table-less frames
+    real MJPG muxers emit), decoded fully in-process — RIFF movi walk,
+    Annex-K Huffman injection, the pure T.81 entropy decode — with
+    per-frame exact pixel sums replayed arithmetically by the oracle.
+    Inter-frame codecs (H.264/VP9) remain behind the explicit ffmpeg
+    NotImplementedError boundary."""
+    payloads = multimodal.with_synthetic_avi_payload(spark.table("documents"))
+    return multimodal.avi_frame_stats(payloads).orderBy("doc_id", "frame_idx")
+
+
+@query(
     "ns_media_meta",
     oracle="""
     SELECT doc_id,

@@ -1570,3 +1570,233 @@ def encode_ogg_skeleton(
         + bytes([1, len(pkt)])                # one segment
     )
     return head + pkt
+
+
+# ---------------------------------------------------------------------
+# MJPEG-in-AVI frame decode — pure Python, NO ffmpeg (OpenDML AVI +
+# ITU-T T.81 via operators/jpegcodec). This closes the most common
+# "video frame decode" case lib-free: MJPG is the one mainstream video
+# codec that is just concatenated JPEGs, so the container walk (RIFF
+# movi chunks) plus our own JPEG entropy decoder covers it end-to-end.
+# mp4/webm (H.264/VP9) remain behind the explicit ffmpeg boundary.
+# ---------------------------------------------------------------------
+
+
+def _dht_segment() -> bytes:
+    """A DHT marker segment carrying the four T.81 Annex-K standard
+    tables — what MJPEG decoders must supply when frames omit DHT
+    (the OpenDML MJPG convention allows table-less frames)."""
+    from .jpegcodec import HT_AC_CHROMA, HT_AC_LUMA, HT_DC_CHROMA, HT_DC_LUMA
+
+    body = b""
+    for tc_th, (bits, vals) in (
+        (0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA),
+        (0x01, HT_DC_CHROMA), (0x11, HT_AC_CHROMA),
+    ):
+        body += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_segments(jpeg: bytes):
+    """Yield (marker, seg_start, seg_end) for each marker segment from
+    SOI up to and including SOS (entropy data not walked)."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("mjpeg: no SOI")
+    pos = 2
+    n = len(jpeg)
+    while pos + 2 <= n:
+        if jpeg[pos] != 0xFF:
+            raise ValueError(f"mjpeg: expected marker at {pos}")
+        marker = jpeg[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            yield marker, pos, pos + 2
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("mjpeg: truncated segment header")
+        seglen = struct.unpack(">H", jpeg[pos + 2 : pos + 4])[0]
+        yield marker, pos, pos + 2 + seglen
+        if marker == 0xDA:
+            return  # SOS: entropy-coded data follows
+        pos += 2 + seglen
+
+
+def mjpeg_ensure_huffman(jpeg: bytes) -> bytes:
+    """Return ``jpeg`` with the standard Annex-K Huffman tables spliced
+    in before SOS when the frame carries no DHT segment (common in MJPG
+    AVIs); frames that already carry tables pass through unchanged."""
+    sos_start = None
+    for marker, s, _e in _jpeg_segments(jpeg):
+        if marker == 0xC4:
+            return jpeg
+        if marker == 0xDA:
+            sos_start = s
+            break
+    if sos_start is None:
+        raise ValueError("mjpeg: no SOS marker")
+    return jpeg[:sos_start] + _dht_segment() + jpeg[sos_start:]
+
+
+def mjpeg_strip_huffman(jpeg: bytes) -> bytes:
+    """Remove every DHT segment (the inverse of ``mjpeg_ensure_huffman``
+    — produces the table-less frames real MJPG muxers emit)."""
+    spans = [(s, e) for m, s, e in _jpeg_segments(jpeg) if m == 0xC4]
+    out = jpeg
+    for s, e in reversed(spans):
+        out = out[:s] + out[e:]
+    return out
+
+
+def _avi_chunks(payload: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > end:
+            raise ValueError("avi: chunk overruns container")
+        yield cid, pos + 8, pos + 8 + size
+        pos += 8 + size + (size & 1)
+
+
+def avi_video_frame_chunks(
+    payload: bytes, max_frames: int = 8, every_n_frames: int = 1
+) -> tuple[str, list[bytes]]:
+    """(video handler fourcc, sampled raw frame chunks) from a RIFF/AVI
+    payload: finds the first ``vids`` stream's index by strl order,
+    then walks ``movi`` (including nested ``rec `` lists) collecting
+    its ``##dc``/``##db`` data chunks. Bounded: stops after
+    ``max_frames * every_n_frames`` chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF/AVI payload")
+    handler = None
+    stream_idx = -1
+    n_streams = 0
+    want = max_frames * every_n_frames
+    chunks: list[bytes] = []
+
+    def walk_movi(bs: int, be: int) -> None:
+        for cid, cs, ce in _avi_chunks(payload, bs, be):
+            if len(chunks) >= want:
+                return
+            if cid == b"LIST" and payload[cs : cs + 4] == b"rec ":
+                walk_movi(cs + 4, ce)
+            elif (
+                cid[:2].isdigit()
+                and int(cid[:2]) == stream_idx
+                and cid[2:4] in (b"dc", b"db")
+            ):
+                chunks.append(payload[cs:ce])
+
+    for cid, bs, be in _avi_chunks(payload, 12, len(payload)):
+        if cid != b"LIST":
+            continue
+        ltype = payload[bs : bs + 4]
+        if ltype == b"hdrl":
+            for hid, hs, he in _avi_chunks(payload, bs + 4, be):
+                if hid == b"LIST" and payload[hs : hs + 4] == b"strl":
+                    this_idx = n_streams
+                    n_streams += 1
+                    for sid, ss, se in _avi_chunks(payload, hs + 4, he):
+                        if sid == b"strh" and se - ss >= 8:
+                            if payload[ss : ss + 4] == b"vids" and handler is None:
+                                handler = payload[ss + 4 : ss + 8].decode(
+                                    "ascii", "replace"
+                                )
+                                stream_idx = this_idx
+        elif ltype == b"movi":
+            if stream_idx < 0:
+                raise ValueError("avi: movi before any vids stream header")
+            walk_movi(bs + 4, be)
+    if handler is None:
+        raise ValueError("avi: no vids stream")
+    return handler, chunks[::every_n_frames][:max_frames]
+
+
+_MJPG_FOURCCS = {"mjpg", "dmb1"}  # OpenDML MJPG + QuickTime variant
+
+
+def sniff_avi_mjpeg(payload: bytes) -> bool:
+    """True when the payload is a RIFF/AVI whose first video stream is
+    MJPEG — the routing test between the in-process decode path and the
+    ffmpeg boundary (corrupt headers -> False, never an exception)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return False
+    try:
+        meta = decode_avi_meta(payload)
+    except ValueError:
+        return False
+    handler = (meta.get("video_handler") or "").lower().strip("\x00 ")
+    return handler in _MJPG_FOURCCS
+
+
+def decode_avi_mjpeg_frames(
+    payload: bytes, max_frames: int = 8, every_n_frames: int = 1
+) -> list[np.ndarray]:
+    """Decode sampled video frames of an MJPEG AVI to (H, W, 3) uint8
+    RGB arrays — entirely in-process (RIFF walk + jpegcodec; missing
+    per-frame Huffman tables are supplied per the MJPG convention).
+    ValueError on malformed input or a non-MJPEG video stream (the
+    ffmpeg boundary stays explicit for real inter-frame codecs)."""
+    from .jpegcodec import decode_jpeg
+
+    handler, chunks = avi_video_frame_chunks(payload, max_frames, every_n_frames)
+    if handler.lower().strip("\x00 ") not in _MJPG_FOURCCS:
+        raise ValueError(
+            f"avi: video handler {handler!r} is not MJPEG — frame decode "
+            "for inter-frame codecs requires ffmpeg (explicit boundary)"
+        )
+    return [decode_jpeg(mjpeg_ensure_huffman(c)) for c in chunks]
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray],
+    quality: int = 50,
+    usec_per_frame: int = 33333,
+    strip_dht: bool = False,
+) -> bytes:
+    """A REAL playable MJPEG AVI from RGB frames: proper avih/strh/strf
+    (BITMAPINFOHEADER, biCompression='MJPG') headers and one ``00dc``
+    JPEG chunk per frame — the synthesizer twin of
+    ``decode_avi_mjpeg_frames``. ``strip_dht`` emits the table-less
+    frames real muxers produce (exercises the Annex-K injection path)."""
+    from .jpegcodec import encode_jpeg
+
+    if not frames:
+        raise ValueError("avi: need at least one frame")
+    h, w = frames[0].shape[:2]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            cid + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    jpegs = []
+    for f in frames:
+        j = encode_jpeg(f, quality=quality)
+        jpegs.append(mjpeg_strip_huffman(j) if strip_dht else j)
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<10I", usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0, w, h
+        )
+        + b"\x00" * 16,
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1_000_000 // max(usec_per_frame, 1) or 1,
+                      1_000_000, 0, len(frames), 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h),
+    )
+    # BITMAPINFOHEADER (40 bytes), biCompression = 'MJPG'
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHH", 40, w, h, 1, 24) + b"MJPG"
+        + struct.pack("<IiiII", w * h * 3, 0, 0, 0, 0),
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + avih + chunk(b"LIST", b"strl" + strh + strf))
+    movi_body = b"movi" + b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

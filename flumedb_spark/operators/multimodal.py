@@ -3,12 +3,16 @@ payloads with typed metadata, processed via Arrow-batched mapInPandas.
 
 The decode step is REAL for BMP / binary PPM/PGM / non-interlaced 8-bit
 PNG / PCM WAV / animated GIF via the pure-stdlib codecs in ``mmcodec``
-(numpy + zlib + wave — nothing this container lacks); PIL, when
-importable, extends image coverage to JPEG and friends, and an ffmpeg
-binary, when present, extends video coverage to true containers
-(mp4/webm/avi — ``ffmpeg_sample_frames``). Where neither exists the
-boundary is EXPLICIT: recognized-but-undecodable containers raise a
-clearly-marked NotImplementedError rather than returning fake frames.
+(numpy + zlib + wave — nothing this container lacks), and — since r6 —
+for MJPEG AVIs fully in-process (RIFF movi walk + the pure T.81 codec,
+``mmcodec.decode_avi_mjpeg_frames``; Annex-K Huffman tables injected
+for the table-less frames real MJPG muxers emit). PIL, when importable,
+extends image coverage to JPEG and friends, and an ffmpeg binary, when
+present, extends video coverage to the inter-frame codecs
+(H.264/VP9/... in mp4/webm/avi — ``ffmpeg_sample_frames``). Where
+neither exists the boundary is EXPLICIT: recognized-but-undecodable
+containers raise a clearly-marked NotImplementedError rather than
+returning fake frames.
 A deterministic fake decoder remains available for reproducible
 cross-engine oracles over arbitrary bytes.
 
@@ -344,11 +348,24 @@ def sample_frames(
                 else:
                     try:
                         if sniff_video_container(b) is not None:
-                            # NotImplementedError (no ffmpeg) propagates:
-                            # a missing capability fails loudly
-                            sampled = ffmpeg_sample_frames(
-                                b, every_n_frames, max_frames
-                            )
+                            # MJPEG AVIs decode IN-PROCESS (RIFF walk +
+                            # the pure T.81 codec, Annex-K tables
+                            # injected per the MJPG convention) — no
+                            # ffmpeg for the one mainstream intra-frame
+                            # video codec. Routing is by HANDLER sniff:
+                            # a corrupt MJPG AVI drops its row (outer
+                            # catch); only non-MJPEG codecs reach the
+                            # explicit ffmpeg boundary, where
+                            # NotImplementedError (no binary) fails
+                            # loudly rather than faking frames.
+                            if mmcodec.sniff_avi_mjpeg(b):
+                                sampled = mmcodec.decode_avi_mjpeg_frames(
+                                    b, max_frames, every_n_frames
+                                )
+                            else:
+                                sampled = ffmpeg_sample_frames(
+                                    b, every_n_frames, max_frames
+                                )
                         else:
                             sampled = mmcodec.decode_gif(b)[::every_n_frames][
                                 :max_frames
@@ -778,3 +795,78 @@ def extract_media_meta(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame({c: out[c] for c in cols_order})
 
     return payloads.mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+# --- MJPEG-AVI frame decode (pure in-process; ns_avi_frames row) -----
+
+AVI_FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, pixel_sum long, ok boolean"
+)
+
+
+def with_synthetic_avi_payload(docs: DataFrame) -> DataFrame:
+    """doc_id -> REAL playable MJPEG AVI bytes: 1 + d%3 constant-color
+    16x24 frames at V_i = 2*((d+i) % 100), quality 50 (the exact
+    lossless parameters of with_synthetic_jpeg_payload, per frame).
+    Odd doc_ids strip the per-frame DHT segments — the table-less MJPG
+    convention — so the oracle hash also attests the Annex-K
+    table-injection path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from flumedb_spark.operators import mmcodec
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    np.full((16, 24, 3), 2 * ((d + i) % 100), dtype=np.uint8)
+                    for i in range(1 + d % 3)
+                ]
+                payloads.append(
+                    mmcodec.encode_avi_mjpeg(
+                        frames, quality=50, strip_dht=bool(d % 2)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def avi_frame_stats(payloads: DataFrame, max_frames: int = 8) -> DataFrame:
+    """(doc_id, payload) -> one row per decoded MJPEG-AVI frame with
+    exact-integer pixel stats (the ns_avi_frames attestation kernel);
+    corrupt/non-MJPEG payloads yield a single ok=False row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flumedb_spark.operators import mmcodec
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "pixel_sum", "ok",
+            )}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = mmcodec.decode_avi_mjpeg_frames(
+                        bytes(p), max_frames=max_frames
+                    )
+                except ValueError:
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(-1)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["pixel_sum"].append(0)
+                    out["ok"].append(False)
+                    continue
+                for j, f in enumerate(frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(j)
+                    out["width"].append(f.shape[1])
+                    out["height"].append(f.shape[0])
+                    out["pixel_sum"].append(int(f.astype("int64").sum()))
+                    out["ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, AVI_FRAMES_SCHEMA)

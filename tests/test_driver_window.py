@@ -51,10 +51,12 @@ def test_all_northstar_ops_in_window():
         # late-r5 rotation for ns_archive_listing (dedup family keeps
         # five other in-window rows)
         "ns_url_dedup",
-        # r6 rotation: r5-driver-green, code frozen this round; slot
-        # went to the new stream_dedup_watermark row (ns_scd2_history
-        # keeps the storage-layout family in-window)
+        # r6 rotations: r5-driver-green, code frozen this round; slots
+        # went to the new stream_dedup_watermark / ns_avi_frames rows
+        # (ns_scd2_history keeps the storage-layout family in-window;
+        # ns_jpeg_decode + ns_media_meta keep image/codec coverage)
         "ns_zorder_morton",
+        "ns_image_resize_meta",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -92,7 +94,7 @@ def test_changed_or_new_rows_in_window():
         "ns_doc_chunks", "ns_sequence_packing",
         "ns_tfidf_topterms",
         # real multimodal decode (pure-stdlib codecs, mmcodec.py)
-        "ns_image_resize_meta",
+        # (ns_image_resize_meta rotated out r6 for ns_avi_frames)
         "ns_audio_decode_meta",
         # r5 new: real ISO BMFF container-metadata parse + pure-Python
         # baseline JPEG decode (exact constant-color oracle)
@@ -130,6 +132,9 @@ def test_changed_or_new_rows_in_window():
         # r6 new: streaming dedup-within-watermark (ns_zorder_morton
         # rotated out: r5-driver-green, frozen)
         "stream_dedup_watermark",
+        # r6 new: pure MJPEG-AVI frame decode (ns_image_resize_meta
+        # rotated out: r5-driver-green, frozen)
+        "ns_avi_frames",
     ):
         assert n in _window_names(), n
 

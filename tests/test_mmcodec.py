@@ -1088,3 +1088,82 @@ def test_webp_ogg_fuzz_never_crash():
                 fn(bytes(b))
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------
+# round-6: MJPEG-in-AVI frame decode without ffmpeg
+# ---------------------------------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_exact_and_tableless():
+    import numpy as np
+
+    from flumedb_spark.operators import mmcodec as mm
+
+    frames = [np.full((16, 24, 3), 2 * v, dtype=np.uint8) for v in (10, 60, 99)]
+    for strip in (False, True):
+        avi = mm.encode_avi_mjpeg(frames, quality=50, strip_dht=strip)
+        assert mm.sniff_avi_mjpeg(avi)
+        meta = mm.decode_avi_meta(avi)
+        assert meta["video_handler"].lower() == "mjpg"
+        assert meta["total_frames"] == 3
+        assert (meta["width"], meta["height"]) == (24, 16)
+        out = mm.decode_avi_mjpeg_frames(avi)
+        assert len(out) == 3
+        for got, exp in zip(out, frames):
+            assert got.shape == exp.shape and (got == exp).all()
+    # table-less frames really lack DHT (the injection path is exercised)
+    avi = mm.encode_avi_mjpeg(frames, strip_dht=True)
+    _, chunks = mm.avi_video_frame_chunks(avi)
+    for c in chunks:
+        assert not any(m == 0xC4 for m, _s, _e in mm._jpeg_segments(c))
+
+
+def test_avi_mjpeg_sampling_and_bounds():
+    import numpy as np
+
+    from flumedb_spark.operators import mmcodec as mm
+
+    avi = mm.encode_avi_mjpeg(
+        [np.full((8, 8, 3), 2 * v, dtype=np.uint8) for v in range(12)]
+    )
+    out = mm.decode_avi_mjpeg_frames(avi, max_frames=3, every_n_frames=2)
+    assert [int(f[0, 0, 0]) for f in out] == [0, 4, 8]
+
+
+def test_avi_mjpeg_refuses_interframe_codecs_and_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from flumedb_spark.operators import mmcodec as mm
+
+    skel = mm.encode_avi_skeleton(video_handler="h264")
+    assert not mm.sniff_avi_mjpeg(skel)
+    with _pytest.raises(ValueError, match="not MJPEG"):
+        mm.decode_avi_mjpeg_frames(skel)
+    # corrupt movi chunk -> ValueError (drop-the-row contract)
+    avi = bytearray(mm.encode_avi_mjpeg([np.zeros((8, 8, 3), dtype=np.uint8)]))
+    i = bytes(avi).find(b"00dc") + 8
+    avi[i : i + 2] = b"XX"  # destroy the SOI of the frame payload
+    with _pytest.raises(ValueError):
+        mm.decode_avi_mjpeg_frames(bytes(avi))
+    assert not mm.sniff_avi_mjpeg(b"RIFFxxxxAVI garbage")
+
+
+def test_mjpeg_huffman_strip_inject_inverse():
+    import numpy as np
+
+    from flumedb_spark.operators import jpegcodec, mmcodec as mm
+
+    img = (np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3) * 3) % 256
+    j = jpegcodec.encode_jpeg(img.astype("uint8"), quality=80)
+    stripped = mm.mjpeg_strip_huffman(j)
+    assert len(stripped) < len(j)
+    fixed = mm.mjpeg_ensure_huffman(stripped)
+    # encoder uses the same Annex-K tables the injector supplies, so
+    # the decode result is bit-identical either way
+    a = jpegcodec.decode_jpeg(j)
+    b = jpegcodec.decode_jpeg(fixed)
+    assert (a == b).all()
+    # already-tabled frames pass through untouched
+    assert mm.mjpeg_ensure_huffman(j) == j
