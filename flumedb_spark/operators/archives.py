@@ -20,6 +20,7 @@ import io
 import struct
 import tarfile
 import zipfile
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -173,7 +174,10 @@ def gunzip_capped(payload: bytes, what: str = "gzip", cap: int = MAX_DECOMPRESSE
                 raise ValueError(f"{what}: decompressed size exceeds {cap}-byte cap")
             chunks.append(chunk)
         return b"".join(chunks)
-    except (OSError, EOFError) as exc:
+    except (OSError, EOFError, zlib.error) as exc:
+        # zlib.error: GzipFile surfaces raw inflate errors (e.g.
+        # "invalid distance too far back") on mangled deflate bytes
+        # without wrapping them (fuzz finding, r6)
         raise ValueError(f"{what}: bad gzip stream: {exc}") from exc
 
 
@@ -614,7 +618,15 @@ def extract_members(
                             "truncated": len(content) > cap,
                         }
                     )
-        except (zipfile.BadZipFile, OSError, ValueError, EOFError) as exc:
+        except (
+            zipfile.BadZipFile, OSError, ValueError, EOFError,
+            # fuzz finding (r6): a corrupt compression-method byte makes
+            # stdlib zipfile raise NotImplementedError ("method not
+            # supported") or RuntimeError from zf.open(), and a mangled
+            # deflate stream can surface zlib.error — all must become
+            # the drop-the-row ValueError, never a partition failure
+            NotImplementedError, RuntimeError, zlib.error,
+        ) as exc:
             raise ValueError(f"zip: unreadable archive: {exc}") from exc
         return out
     try:
@@ -632,7 +644,10 @@ def extract_members(
                         "truncated": len(content) > cap,
                     }
                 )
-    except (tarfile.TarError, OSError, ValueError, EOFError) as exc:
+    except (
+        tarfile.TarError, OSError, ValueError, EOFError,
+        NotImplementedError, RuntimeError, zlib.error,
+    ) as exc:
         raise ValueError(f"tar: unreadable archive: {exc}") from exc
     return out
 

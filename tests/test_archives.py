@@ -268,3 +268,52 @@ def test_spark_datafile_meta_df(spark):
                                 "doc_id long, payload binary")
     brows = ar.datafile_meta_df(bad).collect()
     assert len(brows) == 1 and not brows[0].ok
+
+
+def test_extraction_fuzz_truncation_and_byteflips():
+    """Same fuzz contract for the r6 extraction stage: extract_members
+    and warc_records(with_bodies=True) raise only _MALFORMED types on
+    corrupt input (the Spark kernels map those to ok=False rows)."""
+    import random
+
+    zip_good = ar.synth_zip(9)
+    warc_good = ar.synth_warc(7, gzipped=True)
+    for good, fn in (
+        (zip_good, ar.extract_members),
+        (warc_good, lambda p: ar.warc_records(p, with_bodies=True)),
+    ):
+        for cut in range(0, len(good), 5):
+            try:
+                fn(good[:cut])
+            except ar._MALFORMED:
+                pass
+        rng = random.Random(13)
+        for _ in range(300):
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                fn(bytes(b))
+            except ar._MALFORMED:
+                pass
+
+
+def test_datafile_synth_fuzz():
+    import random
+
+    rng = random.Random(17)
+    for d in (0, 1, 2, 3):
+        good = ar.synth_datafile(d)
+        for cut in range(0, len(good), 9):
+            try:
+                ar.datafile_meta(good[:cut])
+            except ar._MALFORMED:
+                pass
+        for _ in range(150):
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 3)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                ar.datafile_meta(bytes(b))
+            except ar._MALFORMED:
+                pass

@@ -1167,3 +1167,35 @@ def test_mjpeg_huffman_strip_inject_inverse():
     assert (a == b).all()
     # already-tabled frames pass through untouched
     assert mm.mjpeg_ensure_huffman(j) == j
+
+
+def test_avi_mjpeg_fuzz_truncation_and_byteflips():
+    """Truncation/byte-flip fuzz for the r6 paths: the AVI frame walk +
+    MJPEG decode and the Huffman splice must either succeed or raise
+    ValueError — never hang, never leak another exception type (the
+    drop-the-row contract)."""
+    import random
+
+    import numpy as np
+
+    from flumedb_spark.operators import mmcodec as mm
+
+    good = mm.encode_avi_mjpeg(
+        [np.full((8, 8, 3), 2 * v, dtype=np.uint8) for v in (5, 50)],
+        strip_dht=True,
+    )
+    for cut in range(0, len(good), 7):
+        try:
+            mm.decode_avi_mjpeg_frames(good[:cut])
+        except ValueError:
+            pass
+    rng = random.Random(11)
+    for _ in range(300):
+        b = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            mm.decode_avi_mjpeg_frames(bytes(b))
+        except ValueError:
+            pass
+        mm.sniff_avi_mjpeg(bytes(b))  # must never raise at all

@@ -169,3 +169,64 @@ def test_resize_nn_floor_mapping_property(w, h, dw, dh, seed):
     for y in range(dh):
         for x in range(dw):
             assert (out[y, x] == img[(y * h) // dh, (x * w) // dw]).all()
+
+
+# ---------------------------------------------------------------------
+# round-6: exact-substring dedup vs a brute-force python oracle
+# ---------------------------------------------------------------------
+
+
+def _brute_substring_spans(docs: dict[int, str], w: int) -> set[tuple[int, int, int]]:
+    """Reference implementation, no hashing: for every doc, mark token
+    positions whose w-window ALSO occurs in a smaller-id doc, then merge
+    overlapping/adjacent covered ranges into maximal spans."""
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    wins: dict[tuple, int] = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        for i in range(len(tk) - w + 1):
+            key = tuple(tk[i : i + w])
+            wins.setdefault(key, d)
+    out = set()
+    for d in sorted(toks):
+        tk = toks[d]
+        dup_pos = [
+            i for i in range(len(tk) - w + 1)
+            if wins[tuple(tk[i : i + w])] < d
+        ]
+        spans = []
+        for i in dup_pos:
+            lo, hi = i + 1, i + w  # 1-based inclusive cover
+            if spans and lo <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], hi))
+            else:
+                spans.append((lo, hi))
+        out.update((d, a, b) for a, b in spans)
+    return out
+
+
+@given(
+    data=st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=1, max_size=24
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=8,
+    ),
+    w=st.integers(min_value=2, max_value=5),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_substring_dup_spans_equals_bruteforce(spark, data, w):
+    from flumedb_spark.operators.dedup import substring_dup_spans
+
+    docs = {i + 1: t for i, t in enumerate(data)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring_dup_spans(df, window=w).collect()
+    }
+    assert got == _brute_substring_spans(docs, w)
