@@ -165,10 +165,15 @@ DRIVER_WINDOW: list[str] = [
     "ns_pipeline_filter_dedup_join",
     "ns_hll_user_estimate",
     "ns_countmin_event_counts",
-    # skew tooling / storage-layout ops
+    # skew tooling / storage-layout ops (ns_salted_distinct_count
+    # rotated out r6 — r5-driver-green, skew.py frozen this round;
+    # ns_salted_join keeps the skew family in-window — freeing the slot
+    # for the new ns_avro_records row)
     "ns_salted_join",
-    "ns_salted_distinct_count",
     "ns_scd2_history",
+    # Avro OCF record decoding (load stage after ns_datafile_meta
+    # triage) — NEW r6
+    "ns_avro_records",
     # multimodal (real-codec meta paths; ns_video_meta and
     # ns_jpeg_decode are NEW in r5 — new entries must take a window
     # slot, so they replace the r4-green frozen fuzzy_match_names and

@@ -777,6 +777,37 @@ def ns_datafile_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_avro_records",
+    oracle="""
+    SELECT d.doc_id, CAST(s.i AS BIGINT) AS rec_idx,
+      CAST(d.doc_id * 100 + s.i AS BIGINT) AS c0,
+      repeat('a', CAST(1 + (d.doc_id + s.i) % 7 AS INT)) AS c1,
+      CAST(d.doc_id * 3 + s.i AS DOUBLE) / 4.0 AS c2,
+      true AS ok
+    FROM documents d, generate_series(0, 5) s(i)
+    WHERE s.i <= d.doc_id % 6
+    ORDER BY d.doc_id, rec_idx
+    """,
+)
+def ns_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF record DECODING — the load stage after the
+    ns_datafile_meta triage pass: per-doc REAL record-bearing OCF bytes
+    (archives.encode_avro_records: spec binary encoding, deflate blocks
+    on doc_id%3==0) decoded block-by-block per the Avro 1.11 spec and
+    exploded one row per record with typed columns. The oracle replays
+    the synthesizer's field formulas (long/string/exact-dyadic double),
+    so a varint, block-boundary, codec, or field-order bug breaks the
+    hash."""
+    from .operators import archives
+
+    payloads = archives.with_synthetic_avro_payload(spark.table("documents"))
+    return (
+        archives.avro_records_df(payloads, "c0 long, c1 string, c2 double")
+        .orderBy("doc_id", "rec_idx")
+    )
+
+
+@query(
     "ns_substring_dedup",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

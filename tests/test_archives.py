@@ -317,3 +317,112 @@ def test_datafile_synth_fuzz():
                 ar.datafile_meta(bytes(b))
             except ar._MALFORMED:
                 pass
+
+
+# ---------------------------------------------------------------------
+# Avro record decoding (r6: the load stage after datafile triage)
+# ---------------------------------------------------------------------
+
+
+def test_avro_records_roundtrip_both_codecs_multiblock():
+    rows = [
+        {"c0": i * 10 - 5, "c1": "s" * (i % 4), "c2": i / 8.0, "b": i % 2 == 0}
+        for i in range(11)
+    ]
+    fields = [("c0", "long"), ("c1", "string"), ("c2", "double"), ("b", "boolean")]
+    for codec in ("null", "deflate"):
+        p = ar.encode_avro_records(rows, fields, codec=codec, block_records=3)
+        assert ar.avro_records(p) == rows  # 4 blocks, exact round-trip
+        m = ar.avro_meta(p)
+        assert (m["n_records"], m["n_blocks"], m["codec"]) == (11, 4, codec)
+
+
+def test_avro_records_complex_types_and_named_refs():
+    """Hand-built buffer: union/array/map/enum/fixed decode plus a
+    named-type reference (spec: Binary Encoding + Names)."""
+    sch = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A", "B"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "FX", "size": 3}},
+            {"name": "fx2", "type": "FX"},  # named reference
+        ],
+    }
+    names = {}
+    ar._register_named(sch, names)
+    z = ar._avro_zz
+    buf = (
+        z(1) + z(42)                      # union branch 1 -> long 42
+        + z(2) + z(1) + z(2) + z(0)       # array [1, 2]
+        + z(1) + z(1) + b"k" + z(2) + b"vv" + z(0)  # map {k: vv}
+        + z(1)                            # enum B
+        + b"xyz" + b"abc"                 # fixed + named-ref fixed
+    )
+    v, pos = ar._decode_avro_value(buf, 0, sch, names)
+    assert pos == len(buf)
+    assert v == {"u": 42, "arr": [1, 2], "m": {"k": "vv"}, "e": "B",
+                 "fx": b"xyz", "fx2": b"abc"}
+    # negative array block count (size-prefixed form) decodes too
+    buf2 = z(-2) + z(2) + z(3) + z(4) + z(0)
+    arr, p2 = ar._decode_avro_value(buf2, 0, {"type": "array", "items": "int"}, {})
+    assert arr == [3, 4] and p2 == len(buf2)
+
+
+def test_avro_records_guards_bombs_and_trailing_bytes():
+    z = ar._avro_zz
+    # array claiming 2^40 zero-byte (null) items must raise, not loop
+    with pytest.raises(ValueError):
+        ar._decode_avro_value(z(1 << 40), 0, {"type": "array", "items": "null"}, {})
+    # a block whose declared record count leaves trailing bytes is corrupt
+    rows = [{"c0": 1}, {"c0": 2}]
+    p = ar.encode_avro_records(rows, [("c0", "long")], block_records=2)
+    tampered = p.replace(z(2) + z(2), z(1) + z(2), 1)  # claim 1 rec, 2 bytes
+    with pytest.raises(ValueError):
+        ar.avro_records(tampered)
+    # non-record top-level schema rejected
+    bad = ar.encode_avro_records([{"c0": 1}], [("c0", "long")])
+    bad = bad.replace(b'"type": "record"', b'"type": "recorX"', 1)
+    with pytest.raises(ValueError):
+        ar.avro_records(bad)
+
+
+def test_avro_records_fuzz_never_hangs():
+    import random
+
+    rng = random.Random(23)
+    for d in (0, 3, 7):  # covers null and deflate synth payloads
+        good = ar.synth_avro_records(d)
+        assert ar.avro_records(good) == ar.avro_records(good)
+        for cut in range(0, len(good), 7):
+            try:
+                ar.avro_records(good[:cut])
+            except ar._MALFORMED:
+                pass
+        for _ in range(300):
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 3)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                ar.avro_records(bytes(b))
+            except ar._MALFORMED:
+                pass
+
+
+def test_spark_avro_records_df(spark):
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1, 3, 5, 8]}))
+    payloads = ar.with_synthetic_avro_payload(docs)
+    out = ar.avro_records_df(payloads, "c0 long, c1 string, c2 double")
+    rows = {(r.doc_id, r.rec_idx): r for r in out.collect()}
+    assert len(rows) == sum(1 + d % 6 for d in (0, 1, 3, 5, 8))
+    r = rows[(5, 2)]
+    assert (r.c0, r.c1, r.c2, r.ok) == (502, "a", 17 / 4.0, True)
+    # corrupt payload -> single ok=False row, fields null
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "payload": [b"Obj\x01garbage"]})
+    )
+    (row,) = ar.avro_records_df(bad, "c0 long, c1 string, c2 double").collect()
+    assert (row.ok, row.c0, row.c1) == (False, None, None)

@@ -57,6 +57,9 @@ def test_all_northstar_ops_in_window():
         # ns_jpeg_decode + ns_media_meta keep image/codec coverage)
         "ns_zorder_morton",
         "ns_image_resize_meta",
+        # late-r6 rotation for the new ns_avro_records row (skew.py
+        # frozen this round; ns_salted_join keeps the family in-window)
+        "ns_salted_distinct_count",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -116,7 +119,8 @@ def test_changed_or_new_rows_in_window():
         "stream_stateful_key_stats",
         "ns_similarity_topk_np",
         "ns_salted_join",
-        "ns_salted_distinct_count",
+        # (ns_salted_distinct_count rotated out late r6 for
+        #  ns_avro_records)
         "ns_scd2_history",
         # (ns_zorder_morton rotated out r6 for stream_dedup_watermark)
         # (ns_url_dedup rotated out late r5 for ns_archive_listing)
@@ -135,6 +139,9 @@ def test_changed_or_new_rows_in_window():
         # r6 new: pure MJPEG-AVI frame decode (ns_image_resize_meta
         # rotated out: r5-driver-green, frozen)
         "ns_avi_frames",
+        # late-r6 new: Avro OCF record decoding — the load stage after
+        # ns_datafile_meta triage (ns_salted_distinct_count rotated out)
+        "ns_avro_records",
     ):
         assert n in _window_names(), n
 
