@@ -917,6 +917,10 @@ def _avro_decompress_block(data: bytes, codec: str) -> bytes:
         if len(out) > MAX_DECOMPRESSED:
             raise ValueError("avro: deflate block exceeds decompression cap")
         return out
+    if codec == "snappy":  # compressed bytes + 4-byte BE CRC32 (spec)
+        from . import snappycodec
+
+        return snappycodec.avro_block_decompress(data, MAX_DECOMPRESSED)
     raise ValueError(f"avro: unsupported codec {codec!r}")
 
 
@@ -1031,6 +1035,10 @@ def encode_avro_records(
         if codec == "deflate":
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = c.compress(body) + c.flush()
+        elif codec == "snappy":
+            from . import snappycodec
+
+            body = snappycodec.avro_block_compress(body)
         elif codec != "null":
             raise ValueError(f"avro encode: unsupported codec {codec!r}")
         out += _avro_zz(len(chunk)) + _avro_zz(len(body)) + body + sync
@@ -1075,8 +1083,10 @@ def avro_records_df(payloads: DataFrame, fields: str) -> DataFrame:
 def synth_avro_records(doc_id: int) -> bytes:
     """Deterministic record-bearing OCF: 1 + d%6 records of
     (c0 long = d*100+i, c1 string = 'a' * (1+(d+i)%7),
-    c2 double = (d*3+i)/4.0 — exact dyadic), deflate when d%3==0,
-    block size 4 — formulas a SQL oracle replays arithmetically."""
+    c2 double = (d*3+i)/4.0 — exact dyadic), codec cycling through all
+    three the spec names (deflate/snappy/null by d%3), block size 4 —
+    field formulas a SQL oracle replays arithmetically (the oracle sees
+    values only, so every codec path is attested through them)."""
     d = int(doc_id)
     rows = [
         {"c0": d * 100 + i, "c1": "a" * (1 + (d + i) % 7), "c2": (d * 3 + i) / 4.0}
@@ -1085,7 +1095,7 @@ def synth_avro_records(doc_id: int) -> bytes:
     return encode_avro_records(
         rows,
         [("c0", "long"), ("c1", "string"), ("c2", "double")],
-        codec="deflate" if d % 3 == 0 else "null",
+        codec=("deflate", "snappy", "null")[d % 3],
         block_records=4,
     )
 
