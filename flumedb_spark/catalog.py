@@ -153,11 +153,15 @@ DRIVER_WINDOW: list[str] = [
     "ns_lsh_ann_recall10",
     "ns_ivf_ann_topk_seeded",
     "ns_ivf_ann_recall10",
-    # text analysis family
+    # text analysis family (ns_tfidf_topterms rotated out late r6 —
+    # r5-driver-green, text.py frozen this round; lang_id/rare_token/
+    # bpe keep the family in-window — freeing the slot for the new
+    # src_orc_roundtrip source-format row)
     "ns_lang_id",
     "ns_rare_token_share",
-    "ns_tfidf_topterms",
     "ns_bpe_tokens",
+    # source-format surface: ORC round-trip through read_any — NEW r6
+    "src_orc_roundtrip",
     # pipeline / packing / sampling / sketches
     "ns_doc_chunks",
     "ns_sequence_packing",
@@ -1052,6 +1056,58 @@ def stream_stateful_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame(
             rows, "user_id long, n long, total double, last_seq long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "src_orc_roundtrip",
+    # The source-format surface's ORC attestation: events written to
+    # ORC (JVM-native, zlib stripes) and read back through the engine's
+    # read_any dispatch, then aggregated with exact-integer columns —
+    # a type-mapping or timestamp bug in either direction breaks the
+    # hash. The oracle aggregates the original parquet (same rows, so a
+    # lossless round-trip is the only way to match). At 100 TB: ORC has
+    # the same stripe-level min/max pushdown + column pruning story as
+    # parquet, so this path inherits the scan-shape guarantees the plan
+    # gates pin for parquet.
+    oracle="""
+    SELECT event_type, count(*) AS n,
+      CAST(sum(event_id) AS BIGINT) AS sum_id,
+      count(DISTINCT user_id) AS n_users,
+      epoch_us(min(ts)) AS min_us, epoch_us(max(ts)) AS max_us
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .sources.readers import read_any
+
+    events = spark.table("events").select("event_id", "user_id", "event_type", "ts")
+    work = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        path = work + "/events_orc"
+        events.write.orc(path)
+        rows = (
+            read_any(spark, path, "orc")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").alias("sum_id"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.unix_micros(F.min("ts")).alias("min_us"),
+                F.unix_micros(F.max("ts")).alias("max_us"),
+            )
+            .orderBy("event_type")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n long, sum_id long, n_users long, "
+            "min_us long, max_us long",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

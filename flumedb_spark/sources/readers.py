@@ -29,6 +29,10 @@ def read_any(
         reader = reader.schema(schema)
     if fmt == "parquet":
         return reader.parquet(path)
+    if fmt == "orc":
+        # ORC is JVM-native in Spark: same predicate-pushdown +
+        # column-pruning story as parquet (stripe/row-group min-max)
+        return reader.options(**options).orc(path)
     if fmt == "csv":
         options.setdefault("header", "true")
         return reader.options(**options).csv(path)

@@ -60,6 +60,9 @@ def test_all_northstar_ops_in_window():
         # late-r6 rotation for the new ns_avro_records row (skew.py
         # frozen this round; ns_salted_join keeps the family in-window)
         "ns_salted_distinct_count",
+        # late-r6 rotation for the new src_orc_roundtrip row (text.py
+        # frozen this round; lang_id/rare_token/bpe keep the family)
+        "ns_tfidf_topterms",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -95,7 +98,7 @@ def test_changed_or_new_rows_in_window():
         # ns_video_meta / ns_jpeg_decode rows)
         "ns_countmin_event_counts", "ns_weighted_sample",
         "ns_doc_chunks", "ns_sequence_packing",
-        "ns_tfidf_topterms",
+        # (ns_tfidf_topterms rotated out late r6 for src_orc_roundtrip)
         # real multimodal decode (pure-stdlib codecs, mmcodec.py)
         # (ns_image_resize_meta rotated out r6 for ns_avi_frames)
         "ns_audio_decode_meta",
@@ -142,6 +145,9 @@ def test_changed_or_new_rows_in_window():
         # late-r6 new: Avro OCF record decoding — the load stage after
         # ns_datafile_meta triage (ns_salted_distinct_count rotated out)
         "ns_avro_records",
+        # late-r6 new: ORC round-trip source attestation
+        # (ns_tfidf_topterms rotated out)
+        "src_orc_roundtrip",
     ):
         assert n in _window_names(), n
 
