@@ -661,6 +661,7 @@ class Flume:
         self._throw_if_closed()
         vacuum_after = policy.pop("vacuum_after_seconds", 600.0)
         export_delta = policy.pop("export_delta", False)
+        export_iceberg = policy.pop("export_iceberg", False)
         out: dict[str, object] = {"log": None, "views": []}
         out["log"] = self.log.maybe_compact(self.spark, **policy)
         # OPTIMIZE/VACUUM separation: deletion of compaction-replaced
@@ -685,6 +686,12 @@ class Flume:
             from .sources.delta_export import export_delta_log
 
             out["delta_version"] = export_delta_log(self.log, operation="OPTIMIZE")
+        if export_iceberg:
+            # same interop sync for the Iceberg metadata tree
+            # (sources/iceberg_export.py)
+            from .sources.iceberg_export import export_iceberg_metadata
+
+            out["iceberg_version"] = export_iceberg_metadata(self.log)
         return out
 
     # ---- lifecycle (O16/O18) -------------------------------------------

@@ -1111,3 +1111,166 @@ def with_synthetic_avro_payload(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------
+# Generic Avro encoding (nested schemas) — the symmetric encoder twin
+# of _decode_avro_value, used by sources/iceberg_export.py to write
+# spec-shaped manifest files and by tests to synthesize arbitrary OCFs.
+# ---------------------------------------------------------------------
+
+_AVRO_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
+)
+
+
+def _union_branch(v, branches: list, names: dict) -> int:
+    """Pick the union branch index for a Python value (type-directed:
+    None->null, bool->boolean, int->int/long, float->float/double,
+    str->string/enum, bytes->bytes/fixed, dict->record/map,
+    list->array)."""
+
+    def kind(s):
+        if isinstance(s, str):
+            s = names.get(s, s)
+        if isinstance(s, dict):
+            t = s.get("type")
+            return t if isinstance(t, str) else None
+        return s if isinstance(s, str) else None
+
+    def matches(s) -> bool:
+        k = kind(s)
+        if v is None:
+            return k == "null"
+        if isinstance(v, bool):
+            return k == "boolean"
+        if isinstance(v, int):
+            return k in ("int", "long")
+        if isinstance(v, float):
+            return k in ("float", "double")
+        if isinstance(v, str):
+            return k in ("string", "enum")
+        if isinstance(v, (bytes, bytearray)):
+            return k in ("bytes", "fixed")
+        if isinstance(v, dict):
+            return k in ("record", "map")
+        if isinstance(v, (list, tuple)):
+            return k == "array"
+        return False
+
+    for i, s in enumerate(branches):
+        if matches(s):
+            return i
+    raise ValueError(f"avro encode: no union branch for {type(v).__name__}")
+
+
+def _encode_avro_value(v, schema, names: dict) -> bytes:
+    if isinstance(schema, str):
+        t = schema
+        if t not in _AVRO_PRIMITIVES and t in names:
+            return _encode_avro_value(v, names[t], names)
+        if t == "null":
+            if v is not None:
+                raise ValueError("avro encode: non-None for null type")
+            return b""
+        if t == "boolean":
+            return b"\x01" if v else b"\x00"
+        if t in ("int", "long"):
+            return _avro_zz(int(v))
+        if t == "float":
+            return struct.pack("<f", float(v))
+        if t == "double":
+            return struct.pack("<d", float(v))
+        if t == "bytes":
+            raw = bytes(v)
+            return _avro_zz(len(raw)) + raw
+        if t == "string":
+            raw = str(v).encode("utf-8")
+            return _avro_zz(len(raw)) + raw
+        raise ValueError(f"avro encode: unknown type {t!r}")
+    if isinstance(schema, list):
+        idx = _union_branch(v, schema, names)
+        return _avro_zz(idx) + _encode_avro_value(v, schema[idx], names)
+    if not isinstance(schema, dict):
+        raise ValueError("avro encode: malformed schema node")
+    t = schema.get("type")
+    if t == "record":
+        if schema.get("name"):
+            names.setdefault(schema["name"], schema)
+        out = bytearray()
+        for f in schema.get("fields", []):
+            out += _encode_avro_value(v.get(f["name"]), f["type"], names)
+        return bytes(out)
+    if t == "enum":
+        return _avro_zz(schema["symbols"].index(v))
+    if t == "fixed":
+        raw = bytes(v)
+        if len(raw) != int(schema.get("size", -1)):
+            raise ValueError("avro encode: fixed size mismatch")
+        return raw
+    if t == "array":
+        if not v:
+            return _avro_zz(0)
+        out = bytearray(_avro_zz(len(v)))
+        for item in v:
+            out += _encode_avro_value(item, schema.get("items"), names)
+        return bytes(out + _avro_zz(0))
+    if t == "map":
+        if not v:
+            return _avro_zz(0)
+        out = bytearray(_avro_zz(len(v)))
+        for k, item in v.items():
+            kraw = str(k).encode("utf-8")
+            out += _avro_zz(len(kraw)) + kraw
+            out += _encode_avro_value(item, schema.get("values"), names)
+        return bytes(out + _avro_zz(0))
+    if isinstance(t, (str, list, dict)):  # wrapper form
+        return _encode_avro_value(v, t, names)
+    raise ValueError(f"avro encode: unknown complex type {t!r}")
+
+
+def encode_avro_ocf(
+    schema: dict,
+    records: list,
+    codec: str = "null",
+    block_records: int = 100,
+    extra_meta: dict | None = None,
+) -> bytes:
+    """Write a full OCF for an arbitrary (possibly nested) record
+    schema — the generic encoder twin of :func:`avro_records`.
+    ``extra_meta`` adds file-metadata entries (str or bytes values) —
+    how Iceberg manifests carry their "schema"/"format-version" keys."""
+    import json as _json
+
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise ValueError("avro encode: top-level schema must be a record")
+    names: dict = {}
+    _register_named(schema, names)
+    meta_entries: list[tuple[bytes, bytes]] = [
+        (b"avro.schema", _json.dumps(schema).encode()),
+        (b"avro.codec", codec.encode()),
+    ]
+    for k, v in (extra_meta or {}).items():
+        meta_entries.append(
+            (k.encode(), v if isinstance(v, (bytes, bytearray)) else str(v).encode())
+        )
+    sync = bytes((i * 11 + 5) % 256 for i in range(16))
+    out = bytearray(b"Obj\x01")
+    out += _avro_zz(len(meta_entries))
+    for k, v in meta_entries:
+        out += _avro_zz(len(k)) + k + _avro_zz(len(v)) + v
+    out += _avro_zz(0) + sync
+    for start in range(0, len(records), block_records):
+        chunk = records[start : start + block_records]
+        body = b"".join(_encode_avro_value(r, schema, names) for r in chunk)
+        if codec == "deflate":
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = c.compress(body) + c.flush()
+        elif codec == "snappy":
+            from . import snappycodec
+
+            body = snappycodec.avro_block_compress(body)
+        elif codec != "null":
+            raise ValueError(f"avro encode: unsupported codec {codec!r}")
+        out += _avro_zz(len(chunk)) + _avro_zz(len(body)) + body + sync
+    return bytes(out)
