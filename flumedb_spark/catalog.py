@@ -167,8 +167,13 @@ DRIVER_WINDOW: list[str] = [
     "ns_sequence_packing",
     "ns_weighted_sample",
     "ns_pipeline_filter_dedup_join",
-    "ns_hll_user_estimate",
+    # (ns_hll_user_estimate rotated out late r6 — r5-driver-green,
+    # sketches.py frozen this round; countmin keeps the sketch family
+    # in-window — freeing the slot for the new ns_parquet_records row)
     "ns_countmin_event_counts",
+    # parquet payload record decoding (embedded-bytes load stage) —
+    # NEW r6
+    "ns_parquet_records",
     # skew tooling / storage-layout ops (ns_salted_distinct_count
     # rotated out r6 — r5-driver-green, skew.py frozen this round;
     # ns_salted_join keeps the skew family in-window — freeing the slot

@@ -808,6 +808,36 @@ def ns_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_parquet_records",
+    oracle="""
+    SELECT d.doc_id, CAST(s.i AS BIGINT) AS rec_idx,
+      CAST(d.doc_id * 1000 + 2 * s.i AS BIGINT) AS c0,
+      repeat('b', CAST(1 + (d.doc_id + s.i) % 5 AS INT)) AS c1,
+      true AS ok
+    FROM documents d, generate_series(0, 6) s(i)
+    WHERE s.i <= d.doc_id % 7
+    ORDER BY d.doc_id, rec_idx
+    """,
+)
+def ns_parquet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet PAYLOAD record decoding — for parquet bytes that arrive
+    as values (archive members, WARC attachments, log blobs) rather
+    than scannable files: per-doc REAL pyarrow-written parquet bytes
+    (snappy on odd doc_ids) decoded in the Arrow-batched kernel and
+    exploded one typed row per record. The oracle replays the
+    synthesizer's field formulas; a footer, page-decode, or
+    column-projection bug breaks the hash. Use spark.read.parquet for
+    parquet that lives as files — this is the embedded-bytes path."""
+    from .operators import archives
+
+    payloads = archives.with_synthetic_parquet_payload(spark.table("documents"))
+    return (
+        archives.parquet_records_df(payloads, "c0 long, c1 string")
+        .orderBy("doc_id", "rec_idx")
+    )
+
+
+@query(
     "ns_substring_dedup",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

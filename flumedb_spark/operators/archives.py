@@ -1274,3 +1274,86 @@ def encode_avro_ocf(
             raise ValueError(f"avro encode: unsupported codec {codec!r}")
         out += _avro_zz(len(chunk)) + _avro_zz(len(body)) + body + sync
     return bytes(out)
+
+
+def parquet_records(payload: bytes, columns: list[str] | None = None) -> list[dict]:
+    """Decode a parquet PAYLOAD's rows via pyarrow (no temp files) —
+    the parquet twin of :func:`avro_records`, for parquet bytes that
+    arrive as values (archive members, WARC attachments, log blobs)
+    rather than as scannable files. Column projection pushes into the
+    pyarrow read so unneeded columns are never decompressed."""
+    import pyarrow.parquet as pq
+
+    try:
+        t = pq.read_table(io.BytesIO(payload), columns=columns)
+        return t.to_pylist()
+    except Exception as exc:  # pyarrow raises a zoo of types on bad bytes
+        raise ValueError(f"parquet: unreadable payload: {exc}") from exc
+
+
+def parquet_records_df(payloads: DataFrame, fields: str) -> DataFrame:
+    """(doc_id, payload) -> one row per decoded parquet record,
+    projecting the declared ``fields`` (Spark DDL). Corrupt payloads
+    yield the usual single ok=False row. Use :func:`datafile_meta_df`
+    first to triage; use ``spark.read.parquet`` for parquet that lives
+    as FILES — this operator is for parquet embedded in a binary
+    column, where a filesystem round-trip would serialize the scan
+    through the driver."""
+    names = [c.strip().split()[0] for c in fields.split(",")]
+    schema = f"doc_id long, rec_idx long, {fields}, ok boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "rec_idx", *names, "ok")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    recs = parquet_records(bytes(p))
+                except _MALFORMED:
+                    out["doc_id"].append(doc_id)
+                    out["rec_idx"].append(0)
+                    for n in names:
+                        out[n].append(None)
+                    out["ok"].append(False)
+                    continue
+                for i, rec in enumerate(recs):
+                    out["doc_id"].append(doc_id)
+                    out["rec_idx"].append(i)
+                    for n in names:
+                        out[n].append(rec.get(n))
+                    out["ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, schema)
+
+
+def synth_parquet_records(doc_id: int) -> bytes:
+    """Deterministic record-bearing parquet payload: 1 + d%7 rows of
+    (c0 long = d*1000 + 2*i, c1 string = 'b' * (1+(d+i)%5)), snappy on
+    odd doc_ids — formulas a SQL oracle replays arithmetically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = int(doc_id)
+    n = 1 + d % 7
+    table = pa.table(
+        {
+            "c0": pa.array([d * 1000 + 2 * i for i in range(n)], pa.int64()),
+            "c1": pa.array(["b" * (1 + (d + i) % 5) for i in range(n)], pa.string()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="snappy" if d % 2 else "NONE")
+    return buf.getvalue()
+
+
+def with_synthetic_parquet_payload(docs: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [synth_parquet_records(int(x)) for x in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")

@@ -426,3 +426,32 @@ def test_spark_avro_records_df(spark):
     )
     (row,) = ar.avro_records_df(bad, "c0 long, c1 string, c2 double").collect()
     assert (row.ok, row.c0, row.c1) == (False, None, None)
+
+
+def test_parquet_records_roundtrip_and_projection():
+    for d in (0, 1, 4, 9):
+        recs = ar.parquet_records(ar.synth_parquet_records(d))
+        assert len(recs) == 1 + d % 7
+        assert recs[0] == {"c0": d * 1000, "c1": "b" * (1 + d % 5)}
+    # column projection pushes into the pyarrow read
+    only_c0 = ar.parquet_records(ar.synth_parquet_records(3), columns=["c0"])
+    assert only_c0[0] == {"c0": 3000}
+    import pytest as _pytest
+
+    for bad in (b"", b"PAR1", b"PAR1" + b"x" * 40, ar.synth_parquet_records(2)[:-5]):
+        with _pytest.raises(ValueError):
+            ar.parquet_records(bad)
+
+
+def test_spark_parquet_records_df(spark):
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 2, 5]}))
+    payloads = ar.with_synthetic_parquet_payload(docs)
+    out = ar.parquet_records_df(payloads, "c0 long, c1 string")
+    rows = {(r.doc_id, r.rec_idx): r for r in out.collect()}
+    assert len(rows) == sum(1 + d % 7 for d in (0, 2, 5))
+    assert rows[(5, 1)].c0 == 5002 and rows[(5, 1)].c1 == "bb"
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "payload": [b"PAR1 not parquet"]})
+    )
+    (row,) = ar.parquet_records_df(bad, "c0 long, c1 string").collect()
+    assert (row.ok, row.c0) == (False, None)

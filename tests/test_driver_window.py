@@ -63,6 +63,9 @@ def test_all_northstar_ops_in_window():
         # late-r6 rotation for the new src_orc_roundtrip row (text.py
         # frozen this round; lang_id/rare_token/bpe keep the family)
         "ns_tfidf_topterms",
+        # late-r6 rotation for the new ns_parquet_records row
+        # (sketches.py frozen; countmin keeps the sketch family)
+        "ns_hll_user_estimate",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -90,8 +93,8 @@ def test_changed_or_new_rows_in_window():
         "q17_small_quantity_revenue", "q20_part_promotion",
         "q21_waiting_suppliers", "q22_global_sales_opportunity",
         "ns_bpe_tokens",
-        # (interval_join_events rotated out late r5 for ns_warc_listing)
-        "ns_hll_user_estimate",
+        # (interval_join_events rotated out late r5 for ns_warc_listing;
+        #  ns_hll_user_estimate rotated out late r6 for ns_parquet_records)
         # (ns_histogram_quantiles also rotated out r5 for ns_media_meta;
         #  fuzzy_match_names / window_distribution rotated out r5:
         # r4-driver-green, frozen — their slots went to the new
@@ -148,6 +151,9 @@ def test_changed_or_new_rows_in_window():
         # late-r6 new: ORC round-trip source attestation
         # (ns_tfidf_topterms rotated out)
         "src_orc_roundtrip",
+        # late-r6 new: parquet payload record decoding
+        # (ns_hll_user_estimate rotated out)
+        "ns_parquet_records",
     ):
         assert n in _window_names(), n
 
