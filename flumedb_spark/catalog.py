@@ -137,6 +137,10 @@ DRIVER_WINDOW: list[str] = [
     # the slot of r5-green frozen ns_zorder_morton (scd2 keeps the
     # storage-layout family in-window)
     "stream_dedup_watermark",
+    # streaming SESSION windows (probe-pinned merge/emission/late
+    # semantics) — NEW late r6; takes the slot of r5-green frozen
+    # ns_doc_chunks (ns_sequence_packing keeps the packing family)
+    "stream_session_counts",
     # dedup / similarity / ANN family (ns_url_dedup rotated out late r5
     # for the new ns_archive_listing row — the family keeps five other
     # in-window rows)
@@ -162,8 +166,8 @@ DRIVER_WINDOW: list[str] = [
     "ns_bpe_tokens",
     # source-format surface: ORC round-trip through read_any — NEW r6
     "src_orc_roundtrip",
-    # pipeline / packing / sampling / sketches
-    "ns_doc_chunks",
+    # pipeline / packing / sampling / sketches (ns_doc_chunks rotated
+    # out late r6 for stream_session_counts — r5-driver-green, frozen)
     "ns_sequence_packing",
     "ns_weighted_sample",
     "ns_pipeline_filter_dedup_join",
@@ -887,24 +891,27 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_stream_source(
-    spark: SparkSession, df: DataFrame, work: str, seq_col: str = "event_id"
+    spark: SparkSession, df: DataFrame, work: str, seq_col: str = "event_id",
+    preds: tuple | None = None,
 ) -> DataFrame:
-    """Stage ``df`` as THREE single-file micro-batches (80% / %10==7 /
-    %10==3 of ``seq_col``, arrival order pinned via mtime) and return a
-    file-source readStream over them (maxFilesPerTrigger=1): the
-    deterministic-batch harness behind the streaming oracle rows."""
+    """Stage ``df`` as single-file micro-batches (default: 80% / %10==7
+    / %10==3 of ``seq_col``; arrival order pinned via mtime) and return
+    a file-source readStream over them (maxFilesPerTrigger=1): the
+    deterministic-batch harness behind the streaming oracle rows.
+    ``preds`` overrides the batch predicates (they should partition the
+    input; rows matching none are simply never staged)."""
     import os
     import shutil
 
     stream_dir = os.path.join(work, "in")
     os.makedirs(stream_dir)
-    for i, pred in enumerate(
-        (
+    if preds is None:
+        preds = (
             ~(F.col(seq_col) % 10).isin(3, 7),
             F.col(seq_col) % 10 == 7,
             F.col(seq_col) % 10 == 3,
         )
-    ):
+    for i, pred in enumerate(preds):
         staged = os.path.join(work, f"stage{i}")
         df.where(pred).coalesce(1).write.parquet(staged)
         part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
@@ -1010,6 +1017,90 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         return spark.createDataFrame(rows, "event_id long, ts_us long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_session_counts",
+    # Streaming SESSION windows (session_window + watermark, append
+    # mode) — the dynamic-window member of the streaming family, twin
+    # of the batch sessionize_30min row. Batches are partitioned BY KEY
+    # (user_id % 3) so no session straddles a batch boundary — that
+    # keeps the oracle closed-form while the run still exercises real
+    # cross-batch session STATE (open sessions from b0 survive b1/b2
+    # and flush in the trailing no-data batch) and the late-event
+    # filter (b2 rows vs the batch-lagged watermark, same pinned
+    # semantics as stream_windowed_counts: filter in batch N uses the
+    # watermark through batch N-2). Session merge bound pinned by
+    # tests/test_streaming.py::test_stream_session_semantics: an event
+    # at exactly last_ts + gap MERGES (the bound is inclusive — probe
+    # finding; a half-open assumption breaks on exact-gap ties);
+    # emission requires session end <= final watermark =
+    # max(all ts) - 30min (boundary equality emits — probed).
+    oracle="""
+    WITH wm0 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+                 WHERE user_id % 3 = 0),
+         fw  AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+         survive AS (
+           SELECT user_id, ts FROM events WHERE user_id % 3 IN (0, 1)
+           UNION ALL
+           SELECT user_id, ts FROM events
+           WHERE user_id % 3 = 2 AND ts >= (SELECT w FROM wm0)
+         ),
+         ord AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_sess
+           FROM survive
+         ),
+         sess AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+           FROM ord
+         )
+    SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
+      epoch_us(max(ts) + INTERVAL 30 MINUTE) AS sess_end_us,
+      count(*) AS n
+    FROM sess GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM fw)
+    ORDER BY user_id, sess_start_us
+    """,
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.live import sessionized_event_counts
+
+    ev = spark.table("events").select("user_id", "ts")
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        m3 = F.col("user_id") % 3
+        src = _staged_stream_source(
+            spark, ev, work, preds=(m3 == 0, m3 == 1, m3 == 2)
+        )
+        agg = sessionized_event_counts(
+            src, gap="30 minutes", watermark="30 minutes",
+            key="user_id", ts_col="ts",
+        )
+        sink = _run_stream_to_memory(spark, agg, work, output_mode="append")
+        rows = (
+            sink.select(
+                "user_id",
+                F.unix_micros("sess_start").alias("sess_start_us"),
+                F.unix_micros("sess_end").alias("sess_end_us"),
+                "n",
+            )
+            .orderBy("user_id", "sess_start_us")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "user_id long, sess_start_us long, sess_end_us long, n long"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -338,6 +338,32 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming gap-based sessionization per key (``session_window``
+    + watermark, append mode): dynamic-size windows that merge while
+    events keep arriving within ``gap`` and emit once the watermark
+    passes the session end (last event + gap). The streaming twin of
+    the batch ``sessionize_30min`` row. State is one open session per
+    active key — bounded by key cardinality, evicted on emission."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(F.count("*").alias("n"))
+        .select(
+            key,
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n",
+        )
+    )
+
+
 def dedup_within_watermark(
     events_stream: DataFrame,
     keys: tuple[str, ...] = ("event_id",),

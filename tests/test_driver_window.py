@@ -66,6 +66,9 @@ def test_all_northstar_ops_in_window():
         # late-r6 rotation for the new ns_parquet_records row
         # (sketches.py frozen; countmin keeps the sketch family)
         "ns_hll_user_estimate",
+        # late-r6 rotation for the new stream_session_counts row
+        # (chunking frozen; ns_sequence_packing keeps the family)
+        "ns_doc_chunks",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -100,7 +103,8 @@ def test_changed_or_new_rows_in_window():
         # r4-driver-green, frozen — their slots went to the new
         # ns_video_meta / ns_jpeg_decode rows)
         "ns_countmin_event_counts", "ns_weighted_sample",
-        "ns_doc_chunks", "ns_sequence_packing",
+        # (ns_doc_chunks rotated out late r6 for stream_session_counts)
+        "ns_sequence_packing",
         # (ns_tfidf_topterms rotated out late r6 for src_orc_roundtrip)
         # real multimodal decode (pure-stdlib codecs, mmcodec.py)
         # (ns_image_resize_meta rotated out r6 for ns_avi_frames)
@@ -154,6 +158,9 @@ def test_changed_or_new_rows_in_window():
         # late-r6 new: parquet payload record decoding
         # (ns_hll_user_estimate rotated out)
         "ns_parquet_records",
+        # late-r6 new: streaming session windows (ns_doc_chunks rotated
+        # out)
+        "stream_session_counts",
     ):
         assert n in _window_names(), n
 

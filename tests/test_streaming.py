@@ -860,3 +860,103 @@ def test_stream_dedup_watermark_semantics(spark, tmp_path):
     prog = q.lastProgress
     n_state = prog["stateOperators"][0]["numRowsTotal"]
     assert n_state < 5, f"state not evicted: {n_state} rows held"
+
+
+def _run_session_probe(spark, tmp_path, tag, batches, gap="30 minutes",
+                       watermark="30 minutes"):
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flumedb_spark.streaming.live import sessionized_event_counts
+
+    work = str(tmp_path / f"sess_{tag}")
+    stream_dir = os.path.join(work, "in")
+    os.makedirs(stream_dir)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        staged = os.path.join(work, f"st{i}")
+        df.coalesce(1).write.parquet(staged)
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        shutil.move(glob.glob(os.path.join(staged, "*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out = sessionized_event_counts(
+        src, gap=gap, watermark=watermark, key="user_id", ts_col="ts"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"sessp_{tag}")
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, str(r.sess_start), str(r.sess_end), r.n)
+        for r in spark.table(f"sessp_{tag}").collect()
+    )
+    spark.catalog.dropTempView(f"sessp_{tag}")
+    return got
+
+
+def test_stream_session_semantics(spark, tmp_path):
+    """Empirical pin of Spark 4.1 session_window-under-watermark batch
+    semantics (the stream_session_counts oracle is derived from this):
+    (a) the merge bound is INCLUSIVE — an event at exactly
+        last_ts + gap merges into the session (probe finding: a
+        half-open [ts, ts+gap) assumption is WRONG on exact-gap ties);
+    (b) a session is emitted once the final watermark reaches its end
+        (end <= wm — boundary equality emits);
+    (c) the late-event filter in batch N uses the watermark through
+        batch N-2 (same lag as the tumbling-window pin), so an event
+        under the through-b(N-1) watermark but over the through-b(N-2)
+        one still sessionizes;
+    (d) open sessions survive across batches and flush in the trailing
+        eviction batch."""
+
+    def ts(h, m):
+        return f"2024-01-01 {h:02d}:{m:02d}:00"
+
+    # scenario 1: merge bound + end==wm emission.
+    # b0 max ts 12:00 -> wm-through-b0 = 11:30 = final wm.
+    got = _run_session_probe(spark, tmp_path, "s1", [
+        # u=1: 10:00 and 10:30 — diff == gap: MERGES -> [10:00, 11:00]
+        # u=2: 10:00, 10:20 -> [10:00, 10:50]
+        [(1, ts(10, 0)), (1, ts(10, 30)), (2, ts(10, 0)), (2, ts(10, 20)),
+         (9, ts(12, 0))],
+        # b1: u=3 at 11:00 — never late (wm through b(-1) = -inf);
+        # session end 11:30 == final wm -> EMITTED (boundary equality)
+        [(3, ts(11, 0))],
+        # b2: u=4 at 11:00 < 11:30 (wm through b0) -> late, dropped;
+        #     u=5 at 11:45 -> survives but end 12:15 > final wm 11:30
+        [(4, ts(11, 0)), (5, ts(11, 45))],
+    ])
+    assert got == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 11:00:00", 2),  # (a) merged
+        (2, "2024-01-01 10:00:00", "2024-01-01 10:50:00", 2),
+        (3, "2024-01-01 11:00:00", "2024-01-01 11:30:00", 1),  # (b) end==wm
+        # u=9 [12:00,12:30] > wm; u=5 past wm; u=4 late -> absent
+    ]
+
+    # scenario 2: the late filter's one-batch lag (c).
+    # wm-through-b0 = 11:30, wm-through-b1 = 12:30 (sentinel u=8).
+    got = _run_session_probe(spark, tmp_path, "s2", [
+        [(9, ts(12, 0))],
+        [(8, ts(13, 0))],
+        # b2: u=5 at 12:00 — BELOW wm-through-b1 (12:30) but at/above
+        # wm-through-b0 (11:30): survives only because the filter lags
+        [(5, ts(12, 0)), (6, ts(14, 0))],  # u=6 raises final wm to 13:30
+    ])
+    assert (5, "2024-01-01 12:00:00", "2024-01-01 12:30:00", 1) in got  # (c)
+    assert (8, "2024-01-01 13:00:00", "2024-01-01 13:30:00", 1) in got  # (d)
+    assert not any(u == 6 for u, *_ in got)  # open at stream end
