@@ -56,7 +56,7 @@ def main() -> None:
     assert rows == 600
     assert via_delta.collect() == own.collect()
     assert via_iceberg.collect() == own.collect()
-    ice_records = sum(rc for rc, _ in ice["files"].values())
+    ice_records = sum(rc for rc, *_ in ice["files"].values())
     assert ice_records == rows  # manifest record counts are real
     print(f"log == delta snapshot == iceberg snapshot: {rows} rows; "
           f"iceberg manifests account for {ice_records} records")

@@ -165,8 +165,9 @@ def read_iceberg_snapshot(table_root: str) -> dict:
     """Replay reader (the conformance half): walk version-hint ->
     metadata.json -> current snapshot -> manifest list (Avro) ->
     manifests (Avro) and return ``{"version", "snapshot_id",
-    "sequence_number", "files": {path: (record_count, size)},
-    "schema"}`` for the live snapshot. Empty table -> version 0."""
+    "sequence_number", "files": {path: (record_count, size,
+    data_sequence_number)}, "schema"}`` for the live snapshot. Empty
+    table -> version 0."""
     version = _read_version_hint(table_root)
     if version <= 0:
         return {"version": 0, "snapshot_id": None, "sequence_number": 0,
@@ -175,7 +176,7 @@ def read_iceberg_snapshot(table_root: str) -> dict:
     if md is None:
         raise ValueError(f"iceberg: missing v{version}.metadata.json")
     snap_id = md.get("current-snapshot-id")
-    files: dict[str, tuple[int, int]] = {}
+    files: dict[str, tuple[int, int, int]] = {}
     if snap_id in (None, -1):
         return {"version": version, "snapshot_id": None,
                 "sequence_number": md.get("last-sequence-number", 0),
@@ -189,7 +190,15 @@ def read_iceberg_snapshot(table_root: str) -> dict:
         for e in entries:
             if e["status"] in (_ENTRY_EXISTING, _ENTRY_ADDED):
                 d = e["data_file"]
-                files[d["file_path"]] = (d["record_count"], d["file_size_in_bytes"])
+                # explicit data sequence numbers (this writer never
+                # relies on v2 inheritance); fall back to the
+                # manifest's own seq for foreign inherited entries
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = mf["sequence_number"]
+                files[d["file_path"]] = (
+                    d["record_count"], d["file_size_in_bytes"], seq
+                )
     return {
         "version": version,
         "snapshot_id": snap_id,
@@ -261,19 +270,23 @@ def export_iceberg_metadata(log) -> int:
         stats = {}
         for path in sorted(current):
             if path in prev_files:
-                rc, size = prev_files[path]
+                # an EXISTING entry keeps the data sequence number it
+                # was ADDED at (spec: existing entries must preserve
+                # it), carried through the replay read — NOT the
+                # previous snapshot's head sequence
+                rc, size, add_seq = prev_files[path]
                 status = _ENTRY_EXISTING
             else:
                 rc = _parquet_row_count(path)
                 size = os.path.getsize(path)
+                add_seq = seq_num
                 status = _ENTRY_ADDED
             stats[path] = (rc, size, status)
             entries.append(
                 {
                     "status": status,
                     "snapshot_id": snapshot_id,
-                    "sequence_number": seq_num if status == _ENTRY_ADDED
-                    else snap["sequence_number"],
+                    "sequence_number": add_seq,
                     "file_sequence_number": None,
                     "data_file": {
                         "content": 0,  # 0 = data (spec)

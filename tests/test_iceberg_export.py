@@ -200,7 +200,7 @@ def test_replay_matches_log_rows_across_compaction(tmp_path, spark):
     paths = sorted(snap["files"])
     assert paths, "snapshot must reference data files"
     # record counts in the manifest equal the actual parquet row counts
-    total = sum(rc for rc, _ in snap["files"].values())
+    total = sum(rc for rc, *_ in snap["files"].values())
     assert total == 13
 
     from flumedb_spark.log import LOG_SCHEMA
@@ -245,6 +245,29 @@ def test_maintain_export_iceberg_flag(tmp_path, spark):
     out = db.maintain(export_iceberg=True, export_delta=True)
     assert out["iceberg_version"] >= 1
     snap = read_iceberg_snapshot(db.log.path)
-    total = sum(rc for rc, _ in snap["files"].values())
+    total = sum(rc for rc, *_ in snap["files"].values())
     assert total == 6
     db.close()
+
+
+def test_existing_entries_keep_original_add_sequence(tmp_path):
+    """Three exports: a file added at sequence 1 must still carry
+    sequence_number 1 in the v3 manifest (spec: existing entries
+    preserve the data sequence number they were added at — NOT the
+    previous snapshot's head sequence)."""
+    log = VersionedLog(str(tmp_path / "ilog"))
+    _append(log, [1])
+    assert export_iceberg_metadata(log) == 1
+    _append(log, [2])
+    assert export_iceberg_metadata(log) == 2
+    _append(log, [3])
+    assert export_iceberg_metadata(log) == 3
+
+    md = _md(log.path, 3)
+    with open(md["snapshots"][-1]["manifest-list"], "rb") as f:
+        (mf,) = avro_records(f.read())
+    with open(mf["manifest_path"], "rb") as f:
+        entries = avro_records(f.read())
+    seqs = sorted(e["sequence_number"] for e in entries)
+    assert seqs == [1, 2, 3], seqs
+    assert mf["min_sequence_number"] == 1
