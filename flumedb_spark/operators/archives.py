@@ -1357,3 +1357,114 @@ def with_synthetic_parquet_payload(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------
+# Avro logical types (spec "Logical Types"): annotate-on-top-of-base
+# interpretation applied after base decode. Unknown logical types fall
+# back to the base value, exactly as the spec instructs readers to do.
+# ---------------------------------------------------------------------
+
+
+def _apply_logical(value, schema):
+    import datetime
+    import decimal
+
+    if value is None or not isinstance(schema, dict):
+        return value
+    lt = schema.get("logicalType")
+    if lt is None:
+        return value
+    if lt == "decimal":
+        scale = int(schema.get("scale", 0))
+        unscaled = int.from_bytes(bytes(value), "big", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-scale)
+    if lt == "date":  # int: days since epoch
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=value)
+    if lt == "time-millis":
+        return (datetime.datetime.min + datetime.timedelta(milliseconds=value)).time()
+    if lt == "time-micros":
+        return (datetime.datetime.min + datetime.timedelta(microseconds=value)).time()
+    if lt == "timestamp-millis":
+        return datetime.datetime.fromtimestamp(value / 1000, datetime.timezone.utc)
+    if lt == "timestamp-micros":
+        return datetime.datetime.fromtimestamp(0, datetime.timezone.utc) + (
+            datetime.timedelta(microseconds=value)
+        )
+    if lt == "uuid":
+        return value  # already a string per spec
+    return value  # unknown logical type: base value (spec rule)
+
+
+def _apply_logical_record(rec: dict, schema: dict, names: dict) -> dict:
+    """Apply logical-type interpretation to a decoded top-level record
+    (one level deep over fields; nested records/arrays/maps recurse)."""
+
+    def conv(v, s):
+        if isinstance(s, str):
+            s = names.get(s, s)
+        if isinstance(s, list):  # union: logical types sit on branches
+            for branch in s:
+                b = names.get(branch, branch) if isinstance(branch, str) else branch
+                if v is None:
+                    if b == "null":
+                        return None
+                    continue
+                if isinstance(b, dict) and b.get("logicalType"):
+                    return _apply_logical(v, b)
+            return v
+        if not isinstance(s, dict):
+            return v
+        t = s.get("type")
+        if s.get("logicalType"):
+            return _apply_logical(v, s)
+        if t == "record" and isinstance(v, dict):
+            return _apply_logical_record(v, s, names)
+        if t == "array" and isinstance(v, list):
+            return [conv(x, s.get("items")) for x in v]
+        if t == "map" and isinstance(v, dict):
+            return {k: conv(x, s.get("values")) for k, x in v.items()}
+        return v
+
+    return {
+        f["name"]: conv(rec.get(f["name"]), f.get("type"))
+        for f in schema.get("fields", [])
+    }
+
+
+def avro_records_logical(payload: bytes, max_records: int = _MAX_CONTAINER_ITEMS) -> list[dict]:
+    """:func:`avro_records` + logical-type interpretation: decimal ->
+    Decimal, date -> datetime.date, time-millis/micros -> time,
+    timestamp-millis/micros -> tz-aware datetime (UTC), uuid -> str;
+    unknown logical types fall back to the base value per the spec."""
+    import json as _json
+
+    recs = avro_records(payload, max_records)
+    if not recs:
+        return recs
+    # re-walk the header (cheap vs the full decode) for the schema JSON
+    pos = 4
+    raw_meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _avro_varint(payload, pos)
+        if count == 0:
+            break
+        if count < 0:
+            _, pos = _avro_varint(payload, pos)
+            count = -count
+        for _ in range(count):
+            klen, pos = _avro_varint(payload, pos)
+            k = payload[pos : pos + klen].decode("utf-8", "replace")
+            pos += klen
+            vlen, pos = _avro_varint(payload, pos)
+            raw_meta[k] = payload[pos : pos + vlen]
+            pos += vlen
+    schema = _json.loads(raw_meta["avro.schema"])
+    if "logicalType" not in raw_meta["avro.schema"].decode("utf-8", "replace"):
+        return recs  # fast path: nothing to interpret
+    names: dict = {}
+    _register_named(schema, names)
+    try:
+        return [_apply_logical_record(r, schema, names) for r in recs]
+    except (KeyError, TypeError, AttributeError, OverflowError, ValueError) as exc:
+        raise ValueError(f"avro: bad logical-type value: {exc!r}") from exc

@@ -455,3 +455,48 @@ def test_spark_parquet_records_df(spark):
     )
     (row,) = ar.parquet_records_df(bad, "c0 long, c1 string").collect()
     assert (row.ok, row.c0) == (False, None)
+
+
+def test_avro_logical_types():
+    """Spec 'Logical Types': decimal/date/time/timestamp/uuid decode to
+    proper Python values; unknown logical types and un-annotated fields
+    fall back to base values; union-wrapped logical branches resolve."""
+    import datetime
+    import decimal
+
+    sch = {
+        "type": "record", "name": "lt", "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "tmu", "type": {"type": "long", "logicalType": "time-micros"}},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal",
+                                     "precision": 9, "scale": 2}},
+            {"name": "u", "type": ["null", {"type": "long",
+                                            "logicalType": "timestamp-millis"}]},
+            {"name": "mystery", "type": {"type": "long",
+                                         "logicalType": "not-a-real-one"}},
+            {"name": "plain", "type": "string"},
+        ],
+    }
+    rows = [
+        {"d": 19723, "tmu": 3_600_000_000, "ts": 1_700_000_000_000_000,
+         "dec": (-12345).to_bytes(3, "big", signed=True),
+         "u": 1_700_000_000_123, "mystery": 9, "plain": "x"},
+        {"d": 0, "tmu": 0, "ts": 0, "dec": (255).to_bytes(2, "big"),
+         "u": None, "mystery": -1, "plain": ""},
+    ]
+    for codec in ("null", "snappy"):
+        out = ar.avro_records_logical(ar.encode_avro_ocf(sch, rows, codec=codec))
+        assert out[0]["d"] == datetime.date(2024, 1, 1)
+        assert out[0]["tmu"] == datetime.time(1, 0)
+        assert out[0]["ts"] == datetime.datetime(
+            2023, 11, 14, 22, 13, 20, tzinfo=datetime.timezone.utc
+        )
+        assert out[0]["dec"] == decimal.Decimal("-123.45")
+        assert out[0]["u"].microsecond == 123000 and out[1]["u"] is None
+        assert out[0]["mystery"] == 9  # unknown logical -> base value
+        assert out[1]["d"] == datetime.date(1970, 1, 1)
+        assert out[1]["dec"] == decimal.Decimal("2.55")
+    # files without logical annotations take the identity fast path
+    p = ar.synth_avro_records(4)
+    assert ar.avro_records_logical(p) == ar.avro_records(p)
