@@ -68,6 +68,10 @@ EXTRAS = [
     "ns_bpe_tokens", "ns_rare_token_share", "ns_image_decode_meta",
     "ns_audio_decode_meta", "ns_semantic_dedup", "ns_neardup_clusters",
     "ns_decontamination", "ns_chunk_dedup",
+    # r6 ingest family: exact-substring dedup, WARC body extraction,
+    # Avro record decoding (DuckDB sides measured at 0.6/0.04/0.03 s
+    # at sf0.1 — well inside the section budget)
+    "ns_substring_dedup", "ns_warc_bodies", "ns_avro_records",
 ]
 
 
