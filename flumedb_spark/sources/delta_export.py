@@ -82,7 +82,7 @@ def _checkpoint_path(delta_dir: str, version: int) -> str:
     return os.path.join(delta_dir, f"{version:020d}.checkpoint.parquet")
 
 
-def read_delta_snapshot(table_root: str) -> dict:
+def read_delta_snapshot(table_root: str, at_version: int | None = None) -> dict:
     """Minimal Delta-log reader: load the latest checkpoint (when one
     exists — via the ``_last_checkpoint`` hint, exactly where an
     external reader starts) and replay only the NEWER action files in
@@ -91,12 +91,24 @@ def read_delta_snapshot(table_root: str) -> dict:
     sync O(commits since last checkpoint), not O(table history) —
     the property Delta checkpoints exist to provide. The conformance
     tests prove the exported log round-trips both from the checkpoint
-    and from a full JSON replay."""
+    and from a full JSON replay.
+
+    ``at_version`` = time travel: reconstruct the snapshot as of that
+    commit (the checkpoint is used only when it is not newer than the
+    requested version — Delta's own VERSION AS OF rule)."""
     delta_dir = os.path.join(table_root, "_delta_log")
     versions = _existing_versions(delta_dir)
+    if at_version is not None:
+        if at_version not in versions:
+            raise ValueError(
+                f"delta: version {at_version} not present (have {versions[:3]}...{versions[-3:]})"
+            )
+        versions = [v for v in versions if v <= at_version]
     files: set[str] = set()
     meta = proto = None
     ckpt = _read_last_checkpoint(delta_dir)
+    if ckpt is not None and at_version is not None and int(ckpt.get("version", -1)) > at_version:
+        ckpt = None  # checkpoint is newer than the requested snapshot
     if ckpt is not None:
         try:
             cv = int(ckpt["version"])
@@ -111,6 +123,8 @@ def read_delta_snapshot(table_root: str) -> dict:
             # unreadable hint/checkpoint: fall back to the full replay
             files, meta, proto = set(), None, None
             versions = _existing_versions(delta_dir)
+            if at_version is not None:
+                versions = [v for v in versions if v <= at_version]
     for v in versions:
         with open(_version_path(delta_dir, v)) as f:
             for line in f:

@@ -161,13 +161,17 @@ def _load_metadata(table_root: str, version: int) -> dict | None:
         return None
 
 
-def read_iceberg_snapshot(table_root: str) -> dict:
+def read_iceberg_snapshot(table_root: str, snapshot_id: int | None = None) -> dict:
     """Replay reader (the conformance half): walk version-hint ->
     metadata.json -> current snapshot -> manifest list (Avro) ->
     manifests (Avro) and return ``{"version", "snapshot_id",
     "sequence_number", "files": {path: (record_count, size,
     data_sequence_number)}, "schema"}`` for the live snapshot. Empty
-    table -> version 0."""
+    table -> version 0.
+
+    ``snapshot_id`` = time travel: resolve that historical snapshot
+    from the current metadata's snapshot list (Iceberg's VERSION AS OF
+    rule — history lives in one metadata file, not a replay)."""
     version = _read_version_hint(table_root)
     if version <= 0:
         return {"version": 0, "snapshot_id": None, "sequence_number": 0,
@@ -175,13 +179,19 @@ def read_iceberg_snapshot(table_root: str) -> dict:
     md = _load_metadata(table_root, version)
     if md is None:
         raise ValueError(f"iceberg: missing v{version}.metadata.json")
-    snap_id = md.get("current-snapshot-id")
+    snap_id = snapshot_id if snapshot_id is not None else md.get("current-snapshot-id")
     files: dict[str, tuple[int, int, int]] = {}
     if snap_id in (None, -1):
         return {"version": version, "snapshot_id": None,
                 "sequence_number": md.get("last-sequence-number", 0),
                 "files": files, "schema": md.get("schemas", [None])[0]}
-    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap_id)
+    try:
+        snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap_id)
+    except StopIteration:
+        raise ValueError(
+            f"iceberg: snapshot {snap_id} not in table history "
+            f"({[s['snapshot-id'] for s in md.get('snapshots', [])]})"
+        ) from None
     with open(snap["manifest-list"], "rb") as f:
         manifest_list = avro_records(f.read())
     for mf in manifest_list:
@@ -202,7 +212,11 @@ def read_iceberg_snapshot(table_root: str) -> dict:
     return {
         "version": version,
         "snapshot_id": snap_id,
-        "sequence_number": md.get("last-sequence-number", 0),
+        # the SNAPSHOT's sequence number (== head for the current
+        # snapshot; differs under time travel)
+        "sequence_number": snap.get(
+            "sequence-number", md.get("last-sequence-number", 0)
+        ),
         "files": files,
         "schema": md.get("schemas", [None])[0],
     }

@@ -29,6 +29,12 @@ def read_any(
         reader = reader.schema(schema)
     if fmt == "parquet":
         return reader.parquet(path)
+    if fmt == "delta":
+        return read_delta_table(spark, path, version=options.pop("version", None))
+    if fmt == "iceberg":
+        return read_iceberg_table(
+            spark, path, snapshot_id=options.pop("snapshot_id", None)
+        )
     if fmt == "orc":
         # ORC is JVM-native in Spark: same predicate-pushdown +
         # column-pruning story as parquet (stripe/row-group min-max)
@@ -114,3 +120,101 @@ def log_stream_sink(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# ---------------------------------------------------------------------
+# Open-table-format READERS (r6): resolve a Delta transaction log or an
+# Iceberg metadata tree to its live (or time-traveled) file set and
+# read it as a DataFrame — no connector jars, just the spec walks in
+# delta_export/iceberg_export plus spark.read.parquet over the
+# resolved files. Works on any spec-conformant table, not only ones
+# this package exported.
+# ---------------------------------------------------------------------
+
+
+def _iceberg_type_to_spark(t) -> str:
+    """Iceberg schema JSON type -> Spark DDL fragment (table-spec
+    primitive names; struct/list/map recurse)."""
+    if isinstance(t, str):
+        prim = {
+            "boolean": "boolean", "int": "int", "long": "long",
+            "float": "float", "double": "double", "date": "date",
+            "time": "long",  # Spark has no TimeType; micros since midnight
+            "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+            "string": "string", "uuid": "string", "binary": "binary",
+        }
+        if t in prim:
+            return prim[t]
+        if t.startswith("decimal("):
+            return t
+        if t.startswith("fixed["):
+            return "binary"
+        raise ValueError(f"iceberg: unsupported type {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        inner = ", ".join(
+            f"`{f['name']}`: {_iceberg_type_to_spark(f['type'])}"
+            for f in t["fields"]
+        )
+        return f"struct<{inner}>"
+    if kind == "list":
+        return f"array<{_iceberg_type_to_spark(t['element'])}>"
+    if kind == "map":
+        return (
+            f"map<{_iceberg_type_to_spark(t['key'])}, "
+            f"{_iceberg_type_to_spark(t['value'])}>"
+        )
+    raise ValueError(f"iceberg: unsupported complex type {kind!r}")
+
+
+def iceberg_schema_to_ddl(schema: dict) -> str:
+    """Iceberg table schema JSON -> Spark DDL column list."""
+    return ", ".join(
+        f"`{f['name']}` {_iceberg_type_to_spark(f['type'])}"
+        for f in schema["fields"]
+    )
+
+
+def read_delta_table(
+    spark: SparkSession, table_root: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table (optionally ``VERSION AS OF version``) by
+    replaying its transaction log — checkpoint-aware, no delta jars.
+    The schema comes from the log's own metaData action (schemaString
+    IS a Spark StructType JSON), so column types survive exactly."""
+    from pyspark.sql.types import StructType
+
+    from .delta_export import read_delta_snapshot
+
+    snap = read_delta_snapshot(table_root, at_version=version)
+    if snap["version"] < 0 or not snap["files"]:
+        raise ValueError(f"delta: no committed snapshot under {table_root}")
+    import json as _json
+    import os as _os
+
+    paths = [_os.path.join(table_root, p) for p in sorted(snap["files"])]
+    reader = spark.read
+    meta = snap.get("metaData") or {}
+    if meta.get("schemaString"):
+        reader = reader.schema(
+            StructType.fromJson(_json.loads(meta["schemaString"]))
+        )
+    return reader.parquet(*paths)
+
+
+def read_iceberg_table(
+    spark: SparkSession, table_root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read an Iceberg v2 table (optionally a historical snapshot) by
+    walking its metadata tree — manifest-list and manifest Avro files
+    decoded with this package's own Avro reader, no iceberg jars. The
+    schema comes from the table metadata, mapped to Spark types."""
+    from .iceberg_export import read_iceberg_snapshot
+
+    snap = read_iceberg_snapshot(table_root, snapshot_id=snapshot_id)
+    if not snap["files"]:
+        raise ValueError(f"iceberg: no committed snapshot under {table_root}")
+    reader = spark.read
+    if snap.get("schema"):
+        reader = reader.schema(iceberg_schema_to_ddl(snap["schema"]))
+    return reader.parquet(*sorted(snap["files"]))

@@ -271,3 +271,69 @@ def test_existing_entries_keep_original_add_sequence(tmp_path):
     seqs = sorted(e["sequence_number"] for e in entries)
     assert seqs == [1, 2, 3], seqs
     assert mf["min_sequence_number"] == 1
+
+
+def test_time_travel_and_table_readers(tmp_path, spark):
+    """read_delta_table / read_iceberg_table resolve live AND
+    historical snapshots with the exported schema — both formats, no
+    connector jars."""
+    from flumedb_spark.sources.delta_export import export_delta_log
+    from flumedb_spark.sources.readers import read_any
+
+    log = VersionedLog(str(tmp_path / "ilog"))
+    _append(log, [1, 2, 3])
+    dv1 = export_delta_log(log)
+    iv1 = export_iceberg_metadata(log)
+    _append(log, [4, 5])
+    dv2 = export_delta_log(log)
+    iv2 = export_iceberg_metadata(log)
+    assert (dv2, iv2) == (dv1 + 1, iv1 + 1)
+
+    # live reads: both formats, schema from their own metadata
+    d_live = read_any(spark, log.path, "delta")
+    i_live = read_any(spark, log.path, "iceberg")
+    assert d_live.count() == i_live.count() == 5
+    assert [f.name for f in d_live.schema.fields] == ["seq", "ts", "value"]
+    assert [f.name for f in i_live.schema.fields] == ["seq", "ts", "value"]
+    assert i_live.schema["seq"].dataType.typeName() == "long"
+    assert sorted(d_live.collect()) == sorted(i_live.collect())
+
+    # time travel to the first snapshot
+    d_old = read_any(spark, log.path, "delta", version=dv1)
+    i_old = read_any(spark, log.path, "iceberg", snapshot_id=1)
+    assert d_old.count() == i_old.count() == 3
+    assert sorted(d_old.collect()) == sorted(i_old.collect())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_any(spark, log.path, "delta", version=99)
+    with _pytest.raises(ValueError):
+        read_any(spark, log.path, "iceberg", snapshot_id=99)
+
+
+def test_iceberg_schema_ddl_mapping():
+    from flumedb_spark.sources.readers import iceberg_schema_to_ddl
+
+    sch = {
+        "type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "a", "required": True, "type": "long"},
+            {"id": 2, "name": "b", "required": False, "type": "decimal(9, 2)"},
+            {"id": 3, "name": "c", "required": False, "type": "timestamptz"},
+            {"id": 4, "name": "d", "required": False,
+             "type": {"type": "list", "element-id": 5, "element": "string",
+                      "element-required": False}},
+            {"id": 6, "name": "e", "required": False,
+             "type": {"type": "struct", "fields": [
+                 {"id": 7, "name": "x", "required": False, "type": "int"}]}},
+            {"id": 8, "name": "f", "required": False,
+             "type": {"type": "map", "key-id": 9, "key": "string",
+                      "value-id": 10, "value": "double",
+                      "value-required": False}},
+        ],
+    }
+    ddl = iceberg_schema_to_ddl(sch)
+    assert ddl == (
+        "`a` long, `b` decimal(9, 2), `c` timestamp, `d` array<string>, "
+        "`e` struct<`x`: int>, `f` map<string, double>"
+    )
