@@ -119,15 +119,20 @@ DRIVER_WINDOW: list[str] = [
     "o2_bulk_append",
     # view families (§2.B)
     "v1_reduce_stats",
-    # TPC-H-shaped relational sweep (catalog_tpch.py)
+    # TPC-H-shaped relational sweep (catalog_tpch.py; q20/q22 rotated
+    # out late r6 — r5-driver-green, catalog_tpch.py frozen this
+    # round; six family reps stay — freeing slots for the two new
+    # src_* loop rows below)
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q15_top_supplier",
     "q16_part_supplier_counts",
     "q17_small_quantity_revenue",
-    "q20_part_promotion",
     "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
+    # Avro sink+source loop / Delta+Iceberg export+reader loop — NEW
+    # late r6
+    "src_avro_roundtrip",
+    "src_lakehouse_roundtrip",
     # streaming surface: real Structured Streaming runs, oracle-checked
     # (interval_join_events rotated out late r5 for ns_warc_listing —
     # the streaming family keeps both stream_* rows)
@@ -1205,6 +1210,117 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type string, n long, sum_id long, n_users long, "
             "min_us long, max_us long",
         )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "src_avro_roundtrip",
+    # The Avro sink+source loop, driver-attested: events written as
+    # Avro OCF shards by the distributed sink (executor-side encode,
+    # snappy blocks, one shard per partition), loaded back as binary
+    # payloads, and decoded by the distributed record reader — a
+    # varint, block, codec, schema-mapping, or shard-boundary bug on
+    # EITHER side breaks the hash against the original parquet.
+    oracle="""
+    SELECT event_type, count(*) AS n,
+      CAST(sum(event_id) AS BIGINT) AS sum_id,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from .operators.archives import avro_records_df
+    from .sources.avro_sink import write_avro_ocf
+
+    events = spark.table("events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="avro_rt_")
+    try:
+        out = os.path.join(work, "ocf")
+        write_avro_ocf(events.repartition(8), out, codec="snappy")
+        shards = sorted(glob.glob(os.path.join(out, "*.avro")))
+        payloads = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(len(shards)),
+                    "payload": [open(p, "rb").read() for p in shards],
+                }
+            )
+        )
+        back = avro_records_df(
+            payloads, "event_id long, event_type string, cents long"
+        )
+        rows = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").alias("sum_id"),
+                F.sum("cents").alias("cents"),
+            )
+            .orderBy("event_type")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "event_type string, n long, sum_id long, cents long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "src_lakehouse_roundtrip",
+    # BOTH open-table-format loops in one attestation: events bulk-
+    # loaded into a log (one distributed commit), exported as a Delta
+    # transaction log AND an Iceberg v2 metadata tree, then read back
+    # through each format's own spec reader (JSON-action replay;
+    # Avro manifest walk) and aggregated per format. The two groups
+    # must equal each other AND the original parquet — an export or
+    # reader bug in either format breaks the hash.
+    oracle="""
+    SELECT fmt, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+    FROM events, (VALUES ('delta'), ('iceberg')) f(fmt)
+    GROUP BY fmt ORDER BY fmt
+    """,
+)
+def src_lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .log import ParquetLog
+    from .sources.delta_export import export_delta_log
+    from .sources.iceberg_export import export_iceberg_metadata
+    from .sources.readers import append_df_to_log, read_any
+
+    events = spark.table("events").select("event_id")
+    work = tempfile.mkdtemp(prefix="lakehouse_rt_")
+    try:
+        log = ParquetLog(work + "/log")
+        append_df_to_log(log, events)
+        export_delta_log(log)
+        export_iceberg_metadata(log)
+        out = []
+        for fmt in ("delta", "iceberg"):
+            df = read_any(spark, log.path, fmt)
+            ids = df.select(
+                F.get_json_object("value", "$.event_id").cast("long").alias("event_id")
+            )
+            (row,) = (
+                ids.agg(
+                    F.count("*").alias("n"), F.sum("event_id").alias("sum_id")
+                ).collect()
+            )
+            out.append((fmt, row.n, row.sum_id))
+        return spark.createDataFrame(out, "fmt string, n long, sum_id long")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -93,8 +93,9 @@ def test_changed_or_new_rows_in_window():
         # r3 — catalog_tpch.py untouched in r4, live full gate re-checks)
         "q2_min_cost_supplier", "q11_important_parts",
         "q15_top_supplier", "q16_part_supplier_counts",
-        "q17_small_quantity_revenue", "q20_part_promotion",
-        "q21_waiting_suppliers", "q22_global_sales_opportunity",
+        "q17_small_quantity_revenue",
+        # (q20/q22 rotated out late r6 for the two src_* loop rows)
+        "q21_waiting_suppliers",
         "ns_bpe_tokens",
         # (interval_join_events rotated out late r5 for ns_warc_listing;
         #  ns_hll_user_estimate rotated out late r6 for ns_parquet_records)
@@ -161,6 +162,9 @@ def test_changed_or_new_rows_in_window():
         # late-r6 new: streaming session windows (ns_doc_chunks rotated
         # out)
         "stream_session_counts",
+        # late-r6 new: the Avro sink+source loop and the Delta+Iceberg
+        # export+reader loop (q20/q22 rotated out)
+        "src_avro_roundtrip", "src_lakehouse_roundtrip",
     ):
         assert n in _window_names(), n
 
