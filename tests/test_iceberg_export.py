@@ -337,3 +337,44 @@ def test_iceberg_schema_ddl_mapping():
         "`a` long, `b` decimal(9, 2), `c` timestamp, `d` array<string>, "
         "`e` struct<`x`: int>, `f` map<string, double>"
     )
+
+
+def test_concurrent_exporters_race_cleanly(tmp_path):
+    """Two exporters racing on the same log: the put-if-absent claim
+    serializes them; versions stay dense, the final snapshot matches
+    the log, and the loser's orphaned avro files are cleaned up."""
+    import threading
+
+    log = VersionedLog(str(tmp_path / "ilog"))
+    _append(log, [1, 2])
+    results = []
+    barrier = threading.Barrier(2)
+
+    def race():
+        l2 = VersionedLog(log.path)  # fresh handle, like a second host
+        barrier.wait()
+        results.append(export_iceberg_metadata(l2))
+
+    ts = [threading.Thread(target=race) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(results)[0] >= 1  # both landed on a committed version
+    snap = read_iceberg_snapshot(log.path)
+    assert sum(rc for rc, *_ in snap["files"].values()) == 2
+    # every manifest/list file on disk is reachable from some metadata
+    # version (losers cleaned their orphans)
+    meta_dir = os.path.join(log.path, "metadata")
+    reachable = set()
+    for n in os.listdir(meta_dir):
+        if n.endswith(".metadata.json"):
+            with open(os.path.join(meta_dir, n)) as f:
+                md = json.load(f)
+            for s in md.get("snapshots", []):
+                reachable.add(os.path.basename(s["manifest-list"]))
+                with open(s["manifest-list"], "rb") as f:
+                    for mf in avro_records(f.read()):
+                        reachable.add(os.path.basename(mf["manifest_path"]))
+    on_disk = {n for n in os.listdir(meta_dir) if n.endswith(".avro")}
+    assert on_disk <= reachable, on_disk - reachable
