@@ -361,11 +361,15 @@ def substring_dup_spans(
     from pyspark.sql import Window
 
     keep = Window.partitionBy("h")
+    # no .distinct() here: wins has exactly one row per (doc_id, i) by
+    # construction (one hash per window position), and the min-filter
+    # only drops rows — a distinct would re-shuffle the largest
+    # intermediate for nothing (plan audit: it cost a full extra
+    # exchange between the h-window and the per-doc window)
     dup = (
         wins.withColumn("keep_doc", F.min("doc_id").over(keep))
         .where(F.col("doc_id") > F.col("keep_doc"))
         .select("doc_id", "i")
-        .distinct()
     )
     by_pos = Window.partitionBy("doc_id").orderBy("i")
     prev_cover = (
