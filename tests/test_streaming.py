@@ -954,9 +954,12 @@ def test_stream_session_semantics(spark, tmp_path):
         [(9, ts(12, 0))],
         [(8, ts(13, 0))],
         # b2: u=5 at 12:00 — BELOW wm-through-b1 (12:30) but at/above
-        # wm-through-b0 (11:30): survives only because the filter lags
-        [(5, ts(12, 0)), (6, ts(14, 0))],  # u=6 raises final wm to 13:30
+        # wm-through-b0 (11:30): survives only because the filter lags;
+        # u=7 at EXACTLY 11:30 (== the governing watermark): survives —
+        # the late filter is ts >= wm, boundary inclusive
+        [(5, ts(12, 0)), (7, ts(11, 30)), (6, ts(14, 0))],
     ])
     assert (5, "2024-01-01 12:00:00", "2024-01-01 12:30:00", 1) in got  # (c)
+    assert (7, "2024-01-01 11:30:00", "2024-01-01 12:00:00", 1) in got  # boundary
     assert (8, "2024-01-01 13:00:00", "2024-01-01 13:30:00", 1) in got  # (d)
     assert not any(u == 6 for u, *_ in got)  # open at stream end
