@@ -436,3 +436,85 @@ def export_iceberg_metadata(log) -> int:
             except OSError:
                 pass
     raise RuntimeError("iceberg export: exhausted OCC retries")
+
+
+def expire_snapshots(table_root: str, keep_last: int = 3) -> dict:
+    """Iceberg snapshot-expiration maintenance (the spec's
+    expireSnapshots): write a new metadata version whose snapshot list
+    keeps only the most recent ``keep_last`` snapshots (always
+    including the current one), then delete manifest-list and manifest
+    files reachable ONLY from expired snapshots. Data files are never
+    touched — the log owns data retention (vacuum), mirroring how this
+    package splits Delta OPTIMIZE from VACUUM.
+
+    Keeps time travel bounded: without expiration every export
+    accumulates one manifest restating the live set, so metadata grows
+    O(exports); with it, metadata is O(keep_last). Returns
+    ``{"version", "expired": [ids], "deleted": n_files}``."""
+    version = _read_version_hint(table_root)
+    if version <= 0:
+        return {"version": 0, "expired": [], "deleted": 0}
+    md = _load_metadata(table_root, version)
+    if md is None:
+        raise ValueError(f"iceberg: missing v{version}.metadata.json")
+    snaps = sorted(md.get("snapshots", []), key=lambda s: s["sequence-number"])
+    if len(snaps) <= keep_last:
+        return {"version": version, "expired": [], "deleted": 0}
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    cur = md.get("current-snapshot-id")
+    if cur is not None and cur not in {s["snapshot-id"] for s in kept}:
+        raise ValueError("iceberg: refusing to expire the current snapshot")
+
+    def reachable(snapshots) -> set[str]:
+        out: set[str] = set()
+        for s in snapshots:
+            out.add(s["manifest-list"])
+            try:
+                with open(s["manifest-list"], "rb") as f:
+                    for mf in avro_records(f.read()):
+                        out.add(mf["manifest_path"])
+            except (OSError, ValueError):
+                continue  # already-missing list: nothing more to free
+        return out
+
+    keep_ids = {s["snapshot-id"] for s in kept}
+    new_version = version + 1
+    now_ms = int(time.time() * 1000)
+    new_md = dict(md)
+    new_md["snapshots"] = kept
+    new_md["snapshot-log"] = [
+        e for e in md.get("snapshot-log", []) if e["snapshot-id"] in keep_ids
+    ]
+    new_md["metadata-log"] = md.get("metadata-log", []) + [
+        {"timestamp-ms": md["last-updated-ms"],
+         "metadata-file": _metadata_path(table_root, version)}
+    ]
+    new_md["last-updated-ms"] = now_ms
+    meta_dir = _metadata_dir(table_root)
+    tmp = os.path.join(meta_dir, f".tmpmd.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(new_md, f)
+        f.flush()
+        os.fsync(f.fileno())
+    if not _atomic_claim(tmp, _metadata_path(table_root, new_version)):
+        raise RuntimeError(
+            "iceberg expire: lost the version race; re-run after the "
+            "concurrent exporter settles"
+        )
+    _write_hint(table_root, new_version)
+    # deletion AFTER the commit: only files unreachable from any kept
+    # snapshot die; a crash between commit and deletion leaves
+    # harmless orphans a later expire re-collects
+    doomed = reachable(expired) - reachable(kept)
+    deleted = 0
+    for path in doomed:
+        try:
+            os.remove(path)
+            deleted += 1
+        except OSError:
+            pass
+    return {
+        "version": new_version,
+        "expired": [s["snapshot-id"] for s in expired],
+        "deleted": deleted,
+    }

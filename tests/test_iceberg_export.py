@@ -378,3 +378,42 @@ def test_concurrent_exporters_race_cleanly(tmp_path):
                         reachable.add(os.path.basename(mf["manifest_path"]))
     on_disk = {n for n in os.listdir(meta_dir) if n.endswith(".avro")}
     assert on_disk <= reachable, on_disk - reachable
+
+
+def test_expire_snapshots_bounds_metadata(tmp_path, spark):
+    log = ParquetLog(str(tmp_path / "ilog"))
+    for batch in ([1, 2], [3], [4], [5]):
+        _append(log, batch)
+        export_iceberg_metadata(log)
+    from flumedb_spark.sources.iceberg_export import expire_snapshots
+
+    meta_dir = os.path.join(log.path, "metadata")
+    n_avro_before = sum(1 for n in os.listdir(meta_dir) if n.endswith(".avro"))
+    out = expire_snapshots(log.path, keep_last=2)
+    assert out["version"] == 5 and out["expired"] == [1, 2]
+    assert out["deleted"] >= 2  # expired lists + their unshared manifests
+
+    md = _md(log.path, 5)
+    assert [s["snapshot-id"] for s in md["snapshots"]] == [3, 4]
+    assert md["current-snapshot-id"] == 4
+    assert all(e["snapshot-id"] in (3, 4) for e in md["snapshot-log"])
+    n_avro_after = sum(1 for n in os.listdir(meta_dir) if n.endswith(".avro"))
+    assert n_avro_after < n_avro_before
+
+    # the current snapshot still reads row-for-row
+    snap = read_iceberg_snapshot(log.path)
+    assert snap["version"] == 5 and snap["snapshot_id"] == 4
+    assert sum(rc for rc, *_ in snap["files"].values()) == 5
+    # kept history still time-travels; expired does not
+    assert read_iceberg_snapshot(log.path, snapshot_id=3)["files"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_iceberg_snapshot(log.path, snapshot_id=1)
+    # idempotent when nothing to expire
+    assert expire_snapshots(log.path, keep_last=2)["expired"] == []
+    # exports continue cleanly on the new metadata head
+    _append(log, [6])
+    assert export_iceberg_metadata(log) == 6
+    snap = read_iceberg_snapshot(log.path)
+    assert sum(rc for rc, *_ in snap["files"].values()) == 6

@@ -963,3 +963,40 @@ def test_stream_session_semantics(spark, tmp_path):
     assert (7, "2024-01-01 11:30:00", "2024-01-01 12:00:00", 1) in got  # boundary
     assert (8, "2024-01-01 13:00:00", "2024-01-01 13:30:00", 1) in got  # (d)
     assert not any(u == 6 for u, *_ in got)  # open at stream end
+
+
+def test_streaming_ingest_to_lakehouse_visibility(spark, tmp_path):
+    """Composition: a live stream lands in the log through the
+    exactly-once sink, the export sweep publishes BOTH table formats,
+    and each format's spec reader sees exactly the streamed rows —
+    the 'streaming ingest -> lakehouse table' loop a real pipeline
+    runs on a schedule."""
+    import json as _json
+
+    from flumedb_spark.log import ParquetLog
+    from flumedb_spark.sources.delta_export import export_delta_log
+    from flumedb_spark.sources.iceberg_export import export_iceberg_metadata
+    from flumedb_spark.sources.readers import log_stream_sink, read_any
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    sink_log = ParquetLog(str(tmp_path / "lakelog"))
+    stream = spark.readStream.schema("k long").json(src_dir)
+    q = log_stream_sink(stream, sink_log, str(tmp_path / "ck"))
+    try:
+        for batch_no in range(2):
+            with open(os.path.join(src_dir, f"b{batch_no}.jsonl"), "w") as f:
+                for i in range(batch_no * 10, batch_no * 10 + 10):
+                    f.write(_json.dumps({"k": i}) + "\n")
+            q.processAllAvailable()
+            export_delta_log(sink_log)
+            export_iceberg_metadata(sink_log)
+            want = sorted(range(batch_no * 10 + 10))
+            for fmt in ("delta", "iceberg"):
+                df = read_any(spark, sink_log.path, fmt)
+                ks = sorted(
+                    int(_json.loads(r.value)["k"]) for r in df.collect()
+                )
+                assert ks == want, (fmt, batch_no)
+    finally:
+        q.stop()
