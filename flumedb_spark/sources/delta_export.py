@@ -463,3 +463,44 @@ def export_delta_log(
         refresh() if refresh is not None else None
         committed = list((log._meta or {}).get("files", []))
     raise RuntimeError("delta export: put-if-absent contention exhausted retries")
+
+
+def clean_delta_log(table_root: str, keep_versions: int = 10) -> dict:
+    """Delta metadata retention (PROTOCOL.md "log cleanup"): delete
+    JSON commit files that are BOTH covered by the latest checkpoint
+    AND older than the newest ``keep_versions`` commits. Only files a
+    checkpoint restates may be removed — a reader starting from
+    ``_last_checkpoint`` never needs them; time travel to cleaned
+    versions stops working, exactly as in Delta itself. Checkpoint
+    parquet files for cleaned versions are also pruned (the latest one
+    always stays). Returns ``{"deleted": n, "kept_from": version}``."""
+    delta_dir = os.path.join(table_root, "_delta_log")
+    ckpt = _read_last_checkpoint(delta_dir)
+    if ckpt is None:
+        return {"deleted": 0, "kept_from": None}  # nothing is covered yet
+    try:
+        cv = int(ckpt["version"])
+    except (KeyError, ValueError):
+        return {"deleted": 0, "kept_from": None}
+    versions = _existing_versions(delta_dir)
+    if not versions:
+        return {"deleted": 0, "kept_from": None}
+    keep_floor = versions[-1] - keep_versions + 1
+    deleted = 0
+    for v in versions:
+        # v <= cv: restated by the checkpoint; v < keep_floor: out of
+        # the retention window. BOTH must hold.
+        if v <= cv and v < keep_floor:
+            try:
+                os.remove(_version_path(delta_dir, v))
+                deleted += 1
+            except OSError:
+                pass
+            old_ckpt = _checkpoint_path(delta_dir, v)
+            if v < cv and os.path.exists(old_ckpt):
+                try:
+                    os.remove(old_ckpt)
+                    deleted += 1
+                except OSError:
+                    pass
+    return {"deleted": deleted, "kept_from": max(keep_floor, 0)}

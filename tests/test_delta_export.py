@@ -278,3 +278,47 @@ def test_checkpoint_covers_compaction_removes(tmp_path, spark):
     assert v >= 1
     snap = read_delta_snapshot(log.path)
     assert snap["files"] == {f"data/{n}" for n in log._meta["files"]}
+
+
+def test_clean_delta_log_retention(tmp_path, spark):
+    """PROTOCOL log cleanup: pre-checkpoint JSONs outside the retention
+    window die; the snapshot still reconstructs from the checkpoint +
+    tail, row-for-row."""
+    from flumedb_spark.sources.delta_export import (
+        clean_delta_log,
+        write_delta_checkpoint,
+    )
+
+    log = VersionedLog(str(tmp_path / "dlog"))
+    for i in range(12):
+        _append(log, [i])
+        export_delta_log(log, checkpoint_interval=None)
+    head = write_delta_checkpoint(log.path)
+    assert head == 11
+
+    # nothing to delete inside the window
+    assert clean_delta_log(log.path, keep_versions=20)["deleted"] == 0
+    out = clean_delta_log(log.path, keep_versions=4)
+    assert out["deleted"] == 8 and out["kept_from"] == 8
+    delta_dir = os.path.join(log.path, "_delta_log")
+    remaining = sorted(
+        int(n[:-5]) for n in os.listdir(delta_dir)
+        if n.endswith(".json") and not n.startswith(".")
+    )
+    assert remaining == [8, 9, 10, 11]
+
+    # snapshot still exact: checkpoint covers the cleaned prefix
+    snap = read_delta_snapshot(log.path)
+    assert snap["version"] == 11
+    from flumedb_spark.log import LOG_SCHEMA
+
+    paths = [os.path.join(log.path, p) for p in sorted(snap["files"])]
+    via = spark.read.schema(LOG_SCHEMA).parquet(*paths)
+    assert sorted(via.collect()) == sorted(log.df(spark).collect())
+    # cleaned versions no longer time-travel (documented Delta behavior)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_delta_snapshot(log.path, at_version=3)
+    # versions inside the window still do
+    assert read_delta_snapshot(log.path, at_version=9)["version"] == 9
