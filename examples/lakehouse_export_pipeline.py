@@ -61,6 +61,29 @@ def main() -> None:
     print(f"log == delta snapshot == iceberg snapshot: {rows} rows; "
           f"iceberg manifests account for {ice_records} records")
 
+    # time travel: both formats resolve the first snapshot (500 rows)
+    from flumedb_spark.sources.readers import read_any
+
+    d_v0 = read_any(spark, db.log.path, "delta", version=0)
+    i_s1 = read_any(spark, db.log.path, "iceberg", snapshot_id=1)
+    assert d_v0.count() == i_s1.count() == 500
+    print("time travel: delta VERSION AS OF 0 == iceberg snapshot 1 "
+          f"== {d_v0.count()} rows")
+
+    # retention maintenance: bound both metadata trees
+    from flumedb_spark.sources.delta_export import (
+        clean_delta_log,
+        write_delta_checkpoint,
+    )
+    from flumedb_spark.sources.iceberg_export import expire_snapshots
+
+    write_delta_checkpoint(db.log.path)
+    print("retention:",
+          {"delta": clean_delta_log(db.log.path, keep_versions=1),
+           "iceberg": expire_snapshots(db.log.path, keep_last=1)})
+    assert read_any(spark, db.log.path, "delta").count() == 600
+    assert read_any(spark, db.log.path, "iceberg").count() == 600
+
     db.close()
     print("OK")
 
