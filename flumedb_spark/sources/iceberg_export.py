@@ -93,6 +93,50 @@ MANIFEST_ENTRY_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    # per-column bounds (spec ids 125-130): the fields
+                    # manifest-level file PRUNING runs on. Iceberg
+                    # serializes int-keyed maps as arrays of key/value
+                    # records with logicalType "map".
+                    {
+                        "name": "lower_bounds",
+                        "field-id": 125,
+                        "default": None,
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "logicalType": "map",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k126_v127",
+                                    "fields": [
+                                        {"name": "key", "type": "int", "field-id": 126},
+                                        {"name": "value", "type": "bytes", "field-id": 127},
+                                    ],
+                                },
+                            },
+                        ],
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "field-id": 128,
+                        "default": None,
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "logicalType": "map",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k129_v130",
+                                    "fields": [
+                                        {"name": "key", "type": "int", "field-id": 129},
+                                        {"name": "value", "type": "bytes", "field-id": 130},
+                                    ],
+                                },
+                            },
+                        ],
+                    },
                 ],
             },
         },
@@ -166,8 +210,9 @@ def read_iceberg_snapshot(table_root: str, snapshot_id: int | None = None) -> di
     metadata.json -> current snapshot -> manifest list (Avro) ->
     manifests (Avro) and return ``{"version", "snapshot_id",
     "sequence_number", "files": {path: (record_count, size,
-    data_sequence_number)}, "schema"}`` for the live snapshot. Empty
-    table -> version 0.
+    data_sequence_number, bounds)}, "schema"}`` for the live snapshot
+    (``bounds`` = {field_id: (lower, upper)} single-value-serialized
+    bytes, or None). Empty table -> version 0.
 
     ``snapshot_id`` = time travel: resolve that historical snapshot
     from the current metadata's snapshot list (Iceberg's VERSION AS OF
@@ -207,7 +252,8 @@ def read_iceberg_snapshot(table_root: str, snapshot_id: int | None = None) -> di
                 if seq is None:
                     seq = mf["sequence_number"]
                 files[d["file_path"]] = (
-                    d["record_count"], d["file_size_in_bytes"], seq
+                    d["record_count"], d["file_size_in_bytes"], seq,
+                    _bounds_maps(d),
                 )
     return {
         "version": version,
@@ -226,6 +272,43 @@ def _parquet_row_count(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _long_bound(v: int) -> bytes:
+    """Spec Appendix D single-value serialization for long: 8-byte
+    little-endian (signed)."""
+    return int(v).to_bytes(8, "little", signed=True)
+
+
+def _parquet_seq_bounds(path: str) -> tuple[int, int] | None:
+    """min/max of the ``seq`` column from parquet row-group statistics
+    (footer-only — no data pages read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    try:
+        idx = md.schema.names.index("seq")
+    except ValueError:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (int(lo), int(hi))
+
+
+def _bounds_maps(e_df: dict) -> dict[int, tuple[bytes, bytes]] | None:
+    """data_file entry -> {field_id: (lower, upper)} byte bounds."""
+    lows = e_df.get("lower_bounds")
+    highs = e_df.get("upper_bounds")
+    if not lows or not highs:
+        return None
+    lo = {kv["key"]: bytes(kv["value"]) for kv in lows}
+    hi = {kv["key"]: bytes(kv["value"]) for kv in highs}
+    return {k: (lo[k], hi[k]) for k in lo.keys() & hi.keys()}
 
 
 def _atomic_claim(tmp: str, target: str) -> bool:
@@ -288,28 +371,44 @@ def export_iceberg_metadata(log) -> int:
                 # was ADDED at (spec: existing entries must preserve
                 # it), carried through the replay read — NOT the
                 # previous snapshot's head sequence
-                rc, size, add_seq = prev_files[path]
+                rc, size, add_seq, bounds = prev_files[path]
                 status = _ENTRY_EXISTING
             else:
                 rc = _parquet_row_count(path)
                 size = os.path.getsize(path)
                 add_seq = seq_num
                 status = _ENTRY_ADDED
+                # seq min/max from the parquet footer -> manifest-level
+                # file pruning for range scans (field-id 1 == seq)
+                sb = _parquet_seq_bounds(path)
+                bounds = (
+                    {1: (_long_bound(sb[0]), _long_bound(sb[1]))} if sb else None
+                )
             stats[path] = (rc, size, status)
+            data_file = {
+                "content": 0,  # 0 = data (spec)
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": rc,
+                "file_size_in_bytes": size,
+                "lower_bounds": None,
+                "upper_bounds": None,
+            }
+            if bounds:
+                data_file["lower_bounds"] = [
+                    {"key": k, "value": lo} for k, (lo, _) in sorted(bounds.items())
+                ]
+                data_file["upper_bounds"] = [
+                    {"key": k, "value": hi} for k, (_, hi) in sorted(bounds.items())
+                ]
             entries.append(
                 {
                     "status": status,
                     "snapshot_id": snapshot_id,
                     "sequence_number": add_seq,
                     "file_sequence_number": None,
-                    "data_file": {
-                        "content": 0,  # 0 = data (spec)
-                        "file_path": path,
-                        "file_format": "PARQUET",
-                        "partition": {},
-                        "record_count": rc,
-                        "file_size_in_bytes": size,
-                    },
+                    "data_file": data_file,
                 }
             )
         manifest_name = f"{uuid.uuid4().hex}-m0.avro"

@@ -203,18 +203,54 @@ def read_delta_table(
 
 
 def read_iceberg_table(
-    spark: SparkSession, table_root: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_root: str,
+    snapshot_id: int | None = None,
+    seq_min: int | None = None,
+    seq_max: int | None = None,
 ) -> DataFrame:
     """Read an Iceberg v2 table (optionally a historical snapshot) by
     walking its metadata tree — manifest-list and manifest Avro files
     decoded with this package's own Avro reader, no iceberg jars. The
-    schema comes from the table metadata, mapped to Spark types."""
+    schema comes from the table metadata, mapped to Spark types.
+
+    ``seq_min``/``seq_max`` prune at the MANIFEST level: files whose
+    recorded seq bounds (field-id 1 lower/upper_bounds, spec Appendix D
+    little-endian longs) cannot intersect the range are never handed to
+    Spark at all — the skip happens before any footer is opened, which
+    is the entire point of Iceberg column bounds at 100 TB. Files
+    without bounds are conservatively kept, and the row-level filter is
+    applied on top so results are exact either way."""
     from .iceberg_export import read_iceberg_snapshot
 
     snap = read_iceberg_snapshot(table_root, snapshot_id=snapshot_id)
     if not snap["files"]:
         raise ValueError(f"iceberg: no committed snapshot under {table_root}")
+    paths = sorted(snap["files"])
+    if seq_min is not None or seq_max is not None:
+        kept = []
+        for p in paths:
+            bounds = snap["files"][p][3]
+            b = (bounds or {}).get(1)
+            if b is not None:
+                lo = int.from_bytes(b[0], "little", signed=True)
+                hi = int.from_bytes(b[1], "little", signed=True)
+                if (seq_max is not None and lo > seq_max) or (
+                    seq_min is not None and hi < seq_min
+                ):
+                    continue  # provably disjoint: skip the file
+            kept.append(p)
+        paths = kept
+    if not paths:
+        # range provably empty: zero-row frame with the table schema
+        ddl = iceberg_schema_to_ddl(snap["schema"]) if snap.get("schema") else "seq long"
+        return spark.createDataFrame([], ddl)
     reader = spark.read
     if snap.get("schema"):
         reader = reader.schema(iceberg_schema_to_ddl(snap["schema"]))
-    return reader.parquet(*sorted(snap["files"]))
+    df = reader.parquet(*paths)
+    if seq_min is not None:
+        df = df.where(F.col("seq") >= seq_min)
+    if seq_max is not None:
+        df = df.where(F.col("seq") <= seq_max)
+    return df

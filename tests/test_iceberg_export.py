@@ -111,6 +111,7 @@ def test_manifest_files_carry_spec_field_ids(tmp_path):
     assert df_fields == {
         "content": 134, "file_path": 100, "file_format": 101,
         "partition": 102, "record_count": 103, "file_size_in_bytes": 104,
+        "lower_bounds": 125, "upper_bounds": 128,
     }
 
     # the written manifest carries the spec's required file-metadata keys
@@ -417,3 +418,54 @@ def test_expire_snapshots_bounds_metadata(tmp_path, spark):
     assert export_iceberg_metadata(log) == 6
     snap = read_iceberg_snapshot(log.path)
     assert sum(rc for rc, *_ in snap["files"].values()) == 6
+
+
+def test_column_bounds_and_manifest_pruning(tmp_path, spark):
+    """Exported manifests carry seq lower/upper bounds (spec ids
+    125-130, little-endian longs), and read_iceberg_table prunes
+    provably-disjoint files at the MANIFEST level — fewer files handed
+    to Spark, identical rows."""
+    from flumedb_spark.sources.readers import read_iceberg_table
+
+    log = ParquetLog(str(tmp_path / "ilog"))
+    # three batch appends -> three data files with disjoint seq ranges
+    for batch in (range(0, 10), range(10, 20), range(20, 30)):
+        log.append([{"v": v} for v in batch])
+        export_iceberg_metadata(log)
+
+    snap = read_iceberg_snapshot(log.path)
+    assert len(snap["files"]) == 3
+    for rc, size, seq, bounds in snap["files"].values():
+        assert bounds is not None and 1 in bounds
+        lo = int.from_bytes(bounds[1][0], "little", signed=True)
+        hi = int.from_bytes(bounds[1][1], "little", signed=True)
+        assert 0 <= lo <= hi <= 29 and hi - lo == 9
+
+    # raw manifest carries the spec shape (array-of-kv "map")
+    md = _md(log.path, 3)
+    with open(md["snapshots"][-1]["manifest-list"], "rb") as f:
+        (mf,) = avro_records(f.read())
+    with open(mf["manifest_path"], "rb") as f:
+        entries = avro_records(f.read())
+    e = entries[0]["data_file"]
+    assert e["lower_bounds"][0]["key"] == 1
+    assert len(e["lower_bounds"][0]["value"]) == 8  # 8-byte LE long
+
+    # pruned read: seq range [12, 17] must touch exactly one file
+    df = read_iceberg_table(spark, log.path, seq_min=12, seq_max=17)
+    assert df.inputFiles() is not None and len(df.inputFiles()) == 1
+    assert sorted(r.seq for r in df.collect()) == list(range(12, 18))
+    # boundary: range covering two files
+    df2 = read_iceberg_table(spark, log.path, seq_min=9, seq_max=10)
+    assert len(df2.inputFiles()) == 2
+    assert sorted(r.seq for r in df2.collect()) == [9, 10]
+    # provably-empty range: zero rows, zero files, schema intact
+    df3 = read_iceberg_table(spark, log.path, seq_min=100)
+    assert df3.count() == 0 and [f.name for f in df3.schema.fields] == [
+        "seq", "ts", "value"
+    ]
+    # bounds survive restating as EXISTING entries in later snapshots
+    log.append([{"v": 99}])
+    export_iceberg_metadata(log)
+    df4 = read_iceberg_table(spark, log.path, seq_min=0, seq_max=5)
+    assert len(df4.inputFiles()) == 1
