@@ -72,6 +72,10 @@ EXTRAS = [
     # Avro record decoding (DuckDB sides measured at 0.6/0.04/0.03 s
     # at sf0.1 — well inside the section budget)
     "ns_substring_dedup", "ns_warc_bodies", "ns_avro_records",
+    # late-r6 scoring/sketching family: Gopher rules, unigram-LM
+    # terciles, sqrt-temperature mixing, KMV set ops, PQ-ADC ANN
+    "ns_gopher_quality", "ns_lm_perplexity", "ns_source_mixture",
+    "ns_kmv_set_ops", "ns_pq_ann_topk_seeded",
 ]
 
 

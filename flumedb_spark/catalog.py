@@ -121,14 +121,21 @@ DRIVER_WINDOW: list[str] = [
     "v1_reduce_stats",
     # TPC-H-shaped relational sweep (catalog_tpch.py; q20/q22 rotated
     # out late r6 — r5-driver-green, catalog_tpch.py frozen this
-    # round; six family reps stay — freeing slots for the two new
-    # src_* loop rows below)
+    # round — freeing slots for the two new src_* loop rows below;
+    # q11/q16/q17 rotated out later still — same r5-green + frozen
+    # basis — freeing slots for three of the four new scoring/sketch
+    # rows below; q2/q15/q21 keep the family's join/agg/anti-join
+    # shapes in-window)
     "q2_min_cost_supplier",
-    "q11_important_parts",
     "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
+    # pre-training scoring/sketching family — NEW late r6: Gopher
+    # quality rules, CCNet unigram-LM terciles, sqrt-temperature source
+    # mixing, KMV set-operation sketch (theta-style distinct algebra)
+    "ns_gopher_quality",
+    "ns_lm_perplexity",
+    "ns_source_mixture",
+    "ns_kmv_set_ops",
     # Avro sink+source loop / Delta+Iceberg export+reader loop — NEW
     # late r6
     "src_avro_roundtrip",
@@ -155,9 +162,19 @@ DRIVER_WINDOW: list[str] = [
     "ns_minhash_lsh_candidates",
     "ns_neardup_clusters",
     "ns_simhash_md5",
-    "ns_embedding_neardup",
-    "ns_similarity_topk",
+    # (ns_similarity_topk and ns_embedding_neardup rotated out late r6
+    # — both r5-driver-green; the JVM-expression path stays covered by
+    # ns_similarity_topk_np's plan twin + the live gate, and the dedup
+    # family keeps five in-window rows — freeing slots for the new
+    # scoring/sketch family above and the PQ-ADC row below)
     "ns_similarity_topk_np",
+    # product-quantization ADC ANN (Jégou et al. 2011) — NEW late r6:
+    # seeded codebooks, exact-BIGINT ranking key, recall-vs-exact-L2
+    # twin ns_pq_ann_recall10 (also new, in the slot freed by
+    # ns_audio_decode_meta: r5-driver-green; wav decode stays covered
+    # by ns_media_meta + the live gate)
+    "ns_pq_ann_topk_seeded",
+    "ns_pq_ann_recall10",
     "ns_lsh_ann_topk_md5",
     "ns_lsh_ann_recall10",
     "ns_ivf_ann_topk_seeded",
@@ -197,8 +214,10 @@ DRIVER_WINDOW: list[str] = [
     # slot, so they replace the r4-green frozen fuzzy_match_names and
     # window_distribution)
     # (ns_image_resize_meta rotated out r6 — r5-driver-green, frozen —
-    # for the new ns_avi_frames row: pure MJPEG-AVI frame decode)
-    "ns_audio_decode_meta",
+    # for the new ns_avi_frames row: pure MJPEG-AVI frame decode;
+    # ns_audio_decode_meta rotated out late r6 — r5-driver-green — for
+    # the new ns_pq_ann_recall10 row; wav decode stays covered by
+    # ns_media_meta + the live gate)
     "ns_video_meta",
     "ns_jpeg_decode",
     "ns_avi_frames",

@@ -2215,3 +2215,346 @@ def ns_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = spark.table("documents").select("doc_id").withColumn("url", url)
     return text.url_dedup_groups(docs)
+
+
+# ---------------------------------------------------------------------
+# late-r6 additions: the remaining canonical pre-training-pipeline
+# scoring/sketching family — Gopher rule filtering, CCNet-style unigram
+# LM terciles, sqrt-temperature source mixing, and KMV (k-minimum-
+# values / theta-sketch-style) distinct set operations. All four follow
+# the repo's exact-arithmetic oracle discipline (integer quantization
+# before any cross-row float accumulation).
+# ---------------------------------------------------------------------
+
+from .operators import sampling as _sampling  # noqa: E402
+from .operators import text as _text  # noqa: E402
+
+_GOPHER_DUCK = """
+    WITH sig AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / len(string_split(text, ' ')), 6) AS mean_word_len,
+        round(CAST(len(list_filter(string_split(text, ' '),
+                                   w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+              / len(string_split(text, ' ')), 6) AS frac_alpha_words,
+        CAST((CASE WHEN position(' the ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN position(' a ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN position(' and ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN position(' of ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN position(' to ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+      CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 AND frac_alpha_words >= 0.8 AND n_stopwords >= 2
+            THEN 1 ELSE 0 END AS INT) AS keep
+    FROM sig ORDER BY doc_id
+"""
+
+
+@query("ns_gopher_quality", oracle=_GOPHER_DUCK)
+def ns_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (arXiv:2112.11446 Table A1): word-count
+    bounds, mean-word-length band, alphabetic-word fraction, required
+    stopwords — pure built-in column expressions, no shuffle."""
+    return _text.gopher_quality(spark.table("documents")).orderBy("doc_id")
+
+
+_LM_DUCK = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+    tot AS (
+      SELECT CAST(sum(f) AS BIGINT) AS t_tokens,
+             CAST(count(*) AS BIGINT) AS v_vocab
+      FROM freq
+    ),
+    term AS (
+      SELECT w, CAST(round(ln(f + 1) * 1000000) AS BIGINT) AS lnf_micro
+      FROM freq
+    ),
+    lntv AS (
+      SELECT CAST(round(ln(t_tokens + v_vocab) * 1000000) AS BIGINT)
+             AS lntv_micro
+      FROM tot
+    ),
+    dw AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, w
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * lnf_micro) AS BIGINT) AS s_micro
+      FROM dw JOIN term USING (w) GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+        round(CAST(n_tokens * lntv_micro - s_micro AS DOUBLE)
+              / n_tokens / 1000000.0, 6) AS avg_nll
+      FROM per_doc, lntv
+    )
+    SELECT doc_id, n_tokens, avg_nll,
+      CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id) AS INT) AS ppl_bucket
+    FROM scored ORDER BY doc_id
+"""
+
+
+@query("ns_lm_perplexity", oracle=_LM_DUCK)
+def ns_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM scoring (arXiv:1911.00359): avg negative
+    log-likelihood under an add-one corpus LM, head/middle/tail
+    terciles. ln() is quantized to integer micro-nats at vocabulary
+    granularity, so every per-doc accumulation is exact BIGINT math
+    (see operators/text.unigram_logprob)."""
+    return _text.unigram_logprob(spark.table("documents"))
+
+
+_MIXTURE_DUCK = """
+    WITH per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, CAST(round(sqrt(n_tokens) * 1000) AS BIGINT) AS w_milli
+      FROM per_src
+    ),
+    tw AS (SELECT *, CAST(sum(w_milli) OVER () AS BIGINT) AS w_total FROM w)
+    SELECT source, n_docs, n_tokens,
+      round(CAST(w_milli AS DOUBLE) / w_total, 6) AS p_mix,
+      CAST(floor(CAST(w_milli * 1000000 AS DOUBLE) / w_total) AS BIGINT)
+        AS alloc_tokens,
+      round(CAST(floor(CAST(w_milli * 1000000 AS DOUBLE) / w_total) AS BIGINT)
+            / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM tw ORDER BY source
+"""
+
+
+@query("ns_source_mixture", oracle=_MIXTURE_DUCK)
+def ns_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature source mixing (arXiv:1911.02116 §3.1): weight
+    sources by n_tokens^0.5, allocate a 1M-token budget proportionally;
+    IEEE-exact sqrt quantized to milli-units before the integer-sum
+    normalization (see operators/sampling.source_mixture)."""
+    return _sampling.source_mixture(
+        spark.table("documents"), budget_tokens=1_000_000
+    )
+
+
+def _kmv_sql(hv_expr: str, k: int = 256) -> str:
+    """KMV / theta-style distinct sketch with set operations, one SQL
+    text per dialect (only the hex->int idiom differs). Estimator: with
+    the k-th smallest of n uniform 60-bit hashes at hv_k, distinct
+    cardinality ~ (k-1) * 2^60 / hv_k (Bar-Yossef et al. 2002); under k
+    distinct values the sketch IS the set (exact path). Union = merge
+    both k-sets, keep k smallest; intersection = Jaccard-over-union-k
+    times the union estimate (theta-sketch composition). All branch
+    inputs are exact integers; the only doubles are single identical
+    division expressions, so both engines agree bit-for-bit.
+
+    100 TB shape: the per-key top-k is a (distinct -> per-key ordered
+    rank) pass — the distinct is the only data-sized shuffle, the rank
+    sorts k<<N rows per key; sketches merge associatively (min-k of a
+    union of min-k sets), which is what makes them partition-friendly."""
+    kth = float(k - 1)
+    return f"""
+    WITH els AS (
+      SELECT DISTINCT event_type AS et, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    h AS (SELECT et, v, {hv_expr} AS hv FROM els),
+    rk AS (
+      SELECT et, hv, row_number() OVER (PARTITION BY et ORDER BY hv, v) AS r
+      FROM h
+    ),
+    sk AS (SELECT et, hv FROM rk WHERE r <= {k}),
+    per AS (
+      SELECT et AS measure, CAST(count(*) AS BIGINT) AS n_sketch,
+        CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+             ELSE {kth} * 1152921504606846976.0 / CAST(max(hv) AS DOUBLE) END
+          AS est
+      FROM sk GROUP BY et
+    ),
+    uh AS (SELECT DISTINCT hv FROM sk),
+    urk AS (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM uh),
+    usk AS (SELECT hv FROM urk WHERE r <= {k}),
+    uper AS (
+      SELECT 'union' AS measure, CAST(count(*) AS BIGINT) AS n_sketch,
+        CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+             ELSE {kth} * 1152921504606846976.0 / CAST(max(hv) AS DOUBLE) END
+          AS est
+      FROM usk
+    ),
+    comm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common,
+             (SELECT CAST(count(*) AS BIGINT) FROM usk) AS ku
+      FROM usk u
+      WHERE EXISTS (SELECT 1 FROM sk a WHERE a.et = 'click' AND a.hv = u.hv)
+        AND EXISTS (SELECT 1 FROM sk b WHERE b.et = 'purchase' AND b.hv = u.hv)
+    ),
+    iper AS (
+      SELECT 'intersection' AS measure, c.n_common AS n_sketch,
+        CAST(c.n_common AS DOUBLE) / c.ku * u.est AS est
+      FROM comm c, uper u
+    ),
+    ex AS (
+      SELECT et AS measure, CAST(count(*) AS BIGINT) AS n_exact
+      FROM els GROUP BY et
+      UNION ALL
+      SELECT 'union' AS measure, CAST(count(DISTINCT v) AS BIGINT) FROM els
+      UNION ALL
+      SELECT 'intersection' AS measure, CAST(count(*) AS BIGINT) FROM
+        (SELECT v FROM els WHERE et = 'click'
+         INTERSECT
+         SELECT v FROM els WHERE et = 'purchase') i
+    )
+    SELECT s.measure, e.n_exact, s.n_sketch, round(s.est, 4) AS est
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM uper
+          UNION ALL SELECT * FROM iper) s
+    JOIN ex e ON e.measure = s.measure
+    ORDER BY s.measure
+    """
+
+
+_KMV_SPARK = _kmv_sql(
+    "CAST(conv(substring(md5(CAST(v AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+)
+_KMV_DUCK = _kmv_sql(
+    "CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+
+@query("ns_kmv_set_ops", oracle=_KMV_DUCK)
+def ns_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches over the click/purchase value-cents sets
+    with union + intersection estimates next to the exact answers —
+    the theta-sketch counterpart of ns_hll_user_estimate (see
+    _kmv_sql for the estimator + 100 TB notes)."""
+    return spark.sql(_KMV_SPARK)
+
+
+# ---------------------------------------------------------------------
+# Product quantization ANN (Jégou et al. 2011, "Product quantization
+# for nearest neighbor search", IEEE TPAMI 33(1)) — the memory-
+# compression leg of the ANN family (brute-force / LSH / IVF are the
+# other three): split each vector into m subvectors, quantize each
+# against a per-subspace codebook, and answer queries by Asymmetric
+# Distance Computation (ADC) — sum of query-to-centroid subdistances
+# looked up by the neighbor's codes. Codebooks are SEEDED (the n_codes
+# lowest-id vectors' subvectors == Lloyd iteration 0, the same parity
+# device as the seeded-IVF twins), so both engines reproduce encoding
+# and ADC bit-for-bit. Arithmetic discipline is the strongest in the
+# family: the ADC ranking key itself is an exact BIGINT (sum of
+# integer squared L2 subdistances over 1e6-scaled components) — there
+# is NO floating point anywhere in the candidate ordering.
+#
+# 100 TB shape: the codebook is m x n_codes x (d/m) — kilobytes —
+# broadcast everywhere; encoding is one bounded join (each vector
+# meets n_codes rows per subspace); codes compress each vector to
+# m bytes (64 floats -> 4 codes here), which is what lets a billion-
+# vector index live in executor memory; the ADC scan is an equi-join
+# on (subspace, code) against a query's m x n_codes distance table.
+# ---------------------------------------------------------------------
+
+
+def _pq_ctes(d: dict, dv: str, m: int, n_codes: int) -> str:
+    """Shared CTE block: balanced subspace split, seeded codebooks,
+    exact-int encode (argmin squared L2 per subspace), and the ADC
+    join. ``dv`` is the dialect's integer-division operator."""
+    return f"""
+    WITH {d['flat']},
+    norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM flat GROUP BY vec_id),
+    dim AS (SELECT CAST(max(i) AS BIGINT) AS nd FROM flat),
+    sub AS (
+      SELECT f.vec_id,
+        CAST(((f.i - 1) * {m}) {dv} dim.nd AS BIGINT) AS s, f.i, f.e
+      FROM flat f, dim
+    ),
+    cents AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT {n_codes}),
+    cflat AS (SELECT c.cent_id, f.s, f.i, f.e FROM cents c JOIN sub f ON f.vec_id = c.cent_id),
+    dtab AS (
+      SELECT f.vec_id, f.s, c.cent_id,
+        CAST(sum((f.e - c.e) * (f.e - c.e)) AS BIGINT) AS d2
+      FROM sub f JOIN cflat c ON c.i = f.i AND c.s = f.s
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, s, cent_id AS code FROM (
+        SELECT vec_id, s, cent_id,
+          row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+        FROM dtab
+      ) cr WHERE rn = 1
+    ),
+    qt AS (SELECT vec_id AS query_id, s, cent_id, d2 FROM dtab WHERE vec_id < 5),
+    adc AS (
+      SELECT qt.query_id, v.vec_id AS neighbor_id,
+        CAST(sum(qt.d2) AS BIGINT) AS adc_d2
+      FROM codes v JOIN qt ON qt.s = v.s AND qt.cent_id = v.code
+      WHERE v.vec_id != qt.query_id
+      GROUP BY 1, 2
+    ),
+    rankedpq AS (
+      SELECT query_id, neighbor_id, adc_d2,
+        row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
+      FROM adc
+    )"""
+
+
+def _pq_seeded_sql(d: dict, dv: str, m: int = 4, n_codes: int = 16, k: int = 10) -> str:
+    return f"""{_pq_ctes(d, dv, m, n_codes)}
+    SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INT) AS rank
+    FROM rankedpq WHERE rn <= {k} ORDER BY query_id, rank
+    """
+
+
+def _pq_recall_sql(d: dict, dv: str, m: int = 4, n_codes: int = 16) -> str:
+    """recall@10 of PQ-ADC vs EXACT squared-L2 top-10 (the metric PQ
+    approximates; the cosine-exact core used by the LSH/IVF recall
+    twins would conflate metric mismatch with quantization loss).
+    Both sides order by exact integers, LEFT join from the exact side
+    so zero-hit queries emit hits = 0."""
+    return f"""{_pq_ctes(d, dv, m, n_codes)},
+    approx AS (SELECT query_id, neighbor_id FROM rankedpq WHERE rn <= 10),
+    dots_x AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
+      FROM flat a JOIN flat b ON a.i = b.i AND b.vec_id != a.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT dx.query_id, dx.neighbor_id,
+          row_number() OVER (PARTITION BY dx.query_id ORDER BY
+            (na.n2 + nb.n2 - 2 * dx.dot_i), dx.neighbor_id) AS rn
+        FROM dots_x dx
+        JOIN norms na ON na.vec_id = dx.query_id
+        JOIN norms nb ON nb.vec_id = dx.neighbor_id
+      ) ex WHERE rn <= 10
+    )
+    SELECT e.query_id,
+      CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        AS hits
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+@query("ns_pq_ann_topk_seeded", oracle=_pq_seeded_sql(_ANN_DUCK, "//"))
+def ns_pq_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-10 with seeded codebooks; the ranking key is an
+    exact BIGINT — zero floats in the ordering (see _pq_ctes)."""
+    return spark.sql(_pq_seeded_sql(_ANN_SPARK, "DIV"))
+
+
+@query("ns_pq_ann_recall10", oracle=_pq_recall_sql(_ANN_DUCK, "//"))
+def ns_pq_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of PQ-ADC vs exact squared-L2 — quantization loss
+    measured, not assumed (see _pq_recall_sql)."""
+    return spark.sql(_pq_recall_sql(_ANN_SPARK, "DIV"))

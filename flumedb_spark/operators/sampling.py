@@ -82,3 +82,65 @@ def stratified_sample(
         .where(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------
+# Temperature-scaled source mixing (the multinomial alpha-sampling of
+# XLM-R / mT5, arXiv:1911.02116 §3.1 with alpha = 0.5): compute
+# per-source token counts, weight each source by count^alpha, and
+# allocate a fixed training-token budget proportionally — the standard
+# recipe for up-weighting small sources without flattening large ones.
+# Determinism discipline: sqrt() is IEEE-correctly-rounded (identical
+# across engines), its output is immediately quantized to integer
+# milli-units, and every downstream sum/allocation is exact BIGINT
+# math. At 100 TB this is one map-side-combinable groupBy producing a
+# source-count table (sources number in the thousands, not billions)
+# and a window over that tiny table.
+# ---------------------------------------------------------------------
+
+
+def source_mixture(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    budget_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Per-source sqrt-temperature mixture weights + token allocation.
+
+    Columns: source, n_docs, n_tokens, w_milli (quantized sqrt weight),
+    p_mix (share), alloc_tokens (floor of budget*share), epochs
+    (allocation / available tokens — >1 means the source repeats).
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    per_src = docs.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(t, " "))).cast("long").alias("n_tokens"),
+    )
+    w_milli = F.round(F.sqrt(F.col("n_tokens")) * 1000).cast("long")
+    win = Window.partitionBy()
+    out = per_src.select(
+        F.col(source_col).alias("source"),
+        "n_docs",
+        "n_tokens",
+        w_milli.alias("w_milli"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w_milli",
+        F.sum("w_milli").over(win).cast("long").alias("w_total"),
+    )
+    alloc = F.floor(
+        (F.col("w_milli") * F.lit(int(budget_tokens))).cast("double")
+        / F.col("w_total")
+    ).cast("long")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("w_milli") / F.col("w_total"), 6).alias("p_mix"),
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+    ).orderBy("source")

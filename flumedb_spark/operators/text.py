@@ -241,3 +241,140 @@ def rare_token_share(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, arXiv:2112.11446
+# Table A1) — the canonical pre-training quality gate: word-count
+# bounds, mean-word-length band, alphabetic-word fraction, and required
+# stopword presence. Signals are computed with pure built-in column
+# expressions (zero Python in the hot path) so the filter runs at scan
+# speed; at 100 TB it is a single narrow projection with no shuffle.
+# ---------------------------------------------------------------------
+
+#: Gopher's required-stopword list intersected with signals expressible
+#: on any corpus; presence of >= GOPHER_MIN_STOPWORDS distinct entries
+#: is the "natural language, not boilerplate" test from the paper.
+GOPHER_STOPWORDS: list[str] = ["the", "a", "and", "of", "to"]
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    min_frac_alpha: float = 0.8,
+) -> DataFrame:
+    """Per-document Gopher rule signals + the combined keep flag.
+
+    All thresholds compare against values already rounded to 6 dp, so a
+    SQL oracle applying the same rounded comparisons reproduces every
+    row bit-for-bit (same discipline as quality_score/lang_id).
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(F.regexp_replace(t, " ", "")).cast("double")
+    mean_wl = F.round(n_chars / n_words, 6)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("long")
+    frac_alpha = F.round(n_alpha / n_words, 6)
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.when(F.instr(padded, f" {w} ") > 0, 1).otherwise(0)
+        n_stop = hit if n_stop is None else n_stop + hit
+    n_stop = n_stop.cast("long")
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_wl)
+        & (mean_wl <= max_mean_wl)
+        & (frac_alpha >= min_frac_alpha)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------
+# CCNet-style unigram LM scoring (Wenzek et al. 2019, arXiv:1911.00359):
+# score each document by its average negative log-likelihood under an
+# add-one-smoothed unigram model trained on the corpus itself, then
+# bucket into head/middle/tail terciles — the classic perplexity-based
+# quality partition. Arithmetic discipline: every ln() is evaluated once
+# per DISTINCT vocabulary word (vocab-sized, tiny vs the token stream)
+# and immediately quantized to integer micro-nats, so all per-document
+# accumulation is exact BIGINT math — float summation order can never
+# diverge across engines or partitionings. At 100 TB: one
+# map-side-combinable groupBy for the frequency table, one vocab-sized
+# broadcast join back to (doc, word) counts, one final aggregate.
+# ---------------------------------------------------------------------
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc avg negative log-likelihood (micro-nat-exact) + tercile.
+
+    bucket 1 = head (lowest nll / most probable), 3 = tail.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count("*").cast("long").alias("f"))
+    tot = freq.agg(
+        F.sum("f").cast("long").alias("t_tokens"),
+        F.count("*").cast("long").alias("v_vocab"),
+    )
+    # ln quantized to integer micro-nats at vocab granularity
+    term = freq.select(
+        "w",
+        F.round(F.log(F.col("f") + 1) * 1_000_000)
+        .cast("long")
+        .alias("lnf_micro"),
+    )
+    dw = tok.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("c"))
+    per_doc = (
+        dw.join(F.broadcast(term), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lnf_micro")).cast("long").alias("s_micro"),
+        )
+    )
+    scored = per_doc.crossJoin(
+        F.broadcast(
+            tot.select(
+                F.round(F.log(F.col("t_tokens") + F.col("v_vocab")) * 1_000_000)
+                .cast("long")
+                .alias("lntv_micro")
+            )
+        )
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (F.col("n_tokens") * F.col("lntv_micro") - F.col("s_micro")).cast(
+                "double"
+            )
+            / F.col("n_tokens")
+            / 1_000_000.0,
+            6,
+        ).alias("avg_nll"),
+    )
+    w = Window.orderBy("avg_nll", "doc_id")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
+        F.ntile(3).over(w).cast("int").alias("ppl_bucket"),
+    ).orderBy("doc_id")

@@ -69,6 +69,15 @@ def test_all_northstar_ops_in_window():
         # late-r6 rotation for the new stream_session_counts row
         # (chunking frozen; ns_sequence_packing keeps the family)
         "ns_doc_chunks",
+        # late-r6 rotation for the new scoring/sketch family
+        # (similarity.py frozen this round; the np parity twin + five
+        # other ANN rows keep the family in-window)
+        "ns_similarity_topk",
+        # late-r6 rotations for the two new PQ-ADC rows (both
+        # r5-driver-green; dedup family keeps five in-window rows, wav
+        # decode stays covered by ns_media_meta + the live gate)
+        "ns_embedding_neardup",
+        "ns_audio_decode_meta",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -91,9 +100,10 @@ def test_changed_or_new_rows_in_window():
         # new late-round-3: the TPC-H sweep + trained BPE + interval join
         # (q4/q7/q8/q9/q12/q13 rotated out r4 after going driver-green in
         # r3 — catalog_tpch.py untouched in r4, live full gate re-checks)
-        "q2_min_cost_supplier", "q11_important_parts",
-        "q15_top_supplier", "q16_part_supplier_counts",
-        "q17_small_quantity_revenue",
+        # (q11/q16/q17 rotated out late r6 — r5-driver-green,
+        #  catalog_tpch.py frozen — for the scoring/sketch family)
+        "q2_min_cost_supplier",
+        "q15_top_supplier",
         # (q20/q22 rotated out late r6 for the two src_* loop rows)
         "q21_waiting_suppliers",
         "ns_bpe_tokens",
@@ -108,8 +118,9 @@ def test_changed_or_new_rows_in_window():
         "ns_sequence_packing",
         # (ns_tfidf_topterms rotated out late r6 for src_orc_roundtrip)
         # real multimodal decode (pure-stdlib codecs, mmcodec.py)
-        # (ns_image_resize_meta rotated out r6 for ns_avi_frames)
-        "ns_audio_decode_meta",
+        # (ns_image_resize_meta rotated out r6 for ns_avi_frames;
+        #  ns_audio_decode_meta rotated out late r6 for
+        #  ns_pq_ann_recall10)
         # r5 new: real ISO BMFF container-metadata parse + pure-Python
         # baseline JPEG decode (exact constant-color oracle)
         "ns_video_meta",
@@ -165,6 +176,14 @@ def test_changed_or_new_rows_in_window():
         # late-r6 new: the Avro sink+source loop and the Delta+Iceberg
         # export+reader loop (q20/q22 rotated out)
         "src_avro_roundtrip", "src_lakehouse_roundtrip",
+        # late-r6 new: the pre-training scoring/sketching family
+        # (q11/q16/q17 + ns_similarity_topk rotated out — all
+        # r5-driver-green with frozen implementations)
+        "ns_gopher_quality", "ns_lm_perplexity",
+        "ns_source_mixture", "ns_kmv_set_ops",
+        # late-r6 new: PQ-ADC ANN + its recall-vs-exact-L2 twin
+        # (ns_embedding_neardup / ns_audio_decode_meta rotated out)
+        "ns_pq_ann_topk_seeded", "ns_pq_ann_recall10",
     ):
         assert n in _window_names(), n
 

@@ -1,0 +1,151 @@
+"""Behavioral tests for the late-r6 scoring/sketching family:
+Gopher quality rules, CCNet unigram-LM terciles, sqrt-temperature
+source mixing, and KMV set-operation sketches.
+
+The oracle gate (tests/test_full_gate.py) already pins cross-engine
+bit-parity for all four; these tests pin the *semantics* — threshold
+behavior on constructed documents, estimator accuracy bounds, budget
+conservation — which a hash match alone would not explain to a reader.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flumedb_spark.operators import sampling, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ---- Gopher quality ------------------------------------------------------
+
+
+def test_gopher_rules_fire_individually(spark):
+    good = "the " + " ".join(f"word{i:02d}" for i in range(48)) + " a"
+    short = "the quick a fox"  # < 50 words
+    longwords = "the a " + " ".join("supercalifragilistic" for _ in range(60))
+    nostop = " ".join(f"word{i:02d}" for i in range(60))  # no stopwords
+    symbols = "the a " + " ".join("1234" for _ in range(60))  # no alpha words
+    out = {
+        r.doc_id: r
+        for r in text.gopher_quality(
+            _mkdocs(spark, [good, short, longwords, nostop, symbols])
+        ).collect()
+    }
+    assert out[0].keep == 1
+    assert out[1].keep == 0 and out[1].n_words < 50
+    assert out[2].keep == 0 and out[2].mean_word_len > 10
+    assert out[3].keep == 0 and out[3].n_stopwords < 2
+    assert out[4].keep == 0 and out[4].frac_alpha_words < 0.8
+    # signal sanity on the passing doc
+    assert out[0].n_words == 50
+    assert out[0].n_stopwords == 2
+
+
+def test_gopher_on_corpus_is_nondegenerate(spark, docs):
+    agg = (
+        text.gopher_quality(docs)
+        .agg(
+            F.sum("keep").alias("n_keep"),
+            F.count("*").alias("n"),
+        )
+        .first()
+    )
+    assert 0 < agg.n_keep < agg.n  # both branches exercised
+
+
+# ---- unigram LM terciles -------------------------------------------------
+
+
+def test_unigram_logprob_orders_rare_docs_last(spark):
+    # 9 docs of common words + 1 doc of singletons: the singleton doc
+    # must land in the tail bucket with the highest avg_nll.
+    texts = ["alpha beta gamma delta" for _ in range(9)]
+    texts.append("zzq xxv wwu yyt")
+    out = text.unigram_logprob(_mkdocs(spark, texts)).collect()
+    by_id = {r.doc_id: r for r in out}
+    rare = by_id[9]
+    assert rare.ppl_bucket == 3
+    assert rare.avg_nll == max(r.avg_nll for r in out)
+    # buckets partition 10 docs as 4/3/3 (ntile remainder-first)
+    sizes = sorted(
+        [sum(1 for r in out if r.ppl_bucket == b) for b in (1, 2, 3)],
+        reverse=True,
+    )
+    assert sizes == [4, 3, 3]
+
+
+def test_unigram_logprob_exact_arithmetic(spark):
+    # 2 docs, tiny vocab: verify micro-nat arithmetic by hand.
+    # corpus: a a b  -> f(a)=2, f(b)=1, T=3, V=2
+    import math
+
+    out = {
+        r.doc_id: r
+        for r in text.unigram_logprob(_mkdocs(spark, ["a a", "b"])).collect()
+    }
+    ln_a = round(math.log(3) * 1e6)  # f(a)+1 = 3
+    ln_b = round(math.log(2) * 1e6)
+    ln_tv = round(math.log(5) * 1e6)  # T+V = 5
+    assert out[0].avg_nll == round((2 * ln_tv - 2 * ln_a) / 2 / 1e6, 6)
+    assert out[1].avg_nll == round((1 * ln_tv - 1 * ln_b) / 1 / 1e6, 6)
+
+
+# ---- source mixture ------------------------------------------------------
+
+
+def test_source_mixture_budget_and_temperature(spark):
+    rows = []
+    did = 0
+    for src, n_docs, words in (("big", 90, 100), ("small", 10, 100)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join("w" for _ in range(words)), src))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in sampling.source_mixture(df, budget_tokens=10_000).collect()}
+    # allocation never exceeds the budget; floor loses at most n_sources-1
+    total = sum(r.alloc_tokens for r in out.values())
+    assert 10_000 - 2 < total <= 10_000
+    # sqrt temperature: 9x the tokens -> only 3x the allocation
+    ratio = out["big"].alloc_tokens / out["small"].alloc_tokens
+    assert abs(ratio - 3.0) < 0.01
+    # small source repeats more often than big (that's the point)
+    assert out["small"].epochs > out["big"].epochs
+
+
+def test_source_mixture_covers_all_sources(spark, docs):
+    out = sampling.source_mixture(docs).collect()
+    assert len(out) == docs.select("source").distinct().count()
+    assert all(r.p_mix > 0 and r.alloc_tokens > 0 for r in out)
+    assert abs(sum(r.p_mix for r in out) - 1.0) < 1e-4
+
+
+# ---- KMV set-operation sketch --------------------------------------------
+
+
+def test_kmv_estimates_within_theory_bounds(spark, sf_dir):
+    from flumedb_spark.catalog import register_tables
+    from flumedb_spark.catalog_northstar import _KMV_SPARK
+
+    register_tables(spark, sf_dir)
+    rows = {r.measure: r for r in spark.sql(_KMV_SPARK).collect()}
+    assert set(rows) == {"click", "purchase", "union", "intersection"}
+    for m in ("click", "purchase", "union"):
+        r = rows[m]
+        if r.n_sketch < 256:  # exact path: sketch == set
+            assert r.est == float(r.n_exact)
+        else:  # estimator path: ~1/sqrt(k) standard error; allow 5 sigma
+            rel = abs(r.est - r.n_exact) / r.n_exact
+            assert rel < 5 / (256 ** 0.5), (m, r)
+    # intersection inherits Jaccard noise; just pin non-insane
+    ri = rows["intersection"]
+    assert ri.est <= min(rows["click"].est, rows["purchase"].est) + 1
+    assert (ri.n_exact == 0) == (ri.est == 0.0)
