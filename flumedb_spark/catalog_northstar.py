@@ -2297,9 +2297,11 @@ _LM_DUCK = """
               / n_tokens / 1000000.0, 6) AS avg_nll
       FROM per_doc, lntv
     )
-    SELECT doc_id, n_tokens, avg_nll,
-      CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id) AS INT) AS ppl_bucket
-    FROM scored ORDER BY doc_id
+    SELECT s.doc_id, d.lang, s.n_tokens, s.avg_nll,
+      CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_nll, s.doc_id)
+           AS INT) AS ppl_bucket
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY s.doc_id
 """
 
 
@@ -2307,9 +2309,11 @@ _LM_DUCK = """
 def ns_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM scoring (arXiv:1911.00359): avg negative
     log-likelihood under an add-one corpus LM, head/middle/tail
-    terciles. ln() is quantized to integer micro-nats at vocabulary
-    granularity, so every per-doc accumulation is exact BIGINT math
-    (see operators/text.unigram_logprob)."""
+    terciles PER LANGUAGE (§3.2 — which also keeps the ntile window
+    partitioned, a distributed per-group sort rather than a global
+    single-partition one). ln() is quantized to integer micro-nats at
+    vocabulary granularity, so every per-doc accumulation is exact
+    BIGINT math (see operators/text.unigram_logprob)."""
     return _text.unigram_logprob(spark.table("documents"))
 
 

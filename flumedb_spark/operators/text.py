@@ -320,10 +320,21 @@ def gopher_quality(
 # ---------------------------------------------------------------------
 
 
-def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", bucket_by: str = "lang"
+) -> DataFrame:
     """Per-doc avg negative log-likelihood (micro-nat-exact) + tercile.
 
-    bucket 1 = head (lowest nll / most probable), 3 = tail.
+    bucket 1 = head (lowest nll / most probable), 3 = tail. Terciles
+    are assigned PER ``bucket_by`` GROUP (CCNet buckets per language,
+    arXiv:1911.00359 §3.2), which also keeps the ntile window
+    partitioned — a distributed sort per group, never a global
+    single-partition sort. For corpora whose largest group still
+    exceeds one executor's sort budget, production swaps the exact
+    ntile for threshold comparison against quantile cutpoints
+    (operators/sketches.histogram_quantiles is the mergeable
+    exact-integer sketch for that); the tercile semantics here stay
+    oracle-exact.
     """
     from pyspark.sql.window import Window
 
@@ -371,9 +382,16 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("avg_nll"),
     )
-    w = Window.orderBy("avg_nll", "doc_id")
+    if bucket_by in docs.columns:
+        scored = scored.join(docs.select("doc_id", bucket_by), "doc_id")
+        w = Window.partitionBy(bucket_by).orderBy("avg_nll", "doc_id")
+        grp_cols = [bucket_by]
+    else:  # tiny/unlabeled corpora: one group (kept for unit tests)
+        w = Window.partitionBy(F.lit(1)).orderBy("avg_nll", "doc_id")
+        grp_cols = []
     return scored.select(
         "doc_id",
+        *grp_cols,
         "n_tokens",
         "avg_nll",
         F.ntile(3).over(w).cast("int").alias("ppl_bucket"),
