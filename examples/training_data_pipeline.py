@@ -3,6 +3,9 @@ north-star operators, in dependency order:
 
     raw docs
       -> language ID + quality scoring     (text.py: JVM columns)
+      -> Gopher rule gate                  (text.gopher_quality)
+      -> LM perplexity terciles            (text.unigram_logprob:
+                                            drop the tail bucket)
       -> PII redaction                     (text.redact_pii)
       -> exact dedup                       (dedup.exact_dup_groups)
       -> near-dup clustering               (MinHash-LSH candidates ->
@@ -12,6 +15,9 @@ north-star operators, in dependency order:
       -> quality-weighted sampling         (exact-int Bernoulli draws)
       -> tokenize + chunk + pack           (BPE apply, sliding windows,
                                             token-budget cumsum packing)
+      -> source mixture report             (sampling.source_mixture:
+                                            sqrt-temperature weights +
+                                            token-budget allocation)
 
 Every stage is a DataFrame -> DataFrame transform (no collect between
 stages — one lazy plan per materialization point), which is what makes
@@ -51,6 +57,17 @@ def main() -> None:
     )
     n1 = kept.count()
 
+    # 1b. Gopher rule gate (word-count/word-length/stopword rules) and
+    # LM perplexity terciles per language — keep head + middle buckets
+    gq = text.gopher_quality(kept).where(F.col("keep") == 1).select("doc_id")
+    lm = (
+        text.unigram_logprob(kept)
+        .where(F.col("ppl_bucket") <= 2)
+        .select("doc_id")
+    )
+    kept = kept.join(gq, "doc_id").join(lm, "doc_id")
+    n1b = kept.count()
+
     # 2. PII redaction (typed tokens; counts kept for auditing)
     red = text.redact_pii(kept)
     kept = kept.drop("text").join(
@@ -71,20 +88,30 @@ def main() -> None:
     )
     n3 = kept.count()
 
-    # 5. decontamination: drop docs overlapping the benchmark holdout
-    # (here: the 10 highest doc_ids stand in for a benchmark set)
+    # 5. decontamination: drop docs sharing 3-gram spans with the
+    # benchmark holdout (the 10 highest doc_ids stand in for it).
+    # N-GRAMS, not unigrams: any corpus shares vocabulary with its
+    # benchmarks — contamination is shared word SEQUENCES (this is the
+    # ns_decontamination semantics).
+    def grams3(df):
+        toks = F.split("text", " ")
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                )
+            ).alias("gram"),
+        )
+
     bench = docs.orderBy(F.col("doc_id").desc()).limit(10).select("doc_id", "text")
     contaminated = (
-        kept.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .join(
-            F.broadcast(
-                bench.select(F.explode(F.split("text", " ")).alias("w")).distinct()
-            ),
-            "w",
-        )
+        grams3(kept)
+        .join(F.broadcast(grams3(bench).select("gram").distinct()), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
-        .where(F.col("n_overlap") > 50)
+        .where(F.col("n_overlap") >= 5)
         .select("doc_id")
     )
     kept = kept.join(contaminated, "doc_id", "left_anti")
@@ -107,13 +134,26 @@ def main() -> None:
     )
     n_packs = packed.select("pack_id").distinct().count()
 
+    # 8. source mixture: how the surviving corpus should be weighted
+    # (sqrt temperature up-weights small sources without flattening)
+    mixture = sampling.source_mixture(
+        sampled.select("doc_id", "text", "source"), budget_tokens=100_000
+    ).collect()
+
     print(f"raw docs:                {n0}")
     print(f"after lang+quality gate: {n1}")
+    print(f"after gopher+LM gates:   {n1b}")
     print(f"after exact dedup:       {n2}")
     print(f"after near-dup keepers:  {n3}")
     print(f"after decontamination:   {n4}")
     print(f"after weighted sample:   {n5}")
     print(f"packed into {n_packs} sequences of <=2048 BPE tokens")
+    top = sorted(mixture, key=lambda r: -r.alloc_tokens)[:3]
+    for r in top:
+        print(
+            f"mixture: {r.source} p={r.p_mix} alloc={r.alloc_tokens} "
+            f"epochs={r.epochs}"
+        )
     spark.stop()
 
 

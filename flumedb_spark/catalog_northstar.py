@@ -2360,10 +2360,14 @@ def _kmv_sql(hv_expr: str, k: int = 256) -> str:
     inputs are exact integers; the only doubles are single identical
     division expressions, so both engines agree bit-for-bit.
 
-    100 TB shape: the per-key top-k is a (distinct -> per-key ordered
-    rank) pass — the distinct is the only data-sized shuffle, the rank
-    sorts k<<N rows per key; sketches merge associatively (min-k of a
-    union of min-k sets), which is what makes them partition-friendly."""
+    100 TB shape: min-k is computed in TWO LEVELS because the sketch
+    merges associatively (the min-k of a union of min-k sets is the
+    global min-k): level 1 ranks within (key, hash-bucket) subgroups —
+    parallel, bounded sorts over N/B rows each, B raised with data
+    size — level 2 ranks the surviving B*k rows per key, a
+    constant-bounded final sort. The distinct is the only data-sized
+    shuffle. This is exactly the map-side-combine shape; a streaming
+    ingest maintains the same sketch with per-batch merges."""
     kth = float(k - 1)
     return f"""
     WITH els AS (
@@ -2371,9 +2375,15 @@ def _kmv_sql(hv_expr: str, k: int = 256) -> str:
       FROM events WHERE event_type IN ('click', 'purchase')
     ),
     h AS (SELECT et, v, {hv_expr} AS hv FROM els),
-    rk AS (
-      SELECT et, hv, row_number() OVER (PARTITION BY et ORDER BY hv, v) AS r
+    rk1 AS (
+      SELECT et, hv, v,
+        row_number() OVER (PARTITION BY et, hv % 64 ORDER BY hv, v) AS r1
       FROM h
+    ),
+    rk AS (
+      SELECT et, hv,
+        row_number() OVER (PARTITION BY et ORDER BY hv, v) AS r
+      FROM rk1 WHERE r1 <= {k}
     ),
     sk AS (SELECT et, hv FROM rk WHERE r <= {k}),
     per AS (

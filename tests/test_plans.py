@@ -126,3 +126,33 @@ def test_level_point_get_broadcasts_index(spark, tmp_path):
     joined = view._join_back(idx)
     assert has_broadcast_join(joined), "Level join-back lost its explicit broadcast"
     db.close()
+
+
+def test_scoring_family_plan_shapes(plans):
+    # late-r6 scoring family (SCALING posture):
+    # - gopher_quality is a pure narrow projection: no join, no
+    #   aggregate, no Python; the only exchange is the oracle's orderBy
+    p = plans("ns_gopher_quality")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    # formatted plans name each node twice (tree + details) — count
+    # tree nodes only
+    assert p.count("- Exchange") <= 1, "gopher gained a shuffle beyond the sort"
+    # - the LM scorer's vocab-sized term table must broadcast back to
+    #   the (doc, word) stream, never shuffle the token stream twice
+    p = plans("ns_lm_perplexity")
+    assert "BroadcastHashJoin" in p, "LM term-table join lost its broadcast"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # - source mixture: map-side partial aggregation before its single
+    #   data-sized shuffle
+    p = plans("ns_source_mixture")
+    assert "partial_count" in p or "partial_sum" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kmv_and_pq_stay_jvm_side(plans):
+    for q in ("ns_kmv_set_ops", "ns_pq_ann_topk_seeded", "ns_pq_ann_recall10"):
+        p = plans(q)
+        assert "BatchEvalPython" not in p, f"{q} fell into a Python UDF"
+        assert "ArrowEvalPython" not in p, f"{q} fell into a Pandas UDF"
