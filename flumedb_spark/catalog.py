@@ -194,9 +194,12 @@ DRIVER_WINDOW: list[str] = [
     "ns_weighted_sample",
     "ns_pipeline_filter_dedup_join",
     # (ns_hll_user_estimate rotated out late r6 — r5-driver-green,
-    # sketches.py frozen this round; countmin keeps the sketch family
-    # in-window — freeing the slot for the new ns_parquet_records row)
-    "ns_countmin_event_counts",
+    # sketches.py frozen this round — freeing the slot for the new
+    # ns_parquet_records row; ns_countmin_event_counts rotated out
+    # later still — same basis — for the new stream_hll_window row:
+    # the sketch family stays in-window via ns_kmv_set_ops and the
+    # streaming HLL itself)
+    "stream_hll_window",
     # parquet payload record decoding (embedded-bytes load stage) —
     # NEW r6
     "ns_parquet_records",
@@ -1176,6 +1179,100 @@ def stream_stateful_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame(
             rows, "user_id long, n long, total double, last_seq long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_hll_window",
+    # Streaming HLL distinct-users per hour window — the streaming twin
+    # of ns_hll_user_estimate, and the demonstration that any
+    # commutative-monoid sketch streams for free: register update is
+    # max(), so the windowed max aggregate's incremental state IS the
+    # mergeable sketch (state = O(windows x 256) rows, independent of
+    # stream rate), and append mode emits each window's registers once
+    # the watermark passes its end. Late-data semantics are the SAME
+    # pinned rules as stream_windowed_counts (late filter vs the
+    # batch-lagged watermark on window END; emission when end <= final
+    # watermark) — the survive set below reuses that oracle's CTEs
+    # verbatim, then replays the register/estimate arithmetic of the
+    # batch HLL row (all-BIGINT registers, precomputed branch literal)
+    # over it.
+    oracle="""
+    WITH b0 AS (SELECT ts FROM events WHERE event_id % 10 NOT IN (3, 7)),
+         wm0 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM b0),
+         fw  AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+         survive AS (
+           SELECT ts, user_id FROM events WHERE event_id % 10 != 3
+           UNION ALL
+           SELECT ts, user_id FROM events WHERE event_id % 10 = 3
+             AND date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm0)
+         ),
+         emit AS (
+           SELECT date_trunc('hour', ts) AS ws, user_id FROM survive
+           WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM fw)
+         ),
+         h AS (
+           SELECT ws, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS hv
+           FROM emit
+         ),
+         regs AS (
+           SELECT ws, hv % 256 AS bucket,
+             max(CASE WHEN hv // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(hv // 256)) END) AS rho
+           FROM h GROUP BY 1, 2
+         ),
+         per AS (
+           SELECT ws,
+             CAST(sum((1::BIGINT << (53 - rho))) AS BIGINT) AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present
+           FROM regs GROUP BY ws
+         ),
+         fin AS (
+           SELECT ws,
+             CAST(s_present + (256 - n_present) * 9007199254740992 AS BIGINT)
+               AS s53,
+             CAST(256 - n_present AS BIGINT) AS v_zero
+           FROM per
+         )
+    SELECT epoch_us(ws) AS win_start_us, s53, v_zero,
+      CASE WHEN CAST(s53 AS DOUBLE) >= 6.624895351417025e+17 AND v_zero > 0
+           THEN round(256.0 * ln(256.0 / v_zero), 4)
+           ELSE round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                      * 9007199254740992.0 / CAST(s53 AS DOUBLE), 4)
+      END AS hll_estimate
+    FROM fin ORDER BY win_start_us
+    """,
+)
+def stream_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.live import hll_finalize_registers, windowed_hll_registers
+
+    events = spark.table("events").select("event_id", "ts", "user_id")
+    work = tempfile.mkdtemp(prefix="stream_hll_")
+    try:
+        src = _staged_stream_source(spark, events, work)
+        regs = windowed_hll_registers(
+            src, window="1 hour", watermark="30 minutes", ts_col="ts"
+        )
+        sink = _run_stream_to_memory(spark, regs, work, output_mode="append")
+        fin = hll_finalize_registers(sink)
+        rows = (
+            fin.select(
+                F.unix_micros("win_start").alias("win_start_us"),
+                "s53",
+                "v_zero",
+                "hll_estimate",
+            )
+            .orderBy("win_start_us")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "win_start_us long, s53 long, v_zero long, hll_estimate double"
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

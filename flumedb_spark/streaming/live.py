@@ -383,3 +383,68 @@ def dedup_within_watermark(
     return events_stream.withWatermark(ts_col, watermark).dropDuplicates(
         [*keys, ts_col]
     )
+
+
+def windowed_hll_registers(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming HLL distinct sketch per event-time window: the
+    deterministic register formulation (md5-derived 60-bit hash,
+    bucket = hv % 256, rho = leading-zero rank — the exact arithmetic
+    of the batch `ns_hll_user_estimate` row) expressed as a windowed
+    ``max`` aggregate. Because register update is max() — associative,
+    commutative — Spark's incremental streaming state IS the mergeable
+    sketch: each micro-batch folds its rows into at most 256 register
+    rows per open window, so state is O(windows x 256) regardless of
+    stream rate, and append mode emits a window's registers exactly
+    once when the watermark passes its end. Finalize emitted registers
+    with :func:`hll_finalize_registers` (a batch-side 256-row-per-
+    window reduction). The streaming twin of the batch HLL row — and
+    the general recipe: ANY sketch whose update is a commutative
+    monoid (count-min, KMV min-k) streams the same way."""
+    hashed = events_stream.selectExpr(
+        ts_col,
+        f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) AS hv",
+    ).selectExpr(
+        ts_col,
+        "hv % 256 AS bucket",
+        "CASE WHEN hv DIV 256 = 0 THEN 53"
+        " ELSE 53 - length(bin(hv DIV 256)) END AS rho",
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("bucket"))
+        .agg(F.max("rho").alias("rho"))
+        .select(F.col("w.start").alias("win_start"), "bucket", "rho")
+    )
+
+
+def hll_finalize_registers(registers: DataFrame) -> DataFrame:
+    """Turn emitted (win_start, bucket, rho) register rows into the
+    per-window estimate, with the same constants and small-range
+    linear-counting branch as the batch HLL row (bit-identical
+    arithmetic: the branch threshold is a precomputed double literal,
+    all register sums are exact BIGINTs)."""
+    per = registers.groupBy("win_start").agg(
+        F.expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - rho)) AS BIGINT)")
+        .alias("s_present"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_present"),
+    )
+    return per.selectExpr(
+        "win_start",
+        "CAST(s_present + (256 - n_present) * 9007199254740992 AS BIGINT) AS s53",
+        "CAST(256 - n_present AS BIGINT) AS v_zero",
+    ).selectExpr(
+        "win_start",
+        "s53",
+        "v_zero",
+        "CASE WHEN CAST(s53 AS DOUBLE) >= 6.624895351417025e+17 AND v_zero > 0"
+        " THEN round(256.0 * ln(256.0 / v_zero), 4)"
+        " ELSE round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0"
+        " * 9007199254740992.0 / CAST(s53 AS DOUBLE), 4) END AS hll_estimate",
+    )

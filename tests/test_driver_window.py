@@ -78,6 +78,10 @@ def test_all_northstar_ops_in_window():
         # decode stays covered by ns_media_meta + the live gate)
         "ns_embedding_neardup",
         "ns_audio_decode_meta",
+        # late-r6 rotation for the new stream_hll_window row (r5-green;
+        # sketch family stays in-window via ns_kmv_set_ops + the
+        # streaming HLL itself)
+        "ns_countmin_event_counts",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -113,7 +117,9 @@ def test_changed_or_new_rows_in_window():
         #  fuzzy_match_names / window_distribution rotated out r5:
         # r4-driver-green, frozen — their slots went to the new
         # ns_video_meta / ns_jpeg_decode rows)
-        "ns_countmin_event_counts", "ns_weighted_sample",
+        # (ns_countmin_event_counts rotated out late r6 for
+        #  stream_hll_window)
+        "ns_weighted_sample",
         # (ns_doc_chunks rotated out late r6 for stream_session_counts)
         "ns_sequence_packing",
         # (ns_tfidf_topterms rotated out late r6 for src_orc_roundtrip)
@@ -184,6 +190,9 @@ def test_changed_or_new_rows_in_window():
         # late-r6 new: PQ-ADC ANN + its recall-vs-exact-L2 twin
         # (ns_embedding_neardup / ns_audio_decode_meta rotated out)
         "ns_pq_ann_topk_seeded", "ns_pq_ann_recall10",
+        # late-r6 new: streaming HLL per window — windowed max IS the
+        # mergeable sketch (ns_countmin_event_counts rotated out)
+        "stream_hll_window",
     ):
         assert n in _window_names(), n
 

@@ -149,3 +149,48 @@ def test_kmv_estimates_within_theory_bounds(spark, sf_dir):
     ri = rows["intersection"]
     assert ri.est <= min(rows["click"].est, rows["purchase"].est) + 1
     assert (ri.n_exact == 0) == (ri.est == 0.0)
+
+
+# ---- streaming HLL window sketch ----------------------------------------
+
+
+def test_stream_hll_estimates_track_exact(spark, sf_dir):
+    """The streaming HLL's per-window estimate must track the exact
+    per-window distinct-user count computed over the SAME survive set
+    (m=256 registers -> ~6.5% standard error; allow 5 sigma)."""
+    from flumedb_spark.catalog import QUERIES, register_tables
+
+    register_tables(spark, sf_dir)
+    est = {r.win_start_us: r for r in QUERIES["stream_hll_window"](spark, sf_dir).collect()}
+    assert est, "no windows emitted"
+    # replay the survive set (the pinned stream_windowed_counts rules)
+    ev = spark.table("events")
+    exact = {
+        r.win_start_us: r.n
+        for r in spark.sql(
+            """
+        WITH b0 AS (SELECT ts FROM events WHERE event_id % 10 NOT IN (3, 7)),
+             wm0 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM b0),
+             fw  AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+             survive AS (
+               SELECT ts, user_id FROM events WHERE event_id % 10 != 3
+               UNION ALL
+               SELECT ts, user_id FROM events WHERE event_id % 10 = 3
+                 AND date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm0)
+             )
+        SELECT unix_micros(date_trunc('hour', ts)) AS win_start_us,
+               count(DISTINCT user_id) AS n
+        FROM survive
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM fw)
+        GROUP BY 1
+        """
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for ws, r in est.items():
+        n = exact[ws]
+        # 5-sigma relative bound, with an absolute floor for tiny
+        # windows where a single bucket collision dominates (n=2 in
+        # one bucket -> estimate ~1: correct sketch behavior)
+        tol = max(5 * 1.04 / (256 ** 0.5) * n, 2.5)
+        assert abs(r.hll_estimate - n) <= tol, (ws, n, r.hll_estimate)
