@@ -180,11 +180,16 @@ DRIVER_WINDOW: list[str] = [
     "ns_ivf_ann_topk_seeded",
     "ns_ivf_ann_recall10",
     # text analysis family (ns_tfidf_topterms rotated out late r6 —
-    # r5-driver-green, text.py frozen this round; lang_id/rare_token/
-    # bpe keep the family in-window — freeing the slot for the new
-    # src_orc_roundtrip source-format row)
-    "ns_lang_id",
+    # r5-driver-green, text.py frozen this round — freeing the slot for
+    # the new src_orc_roundtrip source-format row; ns_lang_id rotated
+    # out later still — r5-green, its path untouched — for the new
+    # ns_neardup_canonical row: the family stays in-window via
+    # rare_token/bpe plus the new gopher/LM rows)
     "ns_rare_token_share",
+    # quality-aware keeper selection within near-dup clusters — NEW
+    # late r6 (the FineWeb-style decision rule: keep the best copy,
+    # not the lowest-id one)
+    "ns_neardup_canonical",
     "ns_bpe_tokens",
     # source-format surface: ORC round-trip through read_any — NEW r6
     "src_orc_roundtrip",

@@ -109,11 +109,12 @@ def ns_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(spark.table("documents"))
 
 
-def _cluster_oracle(iters: int = 4) -> str:
+def _cluster_oracle(iters: int = 4, tail: str | None = None) -> str:
     """K unrolled min-label-propagation iterations over the LSH
     candidate graph — the identical fixed-K computation the Spark
     operator (operators/dedup.py neardup_clusters) performs, so labels
-    hash-match even if K < some cluster's diameter."""
+    hash-match even if K < some cluster's diameter. ``tail`` overrides
+    the final SELECT ({last} = the last label CTE's name)."""
     sql = (
         _MINHASH_CTES
         + ", edges AS ("
@@ -135,10 +136,14 @@ def _cluster_oracle(iters: int = 4) -> str:
       LEFT JOIN l{i-1} q ON q.doc_id = nbr.nbr
       GROUP BY p.doc_id, p.lbl
     )"""
-    sql += f"""
+    sql += (
+        tail.format(last=f"l{iters}")
+        if tail is not None
+        else f"""
     SELECT doc_id, lbl AS cluster_id, doc_id = lbl AS is_keeper
     FROM l{iters} ORDER BY doc_id
     """
+    )
     return sql
 
 
@@ -2572,3 +2577,40 @@ def ns_pq_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of PQ-ADC vs exact squared-L2 — quantization loss
     measured, not assumed (see _pq_recall_sql)."""
     return spark.sql(_pq_recall_sql(_ANN_SPARK, "DIV"))
+
+
+_CANONICAL_TAIL = """,
+    clus AS (SELECT doc_id, lbl AS cluster_id FROM {last}),
+    q AS (
+      SELECT doc_id,
+        round(
+          least(1.0, CAST(n_tok AS DOUBLE) / 60.0) * 0.4
+          + least(1.0, CAST(n_chr AS DOUBLE) / 400.0) * 0.4
+          + CASE WHEN CAST(n_alpha AS DOUBLE) / n_tok >= 3.0
+                  AND CAST(n_alpha AS DOUBLE) / n_tok <= 8.0
+                 THEN 0.2 ELSE 0.0 END,
+          6) AS quality
+      FROM (
+        SELECT doc_id, length(text) AS n_chr,
+          length(text) - length(replace(text, ' ', '')) + 1 AS n_tok,
+          length(replace(text, ' ', '')) AS n_alpha
+        FROM documents
+      )
+    )
+    SELECT c.doc_id, c.cluster_id, q.quality,
+      row_number() OVER (
+        PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id
+      ) = 1 AS is_canonical
+    FROM clus c JOIN q ON q.doc_id = c.doc_id
+    ORDER BY c.doc_id
+"""
+
+
+@query("ns_neardup_canonical", oracle=_cluster_oracle(4, tail=_CANONICAL_TAIL))
+def ns_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection within near-dup clusters
+    (dedup.neardup_canonical): keep each cluster's highest-quality doc
+    (tiebreak min id) — the FineWeb-style production decision rule, vs
+    ns_neardup_clusters' min-id convention."""
+    docs = spark.table("documents")
+    return dedup.neardup_canonical(docs, text.quality_score(docs))

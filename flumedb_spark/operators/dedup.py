@@ -399,3 +399,45 @@ def substring_dup_spans(
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+def neardup_canonical(
+    docs: DataFrame,
+    quality: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    iters: int = 4,
+) -> DataFrame:
+    """The production keeper rule on top of :func:`neardup_clusters`:
+    within each near-dup cluster keep the HIGHEST-quality document
+    (tiebreak min doc_id), not the smallest id — dropping a cluster's
+    best-written copy because a worse one has a lower id is exactly the
+    mistake a real pipeline avoids (FineWeb-style quality-aware dedup).
+
+    ``quality`` is any (doc_id, quality) table with deterministic
+    scores (text.quality_score, text.gopher_quality-derived, an LM
+    tercile — anything reproducible). Returns (doc_id, cluster_id,
+    quality, is_canonical).
+
+    Scale shape: inherits neardup_clusters' per-iteration equi-join
+    bound; the keeper choice adds one window partitioned BY CLUSTER —
+    distributed across clusters, each partition the size of one
+    cluster (LSH-bounded), never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    clusters = neardup_clusters(
+        docs, n, text_col, n_perm, n_bands, iters
+    ).select("doc_id", "cluster_id")
+    j = clusters.join(quality.select("doc_id", "quality"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    ).orderBy("doc_id")

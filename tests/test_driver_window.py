@@ -82,6 +82,10 @@ def test_all_northstar_ops_in_window():
         # sketch family stays in-window via ns_kmv_set_ops + the
         # streaming HLL itself)
         "ns_countmin_event_counts",
+        # late-r6 rotation for the new ns_neardup_canonical row
+        # (r5-green, path untouched; text family stays in-window via
+        # rare_token/bpe + the new gopher/LM rows)
+        "ns_lang_id",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -138,8 +142,8 @@ def test_changed_or_new_rows_in_window():
         "ns_rare_token_share",
         # (ns_histogram_quantiles rotated out r5 for ns_media_meta —
         #  hll + countmin keep the sketch family in-window)
-        # lang-ID re-entered: adjacent-marker exact-count fix
-        "ns_lang_id",
+        # (ns_lang_id — re-entered r4 for the adjacent-marker fix,
+        #  rotated out late r6 for ns_neardup_canonical)
         # round-4 new/changed rows: the streaming-surface oracle row, the
         # BLAS path's new exact-int oracle mode, and the four operator-
         # family oracle rows (skew/CDC/Z-order)
@@ -193,6 +197,9 @@ def test_changed_or_new_rows_in_window():
         # late-r6 new: streaming HLL per window — windowed max IS the
         # mergeable sketch (ns_countmin_event_counts rotated out)
         "stream_hll_window",
+        # late-r6 new: quality-aware canonical keeper (ns_lang_id
+        # rotated out)
+        "ns_neardup_canonical",
     ):
         assert n in _window_names(), n
 

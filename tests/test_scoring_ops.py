@@ -194,3 +194,21 @@ def test_stream_hll_estimates_track_exact(spark, sf_dir):
         # one bucket -> estimate ~1: correct sketch behavior)
         tol = max(5 * 1.04 / (256 ** 0.5) * n, 2.5)
         assert abs(r.hll_estimate - n) <= tol, (ws, n, r.hll_estimate)
+
+
+# ---- quality-aware canonical keeper --------------------------------------
+
+
+def test_neardup_canonical_prefers_quality(spark, docs):
+    from flumedb_spark.operators import dedup
+
+    out = dedup.neardup_canonical(docs, text.quality_score(docs)).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert sum(1 for rs in by_cluster.values() if len(rs) > 1) > 0
+    for cid, rs in by_cluster.items():
+        canon = [r for r in rs if r.is_canonical]
+        assert len(canon) == 1, cid  # exactly one keeper per cluster
+        best = max(rs, key=lambda r: (r.quality, -r.doc_id))
+        assert canon[0].doc_id == best.doc_id, cid
