@@ -157,6 +157,15 @@ DRIVER_WINDOW: list[str] = [
     # for the new ns_archive_listing row — the family keeps five other
     # in-window rows)
     "ns_ngram_jaccard_pairs",
+    # cross-corpus Bloom decontamination — NEW late r6 (family #2):
+    # takes the slot of r5-green ns_salted_join (skew.py frozen this
+    # round; skew coverage stays live-gated every suite run)
+    "ns_bloom_cross_dedup",
+    # TRUE connected components via alternating star contraction — NEW
+    # late r6: the any-diameter exact twin of ns_neardup_clusters;
+    # takes the slot of r5-green ns_scd2_history (cdc.py frozen this
+    # round; the storage-layout family stays live-gated)
+    "ns_neardup_components",
     # exact-substring dedup (shared-span family) — NEW r6 (VERDICT-r5 #5)
     "ns_substring_dedup",
     "ns_minhash_lsh_candidates",
@@ -185,12 +194,21 @@ DRIVER_WINDOW: list[str] = [
     # out later still — r5-green, its path untouched — for the new
     # ns_neardup_canonical row: the family stays in-window via
     # rare_token/bpe plus the new gopher/LM rows)
-    "ns_rare_token_share",
+    # (ns_rare_token_share rotated out late r6 — r5-driver-green, its
+    # text.py path untouched this round — for the new ns_bm25_topk row;
+    # the text/scoring family keeps gopher/LM/bm25/dsir in-window)
+    # BM25 ranked retrieval — NEW late r6 (family #2)
+    "ns_bm25_topk",
+    # DSIR hashed-ngram importance weights — NEW late r6 (family #2);
+    # takes the slot of r5-green ns_bpe_tokens (bpe.py frozen this
+    # round; BPE stays live-gated every suite run)
+    "ns_dsir_weights",
     # quality-aware keeper selection within near-dup clusters — NEW
     # late r6 (the FineWeb-style decision rule: keep the best copy,
     # not the lowest-id one)
     "ns_neardup_canonical",
-    "ns_bpe_tokens",
+    # (ns_bpe_tokens rotated out late r6 — r5-driver-green, bpe.py
+    # frozen this round — for the new ns_dsir_weights row above)
     # source-format surface: ORC round-trip through read_any — NEW r6
     "src_orc_roundtrip",
     # pipeline / packing / sampling / sketches (ns_doc_chunks rotated
@@ -209,11 +227,12 @@ DRIVER_WINDOW: list[str] = [
     # NEW r6
     "ns_parquet_records",
     # skew tooling / storage-layout ops (ns_salted_distinct_count
-    # rotated out r6 — r5-driver-green, skew.py frozen this round;
-    # ns_salted_join keeps the skew family in-window — freeing the slot
-    # for the new ns_avro_records row)
-    "ns_salted_join",
-    "ns_scd2_history",
+    # rotated out r6 — r5-driver-green, skew.py frozen this round —
+    # freeing the slot for the new ns_avro_records row; ns_salted_join
+    # and ns_scd2_history rotated out late r6 — r5-driver-green,
+    # skew.py/cdc.py frozen this round — for the new
+    # ns_bloom_cross_dedup / ns_neardup_components rows; both families
+    # stay live-gated every suite run via tests/test_full_gate.py)
     # Avro OCF record decoding (load stage after ns_datafile_meta
     # triage) — NEW r6
     "ns_avro_records",

@@ -2614,3 +2614,121 @@ def ns_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns_neardup_clusters' min-id convention."""
     docs = spark.table("documents")
     return dedup.neardup_canonical(docs, text.quality_score(docs))
+
+
+# ---------------------------------------------------------------------
+# Late-r6 family #2: ranked retrieval, data selection, cross-corpus
+# decontamination, and exact connected components — the four pipeline
+# stages between "index it" and "train on it": rank what matched
+# (BM25), choose target-like data (DSIR), keep eval data out of train
+# (Bloom cross-corpus), and make dedup clusters exact at any diameter
+# (alternating-star CC). All oracle-attested with the repo's integer-
+# quantization discipline.
+# ---------------------------------------------------------------------
+
+from .operators import retrieval as _retrieval  # noqa: E402
+from .operators import selection as _selection  # noqa: E402
+
+_BM25_TERMS = ["spark", "window", "join"]
+
+
+@query("ns_bm25_topk", oracle=_retrieval.bm25_oracle_sql(_BM25_TERMS, k=15))
+def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 over documents for a 3-term query (k1=1.2, b=0.75
+    as exact rationals; per-term IDF quantized to integer micro-nats,
+    every later step exact BIGINT math — operators/retrieval.py). The
+    ranked extension of flumeview-search's AND-intersection
+    (/root/reference/README.md:95 stops at membership)."""
+    return _retrieval.bm25_topk(spark.table("documents"), _BM25_TERMS, k=15)
+
+
+@query("ns_dsir_weights", oracle=_selection.dsir_oracle_sql("source = 'src0'"))
+def ns_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (arXiv:2302.03169): hashed-bigram
+    bag-of-words LMs for target (source='src0') vs raw (all docs),
+    per-doc sum of micro-nat log-ratios, quartile 1 = most target-like
+    (operators/selection.py; 256 md5 buckets, add-one smoothing)."""
+    return _selection.dsir_logweights(
+        spark.table("documents"), target_filter="source = 'src0'"
+    )
+
+
+_BLOOM_XDEDUP_DUCK = """
+    WITH ref AS (
+      SELECT DISTINCT md5(array_to_string(ws[i:i+7], ' ')) AS h
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents
+            WHERE source = 'src0' AND len(string_split(text, ' ')) >= 8) r,
+      LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) gs
+    ),
+    bits AS (
+      SELECT DISTINCT u.bit FROM ref, LATERAL (SELECT unnest([
+        CAST('0x' || substr(h, 1, 4) AS BIGINT),
+        CAST('0x' || substr(h, 5, 4) AS BIGINT),
+        CAST('0x' || substr(h, 9, 4) AS BIGINT)]) AS bit) u
+    ),
+    cand AS (
+      SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE source != 'src0' AND len(string_split(text, ' ')) >= 8) c,
+      LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) gs
+    ),
+    probe AS (
+      SELECT doc_id,
+        CASE WHEN CAST('0x' || substr(h, 1, 4) AS BIGINT) IN (SELECT bit FROM bits)
+              AND CAST('0x' || substr(h, 5, 4) AS BIGINT) IN (SELECT bit FROM bits)
+              AND CAST('0x' || substr(h, 9, 4) AS BIGINT) IN (SELECT bit FROM bits)
+             THEN 1 ELSE 0 END AS bloom_hit,
+        CASE WHEN h IN (SELECT h FROM ref) THEN 1 ELSE 0 END AS ex
+      FROM cand
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+      CAST(sum(ex) AS BIGINT) AS n_exact_hits,
+      sum(ex) > 0 AS contaminated
+    FROM probe GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("ns_bloom_cross_dedup", oracle=_BLOOM_XDEDUP_DUCK)
+def ns_bloom_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus Bloom decontamination (dedup.bloom_cross_dedup):
+    reference = source='src0' 8-token shingles -> 2^16-bit Bloom (K=3
+    md5 hex slices); every other doc probed per shingle, with the exact
+    semi-join beside it so the FP gap (n_bloom_hits - n_exact_hits) is
+    itself attested. No-false-negative property pinned in tests."""
+    docs = spark.table("documents")
+    ref = docs.where(F.col("source") == "src0")
+    cand = docs.where(F.col("source") != "src0")
+    return dedup.bloom_cross_dedup(ref, cand, window=8)
+
+
+_COMPONENTS_DUCK = (
+    _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ", edges AS ("
+    + _MINHASH_CAND_SELECT
+    + """),
+    nbr AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr FROM edges
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS nbr FROM edges
+    ),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT n.doc_id, rr.r FROM nbr n JOIN reach rr ON rr.doc_id = n.nbr
+    )
+    SELECT doc_id, min(r) AS cluster_id, doc_id = min(r) AS is_keeper
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+)
+
+
+@query("ns_neardup_components", oracle=_COMPONENTS_DUCK)
+def ns_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE connected components of the LSH candidate graph via
+    alternating large-star/small-star contraction run to fixpoint
+    (dedup.connected_components_star, Kiveris et al. 2014) — exact for
+    ANY cluster diameter in O(log n) rounds, vs ns_neardup_clusters'
+    fixed-K propagation. Oracle: recursive-CTE transitive closure —
+    ground truth, not a replay of the algorithm."""
+    return dedup.neardup_components(spark.table("documents"))

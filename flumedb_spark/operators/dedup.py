@@ -401,6 +401,221 @@ def substring_dup_spans(
     )
 
 
+# ---- cross-corpus Bloom dedup / decontamination ---------------------
+
+
+def bloom_cross_dedup(
+    ref_docs: DataFrame,
+    cand_docs: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag candidate documents sharing any ``window``-token shingle
+    with a REFERENCE corpus (eval benchmarks, an already-kept corpus)
+    via a Bloom filter — the cross-DATASET twin of `exact_dup_groups`
+    and the scale path for decontamination: the reference corpus is
+    reduced to a bit-set sketch once, and probing never joins the two
+    corpora.
+
+    Bloom construction is engine-portable: each reference shingle sets
+    K=3 positions given by three disjoint 16-bit slices of its md5 hex
+    (m = 2^16 bits) — no seeds, no library hash. A candidate shingle
+    "hits" iff all three of its positions are set. Returns per
+    candidate doc: (doc_id, n_shingles, n_bloom_hits, n_exact_hits,
+    contaminated) where contaminated = any exact hit; n_bloom_hits >=
+    n_exact_hits ALWAYS (no false negatives — the Bloom guarantee,
+    property-pinned in tests), the gap being the measured FP count.
+
+    100 TB shape: the bit table is at most m rows (here 65,536) no
+    matter how large the reference corpus is — build is one map-side-
+    combinable distinct over reference shingles, probe is a broadcast
+    semi-join per slice against the candidate shingle stream. The
+    n_exact_hits column (a real semi-join on the 128-bit hash) is the
+    verification stage a production pipeline runs ONLY on the
+    bloom-positive survivors; here it runs on everything so the FP gap
+    is itself attested. For reference sets past ~10^9 shingles, raise m
+    and pack the bit-set into per-range binary bitmaps (groupBy(range)
+    + bit_or) before broadcast — the probe side is unchanged.
+    """
+    w = window
+
+    def shingle_hashes(docs: DataFrame) -> DataFrame:
+        words = F.split(F.col(text_col), " ")
+        idx = F.sequence(F.lit(1), F.size(words) - (w - 1))
+        return (
+            docs.where(F.size(words) >= w)
+            .select(
+                "doc_id",
+                F.explode(idx).alias("i"),
+                words.alias("_w"),
+            )
+            .select(
+                "doc_id",
+                F.md5(F.array_join(F.slice(F.col("_w"), F.col("i"), w), " ")).alias("h"),
+            )
+        )
+
+    def pos(col, k: int):
+        # 16-bit slice k of the md5 hex: chars [1+4k, 4+4k]
+        return F.conv(F.substring(col, 1 + 4 * k, 4), 16, 10).cast("long")
+
+    ref = shingle_hashes(ref_docs).select("h").distinct()
+    bits = (
+        ref.select(F.explode(F.array(*[pos(F.col("h"), k) for k in range(3)])).alias("bit"))
+        .distinct()
+    )
+    cand = shingle_hashes(cand_docs)
+    probe = cand
+    for k in range(3):
+        hit = bits.select(F.col("bit").alias(f"_p{k}")).withColumn(f"_hit{k}", F.lit(1))
+        probe = probe.withColumn(f"_p{k}", pos(F.col("h"), k)).join(
+            F.broadcast(hit), f"_p{k}", "left"
+        )
+    bloom_hit = (
+        F.coalesce(F.col("_hit0"), F.lit(0))
+        * F.coalesce(F.col("_hit1"), F.lit(0))
+        * F.coalesce(F.col("_hit2"), F.lit(0))
+    )
+    exact = ref.select(F.col("h").alias("_eh")).withColumn("_ex", F.lit(1))
+    probed = probe.withColumn("bloom_hit", bloom_hit).join(
+        F.broadcast(exact), F.col("h") == F.col("_eh"), "left"
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("_ex"), F.lit(0))).cast("long").alias("n_exact_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_exact_hits") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---- connected components at scale (alternating star) ----------------
+
+
+def connected_components_star(
+    edges: DataFrame, nodes: DataFrame, max_rounds: int = 24
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contractions (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond", SoCC) — the O(log n)-round scale path next
+    to `neardup_clusters`' fixed-K label propagation (which needs K >=
+    cluster DIAMETER: a 10^6-doc near-dup chain at 100 TB would need
+    10^6 joins; star contraction needs ~log2 of that).
+
+    ``edges``: (doc_a, doc_b) undirected; ``nodes``: (doc_id) — every
+    node, including isolated ones. Runs to an EXACT fixpoint (the
+    per-round convergence probe is one count aggregate — a scalar per
+    round, the standard iterative-algorithm driver loop), so the result
+    is execution-independent: (doc_id, cluster_id) with cluster_id =
+    the component's min doc_id, engine-portable and oracle-checkable
+    against a recursive-CTE ground truth.
+
+    Scale shape per round: two groupBy-min + equi-join passes over the
+    current edge set (which only SHRINKS toward one edge per non-root
+    node); lineage cut per round via localCheckpoint. Raises after
+    ``max_rounds`` (paper bound: O(log^2 n) worst case, ~log n
+    observed) rather than returning a silently unconverged labeling.
+    """
+    e = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        und = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
+        )
+        return (
+            und.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        # orient so u >= v, group by the larger endpoint
+        d = cur.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            d.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            linked.union(self_edge)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count("*").alias("n"),
+            # bit_xor is commutative/associative and cannot overflow —
+            # a set signature that is safe at any row count (ANSI sum
+            # of 64-bit hashes would overflow long)
+            F.expr("bit_xor(xxhash64(u, v))").alias("s"),
+        ).first()
+        cur_sig = (sig["n"], sig["s"])
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_rounds} rounds"
+        )
+    # at the fixpoint every edge is (node, component_min)
+    labels = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return (
+        nodes.select("doc_id")
+        .join(labels.select(F.col("u").alias("doc_id"), "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.coalesce(F.col("cluster_id"), F.col("doc_id")), F.col("doc_id")
+            ).alias("cluster_id"),
+        )
+    )
+
+
+def neardup_components(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """TRUE connected components of the LSH candidate graph via
+    :func:`connected_components_star` — same decision surface as
+    `neardup_clusters` but exact for ANY cluster diameter at O(log n)
+    rounds. Returns (doc_id, cluster_id, is_keeper)."""
+    edges = minhash_lsh_candidates(docs, n, text_col, n_perm, n_bands)
+    cc = connected_components_star(edges, docs.select("doc_id"))
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
 def neardup_canonical(
     docs: DataFrame,
     quality: DataFrame,

@@ -1,0 +1,198 @@
+"""Data selection for pre-training corpora — DSIR (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+arXiv:2302.03169): score every raw document by how target-like it is
+under hashed n-gram bag-of-words language models, then keep the
+highest-importance slice.
+
+The importance weight of a document x is
+
+    log w(x) = sum_f  c_f(x) * ( ln p_target(f) - ln q_raw(f) )
+
+over hashed bigram features f (word bigrams bucketed into ``n_buckets``
+by md5 — deterministic across engines, no seed), with add-one
+smoothing:  p(f) = (cnt(f) + 1) / (tot + n_buckets).
+
+Arithmetic discipline: both per-bucket log-probabilities are quantized
+to integer micro-nats at BUCKET granularity (one ln per bucket per
+distribution — the operators/text.unigram_logprob device), so the
+per-document accumulation sum(c_f * (lp - lq)) is exact BIGINT math:
+order-independent, engine-identical, oracle-checkable bit-for-bit.
+
+100 TB shape: the two LM tables are ``n_buckets`` rows each (map-side
+combinable groupBy over the bigram explode) — kilobytes, broadcast
+into the per-document scoring join; the only data-sized shuffles are
+the bigram counts (uniform md5 buckets, no skew) and the per-doc
+aggregate. The final quartile here uses one global ntile window for
+the oracle's benefit; a production run at corpus scale replaces it
+with a fixed logw threshold learned from a sample (the paper's
+resampling step), which drops the global sort entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 256
+
+
+def _bigrams(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, gram) word bigrams; docs with < 2 tokens contribute
+    nothing (explicit on both engines — no null-concat edge)."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - 1)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, 2), " "))
+    return (
+        docs.where(F.size(words) >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+
+
+def _bucket(col):
+    """md5-uniform feature bucket in [0, N_BUCKETS) — deterministic,
+    engine-portable (15 hex chars < 2^60 fits BIGINT exactly)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % N_BUCKETS
+    ).alias("b")
+
+
+def _lm(grams: DataFrame) -> DataFrame:
+    """(b, ln_micro): add-one-smoothed log-prob per bucket in integer
+    micro-nats. Buckets with zero count still exist implicitly — the
+    scorer coalesces them to the smoothed floor ln(1/(tot+B))."""
+    cnt = grams.groupBy(_bucket(F.col("gram"))).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("tot"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("c") + F.lit(1)).cast("double")
+                / (F.col("tot") + F.lit(N_BUCKETS)).cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("ln_micro"),
+        "tot",
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_filter: str = "source = 'src0'",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR importance log-weights against the target
+    slice selected by ``target_filter`` (raw distribution = the whole
+    input). Returns (doc_id, n_grams, logw_micro, iw_quartile) with
+    quartile 1 = most target-like (the kept slice at 25% selection)."""
+    grams = _bigrams(docs, text_col)
+    # target LM from a second filtered scan — the predicate pushes into
+    # the source, no join against the full gram table
+    lm_p = _lm(_bigrams(docs.where(F.expr(target_filter)), text_col))
+    lm_q = _lm(grams)
+    # floors for unseen buckets: ln(1 / (tot + B)) in micro-nats
+    floor = (
+        lm_p.select(F.col("tot").alias("tot_p")).limit(1)
+        .crossJoin(lm_q.select(F.col("tot").alias("tot_q")).limit(1))
+        .select(
+            F.round(F.log(F.lit(1.0) / (F.col("tot_p") + F.lit(N_BUCKETS)).cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("floor_p"),
+            F.round(F.log(F.lit(1.0) / (F.col("tot_q") + F.lit(N_BUCKETS)).cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("floor_q"),
+        )
+    )
+    per_bucket = grams.groupBy("doc_id", _bucket(F.col("gram"))).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    scored = (
+        per_bucket.join(F.broadcast(lm_p.select("b", F.col("ln_micro").alias("lp"))), "b", "left")
+        .join(F.broadcast(lm_q.select("b", F.col("ln_micro").alias("lq"))), "b", "left")
+        .crossJoin(F.broadcast(floor))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(
+                F.col("c")
+                * (
+                    F.coalesce(F.col("lp"), F.col("floor_p"))
+                    - F.coalesce(F.col("lq"), F.col("floor_q"))
+                )
+            )
+            .cast("long")
+            .alias("logw_micro"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("logw_micro").desc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "logw_micro",
+        F.ntile(4).over(w).cast("int").alias("iw_quartile"),
+    ).orderBy("doc_id")
+
+
+def dsir_oracle_sql(target_filter: str = "source = 'src0'") -> str:
+    """DuckDB twin of :func:`dsir_logweights` — identical buckets,
+    quantization points, and floors."""
+    b = N_BUCKETS
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram,
+        CAST('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 15) AS BIGINT)
+          % {b} AS b
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 2) base,
+      LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) gs
+    ),
+    cnt_p AS (
+      SELECT g.b, CAST(count(*) AS BIGINT) AS c FROM grams g
+      JOIN documents d ON d.doc_id = g.doc_id AND d.{target_filter}
+      GROUP BY g.b
+    ),
+    tot_p AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM cnt_p),
+    lm_p AS (
+      SELECT b, CAST(round(ln(CAST(c + 1 AS DOUBLE)
+        / CAST(tot + {b} AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+      FROM cnt_p, tot_p
+    ),
+    cnt_q AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY b),
+    tot_q AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM cnt_q),
+    lm_q AS (
+      SELECT b, CAST(round(ln(CAST(c + 1 AS DOUBLE)
+        / CAST(tot + {b} AS DOUBLE)) * 1000000) AS BIGINT) AS lq
+      FROM cnt_q, tot_q
+    ),
+    floors AS (
+      SELECT
+        CAST(round(ln(1.0 / CAST(p.tot + {b} AS DOUBLE)) * 1000000) AS BIGINT)
+          AS floor_p,
+        CAST(round(ln(1.0 / CAST(q.tot + {b} AS DOUBLE)) * 1000000) AS BIGINT)
+          AS floor_q
+      FROM tot_p p, tot_q q
+    ),
+    per_bucket AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY doc_id, b
+    ),
+    scored AS (
+      SELECT pb.doc_id, CAST(sum(pb.c) AS BIGINT) AS n_grams,
+        CAST(sum(pb.c * (coalesce(p.lp, f.floor_p)
+                         - coalesce(q.lq, f.floor_q))) AS BIGINT) AS logw_micro
+      FROM per_bucket pb
+      LEFT JOIN lm_p p ON p.b = pb.b
+      LEFT JOIN lm_q q ON q.b = pb.b
+      CROSS JOIN floors f
+      GROUP BY pb.doc_id
+    )
+    SELECT doc_id, n_grams, logw_micro,
+      CAST(ntile(4) OVER (ORDER BY logw_micro DESC, doc_id) AS INT)
+        AS iw_quartile
+    FROM scored ORDER BY doc_id
+    """

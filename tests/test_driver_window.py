@@ -86,6 +86,15 @@ def test_all_northstar_ops_in_window():
         # (r5-green, path untouched; text family stays in-window via
         # rare_token/bpe + the new gopher/LM rows)
         "ns_lang_id",
+        # late-r6 rotations for family #2 (bm25 / dsir / bloom-xdedup /
+        # star components): all four r5-driver-green with their modules
+        # (bpe.py, skew.py, cdc.py, the rare-token text path) frozen
+        # this round; every rotated-out path re-runs vs DuckDB each
+        # suite run via tests/test_full_gate.py
+        "ns_bpe_tokens",
+        "ns_rare_token_share",
+        "ns_salted_join",
+        "ns_scd2_history",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -114,7 +123,8 @@ def test_changed_or_new_rows_in_window():
         "q15_top_supplier",
         # (q20/q22 rotated out late r6 for the two src_* loop rows)
         "q21_waiting_suppliers",
-        "ns_bpe_tokens",
+        # (ns_bpe_tokens rotated out late r6 — r5-driver-green, bpe.py
+        #  frozen — for the new ns_dsir_weights row)
         # (interval_join_events rotated out late r5 for ns_warc_listing;
         #  ns_hll_user_estimate rotated out late r6 for ns_parquet_records)
         # (ns_histogram_quantiles also rotated out r5 for ns_media_meta;
@@ -138,8 +148,9 @@ def test_changed_or_new_rows_in_window():
         "ns_media_meta",
         "ns_archive_listing",
         "ns_warc_listing",
-        # corpus-frequency rarity signal (unigram-LM-filter analog)
-        "ns_rare_token_share",
+        # (ns_rare_token_share — corpus-frequency rarity signal —
+        #  rotated out late r6 for ns_bm25_topk: r5-driver-green, its
+        #  text.py path untouched this round)
         # (ns_histogram_quantiles rotated out r5 for ns_media_meta —
         #  hll + countmin keep the sketch family in-window)
         # (ns_lang_id — re-entered r4 for the adjacent-marker fix,
@@ -200,6 +211,14 @@ def test_changed_or_new_rows_in_window():
         # late-r6 new: quality-aware canonical keeper (ns_lang_id
         # rotated out)
         "ns_neardup_canonical",
+        # late-r6 family #2: ranked retrieval, data selection,
+        # cross-corpus decontamination, exact star components
+        # (ns_bpe_tokens / ns_rare_token_share / ns_salted_join /
+        # ns_scd2_history rotated out — r5-green, modules frozen)
+        "ns_bm25_topk",
+        "ns_dsir_weights",
+        "ns_bloom_cross_dedup",
+        "ns_neardup_components",
     ):
         assert n in _window_names(), n
 

@@ -1,0 +1,249 @@
+"""Behavioral tests for the late-r6 family #2: BM25 ranked retrieval,
+DSIR importance weights, cross-corpus Bloom decontamination, and
+alternating-star connected components.
+
+The oracle gate (tests/test_full_gate.py) pins cross-engine bit-parity
+for all four; these tests pin the *semantics*: BM25 against an
+independent pure-Python scorer, DSIR's target-affinity ordering,
+the Bloom no-false-negative guarantee on planted contamination, and
+star-CC equality with a union-find ground truth on random graphs.
+"""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flumedb_spark.operators import dedup, retrieval, selection
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ---- BM25 -----------------------------------------------------------------
+
+
+def _bm25_reference(texts, terms, k1=1.2, b=0.75):
+    """Independent float BM25 (the textbook formula, no integer
+    quantization) — scores should agree with the operator to ~1e-4."""
+    toks = [t.split(" ") for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    scores = {}
+    for term in set(terms):
+        df = sum(1 for t in toks if term in t)
+        if not df:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for i, t in enumerate(toks):
+            tf = t.count(term)
+            if not tf:
+                continue
+            scores[i] = scores.get(i, 0.0) + idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl)
+            )
+    return scores
+
+
+def test_bm25_matches_reference_scorer(spark):
+    texts = [
+        "spark join window merge sort",
+        "spark spark spark filter",
+        "window window join",
+        "completely unrelated words here",
+        "join",
+    ]
+    terms = ["spark", "window", "join"]
+    got = {
+        r.doc_id: r
+        for r in retrieval.bm25_topk(_mkdocs(spark, texts), terms, k=10).collect()
+    }
+    want = _bm25_reference(texts, terms)
+    assert set(got) == set(want)  # doc 3 (no term) absent
+    for d, s in want.items():
+        assert got[d].score == pytest.approx(s, abs=2e-4)
+    # ranks follow the reference ordering (ties broken by doc_id)
+    order = sorted(want, key=lambda d: (-want[d], d))
+    assert [got[d].rank for d in order] == list(range(1, len(order) + 1))
+    assert got[0].n_terms == 3 and got[4].n_terms == 1
+
+
+def test_bm25_rank_contract(spark, docs):
+    out = retrieval.bm25_topk(docs, ["spark", "window", "join"], k=15).collect()
+    assert len(out) == 15
+    assert [r.rank for r in out] == list(range(1, 16))
+    scores = [r.score_micro for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.n_terms <= 3 for r in out)
+
+
+# ---- DSIR -----------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    target = "alpha beta gamma delta " * 8
+    offtgt = "omega psi chi phi " * 8
+    texts = (
+        [target.strip()] * 3  # the target slice
+        + [target.strip()] * 2  # raw docs identical to target
+        + [offtgt.strip()] * 5  # raw docs unlike target
+    )
+    sdf = spark.createDataFrame(
+        [(i, t, "tgt" if i < 3 else "raw") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in selection.dsir_logweights(sdf, "source = 'tgt'").collect()
+    }
+    assert len(out) == 10
+    tgt_like = [out[i].logw_micro for i in range(5)]
+    off = [out[i].logw_micro for i in range(5, 10)]
+    assert min(tgt_like) > max(off)
+    # the kept quartile is drawn from the target-like docs
+    kept = [d for d, r in out.items() if r.iw_quartile == 1]
+    assert kept and all(d < 5 for d in kept)
+
+
+def test_dsir_corpus_nondegenerate(spark, docs):
+    out = selection.dsir_logweights(docs, "source = 'src0'")
+    agg = out.agg(
+        F.countDistinct("iw_quartile").alias("nq"),
+        F.count("*").alias("n"),
+        F.min("logw_micro").alias("lo"),
+        F.max("logw_micro").alias("hi"),
+    ).first()
+    assert agg.nq == 4 and agg.n == docs.count()
+    assert agg.lo < agg.hi  # the weights actually discriminate
+
+
+# ---- cross-corpus Bloom dedup ---------------------------------------------
+
+
+def test_bloom_no_false_negatives_on_planted_contamination(spark):
+    ref_span = "one two three four five six seven eight"
+    ref = spark.createDataFrame(
+        [(0, ref_span + " tail words beyond the span")],
+        "doc_id long, text string",
+    )
+    cand = _mkdocs(
+        spark,
+        [
+            "prefix stuff " + ref_span + " suffix stuff",  # contaminated
+            "totally different words with no overlap at all",  # clean
+            "one two three four five six seven DIFFERENT",  # near miss
+        ],
+    )
+    out = {r.doc_id: r for r in dedup.bloom_cross_dedup(ref, cand, window=8).collect()}
+    assert out[0].contaminated and out[0].n_exact_hits >= 1
+    assert not out[1].contaminated
+    assert not out[2].contaminated  # 8th token differs -> no 8-gram match
+    # the Bloom guarantee: every exact hit is a bloom hit
+    for r in out.values():
+        assert r.n_bloom_hits >= r.n_exact_hits
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 7), min_size=8, max_size=12),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(
+        st.lists(st.integers(0, 7), min_size=8, max_size=12),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_bloom_superset_property(spark, ref_toks, cand_toks):
+    mk = lambda toks: " ".join(f"w{t}" for t in toks)
+    ref = _mkdocs(spark, [mk(t) for t in ref_toks])
+    cand = _mkdocs(spark, [mk(t) for t in cand_toks])
+    for r in dedup.bloom_cross_dedup(ref, cand, window=8).collect():
+        assert r.n_bloom_hits >= r.n_exact_hits
+        assert r.contaminated == (r.n_exact_hits > 0)
+
+
+# ---- alternating-star connected components ---------------------------------
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min label per component
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+@given(
+    st.integers(2, 14).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                max_size=25,
+            ),
+        )
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_star_cc_matches_union_find(spark, case):
+    n, raw_edges = case
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        edf = edf.where(F.lit(False))
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_star(edf, nodes).collect()
+    }
+    assert got == _union_find_components(n, edges)
+
+
+def test_star_cc_long_chain_beats_fixed_k(spark):
+    """A 40-node path: fixed-K label propagation with K=4 CANNOT label
+    the far end correctly; star contraction converges to the true
+    component in O(log n) rounds."""
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = dedup.connected_components_star(edges, nodes).collect()
+    assert all(r.cluster_id == 0 for r in out)
+
+
+def test_neardup_components_agrees_with_clusters_on_corpus(spark, docs):
+    """On the test corpus the LSH graph's clusters are small, so the
+    fixed-K=4 propagation already reaches the true components — the
+    star result must agree exactly there."""
+    a = {r.doc_id: r.cluster_id for r in dedup.neardup_components(docs).collect()}
+    b = {r.doc_id: r.cluster_id for r in dedup.neardup_clusters(docs, iters=4).collect()}
+    assert a == b
