@@ -161,10 +161,10 @@ def test_changed_or_new_rows_in_window():
         "stream_windowed_counts",
         "stream_stateful_key_stats",
         "ns_similarity_topk_np",
-        "ns_salted_join",
         # (ns_salted_distinct_count rotated out late r6 for
-        #  ns_avro_records)
-        "ns_scd2_history",
+        #  ns_avro_records; ns_salted_join and ns_scd2_history rotated
+        #  out late r6 for ns_bloom_cross_dedup / ns_neardup_components
+        #  — r5-driver-green, skew.py/cdc.py frozen this round)
         # (ns_zorder_morton rotated out r6 for stream_dedup_watermark)
         # (ns_url_dedup rotated out late r5 for ns_archive_listing)
         # r5: the six core-O entries rotated BACK IN (VERDICT r4 #4 —

@@ -156,3 +156,22 @@ def test_kmv_and_pq_stay_jvm_side(plans):
         p = plans(q)
         assert "BatchEvalPython" not in p, f"{q} fell into a Python UDF"
         assert "ArrowEvalPython" not in p, f"{q} fell into a Pandas UDF"
+
+
+def test_retrieval_selection_family_plan_shapes(plans):
+    """Late-r6 family #2: BM25's top-k must be TakeOrderedAndProject
+    (distributed partial top-k, never a single-partition global sort),
+    and all three relational members must stay JVM-side with
+    broadcast-only joins (the LM/bit/IDF tables are sketch-sized by
+    construction — a SortMergeJoin would mean a data-sized shuffle of
+    the corpus against them)."""
+    for name in ("ns_bm25_topk", "ns_dsir_weights", "ns_bloom_cross_dedup"):
+        p = plans(name)
+        assert "Python" not in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+    p = plans("ns_bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    # bloom: one broadcast probe per hash slice + the exact semi-join
+    assert plans("ns_bloom_cross_dedup").count("BroadcastHashJoin") >= 4
