@@ -24,11 +24,14 @@ multiplies out (num and den scaled by K1D*BD*T) to
 before the per-doc sum, so the accumulated score is exact BIGINT math
 and order-independent.
 
-100 TB shape: one token explode feeding two aggregates (df per term,
-tf per doc,term — both map-side combinable), a one-row corpus-stats
-aggregate broadcast by crossJoin, and a per-query top-k. The query
-side is a handful of terms, so the tf table is pre-filtered by an
-`isin` pushed into the scan; no join touches the full corpus twice.
+100 TB shape: zero data-sized shuffles. Per-term tf is a per-row JVM
+array expression (size(filter(words, == term)) — the query has a
+handful of terms, so no token explode and no (doc, term) shuffle is
+ever needed); corpus stats AND per-term document frequencies come from
+ONE one-row aggregate (map-side combined to a row per partition),
+broadcast back by crossJoin; the top-k compiles to
+TakeOrderedAndProject. The only rows that cross the network are one
+stats row per partition and k results.
 """
 
 from __future__ import annotations
@@ -49,72 +52,79 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-``k`` documents by BM25 over whitespace tokens (OR
     semantics; ties broken by doc_id). Returns
-    (rank, doc_id, n_terms, score_micro, score)."""
+    (rank, doc_id, n_terms, score_micro, score).
+
+    Zero data-sized shuffles: per-term tf is ``size(filter(words, ==
+    term))`` — a per-row JVM array expression, no token explode — so
+    the whole computation is (scan -> one-row stats aggregate ->
+    broadcast back -> scan -> TakeOrderedAndProject). The only rows
+    that ever cross the network are the one stats row and k results.
+    """
     terms = sorted(set(terms))
     words = F.split(F.col(text_col), " ")
-    base = docs.where(F.size(words) >= 1).select(
+
+    def _tf(term: str):
+        # NB: single-parameter lambda — a second (defaulted) parameter
+        # would make pyspark pass the array INDEX into it
+        return F.size(F.filter("_w", lambda w: w == F.lit(term)))
+
+    tf_cols = [
+        _tf(t).cast("long").alias(f"_tf{i}") for i, t in enumerate(terms)
+    ]
+    pt = docs.where(F.size(words) >= 1).select(
         "doc_id", words.alias("_w")
-    )
-    tok = base.select(
-        "doc_id", F.size("_w").alias("dl"), F.explode("_w").alias("w")
-    )
-    # corpus stats: one row (n docs, total tokens) — broadcast via crossJoin
-    stats = base.agg(
+    ).select("doc_id", F.size("_w").cast("long").alias("dl"), *tf_cols)
+    # corpus stats + per-term df: ONE one-row aggregate, broadcast back
+    stats = pt.agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size("_w")).cast("long").alias("t_tokens"),
-    )
-    # per-term document frequency -> IDF in integer micro-nats
-    dfreq = (
-        tok.where(F.col("w").isin(terms))
-        .groupBy("w")
-        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
-        .crossJoin(F.broadcast(stats).select("n_docs"))
-        .select(
-            "w",
-            F.round(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                    + F.lit(1.0)
-                )
-                * 1_000_000
-            )
-            .cast("long")
-            .alias("idf_micro"),
-        )
-    )
-    tf = (
-        tok.where(F.col("w").isin(terms))
-        .groupBy("doc_id", "dl", "w")
-        .agg(F.count("*").cast("long").alias("tf"))
+        F.sum("dl").cast("long").alias("t_tokens"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
     c_num = (K1N + K1D) * BD  # 44
     c_tf = K1D * BD  # 20
     c_t = K1N * (BD - BN)  # 6
     c_dl = K1N * BN  # 18
-    contrib = (
-        tf.join(F.broadcast(dfreq), "w")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "w",
+
+    def idf_micro(i: int):
+        return F.round(
+            F.log(
+                (F.col("n_docs") - F.col(f"_df{i}") + F.lit(0.5))
+                / (F.col(f"_df{i}") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * 1_000_000
+        ).cast("long")
+
+    def contrib(i: int):
+        tf = F.col(f"_tf{i}")
+        return F.when(
+            tf > 0,
             F.round(
-                (
-                    F.col("idf_micro") * F.col("tf") * F.lit(c_num) * F.col("t_tokens")
-                ).cast("double")
+                (idf_micro(i) * tf * F.lit(c_num) * F.col("t_tokens")).cast("double")
                 / (
-                    F.lit(c_tf) * F.col("t_tokens") * F.col("tf")
+                    F.lit(c_tf) * F.col("t_tokens") * tf
                     + F.lit(c_t) * F.col("t_tokens")
                     + F.lit(c_dl) * F.col("dl") * F.col("n_docs")
                 ).cast("double")
-            )
-            .cast("long")
-            .alias("c_micro"),
-        )
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    n_terms = sum(
+        ((F.col(f"_tf{i}") > 0).cast("long") for i in range(len(terms))),
+        F.lit(0).cast("long"),
     )
-    scored = contrib.groupBy("doc_id").agg(
-        F.countDistinct("w").cast("long").alias("n_terms"),
-        F.sum("c_micro").cast("long").alias("score_micro"),
+    score = sum((contrib(i) for i in range(len(terms))), F.lit(0).cast("long"))
+    scored = (
+        pt.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            n_terms.alias("n_terms"),
+            score.alias("score_micro"),
+        )
+        .where(F.col("n_terms") > 0)
     )
     from pyspark.sql.window import Window
 

@@ -18,14 +18,16 @@ distribution — the operators/text.unigram_logprob device), so the
 per-document accumulation sum(c_f * (lp - lq)) is exact BIGINT math:
 order-independent, engine-identical, oracle-checkable bit-for-bit.
 
-100 TB shape: the two LM tables are ``n_buckets`` rows each (map-side
-combinable groupBy over the bigram explode) — kilobytes, broadcast
-into the per-document scoring join; the only data-sized shuffles are
-the bigram counts (uniform md5 buckets, no skew) and the per-doc
-aggregate. The final quartile here uses one global ntile window for
-the oracle's benefit; a production run at corpus scale replaces it
-with a fixed logw threshold learned from a sample (the paper's
-resampling step), which drops the global sort entirely.
+100 TB shape: ONE bigram explode pass — the per-(doc, bucket) count
+table feeds the per-doc scores and BOTH LMs (raw = re-aggregate it by
+bucket; target = re-aggregate its broadcast-semi-joined target slice),
+so the corpus is scanned once. The LM tables are ``n_buckets`` rows —
+kilobytes, broadcast into the scoring join; the only data-sized
+shuffle is the (doc, bucket) count (uniform md5 buckets, no skew).
+The final quartile here uses one global ntile window for the oracle's
+benefit; a production run at corpus scale replaces it with a fixed
+logw threshold learned from a sample (the paper's resampling step),
+which drops the global sort entirely.
 """
 
 from __future__ import annotations
@@ -56,13 +58,11 @@ def _bucket(col):
     ).alias("b")
 
 
-def _lm(grams: DataFrame) -> DataFrame:
-    """(b, ln_micro): add-one-smoothed log-prob per bucket in integer
-    micro-nats. Buckets with zero count still exist implicitly — the
-    scorer coalesces them to the smoothed floor ln(1/(tot+B))."""
-    cnt = grams.groupBy(_bucket(F.col("gram"))).agg(
-        F.count("*").cast("long").alias("c")
-    )
+def _lm(cnt: DataFrame) -> DataFrame:
+    """(b, ln_micro) from a (b, c) bucket-count table: add-one-smoothed
+    log-prob per bucket in integer micro-nats. Buckets with zero count
+    still exist implicitly — the scorer coalesces them to the smoothed
+    floor ln(1/(tot+B))."""
     tot = cnt.agg(F.sum("c").cast("long").alias("tot"))
     return cnt.crossJoin(F.broadcast(tot)).select(
         "b",
@@ -89,10 +89,23 @@ def dsir_logweights(
     input). Returns (doc_id, n_grams, logw_micro, iw_quartile) with
     quartile 1 = most target-like (the kept slice at 25% selection)."""
     grams = _bigrams(docs, text_col)
-    # target LM from a second filtered scan — the predicate pushes into
-    # the source, no join against the full gram table
-    lm_p = _lm(_bigrams(docs.where(F.expr(target_filter)), text_col))
-    lm_q = _lm(grams)
+    # ONE explode pass: the per-(doc, bucket) count table feeds the
+    # per-doc scores AND both LMs (raw = sum over all docs; target =
+    # sum over the filtered docs via a broadcast semi-join on doc_id —
+    # the aggregation happens on the already-bucketed table, never a
+    # second corpus scan)
+    per_bucket = (
+        grams.groupBy("doc_id", _bucket(F.col("gram")))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    lm_q = _lm(per_bucket.groupBy("b").agg(F.sum("c").cast("long").alias("c")))
+    tgt_ids = docs.where(F.expr(target_filter)).select("doc_id")
+    lm_p = _lm(
+        per_bucket.join(F.broadcast(tgt_ids), "doc_id", "left_semi")
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
     # floors for unseen buckets: ln(1 / (tot + B)) in micro-nats
     floor = (
         lm_p.select(F.col("tot").alias("tot_p")).limit(1)
@@ -105,9 +118,6 @@ def dsir_logweights(
             .cast("long")
             .alias("floor_q"),
         )
-    )
-    per_bucket = grams.groupBy("doc_id", _bucket(F.col("gram"))).agg(
-        F.count("*").cast("long").alias("c")
     )
     scored = (
         per_bucket.join(F.broadcast(lm_p.select("b", F.col("ln_micro").alias("lp"))), "b", "left")

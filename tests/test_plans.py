@@ -172,6 +172,8 @@ def test_retrieval_selection_family_plan_shapes(plans):
         assert "CartesianProduct" not in p, name
     p = plans("ns_bm25_topk")
     assert "TakeOrderedAndProject" in p
-    assert "BroadcastHashJoin" in p
+    # zero data-sized shuffles: per-term tf is a JVM array expression,
+    # the only joins are one-row broadcast stat rows
+    assert "BroadcastHashJoin" not in p and "HashAggregate" in p
     # bloom: one broadcast probe per hash slice + the exact semi-join
     assert plans("ns_bloom_cross_dedup").count("BroadcastHashJoin") >= 4
