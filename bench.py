@@ -76,6 +76,11 @@ EXTRAS = [
     # terciles, sqrt-temperature mixing, KMV set ops, PQ-ADC ANN
     "ns_gopher_quality", "ns_lm_perplexity", "ns_source_mixture",
     "ns_kmv_set_ops", "ns_pq_ann_topk_seeded",
+    # late-r6 family #2: ranked retrieval, data selection, cross-corpus
+    # decontamination, star components (DuckDB sides measured at
+    # 0.09/0.26/0.44/3.2 s at sf0.1 — inside the section budget)
+    "ns_bm25_topk", "ns_dsir_weights", "ns_bloom_cross_dedup",
+    "ns_neardup_components",
 ]
 
 

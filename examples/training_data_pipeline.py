@@ -9,9 +9,12 @@ north-star operators, in dependency order:
       -> PII redaction                     (text.redact_pii)
       -> exact dedup                       (dedup.exact_dup_groups)
       -> near-dup clustering               (MinHash-LSH candidates ->
-                                            connected components ->
-                                            keeper selection)
-      -> decontamination vs a holdout      (n-gram overlap join)
+                                            TRUE components via star
+                                            contraction -> keepers)
+      -> decontamination vs a holdout      (cross-corpus Bloom probe,
+                                            exact FP gap attested)
+      -> DSIR data selection               (hashed-bigram importance
+                                            weights vs a target LM)
       -> quality-weighted sampling         (exact-int Bernoulli draws)
       -> tokenize + chunk + pack           (BPE apply, sliding windows,
                                             token-budget cumsum packing)
@@ -73,49 +76,51 @@ def main() -> None:
     kept = kept.drop("text").join(
         red.select("doc_id", F.col("text_redacted").alias("text")), "doc_id"
     )
+    # stage boundary: materialize once (localCheckpoint == the local
+    # stand-in for writing the intermediate corpus out, which is what a
+    # 100 TB run does between curation stages) — without it every later
+    # stage re-executes the whole upstream chain per action
+    kept = kept.localCheckpoint(eager=True)
 
     # 3. exact dedup: keep each text's min doc_id
     keepers = dedup.exact_dup_groups(kept).select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    kept = kept.join(keepers, "doc_id")
+    kept = kept.join(keepers, "doc_id").localCheckpoint(eager=True)
     n2 = kept.count()
 
-    # 4. near-dup clusters: LSH candidates -> components -> keepers only
-    clusters = dedup.neardup_clusters(kept)
+    # 4. near-dup components: LSH candidates -> TRUE connected
+    # components via alternating star contraction (exact at any cluster
+    # diameter in O(log n) rounds — the 100 TB-safe form) -> keepers
+    clusters = dedup.neardup_components(kept)
     kept = kept.join(
         clusters.where(F.col("is_keeper")).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     n3 = kept.count()
 
-    # 5. decontamination: drop docs sharing 3-gram spans with the
-    # benchmark holdout (the 10 highest doc_ids stand in for it).
-    # N-GRAMS, not unigrams: any corpus shares vocabulary with its
-    # benchmarks — contamination is shared word SEQUENCES (this is the
-    # ns_decontamination semantics).
-    def grams3(df):
-        toks = F.split("text", " ")
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-                )
-            ).alias("gram"),
-        )
-
+    # 5. decontamination vs the benchmark holdout (the 10 highest
+    # doc_ids stand in for it) — the Bloom form: the holdout collapses
+    # to a <=2^16-row bit set no matter how large it is, candidates are
+    # probed per 8-token shingle, and the exact column beside the
+    # sketch shows the FP gap. Contamination is shared word SEQUENCES,
+    # never mere vocabulary overlap.
     bench = docs.orderBy(F.col("doc_id").desc()).limit(10).select("doc_id", "text")
-    contaminated = (
-        grams3(kept)
-        .join(F.broadcast(grams3(bench).select("gram").distinct()), "gram")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
-        .where(F.col("n_overlap") >= 5)
-        .select("doc_id")
-    )
-    kept = kept.join(contaminated, "doc_id", "left_anti")
+    flags = dedup.bloom_cross_dedup(bench, kept, window=8)
+    kept = kept.join(
+        flags.where(F.col("contaminated")).select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
     n4 = kept.count()
+
+    # 5b. DSIR data selection (arXiv:2302.03169): score every survivor
+    # by how target-like it is under hashed-bigram LMs (src0 stands in
+    # for the quality target) and keep the top half
+    from flumedb_spark.operators import selection
+
+    dsir = selection.dsir_logweights(kept, target_filter="source = 'src0'")
+    kept = kept.join(
+        dsir.where(F.col("iw_quartile") <= 2).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)
+    n4b = kept.count()
 
     # 6. quality-weighted deterministic sampling (no RNG: md5 draws)
     sampled = sampling.sample_fraction(kept, key_col="doc_id", fraction=0.9)
@@ -146,6 +151,7 @@ def main() -> None:
     print(f"after exact dedup:       {n2}")
     print(f"after near-dup keepers:  {n3}")
     print(f"after decontamination:   {n4}")
+    print(f"after DSIR selection:    {n4b}")
     print(f"after weighted sample:   {n5}")
     print(f"packed into {n_packs} sequences of <=2048 BPE tokens")
     top = sorted(mixture, key=lambda r: -r.alloc_tokens)[:3]
