@@ -214,7 +214,13 @@ DRIVER_WINDOW: list[str] = [
     # pipeline / packing / sampling / sketches (ns_doc_chunks rotated
     # out late r6 for stream_session_counts — r5-driver-green, frozen)
     "ns_sequence_packing",
-    "ns_weighted_sample",
+    # (ns_weighted_sample rotated out late r6 — r5-driver-green, its
+    # sampling path untouched this round — for the new
+    # src_tar_roundtrip row; ns_source_mixture + ns_sequence_packing
+    # keep the sampling/packing families in-window)
+    # WebDataset-style tar-shard sink loop — NEW late r6: the training
+    # delivery stage, attested sink -> own-extraction -> aggregates
+    "src_tar_roundtrip",
     "ns_pipeline_filter_dedup_join",
     # (ns_hll_user_estimate rotated out late r6 — r5-driver-green,
     # sketches.py frozen this round — freeing the slot for the new
@@ -1412,6 +1418,66 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame(
             rows, "event_type string, n long, sum_id long, cents long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "src_tar_roundtrip",
+    # The WebDataset-style tar-shard sink loop, driver-attested:
+    # documents written as tar shards (one per partition, executor-side,
+    # byte-deterministic USTAR members — sources/tar_sink.py), read
+    # back through the package's OWN archive extraction, and checked by
+    # content-exact aggregates: a member-naming, tar-framing, UTF-8, or
+    # extraction bug on either side breaks the hash vs the source
+    # parquet. Two members per sample ({key}.txt text, {key}.meta
+    # lang|source) pin the multi-member sample convention.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(*) * 2 AS BIGINT) AS n_members,
+      CAST(sum(strlen(text)) AS BIGINT) AS txt_bytes,
+      CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        AS txt_h,
+      CAST(sum(CAST('0x' || substr(md5(lang || '|' || source), 1, 8)
+               AS BIGINT)) AS BIGINT) AS meta_h
+    FROM documents
+    """,
+)
+def src_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.tar_sink import read_tar_shards, write_tar_shards
+
+    docs = spark.table("documents").select(
+        "doc_id", "text", F.concat_ws("|", "lang", "source").alias("meta")
+    )
+    work = tempfile.mkdtemp(prefix="tar_rt_")
+    try:
+        out = os.path.join(work, "shards")
+        write_tar_shards(
+            docs.repartition(8), out, key_col="doc_id",
+            members={"text": "txt", "meta": "meta"},
+        )
+        back = read_tar_shards(spark, out).where(F.col("ok"))
+        ext = F.substring_index("member", ".", -1)
+        h = F.conv(F.substring(F.md5("content"), 1, 8), 16, 10).cast("long")
+        zero = F.lit(0).cast("long")
+        rows = back.agg(
+            F.countDistinct(F.substring_index("member", ".", 1)).alias("n_docs"),
+            F.count("*").alias("n_members"),
+            F.sum(
+                F.when(ext == "txt", F.octet_length("content")).otherwise(zero)
+            ).alias("txt_bytes"),
+            F.sum(F.when(ext == "txt", h).otherwise(zero)).alias("txt_h"),
+            F.sum(F.when(ext == "meta", h).otherwise(zero)).alias("meta_h"),
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "n_docs long, n_members long, txt_bytes long, txt_h long, "
+            "meta_h long",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -87,7 +87,11 @@ def dsir_logweights(
     """Per-document DSIR importance log-weights against the target
     slice selected by ``target_filter`` (raw distribution = the whole
     input). Returns (doc_id, n_grams, logw_micro, iw_quartile) with
-    quartile 1 = most target-like (the kept slice at 25% selection)."""
+    quartile 1 = most target-like (the kept slice at 25% selection).
+
+    Precondition: the target slice must contain at least one document
+    with >= 2 tokens (an empty target LM has no distribution to score
+    against; the result would be empty)."""
     grams = _bigrams(docs, text_col)
     # ONE explode pass: the per-(doc, bucket) count table feeds the
     # per-doc scores AND both LMs (raw = sum over all docs; target =

@@ -95,6 +95,10 @@ def test_all_northstar_ops_in_window():
         "ns_rare_token_share",
         "ns_salted_join",
         "ns_scd2_history",
+        # late-r6 rotation for the new src_tar_roundtrip row (r5-green,
+        # sampling path untouched; source_mixture + sequence_packing
+        # keep the family in-window)
+        "ns_weighted_sample",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -132,8 +136,8 @@ def test_changed_or_new_rows_in_window():
         # r4-driver-green, frozen — their slots went to the new
         # ns_video_meta / ns_jpeg_decode rows)
         # (ns_countmin_event_counts rotated out late r6 for
-        #  stream_hll_window)
-        "ns_weighted_sample",
+        #  stream_hll_window; ns_weighted_sample rotated out late r6
+        #  for src_tar_roundtrip — r5-green, path untouched)
         # (ns_doc_chunks rotated out late r6 for stream_session_counts)
         "ns_sequence_packing",
         # (ns_tfidf_topterms rotated out late r6 for src_orc_roundtrip)
@@ -219,6 +223,9 @@ def test_changed_or_new_rows_in_window():
         "ns_dsir_weights",
         "ns_bloom_cross_dedup",
         "ns_neardup_components",
+        # late-r6 new: WebDataset-style tar-shard sink loop
+        # (ns_weighted_sample rotated out — r5-green, path untouched)
+        "src_tar_roundtrip",
     ):
         assert n in _window_names(), n
 

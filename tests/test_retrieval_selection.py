@@ -247,3 +247,68 @@ def test_neardup_components_agrees_with_clusters_on_corpus(spark, docs):
     a = {r.doc_id: r.cluster_id for r in dedup.neardup_components(docs).collect()}
     b = {r.doc_id: r.cluster_id for r in dedup.neardup_clusters(docs, iters=4).collect()}
     assert a == b
+
+
+# ---- quantization-margin audit ---------------------------------------------
+
+
+def test_ln_quantization_margins(spark, sf_dir):
+    """The cross-engine exactness of BM25/DSIR rests on round(ln(x) *
+    1e6) agreeing between the JVM and DuckDB. A 1-ulp ln divergence is
+    ~|ln| * 2^-52 ~ 1e-15, i.e. ~1e-9 micro-units — it can only flip a
+    rounding if some quantized value sits within ~1e-9 of a .5
+    boundary. Audit every ln the two operators quantize at this SF and
+    assert a million-fold margin (1e-3 micro-units)."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    vals = []
+    # BM25 per-term IDF inputs
+    n, t = con.execute(
+        "SELECT count(*), sum(len(string_split(text,' '))) FROM documents"
+    ).fetchone()
+    for term in ("spark", "window", "join"):
+        (df,) = con.execute(
+            "SELECT count(*) FROM documents WHERE ' '||text||' ' LIKE ?",
+            (f"% {term} %",),
+        ).fetchone()
+        vals.append(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+    # DSIR per-bucket log-probs, both LMs + both floors
+    rows = con.execute(
+        """
+        WITH grams AS (
+          SELECT doc_id,
+            CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15) AS BIGINT)
+              % 256 AS b
+          FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+                WHERE len(string_split(text,' ')) >= 2) base,
+          LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) gs
+        ),
+        cq AS (SELECT b, count(*) AS c FROM grams GROUP BY b),
+        cp AS (SELECT g.b, count(*) AS c FROM grams g
+               JOIN documents d ON d.doc_id = g.doc_id AND d.source = 'src0'
+               GROUP BY g.b)
+        SELECT c, (SELECT sum(c) FROM cq) FROM cq
+        UNION ALL
+        SELECT c, (SELECT sum(c) FROM cp) FROM cp
+        UNION ALL
+        SELECT 0, (SELECT sum(c) FROM cq)
+        UNION ALL
+        SELECT 0, (SELECT sum(c) FROM cp)
+        """
+    ).fetchall()
+    vals += [math.log((c + 1) / (tot + 256)) * 1e6 for c, tot in rows]
+    margins = [abs(v - math.floor(v) - 0.5) for v in vals]
+    # worst-case cross-engine ln drift for |v| ~ 6e6 micro-units is a
+    # few ulp ~ |v| * 2^-52 ~ 1.3e-9; require a 1000x cushion. (The
+    # observed minimum at sf0.001 is ~1.4e-4 — five orders of magnitude
+    # above the drift — so no value is anywhere near flippable.)
+    assert min(margins) > 1e-6, (
+        f"quantization margin too small: {min(margins)} "
+        f"(value {vals[margins.index(min(margins))]})"
+    )
