@@ -29,9 +29,17 @@ from .base import FlumeView
 
 
 class Hashtable(FlumeView):
-    """``Hashtable(version, key_fn | key_expr)`` — latest value per key."""
+    """``Hashtable(version, key_fn | key_expr)`` — latest value per key.
 
-    ORDER_SENSITIVE = False  # max_by(seq) is order-insensitive
+    ``keep="first"`` flips the merge to min_by(seq) — first-writer-wins
+    — which makes the view an INCREMENTAL exact-dedup keeper table
+    (key = content hash, value = the kept record): the streaming twin
+    of ``dedup.exact_dup_groups``, maintained by the engine's ordinary
+    catch-up loop. Changing ``keep`` changes the state's meaning —
+    encode it in ``version`` so stale snapshots rebuild.
+    """
+
+    ORDER_SENSITIVE = False  # max_by/min_by(seq) are order-insensitive
     METHODS = {"get": "async", "keys": "async", "df_snapshot": "source"}
 
     def __init__(
@@ -40,13 +48,17 @@ class Hashtable(FlumeView):
         key_fn: Callable[[Any], Any] | None = None,
         key_expr: str | None = None,
         key_type: str = "string",
+        keep: str = "latest",
     ):
         super().__init__(version)
         if (key_fn is None) == (key_expr is None):
             raise ValueError("exactly one of key_fn / key_expr required")
+        if keep not in ("latest", "first"):
+            raise ValueError("keep must be 'latest' or 'first'")
         self.key_fn = key_fn
         self.key_expr = key_expr
         self.key_type = key_type
+        self.keep = keep
 
     def _load_state(self) -> None:
         self._meta.setdefault("snapshot", None)
@@ -80,8 +92,11 @@ class Hashtable(FlumeView):
             keyed = batch.select("seq", "value").mapInPandas(run, "key string, seq long, value string")
         return keyed.select(F.col("key").cast(self.key_type).alias("key"), "seq", "value")
 
-    @staticmethod
-    def _latest(df: DataFrame) -> DataFrame:
+    def _latest(self, df: DataFrame) -> DataFrame:
+        if self.keep == "first":
+            return df.groupBy("key").agg(
+                F.min("seq").alias("seq"), F.min_by("value", "seq").alias("value")
+            )
         return df.groupBy("key").agg(
             F.max("seq").alias("seq"), F.max_by("value", "seq").alias("value")
         )

@@ -263,3 +263,26 @@ def test_snapshot_deletion_is_retention_gated(spark, tmp_log_dir):
     # the garbage queue is durably trimmed
     assert db._views["ht"]._meta.get("garbage", []) == []
     db.close()
+
+
+def test_hashtable_first_writer_wins(db):
+    # keep='first': min_by(seq) — the incremental exact-dedup keeper
+    # (first appearance of a key is kept forever, later copies ignored)
+    db.use("first", Hashtable("f1", key_expr="get_json_object(value, '$.author')", keep="first"))
+    assert db.first.get("alice")["likes"] == 3  # seq 0, not seq 2
+    assert db.first.get("bob")["likes"] == 10
+    # later duplicates never displace the original...
+    db.append({"author": "alice", "likes": 99})
+    assert db.first.get("alice")["likes"] == 3
+    # ...and incremental state == a cold rebuild over the same log
+    snap = {(r.key, r.seq) for r in db.first.df_snapshot().collect()}
+    db.rebuild()
+    assert {(r.key, r.seq) for r in db.first.df_snapshot().collect()} == snap
+    assert db.first.get("alice")["likes"] == 3
+
+
+def test_hashtable_keep_validation(db):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        Hashtable(1, key_expr="value", keep="newest")
