@@ -213,15 +213,20 @@ DRIVER_WINDOW: list[str] = [
     "src_orc_roundtrip",
     # pipeline / packing / sampling / sketches (ns_doc_chunks rotated
     # out late r6 for stream_session_counts — r5-driver-green, frozen)
-    "ns_sequence_packing",
-    # (ns_weighted_sample rotated out late r6 — r5-driver-green, its
-    # sampling path untouched this round — for the new
-    # src_tar_roundtrip row; ns_source_mixture + ns_sequence_packing
-    # keep the sampling/packing families in-window)
+    # (ns_sequence_packing and ns_pipeline_filter_dedup_join rotated
+    # out late r6 — both r5-driver-green with their computation paths
+    # untouched this round — for the two new event-analytics rows
+    # below; ns_weighted_sample rotated out late r6 — same basis — for
+    # the new src_tar_roundtrip row; ns_source_mixture keeps the
+    # sampling family in-window, and the full gate re-runs all three
+    # every suite run)
     # WebDataset-style tar-shard sink loop — NEW late r6: the training
     # delivery stage, attested sink -> own-extraction -> aggregates
     "src_tar_roundtrip",
-    "ns_pipeline_filter_dedup_join",
+    # event-analytics shapes every product-analytics engine serves —
+    # NEW late r6: ordered 3-step funnel + weekly retention cohorts
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
     # (ns_hll_user_estimate rotated out late r6 — r5-driver-green,
     # sketches.py frozen this round — freeing the slot for the new
     # ns_parquet_records row; ns_countmin_event_counts rotated out
@@ -839,6 +844,82 @@ shared_sql(
     FROM flagged GROUP BY user_id ORDER BY user_id
     """,
 )
+
+def _funnel_sql() -> str:
+    """Ordered 3-step funnel view -> click -> purchase: per user, each
+    step's first occurrence STRICTLY AFTER the previous step's time —
+    the sequential-pattern query every event-analytics engine serves.
+    Identical ANSI in both engines; each CTE is one per-user aggregate
+    (shuffles co-partitioned on user_id — at 100 TB this is three
+    map-side-combined aggs plus two user-key equi-joins, never a
+    self-join explosion). conv_pct divides two exact BIGINTs once."""
+    return """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS step, 'view' AS step_name,
+             CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    )
+    SELECT step, step_name, n_users,
+      round(CAST(n_users AS DOUBLE)
+            / (SELECT n_users FROM counts WHERE step = 1), 6) AS conv_pct
+    FROM counts ORDER BY step
+    """
+
+
+shared_sql("funnel_view_click_purchase", _funnel_sql())
+
+
+def _retention_sql(us: str, dv: str) -> str:
+    """Weekly retention cohorts: cohort = a user's first-activity week
+    (absolute epoch-week index, exact integer division of epoch
+    micros), offset = whole weeks between first activity and a later
+    active week; n_active = distinct users of the cohort active at
+    that offset. Two per-user/week aggregates + one user-key join —
+    the cohort matrix every product-analytics engine serves, exact
+    BIGINT arithmetic throughout. ``us``/``dv`` are the dialect's
+    epoch-micros function and integer-div operator."""
+    wk = 7 * 86_400 * 1_000_000
+    return f"""
+    WITH first AS (
+      SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id,
+        CAST({us}(f.t0) {dv} {wk} AS BIGINT) AS cohort_week,
+        CAST(({us}(e.ts) {dv} {wk}) - ({us}(f.t0) {dv} {wk}) AS BIGINT)
+          AS week_offset
+      FROM events e JOIN first f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, week_offset,
+      CAST(count(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """
+
+
+shared_sql(
+    "retention_weekly_cohorts",
+    _retention_sql("unix_micros", "div"),
+    oracle=_retention_sql("epoch_us", "//"),
+)
+
 
 # As-of join: for each purchase, the most recent click at-or-before it,
 # per user. Implemented as union + ordered window with IGNORE NULLS —

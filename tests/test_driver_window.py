@@ -96,9 +96,13 @@ def test_all_northstar_ops_in_window():
         "ns_salted_join",
         "ns_scd2_history",
         # late-r6 rotation for the new src_tar_roundtrip row (r5-green,
-        # sampling path untouched; source_mixture + sequence_packing
-        # keep the family in-window)
+        # sampling path untouched; ns_source_mixture keeps the family
+        # in-window)
         "ns_weighted_sample",
+        # late-r6 rotations for the funnel/retention event-analytics
+        # rows (both r5-green, computation paths untouched this round)
+        "ns_sequence_packing",
+        "ns_pipeline_filter_dedup_join",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -138,8 +142,10 @@ def test_changed_or_new_rows_in_window():
         # (ns_countmin_event_counts rotated out late r6 for
         #  stream_hll_window; ns_weighted_sample rotated out late r6
         #  for src_tar_roundtrip — r5-green, path untouched)
-        # (ns_doc_chunks rotated out late r6 for stream_session_counts)
-        "ns_sequence_packing",
+        # (ns_doc_chunks rotated out late r6 for stream_session_counts;
+        #  ns_sequence_packing and ns_pipeline_filter_dedup_join rotated
+        #  out late r6 for the funnel/retention event-analytics rows —
+        #  r5-green, computation paths untouched)
         # (ns_tfidf_topterms rotated out late r6 for src_orc_roundtrip)
         # real multimodal decode (pure-stdlib codecs, mmcodec.py)
         # (ns_image_resize_meta rotated out r6 for ns_avi_frames;
