@@ -154,9 +154,14 @@ DRIVER_WINDOW: list[str] = [
     # ns_doc_chunks (ns_sequence_packing keeps the packing family)
     "stream_session_counts",
     # dedup / similarity / ANN family (ns_url_dedup rotated out late r5
-    # for the new ns_archive_listing row — the family keeps five other
-    # in-window rows)
-    "ns_ngram_jaccard_pairs",
+    # for the new ns_archive_listing row; ns_ngram_jaccard_pairs
+    # rotated out late r6 — r5-driver-green, path untouched — for its
+    # full-corpus successor below, whose ground-truth oracle subsumes
+    # the subset row's semantics)
+    # EXACT set-similarity join via prefix filtering (PPJoin family) —
+    # NEW late r6: deterministic-recall counterpart to MinHash-LSH,
+    # attested against the brute-force quadratic ground truth
+    "ns_setsim_join_prefix",
     # cross-corpus Bloom decontamination — NEW late r6 (family #2):
     # takes the slot of r5-green ns_salted_join (skew.py frozen this
     # round; skew coverage stays live-gated every suite run)

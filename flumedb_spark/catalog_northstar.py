@@ -2732,3 +2732,37 @@ def ns_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-K propagation. Oracle: recursive-CTE transitive closure —
     ground truth, not a replay of the algorithm."""
     return dedup.neardup_components(spark.table("documents"))
+
+
+_SETSIM_DUCK = (
+    "WITH "
+    + _SHINGLES_DUCK.format(where="")
+    + """,
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+      round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+        AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 5 * n_common >= 1 * (sa.n_sh + sb.n_sh - n_common)
+    ORDER BY doc_a, doc_b
+    """
+)
+
+
+@query("ns_setsim_join_prefix", oracle=_SETSIM_DUCK)
+def ns_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join over the whole corpus via prefix
+    filtering (dedup.setsim_join_prefix, PPJoin family): all pairs with
+    3-gram-shingle Jaccard >= 1/5, complete by the prefix theorem —
+    the deterministic-recall counterpart to MinHash-LSH. The oracle is
+    the brute-force quadratic join (ground truth), so completeness is
+    attested, not assumed; integer cross-multiplied threshold on both
+    sides."""
+    return dedup.setsim_join_prefix(spark.table("documents"), n=3, t_num=1, t_den=5)

@@ -103,6 +103,10 @@ def test_all_northstar_ops_in_window():
         # rows (both r5-green, computation paths untouched this round)
         "ns_sequence_packing",
         "ns_pipeline_filter_dedup_join",
+        # late-r6 rotation for ns_setsim_join_prefix — the full-corpus
+        # exact successor whose brute-force oracle subsumes the subset
+        # row's semantics (r5-green, path untouched)
+        "ns_ngram_jaccard_pairs",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"

@@ -312,3 +312,43 @@ def test_ln_quantization_margins(spark, sf_dir):
         f"quantization margin too small: {min(margins)} "
         f"(value {vals[margins.index(min(margins))]})"
     )
+
+
+# ---- exact set-similarity join (prefix filtering) ---------------------------
+
+
+def test_setsim_prefix_equals_bruteforce_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from flumedb_spark.operators.dedup import ngram_jaccard_pairs, setsim_join_prefix
+
+    fast = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in setsim_join_prefix(docs, n=3, t_num=1, t_den=5).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    }
+    assert fast == brute  # complete AND precise — the prefix theorem, attested
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 5), min_size=3, max_size=10),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_setsim_prefix_equals_bruteforce_random(spark, token_docs):
+    from flumedb_spark.operators.dedup import ngram_jaccard_pairs, setsim_join_prefix
+
+    docs = _mkdocs(spark, [" ".join(f"w{t}" for t in toks) for toks in token_docs])
+    fast = {
+        (r.doc_a, r.doc_b) for r in setsim_join_prefix(docs, t_num=1, t_den=5).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert fast == brute
