@@ -180,12 +180,21 @@ def main() -> None:
     # outputs (MapOutputTracker skips every map stage), so passes 2+
     # execute only the final stage — measured ~14ms flat for EVERY
     # query, i.e. result-reuse, not query execution. That is not
-    # comparable to DuckDB's full re-runs and was rejected. count() on a
-    # prepared DataFrame re-plans its own aggregate and re-executes all
-    # stages end-to-end; the per-query Catalyst planning it pays
-    # (~30-100ms measured) is real Spark serving cost and stays in the
-    # number. The batched DAG below is the shape where that cost
-    # amortizes honestly (one plan per sweep, full execution).
+    # comparable to DuckDB's full re-runs and was rejected. The
+    # per-query Catalyst planning each pass pays (~30-100ms measured)
+    # is real Spark serving cost and stays in the number. The batched
+    # DAG below is the shape where that cost amortizes honestly (one
+    # plan per sweep, full execution).
+    # Round 6 NOTE — the DataFrame is now CONSTRUCTED inside the timed
+    # region, every pass (the same honesty rule, found by self-audit):
+    # several operators materialize derived state eagerly during
+    # construction (localCheckpoint of LSH band/sketch tables, star-CC
+    # contraction rounds, DSIR bucket tables), so timing a prepared
+    # DataFrame's count() excluded that work from the Spark side while
+    # DuckDB re-ran its full computation per pass. Constructing fresh
+    # per pass makes every timed number the full end-to-end cost a user
+    # pays per query; for ops without eager construction the delta is
+    # only the plan-construction cost already declared above.
     # Width is PER-MODE since r6 (VERDICT-r5 #3): the r5 "width 1 at
     # sf<=0.2" policy was A/B'd on the batched DAG (-30%, confirmed
     # again this round) but taxes the SEQUENTIAL headline pass — the
@@ -197,13 +206,13 @@ def main() -> None:
     seq_width = "8" if sf_guess <= 0.2 else None
     if seq_width:
         spark.conf.set("spark.sql.shuffle.partitions", seq_width)
-    prepared = {name: qs[name](spark, sf_dir) for name in HEADLINE}
     best: dict[str, float] = {}
     rows: dict[str, int] = {}
     for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
-            rows[name] = prepared[name].count()  # consume end-to-end, no driver collect
+            # construct + consume end-to-end, no driver collect
+            rows[name] = qs[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
             best[name] = min(best.get(name, float("inf")), dt)
     timings = {name: round(best[name], 4) for name in HEADLINE}
@@ -238,10 +247,9 @@ def main() -> None:
     # width-1 physical shape is what the union inherits
     if seq_width:
         spark.conf.set("spark.sql.shuffle.partitions", "1")
-        prepared_b = {name: qs[name](spark, sf_dir) for name in HEADLINE}
-    else:
-        prepared_b = prepared
-    batched_sec = _batched_submission(prepared_b, paired)
+    batched_sec = _batched_submission(
+        lambda: {name: qs[name](spark, sf_dir) for name in HEADLINE}, paired
+    )
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -271,19 +279,21 @@ def main() -> None:
     primary = dict(timings)  # sf0.1 minimums across all benched sections
     try:
         tq: dict[str, float] = {}
-        # (warmed in the load phase, BEFORE the benched SF registered)
-        tprep = {name: qs[name](spark, sf_dir) for name in TPCH}
+        # (warmed in the load phase, BEFORE the benched SF registered;
+        # constructed inside the timer each pass — r6 honesty note)
         for _ in range(2):
             for name in TPCH:
                 t0 = time.perf_counter()
-                tprep[name].count()
+                qs[name](spark, sf_dir).count()
                 tq[name] = min(tq.get(name, float("inf")), time.perf_counter() - t0)
         tq = {n: round(v, 4) for n, v in tq.items()}
         primary.update(tq)  # sf0.1 baselines for the sf1 scaling factors
         tduck = _duckdb_pass(sf_dir, cpus, n_passes=2, names=TPCH)
         tp = [n for n in TPCH if n in tduck]
         ts_, td_ = round(sum(tq[n] for n in tp), 4), round(sum(tduck[n] for n in tp), 4)
-        tbatched = _batched_submission(tprep, tp)
+        tbatched = _batched_submission(
+            lambda: {name: qs[name](spark, sf_dir) for name in TPCH}, tp
+        )
         out["tpch"] = {
             "queries": tq,
             "total_sec": round(sum(tq.values()), 4),
@@ -307,11 +317,12 @@ def main() -> None:
     try:
         xq: dict[str, float] = {}
         # (warmed in the load phase, BEFORE the benched SF registered)
-        xprep = {name: qs[name](spark, sf_dir) for name in EXTRAS}
+        # constructed inside the timer each pass (r6 honesty note:
+        # several extras materialize eagerly during construction)
         for _ in range(2):
             for name in EXTRAS:
                 t0 = time.perf_counter()
-                xprep[name].count()
+                qs[name](spark, sf_dir).count()
                 xq[name] = min(xq.get(name, float("inf")), time.perf_counter() - t0)
         xq = {n: round(v, 4) for n, v in xq.items()}
         primary.update(xq)
@@ -378,19 +389,21 @@ def main() -> None:
             # floor (DuckDB totals in the tens of ms); sf1 is where the
             # ratio measures execution.
             sf1_names = HEADLINE + TPCH
-            prep1 = {name: qs[name](spark, sf1_dir) for name in sf1_names}
             t1: dict[str, float] = {}
             for _ in range(2):
                 for name in sf1_names:
                     t0 = time.perf_counter()
-                    prep1[name].count()
+                    qs[name](spark, sf1_dir).count()
                     dt = round(time.perf_counter() - t0, 4)
                     t1[name] = min(t1.get(name, float("inf")), dt)
             duck1 = _duckdb_pass(sf1_dir, cpus, n_passes=2, names=sf1_names)
             p1 = [n for n in sf1_names if n in duck1]
             s1 = round(sum(t1[n] for n in p1), 4)
             d1 = round(sum(duck1[n] for n in p1), 4)
-            b1 = _batched_submission(prep1, p1)
+            b1 = _batched_submission(
+                lambda: {name: qs[name](spark, sf1_dir) for name in sf1_names},
+                p1,
+            )
             out["sf1"] = {
                 "queries": t1,
                 "total_sec": round(sum(t1.values()), 4),
@@ -457,13 +470,13 @@ def main() -> None:
             for t in _tables:
                 spark.catalog.cacheTable(t)
                 spark.table(t).count()
-            prep10 = {name: qs[name](spark, sf10_dir) for name in sf10_names}
             t10: dict[str, float] = {}
             for name in sf10_names:  # warm pass (codegen/caches), not recorded
-                prep10[name].count()
-            for name in sf10_names:  # single timed pass (time budget)
+                qs[name](spark, sf10_dir).count()
+            for name in sf10_names:  # single timed pass (time budget);
+                # constructed inside the timer (r6 honesty note)
                 t0 = time.perf_counter()
-                prep10[name].count()
+                qs[name](spark, sf10_dir).count()
                 t10[name] = round(time.perf_counter() - t0, 4)
             duck10 = _duckdb_pass(sf10_dir, cpus, n_passes=1, names=sf10_names)
             p10 = [n for n in sf10_names if n in duck10]
@@ -496,36 +509,46 @@ def main() -> None:
     print(json.dumps(compact_summary(out, full_path)))
 
 
-def _batched_submission(prepared: dict, names: list[str]) -> float | None:
-    """Min-of-3 seconds for the whole set of prepared plans as ONE
-    Spark action: each result tagged + json-packed to a common 2-column
-    schema, unioned, one count(). Amortizes the per-query scheduling
-    floor and overlaps all queries' stages across cores — the shape of
-    a multi-query ETL DAG submitted together."""
+def _batched_submission(build, names: list[str]) -> float | None:
+    """Min-of-3 seconds for the whole query set as ONE Spark action:
+    each result tagged + json-packed to a common 2-column schema,
+    unioned, one count(). Amortizes the per-query scheduling floor and
+    overlaps all queries' stages across cores — the shape of a
+    multi-query ETL DAG submitted together.
+
+    ``build`` is a zero-arg callable returning {name: DataFrame} with
+    FRESH plans; it runs INSIDE the timed region each pass (r6 honesty
+    rule: eager-construction operators must pay their materialization
+    in the number, same as the sequential passes)."""
     try:
         import time as _time
         from functools import reduce as _reduce
 
         from pyspark.sql import functions as F
 
-        parts = [
-            prepared[n].select(
-                F.lit(n).alias("q"),
-                F.to_json(F.struct(*[F.col(c) for c in prepared[n].columns])).alias("r"),
-            )
-            for n in names
-        ]
-        batched = _reduce(lambda a, b: a.unionByName(b), parts)
+        def assemble():
+            prepared = build()
+            parts = [
+                prepared[n].select(
+                    F.lit(n).alias("q"),
+                    F.to_json(
+                        F.struct(*[F.col(c) for c in prepared[n].columns])
+                    ).alias("r"),
+                )
+                for n in names
+            ]
+            return _reduce(lambda a, b: a.unionByName(b), parts)
+
         # count(), not a plan-pinned collect: same honesty rule as the
         # sequential passes (a pinned Dataset re-collected would reuse
         # shuffle outputs and time only the final stage). Each timed
-        # pass re-plans the union ONCE — the amortized serving shape —
-        # and re-executes every stage.
-        batched.count()  # warm/codegen for the union shape
+        # pass assembles and plans the union ONCE — the amortized
+        # serving shape — and executes every stage.
+        assemble().count()  # warm/codegen for the union shape
         best = float("inf")
         for _ in range(3):
             t0 = _time.perf_counter()
-            batched.count()
+            assemble().count()
             best = min(best, _time.perf_counter() - t0)
         return round(best, 4)
     except Exception as exc:  # pragma: no cover - best-effort section
