@@ -2766,3 +2766,111 @@ def ns_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     attested, not assumed; integer cross-multiplied threshold on both
     sides."""
     return dedup.setsim_join_prefix(spark.table("documents"), n=3, t_num=1, t_den=5)
+
+
+# ---------------------------------------------------------------------
+# graph centrality: damped PageRank (power iteration, exact integers)
+# ---------------------------------------------------------------------
+
+def _pagerank_duck(iterations: int = 5) -> str:
+    """Unrolled-CTE DuckDB replay of operators.graph.pagerank over the
+    customer<->supplier purchase graph: identical integer arithmetic
+    (BIGINT sums + floor division), one CTE pair (dangling scalar +
+    inflow) per iteration. `//` is DuckDB integer division, matching
+    Spark's `div` on BIGINT for the non-negative values used here."""
+    parts = [
+        """WITH nds AS (
+      SELECT c_custkey * 2 AS node_id FROM customer
+      UNION ALL
+      SELECT s_suppkey * 2 + 1 AS node_id FROM supplier
+    ),
+    e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    eds AS (SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0),
+    odg AS (SELECT src, count(*) AS outdeg FROM eds GROUP BY src),
+    prm AS (SELECT count(*) AS n, 1000000000 // count(*) AS base FROM nds),
+    r0 AS (SELECT node_id, (SELECT base FROM prm) AS rk FROM nds)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+    d{k} AS (
+      SELECT CAST(COALESCE(sum(r.rk), 0) AS BIGINT) AS dang
+      FROM r{p} r LEFT JOIN odg o ON o.src = r.node_id
+      WHERE o.src IS NULL
+    ),
+    i{k} AS (
+      SELECT e.dst AS node_id, CAST(sum(r.rk // o.outdeg) AS BIGINT) AS inflow
+      FROM r{p} r JOIN odg o ON o.src = r.node_id
+      JOIN eds e ON e.src = r.node_id
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT n.node_id,
+        CAST((15 * p.base + 85 * (COALESCE(i.inflow, 0) + d.dang // p.n))
+             // 100 AS BIGINT) AS rk
+      FROM nds n CROSS JOIN prm p CROSS JOIN d{k} d
+      LEFT JOIN i{k} i ON i.node_id = n.node_id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node_id,
+      CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        AS node_type,
+      rk AS pr
+    FROM r{iterations}
+    ORDER BY pr DESC, node_id
+    LIMIT 100"""
+    )
+    return "".join(parts)
+
+
+@query("ns_pagerank", oracle=_pagerank_duck(5))
+def ns_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (operators/graph.py) over the bidirectional
+    customer<->supplier purchase graph (edge iff the customer ever
+    bought from the supplier): 5 power iterations, d=0.85, exact
+    integer rank units — engine-portable bit-for-bit. Oracle unrolls
+    the identical arithmetic as CTE pairs per iteration. Completes the
+    iterative-graph family next to ns_neardup_components (components)
+    with the canonical centrality algorithm."""
+    from .operators import graph as _graph
+
+    c = spark.table("customer").select(
+        (F.col("c_custkey") * 2).alias("node_id")
+    )
+    s = spark.table("supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node_id")
+    )
+    nodes = c.unionAll(s)
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = _graph.pagerank(edges, nodes, iterations=5)
+    return (
+        ranks.select(
+            "node_id",
+            F.when(F.col("node_id") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.col("rank").alias("pr"),
+        )
+        .orderBy(F.desc("pr"), "node_id")
+        .limit(100)
+    )
