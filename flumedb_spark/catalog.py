@@ -850,6 +850,66 @@ shared_sql(
     """,
 )
 
+# Time-series regularization: hourly grid per user, last observation
+# carried forward (operators/timeseries.py). The oracle replays the
+# identical bucket arithmetic (epoch-micros integer division) and LOCF
+# window in DuckDB; user_id < 25 bounds the grid for the hash compare.
+_GAPFILL_DUCK = """
+    WITH obs AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value,
+          row_number() OVER (
+            PARTITION BY user_id, epoch_us(ts) // 3600000000
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id < 25) t
+      WHERE rn = 1
+    ),
+    span AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, o.value,
+        o.user_id IS NOT NULL AS observed
+      FROM grid g LEFT JOIN obs o
+        ON o.user_id = g.user_id AND o.bucket = g.bucket
+    )
+    SELECT user_id, bucket AS hour_bucket, observed,
+      round(last_value(value IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_locf
+    FROM j ORDER BY user_id, hour_bucket
+"""
+
+
+@query("ts_gapfill_locf", oracle=_GAPFILL_DUCK)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str):
+    """Hourly gap-fill + LOCF over events (timeseries.gapfill_locf):
+    the resample/ffill stage of a metrics pipeline, distributed — per-key
+    grid via explode(sequence(lo,hi)) (never a global calendar
+    cross-join), closing value per bucket by a total-order row_number,
+    running last(ignorenulls) fill. Exact integer bucket arithmetic."""
+    from .operators.timeseries import gapfill_locf
+    from pyspark.sql import functions as F
+
+    out = gapfill_locf(
+        spark.table("events").where(F.col("user_id") < 25),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket").alias("hour_bucket"),
+        "observed",
+        F.round("value_locf", 6).alias("value_locf"),
+    ).orderBy("user_id", "hour_bucket")
+
+
 def _funnel_sql() -> str:
     """Ordered 3-step funnel view -> click -> purchase: per user, each
     step's first occurrence STRICTLY AFTER the previous step's time —

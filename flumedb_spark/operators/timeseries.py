@@ -1,0 +1,113 @@
+"""Time-series regularization: gap-fill to a fixed grid + LOCF.
+
+The canonical "resample" stage every metrics/feature pipeline runs
+before modeling: observations arrive at irregular event times; the
+consumer wants one row per (key, bucket) on a regular grid, with
+missing buckets filled by the last observation carried forward
+(LOCF / pandas ``ffill`` — but distributed, exact, and deterministic).
+
+Shape (all built-in JVM expressions, no Python in the path):
+
+1. bucket each event: ``unix_micros(ts) div bucket_us`` (exact BIGINT);
+2. pick the bucket's closing observation with one row_number window
+   (ORDER BY ts DESC, <tiebreak> DESC — total order, so retries and
+   partitioning cannot flip which value "closes" a bucket);
+3. per-key span (min/max bucket) -> ``explode(sequence(lo, hi))`` grid;
+4. left-join observations onto the grid (co-partitioned on the key);
+5. ``last(value, ignorenulls=True)`` over (key ORDER BY bucket ROWS
+   UNBOUNDED PRECEDING) — Spark's running LOCF.
+
+100 TB notes: every shuffle in the plan is keyed by the series key
+(window, groupBy, join all co-partition — AQE coalesces the rest), and
+the grid is generated per key WITHOUT a global calendar cross-join
+(the classic blowup: calendar x keys materializes rows for keys that
+never span the range). ``sequence()`` materializes one array per key
+per span, so a key alive for years at second granularity would build a
+huge in-memory array: for those, pre-split spans into bounded chunks
+(e.g. per-day rows first, then explode hours within the chunk) — the
+operator raises if a span exceeds ``max_buckets_per_key`` rather than
+silently OOMing an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["gapfill_locf"]
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_us: int = 3_600_000_000,
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Regularize ``df`` to one row per (key, bucket) with LOCF fill.
+
+    Returns (key_col, bucket, observed, value_locf): ``bucket`` =
+    ``unix_micros(ts) div bucket_us``; ``observed`` marks buckets that
+    had at least one event; ``value_locf`` is the bucket's closing
+    value, carried forward across empty buckets (NULL until the key's
+    first non-null observation). The grid spans each key's own
+    [min(bucket), max(bucket)] — no global calendar.
+    """
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    ev = df.select(
+        F.col(key_col),
+        F.expr(f"unix_micros({ts_col}) div {bucket_us}").alias("bucket"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_col).alias("_val"),
+    )
+    w_close = Window.partitionBy(key_col, "bucket").orderBy(
+        F.desc("_ts"), F.desc("_tb")
+    )
+    obs = (
+        ev.withColumn("_rn", F.row_number().over(w_close))
+        .where(F.col("_rn") == 1)
+        # the marker column keeps observed-with-NULL-value distinct from
+        # no-event-in-bucket after the left join below
+        .select(
+            key_col,
+            "bucket",
+            F.col("_val").alias("_obs_val"),
+            F.lit(True).alias("_observed"),
+        )
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    # refuse to build pathological per-key arrays (see module docstring)
+    over = span.where(
+        (F.col("_hi") - F.col("_lo")) >= F.lit(max_buckets_per_key)
+    ).limit(1)
+    if over.count() > 0:
+        raise ValueError(
+            f"a key spans >= {max_buckets_per_key} buckets; chunk the span "
+            "(e.g. explode days, then hours) before gap-filling"
+        )
+    grid = span.select(
+        key_col, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket")
+    )
+    j = grid.join(obs, [key_col, "bucket"], "left").select(
+        key_col,
+        "bucket",
+        F.coalesce(F.col("_observed"), F.lit(False)).alias("observed"),
+        F.col("_obs_val"),
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        key_col,
+        "bucket",
+        "observed",
+        F.last("_obs_val", ignorenulls=True).over(w_fill).alias("value_locf"),
+    )
