@@ -2874,3 +2874,37 @@ def ns_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), "node_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------
+# dataset profiling (ingest-boundary validation, deequ shape)
+# ---------------------------------------------------------------------
+
+def _profile_duck() -> str:
+    """Per-column UNION ALL replay of operators.profile.profile_columns
+    over documents (the engine-idiomatic DuckDB plan; Spark's single
+    Expand pass computes the same aggregates in one scan)."""
+    parts = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        parts.append(
+            f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+      count({c}) AS n_nonnull,
+      CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+      substr(CAST(min({c}) AS VARCHAR), 1, 32) AS min_repr,
+      substr(CAST(max({c}) AS VARCHAR), 1, 32) AS max_repr,
+      round(CAST(count({c}) AS DOUBLE) / count(*), 6) AS completeness
+    FROM documents"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@query("ns_profile_columns", oracle=_profile_duck())
+def ns_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling of documents
+    (operators/profile.py): row/non-null/exact-distinct counts, lexical
+    min/max reprs, completeness ratio — one row per column, the
+    assert-over-data validation stage at every ingest boundary."""
+    from .operators.profile import profile_columns
+
+    return profile_columns(spark.table("documents")).orderBy("col_name")
