@@ -910,6 +910,65 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str):
     ).orderBy("user_id", "hour_bucket")
 
 
+# Robust per-key outlier detection: |x - lower-median| > 3 * MAD, both
+# medians deterministic under (value, event_id) total order — the
+# anomaly-flagging twin of ts_gapfill_locf (operators/timeseries.py).
+_MAD_DUCK = """
+    WITH st AS (
+      SELECT user_id, event_id, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY value, event_id)
+          AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    med AS (SELECT user_id, value AS med FROM st WHERE rn = (n + 1) // 2),
+    ad AS (
+      SELECT e.user_id, e.event_id, e.value, m.med,
+        abs(e.value - m.med) AS absdev
+      FROM events e JOIN med m USING (user_id)
+    ),
+    st2 AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY user_id ORDER BY absdev, event_id)
+          AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n
+      FROM ad
+    ),
+    mad AS (SELECT user_id, absdev AS mad FROM st2 WHERE rn = (n + 1) // 2)
+    SELECT a.user_id, a.event_id, round(a.value, 6) AS value,
+      round(a.med, 6) AS med, round(d.mad, 6) AS mad
+    FROM ad a JOIN mad d USING (user_id)
+    WHERE a.absdev > 3.0 * d.mad
+    ORDER BY a.user_id, a.event_id
+"""
+
+
+@query("ts_mad_outliers", oracle=_MAD_DUCK)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str):
+    """Robust anomaly flags over events (timeseries.mad_outliers):
+    per-user lower-median + MAD thresholding (breakdown-resistant,
+    unlike mean/stddev z-scores); two keyed row_number windows + two
+    co-partitioned joins, engine-portable bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from .operators.timeseries import mad_outliers
+
+    out = mad_outliers(
+        spark.table("events"),
+        key_col="user_id",
+        value_col="value",
+        tiebreak_col="event_id",
+        k=3.0,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+    ).orderBy("user_id", "event_id")
+
+
 def _funnel_sql() -> str:
     """Ordered 3-step funnel view -> click -> purchase: per user, each
     step's first occurrence STRICTLY AFTER the previous step's time —

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gapfill_locf"]
+__all__ = ["gapfill_locf", "mad_outliers"]
 
 
 def gapfill_locf(
@@ -110,4 +110,64 @@ def gapfill_locf(
         "bucket",
         "observed",
         F.last("_obs_val", ignorenulls=True).over(w_fill).alias("value_locf"),
+    )
+
+
+def _lower_median(
+    df: DataFrame, key_col: str, val_col: str, tiebreak_col: str, out_col: str
+) -> DataFrame:
+    """Per-key LOWER median of ``val_col``: the value at row
+    (n+1) div 2 under the total order (val, tiebreak). A deterministic,
+    engine-portable median — no interpolation, no approx — at the cost
+    of one per-key sort (a row_number window, i.e. one keyed shuffle)."""
+    w = Window.partitionBy(key_col).orderBy(val_col, tiebreak_col)
+    wk = Window.partitionBy(key_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .where(F.expr("_rn = (_n + 1) div 2"))
+        .select(key_col, F.col(val_col).alias(out_col))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-key outlier detection: |x - median| > k * MAD.
+
+    Median/MAD (median absolute deviation) instead of mean/stddev: one
+    pathological burst in a key's series does not drag the threshold
+    with it (the breakdown-point argument for robust statistics; the
+    reason metrics pipelines alert on MAD, not z-scores). Both medians
+    are the deterministic LOWER median under a total order, so results
+    are partitioning- and engine-independent; the only float ops are
+    IEEE subtract/abs/multiply/compare, identical across engines.
+
+    Plan: two row_number windows + two per-key equi-joins, everything
+    keyed by ``key_col`` (co-partitioned; at 100 TB this is two sorts
+    within key partitions — the honest cost of an EXACT median; switch
+    to approxQuantile when an estimate suffices).
+
+    Returns outlier rows only: (key, tiebreak, value, med, mad).
+    """
+    base = df.select(key_col, tiebreak_col, F.col(value_col).alias("_v"))
+    med = _lower_median(base, key_col, "_v", tiebreak_col, "_med")
+    ad = base.join(med, key_col).withColumn(
+        "_absdev", F.abs(F.col("_v") - F.col("_med"))
+    )
+    mad = _lower_median(ad, key_col, "_absdev", tiebreak_col, "_mad")
+    return (
+        ad.join(mad, key_col)
+        .where(F.col("_absdev") > F.lit(k) * F.col("_mad"))
+        .select(
+            key_col,
+            tiebreak_col,
+            F.col("_v").alias("value"),
+            F.col("_med").alias("med"),
+            F.col("_mad").alias("mad"),
+        )
     )

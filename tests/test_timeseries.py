@@ -100,3 +100,49 @@ def test_partitioning_invariance(spark):
     a = sorted(map(tuple, gapfill_locf(df, **kw).collect()))
     b = sorted(map(tuple, gapfill_locf(df.repartition(7, "ts"), **kw).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------
+
+from flumedb_spark.operators.timeseries import mad_outliers  # noqa: E402
+
+
+def _mad_run(spark, rows, k=3.0):
+    df = spark.createDataFrame(rows, "k long, id long, v double")
+    out = mad_outliers(df, key_col="k", value_col="v", tiebreak_col="id", k=k)
+    return {(r["k"], r["id"]): (r["value"], r["med"], r["mad"]) for r in out.collect()}
+
+
+def test_mad_flags_the_burst_not_the_baseline(spark):
+    # stable baseline around 10 +/- 1, one 100.0 burst
+    rows = [(1, i, 10.0 + (i % 3) - 1) for i in range(9)] + [(1, 99, 100.0)]
+    got = _mad_run(spark, rows)
+    # 10 values sorted: lower median = 5th; MAD small; only the burst flags
+    assert set(got) == {(1, 99)}
+    _, med, mad = got[(1, 99)]
+    assert med == 10.0 and mad == 1.0
+
+
+def test_mean_based_would_miss_what_mad_catches(spark):
+    # two coordinated bursts inflate a stddev threshold; MAD ignores them
+    rows = [(1, i, 5.0) for i in range(10)] + [(1, 90, 500.0), (1, 91, 500.0)]
+    got = _mad_run(spark, rows)
+    assert (1, 90) in got and (1, 91) in got  # mad = 0 -> any deviation flags
+
+
+def test_keys_are_independent(spark):
+    rows = [(1, 1, 1.0), (1, 2, 1.0), (1, 3, 100.0), (2, 4, 100.0), (2, 5, 100.0)]
+    got = _mad_run(spark, rows)
+    assert {k for k in got if k[0] == 2} == set()  # key 2 is all-constant
+    assert (1, 3) in got
+
+
+def test_mad_partitioning_invariance(spark):
+    rows = [(u, u * 1000 + i, float((i * 17) % 23)) for u in (1, 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, id long, v double")
+    kw = dict(key_col="k", value_col="v", tiebreak_col="id")
+    a = sorted(map(tuple, mad_outliers(df, **kw).collect()))
+    b = sorted(map(tuple, mad_outliers(df.repartition(11, "v"), **kw).collect()))
+    assert a == b
