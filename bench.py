@@ -81,6 +81,13 @@ EXTRAS = [
     # 0.09/0.26/0.44/3.2 s at sf0.1 — inside the section budget)
     "ns_bm25_topk", "ns_dsir_weights", "ns_bloom_cross_dedup",
     "ns_neardup_components",
+    # late-r6 family #4: iterative-graph centrality, time-series
+    # regularization/anomaly, column profiling (DuckDB sides measured
+    # at 11.4/0.19/0.32/0.03 s at sf0.1 — pagerank's unrolled 5-iter
+    # CTE replay is the heavy side; Spark runs the same arithmetic as
+    # 5 keyed join+agg rounds)
+    "ns_pagerank", "ts_gapfill_locf", "ts_mad_outliers",
+    "ns_profile_columns",
 ]
 
 

@@ -126,9 +126,15 @@ DRIVER_WINDOW: list[str] = [
     # basis — freeing slots for three of the four new scoring/sketch
     # rows below; q2/q15/q21 keep the family's join/agg/anti-join
     # shapes in-window)
-    "q2_min_cost_supplier",
-    "q15_top_supplier",
+    # (q2_min_cost_supplier rotated out late r6 — r5-driver-green,
+    # catalog_tpch.py frozen this round — for the new ts_mad_outliers
+    # row; q15 rotated out on the same basis for ns_triangle_count;
+    # q21 keeps the family's multi-join/anti-join shape in-window)
     "q21_waiting_suppliers",
+    # time-series regularization + robust anomaly family — NEW late r6:
+    # hourly gap-fill with LOCF, and lower-median+MAD outlier flags
+    "ts_gapfill_locf",
+    "ts_mad_outliers",
     # pre-training scoring/sketching family — NEW late r6: Gopher
     # quality rules, CCNet unigram-LM terciles, sqrt-temperature source
     # mixing, KMV set-operation sketch (theta-style distinct algebra)
@@ -181,7 +187,11 @@ DRIVER_WINDOW: list[str] = [
     # ns_similarity_topk_np's plan twin + the live gate, and the dedup
     # family keeps five in-window rows — freeing slots for the new
     # scoring/sketch family above and the PQ-ADC row below)
-    "ns_similarity_topk_np",
+    # (ns_similarity_topk_np rotated out late r6 — r5-driver-green,
+    # similarity.py frozen this round; the np serving twin's machinery
+    # stays covered by the in-window ANN rows + the live gate — its
+    # slot goes to the new ns_profile_columns row)
+    "ns_profile_columns",
     # product-quantization ADC ANN (Jégou et al. 2011) — NEW late r6:
     # seeded codebooks, exact-BIGINT ranking key, recall-vs-exact-L2
     # twin ns_pq_ann_recall10 (also new, in the slot freed by
@@ -189,10 +199,19 @@ DRIVER_WINDOW: list[str] = [
     # by ns_media_meta + the live gate)
     "ns_pq_ann_topk_seeded",
     "ns_pq_ann_recall10",
+    # (ns_lsh_ann_recall10 / ns_ivf_ann_recall10 rotated out late r6 —
+    # both r5-driver-green, similarity.py frozen this round; the topk
+    # rows keep each ANN leg in-window and the recall twins re-run vs
+    # DuckDB every suite — slots go to the new iterative-graph
+    # ns_pagerank row and the ts_gapfill_locf time-series row)
     "ns_lsh_ann_topk_md5",
-    "ns_lsh_ann_recall10",
     "ns_ivf_ann_topk_seeded",
-    "ns_ivf_ann_recall10",
+    # damped PageRank, exact-integer power iteration — NEW late r6:
+    # the centrality twin of ns_neardup_components' components
+    "ns_pagerank",
+    # co-purchase projection + degree-oriented triangle counting — NEW
+    # late r6 (the last-reducer fix as a first-class operator)
+    "ns_triangle_count",
     # text analysis family (ns_tfidf_topterms rotated out late r6 —
     # r5-driver-green, text.py frozen this round — freeing the slot for
     # the new src_orc_roundtrip source-format row; ns_lang_id rotated

@@ -2908,3 +2908,52 @@ def ns_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profile import profile_columns
 
     return profile_columns(spark.table("documents")).orderBy("col_name")
+
+
+_TRIANGLE_DUCK = """
+    WITH pur AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    w AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS wt
+      FROM pur a JOIN pur b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT u, v FROM w ORDER BY wt DESC, u, v LIMIT 500),
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e ab JOIN e bc ON ab.v = bc.u
+      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    n AS (
+      SELECT a AS node_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node_id, count(*) AS n_triangles
+    FROM n GROUP BY node_id ORDER BY node_id
+"""
+
+
+@query("ns_triangle_count", oracle=_TRIANGLE_DUCK)
+def ns_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle participation in the top-500 strongest
+    co-purchase ties (graph.project_bipartite over customer->supplier
+    baskets, deterministic top-K by (weight DESC, u, v), then
+    graph.triangle_counts' degree-ordered orientation — each triangle
+    enumerated once from its lowest-degree corner, the last-reducer
+    fix). Oracle: brute-force u<v triangle join over the same top-K
+    edge set — ground truth, orientation-free."""
+    from .operators import graph as _graph
+
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    pur = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    )
+    w = _graph.project_bipartite(pur, left_col="c", right_col="s")
+    top = (
+        w.orderBy(F.desc("weight"), "u", "v").limit(500).select("u", "v")
+    )
+    return _graph.triangle_counts(top).orderBy("node_id")

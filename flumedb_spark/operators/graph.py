@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "project_bipartite", "triangle_counts"]
 
 
 def pagerank(
@@ -123,3 +123,89 @@ def pagerank(
             .select("node_id", F.expr("_num div 100").cast("long").alias("rk"))
         )
     return ranks.select("node_id", F.col("rk").alias("rank"))
+
+
+def project_bipartite(
+    df: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_left_degree: int = 10_000,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite relation: an edge
+    (u, v, weight) between right-nodes u < v for every pair sharing a
+    left-node, weight = number of shared left-nodes (co-occurrence /
+    market-basket affinity).
+
+    The quadratic hazard lives on the LEFT side: a left-node of degree
+    d emits d*(d-1)/2 pairs, so one celebrity hub (the stop-word of
+    co-occurrence mining) dominates the whole job. Standard practice is
+    to DROP hubs above a degree cap before pairing — they carry almost
+    no affinity signal precisely because they touch everything — and
+    that is what ``max_left_degree`` does (deterministically: a filter
+    on an exact degree count, not a sample). At 100 TB the remaining
+    pair stage is a self-equi-join on the left key (co-partitioned,
+    AQE-skew-splittable) followed by one map-side-combinable count.
+    """
+    p = df.select(
+        F.col(left_col).alias("_l"), F.col(right_col).alias("_r")
+    ).distinct()
+    deg = p.groupBy("_l").agg(F.count(F.lit(1)).alias("_d"))
+    kept = p.join(deg.where(F.col("_d") <= max_left_degree), "_l")
+    a = kept.select("_l", F.col("_r").alias("u"))
+    b = kept.select("_l", F.col("_r").alias("v"))
+    return (
+        a.join(b, "_l")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts via degree-ordered
+    orientation (the "curse of the last reducer" fix, Suri &
+    Vassilvitskii 2011): orient every undirected edge from its lower
+    (degree, id) endpoint to its higher one, so each triangle is
+    enumerated exactly once from its lowest-degree corner and no wedge
+    list is longer than the graph's degeneracy allows — a high-degree
+    hub stops being a quadratic wedge factory because hub->hub wedges
+    are the only ones it anchors.
+
+    ``edges``: (u, v) undirected, any order/duplicates (canonicalized
+    here). Returns (node_id, n_triangles) for nodes in >= 1 triangle.
+    Plan: two equi-joins (wedge build + closing-edge check) over the
+    oriented edge list + one exploded count — all keyed shuffles.
+    """
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("u", "n")
+    # orient by (degree, id): src strictly lower than dst in that order
+    withdeg = (
+        und.join(deg, und["u"] == deg["n"])
+        .select("u", "v", F.col("d").alias("du"))
+        .join(deg.withColumnRenamed("d", "dv"), F.col("v") == F.col("n"))
+        .select("u", "v", "du", "dv")
+    )
+    o = withdeg.where(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    # wedges a->b, b->c (a,b,c strictly increasing in (degree, id))
+    o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    o2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedge = o1.join(o2, "b")
+    tri = wedge.join(
+        o, (wedge["a"] == o["src"]) & (wedge["c"] == o["dst"])
+    ).select("a", "b", "c")
+    nodes = (
+        tri.select(F.col("a").alias("node_id"))
+        .unionAll(tri.select(F.col("b").alias("node_id")))
+        .unionAll(tri.select(F.col("c").alias("node_id")))
+    )
+    return nodes.groupBy("node_id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -107,6 +107,11 @@ def test_all_northstar_ops_in_window():
         # exact successor whose brute-force oracle subsumes the subset
         # row's semantics (r5-green, path untouched)
         "ns_ngram_jaccard_pairs",
+        # late-r6 rotations for the new ns_pagerank / ts_gapfill_locf
+        # rows: both recall twins r5-driver-green, similarity.py frozen
+        # this round; their topk rows keep each ANN leg in-window
+        "ns_lsh_ann_recall10",
+        "ns_ivf_ann_recall10",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -122,17 +127,20 @@ def test_changed_or_new_rows_in_window():
         "ns_minhash_lsh_candidates",  # impl changed (band materialization)
         "o2_bulk_append",             # new: distributed bulk write path
         "ns_lsh_ann_topk_md5",
-        "ns_lsh_ann_recall10",
+        # (ns_lsh_ann_recall10 / ns_ivf_ann_recall10 rotated out late
+        #  r6 for ns_pagerank / ts_gapfill_locf — r5-driver-green,
+        #  similarity.py frozen this round)
         "ns_ivf_ann_topk_seeded",
-        "ns_ivf_ann_recall10",
         "ns_neardup_clusters",        # new: candidates -> dedup decisions
         # new late-round-3: the TPC-H sweep + trained BPE + interval join
         # (q4/q7/q8/q9/q12/q13 rotated out r4 after going driver-green in
         # r3 — catalog_tpch.py untouched in r4, live full gate re-checks)
         # (q11/q16/q17 rotated out late r6 — r5-driver-green,
         #  catalog_tpch.py frozen — for the scoring/sketch family)
-        "q2_min_cost_supplier",
-        "q15_top_supplier",
+        # (q2_min_cost_supplier rotated out late r6 for ts_mad_outliers
+        #  — r5-driver-green, catalog_tpch.py frozen this round;
+        #  q15_top_supplier rotated out on the same basis for
+        #  ns_triangle_count — q21 keeps the family in-window)
         # (q20/q22 rotated out late r6 for the two src_* loop rows)
         "q21_waiting_suppliers",
         # (ns_bpe_tokens rotated out late r6 — r5-driver-green, bpe.py
@@ -174,7 +182,8 @@ def test_changed_or_new_rows_in_window():
         # family oracle rows (skew/CDC/Z-order)
         "stream_windowed_counts",
         "stream_stateful_key_stats",
-        "ns_similarity_topk_np",
+        # (ns_similarity_topk_np rotated out late r6 for
+        #  ns_profile_columns — r5-driver-green, similarity.py frozen)
         # (ns_salted_distinct_count rotated out late r6 for
         #  ns_avro_records; ns_salted_join and ns_scd2_history rotated
         #  out late r6 for ns_bloom_cross_dedup / ns_neardup_components
@@ -236,6 +245,14 @@ def test_changed_or_new_rows_in_window():
         # late-r6 new: WebDataset-style tar-shard sink loop
         # (ns_weighted_sample rotated out — r5-green, path untouched)
         "src_tar_roundtrip",
+        # late-r6 new: exact-integer PageRank (iterative-graph
+        # centrality), time-series gap-fill/LOCF + MAD outliers, and
+        # single-pass column profiling
+        "ns_pagerank",
+        "ts_gapfill_locf",
+        "ts_mad_outliers",
+        "ns_profile_columns",
+        "ns_triangle_count",
     ):
         assert n in _window_names(), n
 

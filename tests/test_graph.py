@@ -87,3 +87,62 @@ def test_bad_args_raise(spark):
         pagerank(e, nd, damping_num=101)
     with pytest.raises(ValueError):
         pagerank(e, nd, iterations=-1)
+
+
+# ---------------------------------------------------------------------
+# project_bipartite / triangle_counts
+# ---------------------------------------------------------------------
+
+from flumedb_spark.operators.graph import project_bipartite, triangle_counts  # noqa: E402
+
+
+def test_projection_weights_and_hub_cap(spark):
+    # baskets: L1 {a,b,c}, L2 {a,b}, L3 (hub) {a,b,c,d}
+    rows = [(1, x) for x in "abc"] + [(2, x) for x in "ab"] + [(3, x) for x in "abcd"]
+    df = spark.createDataFrame(rows, "l long, r string")
+    got = {
+        (r["u"], r["v"]): r["weight"]
+        for r in project_bipartite(df, "l", "r").collect()
+    }
+    assert got == {
+        ("a", "b"): 3, ("a", "c"): 2, ("b", "c"): 2,
+        ("a", "d"): 1, ("b", "d"): 1, ("c", "d"): 1,
+    }
+    # cap at 3 drops the hub basket entirely
+    capped = {
+        (r["u"], r["v"]): r["weight"]
+        for r in project_bipartite(df, "l", "r", max_left_degree=3).collect()
+    }
+    assert capped == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "u long, v long")
+    return {r["node_id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+
+def test_triangles_k4_path_and_shared_edge(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _tri(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4)]) == {}  # path: none
+    # two triangles sharing edge (1,2): 1,2 in both; 3,4 in one each
+    shared = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]
+    assert _tri(spark, shared) == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangles_canonicalize_duplicates_and_direction(spark):
+    messy = [(2, 1), (1, 2), (1, 3), (3, 1), (2, 3), (3, 3)]
+    assert _tri(spark, messy) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_partitioning_invariance(spark):
+    import itertools
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(range(12), 2)
+        if (a * 7 + b * 3) % 4 != 0
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    a = sorted(map(tuple, triangle_counts(df).collect()))
+    b = sorted(map(tuple, triangle_counts(df.repartition(9, "v")).collect()))
+    assert a == b and len(a) > 0
