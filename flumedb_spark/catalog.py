@@ -117,8 +117,10 @@ DRIVER_WINDOW: list[str] = [
     "o3_get_point",
     "o4_stream_reverse_topk",
     "o2_bulk_append",
-    # view families (§2.B)
-    "v1_reduce_stats",
+    # (v1_reduce_stats rotated out late r6 — r5-driver-green,
+    # views/reduce.py untouched all round — for the new
+    # stream_locf_grid row; every V-family path re-runs vs DuckDB each
+    # suite run via the live gate)
     # TPC-H-shaped relational sweep (catalog_tpch.py; q20/q22 rotated
     # out late r6 — r5-driver-green, catalog_tpch.py frozen this
     # round — freeing slots for the two new src_* loop rows below;
@@ -159,6 +161,9 @@ DRIVER_WINDOW: list[str] = [
     # semantics) — NEW late r6; takes the slot of r5-green frozen
     # ns_doc_chunks (ns_sequence_packing keeps the packing family)
     "stream_session_counts",
+    # streaming gap-fill/LOCF via applyInPandasWithState + event-time
+    # timeouts — NEW late r6 (the op windowed aggregates cannot express)
+    "stream_locf_grid",
     # dedup / similarity / ANN family (ns_url_dedup rotated out late r5
     # for the new ns_archive_listing row; ns_ngram_jaccard_pairs
     # rotated out late r6 — r5-driver-green, path untouched — for its
@@ -1527,6 +1532,100 @@ def stream_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame(
             rows, "win_start_us long, s53 long, v_zero long, hll_estimate double"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_locf_grid",
+    # Streaming gap-fill + LOCF (streaming/stateful.py::locf_grid_stream)
+    # — the streaming twin of ts_gapfill_locf, and the op a windowed
+    # aggregate CANNOT express (an unobserved bucket has no group, so
+    # nothing emits; here event-time timeouts extend every key's grid to
+    # the watermark). A REAL applyInPandasWithState run over the three
+    # pinned micro-batches; exactly-once per (key, bucket) leans on the
+    # pinned lag alignment (late filter in batch N uses the watermark
+    # through N-2 == the bound that governed finalization in N-1, so a
+    # surviving event's bucket is never already closed). The oracle
+    # replays the survive set (same rules as stream_dedup_watermark) +
+    # final-watermark grid in plain SQL.
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, ts, user_id, value FROM events WHERE user_id < 25
+    ),
+    b0 AS (SELECT ts FROM ev WHERE event_id % 10 NOT IN (3, 7)),
+    wm0 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM b0),
+    fw AS (
+      SELECT epoch_us(max(ts) - INTERVAL 30 MINUTE) // 3600000000 - 1 AS b
+      FROM ev
+    ),
+    survive AS (
+      SELECT * FROM ev
+      WHERE event_id % 10 NOT IN (3, 7) OR event_id % 10 = 7
+      UNION ALL
+      SELECT * FROM ev
+      WHERE event_id % 10 = 3 AND ts >= (SELECT w FROM wm0)
+    ),
+    obs AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value,
+          row_number() OVER (
+            PARTITION BY user_id, epoch_us(ts) // 3600000000
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM survive
+        WHERE epoch_us(ts) // 3600000000 <= (SELECT b FROM fw)) t
+      WHERE rn = 1
+    ),
+    span AS (SELECT user_id, min(bucket) AS lo FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, (SELECT b FROM fw)))
+        AS bucket
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, o.value,
+        o.user_id IS NOT NULL AS observed
+      FROM grid g LEFT JOIN obs o
+        ON o.user_id = g.user_id AND o.bucket = g.bucket
+    )
+    SELECT user_id, bucket, observed,
+      round(last_value(value IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_locf
+    FROM j ORDER BY user_id, bucket
+    """,
+)
+def stream_locf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import locf_grid_stream
+
+    ev = (
+        spark.table("events")
+        .where(F.col("user_id") < 25)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    work = tempfile.mkdtemp(prefix="stream_locf_")
+    try:
+        src = _staged_stream_source(spark, ev, work)
+        out = locf_grid_stream(src, watermark="30 minutes")
+        sink = _run_stream_to_memory(spark, out, work, output_mode="update")
+        # each (key, bucket) finalizes exactly once, so the sink IS the
+        # grid (no per-batch dedupe needed — asserted by the unit probe)
+        rows = (
+            sink.select(
+                "user_id",
+                "bucket",
+                "observed",
+                F.round("value_locf", 6).alias("value_locf"),
+            )
+            .orderBy("user_id", "bucket")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "user_id long, bucket long, observed boolean, value_locf double"
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -72,3 +72,122 @@ def parsed_log_stream(stream_df: DataFrame) -> DataFrame:
         F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
         F.get_json_object("value", "$.value").cast("double").alias("value"),
     )
+
+
+# ---------------------------------------------------------------------
+# streaming gap-fill + LOCF: watermark-finalized per-key hourly grid
+# ---------------------------------------------------------------------
+
+LOCF_OUTPUT_SCHEMA = "user_id long, bucket long, observed boolean, value_locf double"
+# pending events ride in state until their bucket is finalized by the
+# watermark, so state is bounded by the lateness window, not the stream
+LOCF_STATE_SCHEMA = (
+    "last_bucket long, carry double, has_carry boolean, "
+    "p_ts array<long>, p_tb array<long>, p_val array<double>"
+)
+_NO_BUCKET = -(1 << 62)
+
+
+def _locf_update(bucket_us, key, pdfs, state):
+    """Per-key state machine (streaming twin of timeseries.gapfill_locf):
+    buffer events whose bucket the watermark has not closed; when the
+    watermark passes a bucket end, emit exactly one (bucket, observed,
+    value_locf) row per bucket from the key's first observed bucket up
+    to the last closed one, carrying the closing value forward.
+
+    Exactly-once safety leans on the pinned lag alignment (probe in
+    tests/test_streaming.py): the late-event filter in batch N uses the
+    watermark through batch N-2 while finalization in batch N-1 used
+    the watermark through N-2 as well — so an event that survives the
+    late filter always lands in a bucket that is NOT yet finalized (its
+    ts >= the bound that governed the last finalization).
+    """
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+    if state.exists:
+        last_b, carry, has_carry, p_ts, p_tb, p_val = state.get
+        pend = list(zip(p_ts, p_tb, p_val))
+    else:
+        last_b, carry, has_carry, pend = _NO_BUCKET, 0.0, False, []
+    for pdf in pdfs:
+        for ts_us, tb, val in zip(
+            pdf["ts_us"].astype("int64"),
+            pdf["event_id"].astype("int64"),
+            pdf["value"].astype("float64"),
+        ):
+            pend.append((int(ts_us), int(tb), float(val)))
+
+    b_max = wm_us // bucket_us - 1
+    out = {"user_id": [], "bucket": [], "observed": [], "value_locf": []}
+    if last_b == _NO_BUCKET:
+        eligible = [e[0] // bucket_us for e in pend if e[0] // bucket_us <= b_max]
+        start = min(eligible) if eligible else None
+    else:
+        start = last_b + 1
+    if start is not None and start <= b_max:
+        by_bucket = {}
+        for e in pend:
+            b = e[0] // bucket_us
+            if b <= b_max and (b not in by_bucket or e[:2] > by_bucket[b][:2]):
+                by_bucket[b] = e
+        for b in range(start, b_max + 1):
+            closing = by_bucket.get(b)
+            if closing is not None:
+                carry, has_carry = closing[2], True
+            out["user_id"].append(key[0])
+            out["bucket"].append(b)
+            out["observed"].append(closing is not None)
+            out["value_locf"].append(carry if has_carry else None)
+        last_b = b_max
+        pend = [e for e in pend if e[0] // bucket_us > b_max]
+
+    state.update(
+        (
+            last_b,
+            carry,
+            has_carry,
+            [e[0] for e in pend],
+            [e[1] for e in pend],
+            [e[2] for e in pend],
+        )
+    )
+    # re-arm: fire again as soon as the watermark moves (keys with no
+    # new data still extend their grid to the new watermark). In a
+    # production stream add a TTL: an abandoned key otherwise keeps
+    # emitting unobserved rows forever.
+    if wm_ms > 0:
+        state.setTimeoutTimestamp(wm_ms + 1)
+    yield pd.DataFrame(out)
+
+
+def locf_grid_stream(
+    events_stream: DataFrame,
+    watermark: str = "30 minutes",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Streaming gap-fill + LOCF over ``(event_id, ts, user_id, value)``:
+    one finalized row per (key, bucket) once the watermark closes the
+    bucket — including unobserved buckets (heartbeat gap fill), which a
+    windowed aggregate cannot emit (no row, no group). State carries
+    only not-yet-closed events (bounded by the lateness window) plus
+    the LOCF carry value; event-time timeouts extend each key's grid
+    when batches arrive without data for it."""
+    import functools
+
+    src = (
+        events_stream.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
+            "ts",
+        )
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        functools.partial(_locf_update, bucket_us),
+        LOCF_OUTPUT_SCHEMA,
+        LOCF_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -253,6 +253,9 @@ def test_changed_or_new_rows_in_window():
         "ts_mad_outliers",
         "ns_profile_columns",
         "ns_triangle_count",
+        # (v1_reduce_stats rotated out late r6 for stream_locf_grid —
+        #  r5-driver-green, views/reduce.py untouched all round)
+        "stream_locf_grid",
     ):
         assert n in _window_names(), n
 

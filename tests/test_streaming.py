@@ -1000,3 +1000,59 @@ def test_streaming_ingest_to_lakehouse_visibility(spark, tmp_path):
                 assert ks == want, (fmt, batch_no)
     finally:
         q.stop()
+
+
+def test_stream_locf_grid_semantics(spark, tmp_path):
+    """Streaming gap-fill/LOCF (stateful.locf_grid_stream): constructed
+    three-batch stream pinning (1) exactly-once per (key, bucket), (2)
+    a watermark-late event's value NEVER enters the grid, (3) unobserved
+    buckets carry the last closed value, (4) the grid extends to the
+    final watermark via event-time timeouts even with no new data."""
+    from datetime import datetime
+
+    from flumedb_spark.catalog import _run_stream_to_memory, _staged_stream_source
+    from flumedb_spark.streaming.stateful import locf_grid_stream
+
+    def ts(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    base = 473352  # epoch-hour of 2024-01-01 00:00 UTC
+    # batch layout via event_id % 10 (the staged-source predicates):
+    # b0 (ids 1,2): u1 @ 00:00 v=10, u1 @ 05:00 v=50  -> wm0 = 04:30
+    # b1 (id 7):    u1 @ 03:00 v=30 (>= -inf: never late, bucket 3 open)
+    # b2 (id 3):    u1 @ 01:00 v=99 (< wm0 04:30: DROPPED as late)
+    # b2 (id 13):   u1 @ 06:00 v=60 (>= wm0: survives, but final wm =
+    #               05:30 closes only buckets with end <= 05:30, i.e.
+    #               through bucket 4 — buckets 5 and 6 stay open)
+    rows = [
+        (1, ts(0), 1, 10.0),
+        (2, ts(5), 1, 50.0),
+        (7, ts(3), 1, 30.0),
+        (3, ts(1), 1, 99.0),
+        (13, ts(6), 1, 60.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    work = str(tmp_path / "locf_sem")
+    os.makedirs(work)
+    src = _staged_stream_source(spark, ev, work)
+    sink = _run_stream_to_memory(
+        spark, locf_grid_stream(src, watermark="30 minutes"), work, "update"
+    )
+    got = [
+        (r["user_id"], r["bucket"], r["observed"], r["value_locf"])
+        for r in sink.collect()
+    ]
+    assert len(got) == len({(u, b) for u, b, *_ in got}), "exactly-once violated"
+    as_map = {(u, b): (o, v) for u, b, o, v in got}
+    assert as_map == {
+        (1, base + 0): (True, 10.0),
+        (1, base + 1): (False, 10.0),  # late 99.0 dropped: gap carries 10.0
+        (1, base + 2): (False, 10.0),
+        (1, base + 3): (True, 30.0),
+        (1, base + 4): (False, 30.0),
+        # buckets 5 (05:00 v=50) and 6 (06:00 v=60) are NOT emitted:
+        # their ends exceed the final watermark 05:30 — still pending
+    }
+    assert not any(v == 99.0 for _, v in as_map.values())
