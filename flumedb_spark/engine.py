@@ -694,6 +694,37 @@ class Flume:
             out["iceberg_version"] = export_iceberg_metadata(self.log)
         return out
 
+    # ---- redaction (right-to-be-forgotten; beyond reference scope) ----
+    def delete_seqs(self, seqs) -> int:
+        """Redact records by seq and rebuild every view (views already
+        folded the redacted records, so the only correct state is a
+        replay over the redacted log — the reference's rebuild contract
+        applied to deletion). Physical erasure of the replaced files
+        completes at ``maintain()``/``vacuum()`` after retention."""
+        self._throw_if_closed()
+        n = self.log.delete_seqs(self.spark, seqs)
+        if n:
+            self.rebuild()
+        return n
+
+    def delete_where(self, predicate: str) -> int:
+        """Redact every committed record matching ``predicate`` — a SQL
+        expression over the raw log frame (columns ``seq``, ``value``;
+        with the json codec, ``get_json_object(value, '$.field')``
+        reaches into payloads). The matching seq set is collected
+        driver-side (bounded by the redaction batch, not the log) and
+        routed through :meth:`delete_seqs`."""
+        self._throw_if_closed()
+        rows = (
+            self.log.df(self.spark)
+            .where(predicate)
+            .select("seq")
+            .collect()
+        )
+        if not rows:
+            return 0
+        return self.delete_seqs([r["seq"] for r in rows])
+
     # ---- lifecycle (O16/O18) -------------------------------------------
     def rebuild(self) -> None:
         """Destroy ALL views and replay the whole log through them

@@ -673,6 +673,119 @@ class ParquetLog:
 
         return self._write_txn(stage)
 
+    def delete_seqs(self, spark: SparkSession, seqs) -> int:
+        """Redact committed records by seq (right-to-be-forgotten).
+
+        The mechanism is the compactor's, scoped to the files that can
+        contain the targets: parquet footer min/max on ``seq`` prunes
+        the manifest down to affected files (a LOCAL metadata read, no
+        scan), one Spark job rewrites just those files without the
+        redacted rows, and one atomic manifest commit swaps them in —
+        originals become TOMBSTONES, so physical erasure completes at
+        :meth:`vacuum` (the OPTIMIZE/VACUUM separation applies to
+        redaction too: in-flight readers keep a consistent snapshot
+        until retention expires, then the bytes are gone).
+
+        Semantics: ``since`` does not move (it is the append watermark,
+        not a row count); redacted seqs simply stop existing — ``get``
+        returns None, ``stream`` skips them, and seq density is no
+        longer guaranteed over redacted ranges (DENSE describes seq
+        ASSIGNMENT). Views that already folded redacted records are the
+        engine's job: ``Flume.delete_where`` rebuilds them. The
+        manifest swap maps to Delta/Iceberg remove+add actions, so the
+        export sync carries redaction to external readers unchanged.
+
+        Returns the number of rows actually deleted. At 100 TB the
+        footer prune keeps the rewrite proportional to affected files
+        (deletion batches cluster in recent files in practice); for
+        massive redaction sets pass seqs in batches — the seq list is
+        broadcast into the rewrite filter.
+        """
+        targets = sorted({int(s) for s in seqs})
+        if not targets:
+            return 0
+        snap = self._load_meta()
+        if snap["since"] < 0 or not snap.get("files"):
+            return 0
+        import pyarrow.parquet as pq
+
+        smin, smax = targets[0], targets[-1]
+        affected = []
+        for name in snap["files"]:
+            md = pq.ParquetFile(os.path.join(self.data_dir, name)).metadata
+            hit = md.num_row_groups == 0
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                seq_idx = next(
+                    i
+                    for i in range(rgm.num_columns)
+                    if rgm.column(i).path_in_schema == "seq"
+                )
+                st = rgm.column(seq_idx).statistics
+                if st is None or st.min is None:  # no stats: conservative
+                    hit = True
+                    break
+                if st.min <= smax and st.max >= smin:
+                    hit = True
+                    break
+            if hit:
+                affected.append(name)
+        if not affected:
+            return 0
+        paths = [os.path.join(self.data_dir, f) for f in affected]
+        df = spark.read.schema(LOG_SCHEMA).parquet(*paths)
+        before = df.count()
+        remaining = df.where(~F.col("seq").isin(targets))
+        tmp = os.path.join(self.path, f"redact-{uuid.uuid4().hex[:8]}")
+        (
+            remaining.repartitionByRange(max(1, len(affected)), "seq")
+            .sortWithinPartitions("seq")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        import shutil
+
+        run_id = uuid.uuid4().hex[:8]
+        new_names = []
+        kept = 0
+        for i, f in enumerate(
+            sorted(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        ):
+            src = os.path.join(tmp, f)
+            n_rows = pq.ParquetFile(src).metadata.num_rows
+            if n_rows == 0:  # don't re-manifest empty shards
+                continue
+            kept += n_rows
+            name = f"redacted-{i:05d}-{run_id}.parquet"
+            shutil.move(src, os.path.join(self.data_dir, name))
+            new_names.append(name)
+        shutil.rmtree(tmp, ignore_errors=True)
+        deleted = before - kept
+
+        def stage(current: dict) -> int:
+            old = set(affected)
+            cur = set(current["files"])
+            if old - cur:
+                # a concurrent compaction replaced part of our snapshot:
+                # our rewrite would resurrect rows its output already
+                # carries. Abort; staged files become harmless orphans.
+                for name in new_names:
+                    try:
+                        os.remove(os.path.join(self.data_dir, name))
+                    except OSError:
+                        pass
+                raise _NoCommit(0)
+            tail = [f for f in current["files"] if f not in old]
+            current["files"] = new_names + tail
+            now = time.time()
+            current["tombstones"] = current.get("tombstones", []) + [
+                {"file": f, "ts": now} for f in affected
+            ]
+            current["deleted"] = current.get("deleted", 0) + deleted
+            return deleted
+
+        return self._write_txn(stage)
+
     def destroy(self) -> None:
         import shutil
 
