@@ -128,11 +128,13 @@ DRIVER_WINDOW: list[str] = [
     # basis — freeing slots for three of the four new scoring/sketch
     # rows below; q2/q15/q21 keep the family's join/agg/anti-join
     # shapes in-window)
-    # (q2_min_cost_supplier rotated out late r6 — r5-driver-green,
-    # catalog_tpch.py frozen this round — for the new ts_mad_outliers
-    # row; q15 rotated out on the same basis for ns_triangle_count;
-    # q21 keeps the family's multi-join/anti-join shape in-window)
-    "q21_waiting_suppliers",
+    # (q2/q15/q21 rotated out late r6 — all r5-driver-green with
+    # catalog_tpch.py frozen this round — for the new ts_mad_outliers /
+    # ns_triangle_count / scd2_point_in_time rows; the TPC-H family's
+    # 22 entries re-run vs DuckDB every suite run via the live gate,
+    # and the window's slots go to this round's NEW code paths)
+    # feature-store point-in-time join over SCD-2 validity — NEW late r6
+    "scd2_point_in_time",
     # time-series regularization + robust anomaly family — NEW late r6:
     # hourly gap-fill with LOCF, and lower-median+MAD outlier flags
     "ts_gapfill_locf",

@@ -2957,3 +2957,56 @@ def ns_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.orderBy(F.desc("weight"), "u", "v").limit(500).select("u", "v")
     )
     return _graph.triangle_counts(top).orderBy("node_id")
+
+
+_PIT_DUCK = """
+    WITH hist_base AS (
+      SELECT user_id, event_id AS seq, event_type FROM events
+      WHERE user_id < 50 AND event_type != 'purchase'
+    ),
+    hist AS (
+      SELECT user_id, seq, event_type,
+        seq AS valid_from,
+        lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+      FROM hist_base
+    ),
+    facts AS (
+      SELECT user_id, event_id AS fact_seq FROM events
+      WHERE user_id < 50 AND event_type = 'purchase'
+    )
+    SELECT f.user_id, f.fact_seq,
+      h.seq AS dim_seq, h.event_type AS dim_event_type
+    FROM facts f LEFT JOIN hist h
+      ON h.user_id = f.user_id
+      AND f.fact_seq >= h.valid_from
+      AND (h.valid_to IS NULL OR f.fact_seq < h.valid_to)
+    ORDER BY f.user_id, f.fact_seq
+"""
+
+
+@query("scd2_point_in_time", oracle=_PIT_DUCK)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join (cdc.point_in_time_join): every
+    purchase matched to the SCD-2 state version (built by
+    cdc.scd2_apply over the user's non-purchase events) valid at the
+    purchase's own seq — the no-feature-leakage rule. Equi-join on the
+    entity key, validity range as a local post-filter."""
+    ev = spark.table("events").where(F.col("user_id") < 50)
+    hist_base = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type"
+    )
+    history = _cdc.scd2_apply(
+        hist_base, hist_base.limit(0), key="user_id", seq_col="seq"
+    ).drop("is_current")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("fact_seq")
+    )
+    out = _cdc.point_in_time_join(
+        facts, history, key="user_id", at_col="fact_seq"
+    )
+    return out.select(
+        "user_id",
+        "fact_seq",
+        F.col("dim_seq"),
+        F.col("dim_event_type"),
+    ).orderBy("user_id", "fact_seq")

@@ -137,12 +137,11 @@ def test_changed_or_new_rows_in_window():
         # r3 — catalog_tpch.py untouched in r4, live full gate re-checks)
         # (q11/q16/q17 rotated out late r6 — r5-driver-green,
         #  catalog_tpch.py frozen — for the scoring/sketch family)
-        # (q2_min_cost_supplier rotated out late r6 for ts_mad_outliers
-        #  — r5-driver-green, catalog_tpch.py frozen this round;
-        #  q15_top_supplier rotated out on the same basis for
-        #  ns_triangle_count — q21 keeps the family in-window)
+        # (q2/q15/q21 rotated out late r6 for ts_mad_outliers /
+        #  ns_triangle_count / scd2_point_in_time — all r5-driver-green,
+        #  catalog_tpch.py frozen this round; the family stays
+        #  live-gated every suite run)
         # (q20/q22 rotated out late r6 for the two src_* loop rows)
-        "q21_waiting_suppliers",
         # (ns_bpe_tokens rotated out late r6 — r5-driver-green, bpe.py
         #  frozen — for the new ns_dsir_weights row)
         # (interval_join_events rotated out late r5 for ns_warc_listing;
@@ -256,6 +255,7 @@ def test_changed_or_new_rows_in_window():
         # (v1_reduce_stats rotated out late r6 for stream_locf_grid —
         #  r5-driver-green, views/reduce.py untouched all round)
         "stream_locf_grid",
+        "scd2_point_in_time",
     ):
         assert n in _window_names(), n
 

@@ -664,3 +664,39 @@ def test_substring_dup_spans_merges_adjacent_windows(spark):
     assert [(r.doc_id, r.span_start, r.span_end) for r in rows] == [
         (2, 1, 8), (2, 10, 17),
     ]
+
+
+def test_point_in_time_join_semantics(spark):
+    """cdc.point_in_time_join: boundary inclusivity (at == valid_from
+    matches, at == valid_to does not), pre-history facts get NULL dims,
+    post-history facts match the open current version, and every fact
+    matches at most one version (disjoint validity)."""
+    from flumedb_spark.operators.cdc import point_in_time_join
+
+    history = spark.createDataFrame(
+        [
+            (1, "v1", 10, 20),
+            (1, "v2", 20, 30),
+            (1, "v3", 30, None),
+            (2, "w1", 5, None),
+        ],
+        "k long, state string, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 19), (1, 20), (1, 29), (1, 30), (1, 999), (2, 4), (2, 5)],
+        "k long, at long",
+    )
+    out = point_in_time_join(facts, history, key="k", at_col="at")
+    got = {(r["k"], r["at"]): r["dim_state"] for r in out.collect()}
+    assert got == {
+        (1, 5): None,     # before first version
+        (1, 10): "v1",    # at == valid_from: inclusive
+        (1, 19): "v1",
+        (1, 20): "v2",    # at == valid_to: exclusive, rolls to next
+        (1, 29): "v2",
+        (1, 30): "v3",
+        (1, 999): "v3",   # open current version
+        (2, 4): None,
+        (2, 5): "w1",
+    }
+    assert out.count() == facts.count()  # at most one version per fact
