@@ -116,7 +116,12 @@ DRIVER_WINDOW: list[str] = [
     # the new r6 rows below; o2/o3/o4 keep the core-O family in-window)
     "o3_get_point",
     "o4_stream_reverse_topk",
-    "o2_bulk_append",
+    # (o2_bulk_append rotated out late r6 — r5-driver-green at sf0.01;
+    # this round's log.py change (delete_seqs) is an addition that does
+    # not touch the bulk-append path, which stays covered by
+    # test_bulk_append.py + the live gate — slot goes to the new
+    # ns_quantile_clip winsorization row)
+    "ns_quantile_clip",
     # (v1_reduce_stats rotated out late r6 — r5-driver-green,
     # views/reduce.py untouched all round — for the new
     # stream_locf_grid row; every V-family path re-runs vs DuckDB each

@@ -3010,3 +3010,56 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_seq"),
         F.col("dim_event_type"),
     ).orderBy("user_id", "fact_seq")
+
+
+_QCLIP_DUCK = """
+    WITH st AS (
+      SELECT user_id, event_id, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY value, event_id)
+          AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    lo AS (
+      SELECT user_id, value AS lo FROM st
+      WHERE rn = greatest(1, (n * 5 + 99) // 100)
+    ),
+    hi AS (
+      SELECT user_id, value AS hi FROM st
+      WHERE rn = greatest(1, (n * 95 + 99) // 100)
+    )
+    SELECT e.user_id, e.event_id, round(e.value, 6) AS value,
+      round(lo.lo, 6) AS lo, round(hi.hi, 6) AS hi,
+      round(least(greatest(e.value, lo.lo), hi.hi), 6) AS value_clipped
+    FROM events e JOIN lo USING (user_id) JOIN hi USING (user_id)
+    WHERE e.value < lo.lo OR e.value > hi.hi
+    ORDER BY e.user_id, e.event_id
+"""
+
+
+@query("ns_quantile_clip", oracle=_QCLIP_DUCK)
+def ns_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (timeseries.quantile_clip): per-user exact
+    rank-based [p05, p95] clip — the feature-normalization stage before
+    training. Returns the clipped rows with their bounds; exact rank
+    arithmetic (ceil(n*q) via integer ops) replays in the oracle."""
+    from .operators.timeseries import quantile_clip
+
+    out = quantile_clip(
+        spark.table("events"),
+        key_col="user_id",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+    return (
+        out.where(F.col("was_clipped"))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            F.round("value_clipped", 6).alias("value_clipped"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gapfill_locf", "mad_outliers"]
+__all__ = ["gapfill_locf", "mad_outliers", "quantile_clip", "rank_quantile"]
 
 
 def gapfill_locf(
@@ -169,5 +169,75 @@ def mad_outliers(
             F.col("_v").alias("value"),
             F.col("_med").alias("med"),
             F.col("_mad").alias("mad"),
+        )
+    )
+
+
+def rank_quantile(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    q_num: int,
+    q_den: int,
+    out_col: str,
+) -> DataFrame:
+    """Per-key EXACT rank-based quantile: the value at rank
+    ceil(n * q_num/q_den) (clamped to >= 1) under the total order
+    (val, tiebreak). No interpolation, no approx — the deterministic,
+    engine-portable quantile (q = 1/2 gives the upper-leaning variant
+    of ``_lower_median``'s rule; both are fine, pick one and replay it
+    in the oracle). One row_number window = one keyed shuffle."""
+    if not (0 < q_num <= q_den):
+        raise ValueError("quantile must be in (0, 1]")
+    w = Window.partitionBy(key_col).orderBy(val_col, tiebreak_col)
+    wk = Window.partitionBy(key_col)
+    rank_expr = f"greatest(1*1, (_n * {q_num} + {q_den} - 1) div {q_den})"
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .where(F.expr(f"_rn = {rank_expr}"))
+        .select(key_col, F.col(val_col).alias(out_col))
+    )
+
+
+def quantile_clip(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lo_num: int = 5,
+    hi_num: int = 95,
+    den: int = 100,
+) -> DataFrame:
+    """Winsorization: clip each value to its key's exact [p_lo, p_hi]
+    rank quantiles — the standard feature-normalization stage before
+    training (outliers saturate instead of dominating the loss).
+    Exact quantiles via ``rank_quantile``; the clip itself is
+    least/greatest, so output values are always values that exist in
+    the data or the originals (no synthesized interpolants — the
+    property that makes the op engine-portable bit-for-bit).
+
+    Plan: two rank windows + two small per-key joins, all keyed by
+    ``key_col`` (one co-partitioning reused). Returns the input rows
+    plus (lo, hi, value_clipped, was_clipped)."""
+    base = df.select(key_col, tiebreak_col, F.col(value_col).alias("_v"))
+    lo = rank_quantile(base, key_col, "_v", tiebreak_col, lo_num, den, "_lo")
+    hi = rank_quantile(base, key_col, "_v", tiebreak_col, hi_num, den, "_hi")
+    return (
+        base.join(lo, key_col)
+        .join(hi, key_col)
+        .select(
+            key_col,
+            tiebreak_col,
+            F.col("_v").alias("value"),
+            F.col("_lo").alias("lo"),
+            F.col("_hi").alias("hi"),
+            F.least(F.greatest(F.col("_v"), F.col("_lo")), F.col("_hi")).alias(
+                "value_clipped"
+            ),
+            ((F.col("_v") < F.col("_lo")) | (F.col("_v") > F.col("_hi"))).alias(
+                "was_clipped"
+            ),
         )
     )

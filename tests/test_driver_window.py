@@ -125,7 +125,9 @@ def test_changed_or_new_rows_in_window():
     # rotated out in r3). Round-3 changed/new set:
     for n in (
         "ns_minhash_lsh_candidates",  # impl changed (band materialization)
-        "o2_bulk_append",             # new: distributed bulk write path
+        # (o2_bulk_append rotated out late r6 for ns_quantile_clip —
+        #  r5-driver-green; the delete_seqs addition does not touch the
+        #  bulk-append path, covered by test_bulk_append.py + live gate)
         "ns_lsh_ann_topk_md5",
         # (ns_lsh_ann_recall10 / ns_ivf_ann_recall10 rotated out late
         #  r6 for ns_pagerank / ts_gapfill_locf — r5-driver-green,
@@ -256,6 +258,7 @@ def test_changed_or_new_rows_in_window():
         #  r5-driver-green, views/reduce.py untouched all round)
         "stream_locf_grid",
         "scd2_point_in_time",
+        "ns_quantile_clip",
     ):
         assert n in _window_names(), n
 

@@ -177,3 +177,41 @@ def test_retrieval_selection_family_plan_shapes(plans):
     assert "BroadcastHashJoin" not in p and "HashAggregate" in p
     # bloom: one broadcast probe per hash slice + the exact semi-join
     assert plans("ns_bloom_cross_dedup").count("BroadcastHashJoin") >= 4
+
+
+def test_new_analytics_family_plans_are_keyed_joins(plans):
+    """The late-r6 analytics family must plan as keyed equi-joins with
+    partial aggregation — never a cartesian product, never Python in
+    the path (all four are pure built-in expressions)."""
+    for q in ("scd2_point_in_time", "ns_triangle_count", "ts_mad_outliers",
+              "ns_quantile_clip"):
+        p = plans(q)
+        assert "CartesianProduct" not in p, f"{q} degenerated to cartesian"
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{q} dropped into Python"
+        )
+
+
+def test_pagerank_iteration_has_partial_aggregation(spark, sf_dir):
+    """The inflow sum inside a PageRank iteration must be map-side
+    combinable (two HashAggregate levels around its shuffle) — the
+    property that makes power-law in-degree hubs scale without salting."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from flumedb_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(i, (i * 3) % 40) for i in range(200)], "src long, dst long"
+    )
+    nd = spark.createDataFrame([(i,) for i in range(200)], "node_id long")
+    out = pagerank(e, nd, iterations=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    # partial + final aggregate pair for the inflow sum
+    assert p.count("HashAggregate") >= 2, p

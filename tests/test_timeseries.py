@@ -146,3 +146,41 @@ def test_mad_partitioning_invariance(spark):
     a = sorted(map(tuple, mad_outliers(df, **kw).collect()))
     b = sorted(map(tuple, mad_outliers(df.repartition(11, "v"), **kw).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# rank_quantile / quantile_clip
+# ---------------------------------------------------------------------
+
+from flumedb_spark.operators.timeseries import quantile_clip, rank_quantile  # noqa: E402
+
+
+def test_rank_quantile_exact_ranks(spark):
+    # 10 values 1..10: ceil(10*0.05)=1 -> 1.0; ceil(10*0.5)=5 -> 5.0;
+    # ceil(10*0.95)=10 -> 10.0; q=1 -> max
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(1, 11)], "k long, id long, v double"
+    )
+    for num, den, want in [(5, 100, 1.0), (1, 2, 5.0), (95, 100, 10.0), (1, 1, 10.0)]:
+        got = rank_quantile(df, "k", "v", "id", num, den, "q").collect()
+        assert [(r["k"], r["q"]) for r in got] == [(1, want)], (num, den)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rank_quantile(df, "k", "v", "id", 0, 100, "q")
+
+
+def test_quantile_clip_saturates_tails_only(spark):
+    # 20 values: 1..18 baseline plus two extremes
+    rows = [(1, i, float(i)) for i in range(1, 19)] + [(1, 98, -1000.0), (1, 99, 1000.0)]
+    df = spark.createDataFrame(rows, "k long, id long, v double")
+    out = {r["id"]: r for r in quantile_clip(df, "k", "v", "id").collect()}
+    # n=20: lo rank ceil(20*.05)=1 -> -1000.0 is itself the p05 (not
+    # clipped); hi rank ceil(20*.95)=19 -> 18.0, so 1000.0 clips to 18
+    assert out[99]["was_clipped"] and out[99]["value_clipped"] == 18.0
+    assert not out[98]["was_clipped"]
+    assert all(not out[i]["was_clipped"] for i in range(1, 19))
+    # clipped values only ever saturate to observed values
+    assert all(
+        out[i]["value_clipped"] in [r[2] for r in rows] for i in out
+    )
