@@ -114,6 +114,24 @@ def main() -> None:
     stats = db.by_source.snapshot().collect()
     print(f"sources tracked: {len(stats)}; total chars "
           f"{int(sum(r.s for r in stats))}")
+
+    # 4. right-to-be-forgotten: a takedown request arrives for one
+    # source — redact it from the LOG (not just the views), rebuild,
+    # and vacuum so the bytes are physically gone
+    victim_src = appended[0]["source"]
+    before = len(db.keeper.keys())
+    n_gone = db.delete_where(
+        f"get_json_object(value, '$.source') = '{victim_src}'"
+    )
+    assert n_gone > 0
+    assert len(db.keeper.keys()) <= before  # views rebuilt over redacted log
+    db.log.vacuum(older_than_seconds=0)
+    left = {
+        r["value"]["source"] for r in db.stream()
+    }
+    assert victim_src not in left, "redacted source still readable"
+    print(f"redacted {n_gone} docs from source {victim_src!r}; "
+          f"{len(db.keeper.keys())} distinct texts remain ✓")
     db.close()
     spark.stop()
 
