@@ -115,7 +115,12 @@ DRIVER_WINDOW: list[str] = [
     # sf0.01 in r5, still live-gated every suite run — freeing slots for
     # the new r6 rows below; o2/o3/o4 keep the core-O family in-window)
     "o3_get_point",
-    "o4_stream_reverse_topk",
+    # (o4_stream_reverse_topk rotated out late r6 — r5-driver-green at
+    # sf0.01; this round's engine.py/log.py additions (delete_where /
+    # delete_seqs, maintain hooks) do not touch the stream_df path,
+    # which stays covered by test_engine/test_properties + the live
+    # gate — slot goes to the new ns_shortest_paths BFS row)
+    "ns_shortest_paths",
     # (o2_bulk_append rotated out late r6 — r5-driver-green at sf0.01;
     # this round's log.py change (delete_seqs) is an addition that does
     # not touch the bulk-append path, which stays covered by

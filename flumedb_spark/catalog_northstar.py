@@ -3063,3 +3063,61 @@ def ns_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+_SSSP_DUCK = """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    eds AS (SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0),
+    reach(node_id, d) AS (
+      SELECT * FROM (VALUES (CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+                            (CAST(7 AS BIGINT), CAST(0 AS BIGINT))) v
+      UNION
+      SELECT e.dst, r.d + 1 FROM reach r
+      JOIN eds e ON e.src = r.node_id
+      WHERE r.d < 12
+    )
+    SELECT node_id,
+      CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        AS node_type,
+      min(d) AS dist
+    FROM reach GROUP BY node_id ORDER BY node_id
+"""
+
+
+@query("ns_shortest_paths", oracle=_SSSP_DUCK)
+def ns_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distances (graph.shortest_paths) from suppliers
+    1 and 3 over the bidirectional purchase graph — semi-naive frontier
+    relaxation to an exact fixpoint; the distance leg of the graph
+    family (components / centrality / triangles / distances). Oracle:
+    recursive-CTE BFS (depth-capped far above the graph's eccentricity;
+    the Spark side runs to true convergence)."""
+    from .operators import graph as _graph
+
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    srcs = spark.createDataFrame([(3,), (7,)], "node_id long")
+    d = _graph.shortest_paths(edges, srcs)
+    return d.select(
+        "node_id",
+        F.when(F.col("node_id") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("node_type"),
+        "dist",
+    ).orderBy("node_id")

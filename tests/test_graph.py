@@ -146,3 +146,54 @@ def test_triangles_partitioning_invariance(spark):
     a = sorted(map(tuple, triangle_counts(df).collect()))
     b = sorted(map(tuple, triangle_counts(df.repartition(9, "v")).collect()))
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------
+# shortest_paths
+# ---------------------------------------------------------------------
+
+from flumedb_spark.operators.graph import shortest_paths  # noqa: E402
+
+
+def _sp(spark, edges, srcs, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(v,) for v in srcs], "node_id long")
+    return {r["node_id"]: r["dist"] for r in shortest_paths(e, s, **kw).collect()}
+
+
+def test_bfs_multi_source_and_unreachable(spark):
+    # two components: 1-2-3-4 chain (undirected) and isolated pair 8-9
+    chain = [(1, 2), (2, 3), (3, 4)]
+    edges = [(a, b) for a, b in chain] + [(b, a) for a, b in chain] + [(8, 9)]
+    got = _sp(spark, edges, [1, 4])
+    assert got == {1: 0, 2: 1, 3: 1, 4: 0}  # min over both sources
+    assert 8 not in got and 9 not in got    # unreachable: absent
+
+
+def test_bfs_directed_vs_reverse(spark):
+    edges = [(1, 2), (2, 3)]
+    assert _sp(spark, edges, [1]) == {1: 0, 2: 1, 3: 2}
+    assert _sp(spark, edges, [3]) == {3: 0}  # no reverse edges
+
+
+def test_bfs_cycle_terminates_exactly(spark):
+    ring = [(i, (i + 1) % 10) for i in range(10)]
+    got = _sp(spark, ring, [0])
+    assert got == {i: i for i in range(10)}  # directed ring: dist == index
+
+
+def test_bfs_round_cap_raises(spark):
+    edges = [(i, i + 1) for i in range(6)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="did not converge"):
+        _sp(spark, edges, [0], max_rounds=3)
+
+
+def test_bfs_partitioning_invariance(spark):
+    edges = [(i, (i * 5 + 1) % 17) for i in range(17)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node_id long")
+    a = sorted(map(tuple, shortest_paths(e, s).collect()))
+    b = sorted(map(tuple, shortest_paths(e.repartition(7, "dst"), s).collect()))
+    assert a == b and len(a) > 1
