@@ -198,7 +198,11 @@ DRIVER_WINDOW: list[str] = [
     "ns_substring_dedup",
     "ns_minhash_lsh_candidates",
     "ns_neardup_clusters",
-    "ns_simhash_md5",
+    # (ns_simhash_md5 rotated out late r6 — r5-driver-green; this
+    # round's dedup.py changes are all NEW functions, the SimHash path
+    # is untouched and live-gated — slot goes to the new change-feed
+    # derivation row)
+    "cdc_snapshot_diff",
     # (ns_similarity_topk and ns_embedding_neardup rotated out late r6
     # — both r5-driver-green; the JVM-expression path stays covered by
     # ns_similarity_topk_np's plan twin + the live gate, and the dedup

@@ -3121,3 +3121,57 @@ def ns_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         "dist",
     ).orderBy("node_id")
+
+
+_SNAPDIFF_DUCK = """
+    WITH oldv AS (
+      SELECT event_id, user_id, value FROM events WHERE event_id % 7 != 0
+    ),
+    newv AS (
+      SELECT event_id, user_id,
+        CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value
+      FROM events WHERE event_id % 5 != 0
+    ),
+    ins AS (
+      SELECT n.event_id, n.user_id, n.value, 'inserted' AS change
+      FROM newv n LEFT JOIN oldv o USING (event_id) WHERE o.event_id IS NULL
+    ),
+    del AS (
+      SELECT o.event_id, o.user_id, o.value, 'deleted' AS change
+      FROM oldv o LEFT JOIN newv n USING (event_id) WHERE n.event_id IS NULL
+    ),
+    upd AS (
+      SELECT n.event_id, n.user_id, n.value, 'updated' AS change
+      FROM newv n JOIN oldv o USING (event_id)
+      WHERE n.user_id IS DISTINCT FROM o.user_id
+         OR n.value IS DISTINCT FROM o.value
+    )
+    SELECT event_id, user_id, round(value, 6) AS value, change
+    FROM (SELECT * FROM ins UNION ALL SELECT * FROM del
+          UNION ALL SELECT * FROM upd) t
+    ORDER BY change, event_id
+"""
+
+
+@query("cdc_snapshot_diff", oracle=_SNAPDIFF_DUCK)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed derivation between two table versions
+    (cdc.snapshot_diff) — inserted / deleted / updated rows under
+    null-safe comparison, the audit query the Delta/Iceberg readers'
+    time travel exists to answer. Two anti-joins + one inner join, one
+    key shuffle serves all three legs."""
+    ev = spark.table("events")
+    oldv = ev.where(F.col("event_id") % 7 != 0).select(
+        "event_id", "user_id", "value"
+    )
+    newv = ev.where(F.col("event_id") % 5 != 0).select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = _cdc.snapshot_diff(oldv, newv, "event_id")
+    return out.select(
+        "event_id", "user_id", F.round("value", 6).alias("value"), "change"
+    ).orderBy("change", "event_id")

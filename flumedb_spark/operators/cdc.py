@@ -78,3 +78,49 @@ def point_in_time_join(
     return f.join(h, cond, how).select(
         "f.*", *[F.col(f"h.{c}").alias(f"dim_{c}") for c in dim_cols]
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | str,
+) -> DataFrame:
+    """Derive a change feed from two snapshots — the REVERSE of
+    ``upsert_snapshot``/``scd2_apply``: rows keyed by ``key_cols``
+    classified as ``inserted`` (key only in new), ``deleted`` (key only
+    in old), or ``updated`` (key in both, any non-key column differs
+    under null-safe comparison). The audit query every versioned table
+    exists to answer ("what changed between v3 and v7"), composing with
+    the Delta/Iceberg readers' time travel.
+
+    Emits the NEW side's values for inserted/updated and the OLD side's
+    for deleted, plus a ``change`` column. Plan: two anti-joins + one
+    inner join, all equi on the key (co-partitioned; at 100 TB one key
+    shuffle serves all three legs). Schemas must match.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if set(old.columns) != set(new.columns):
+        raise ValueError("snapshot schemas must match")
+    val_cols = [c for c in new.columns if c not in keys]
+    cols = keys + val_cols
+
+    inserted = new.join(old.select(*keys), keys, "left_anti").select(
+        *cols, F.lit("inserted").alias("change")
+    )
+    deleted = old.join(new.select(*keys), keys, "left_anti").select(
+        *cols, F.lit("deleted").alias("change")
+    )
+    n, o = new.alias("n"), old.alias("o")
+    changed_pred = None
+    for c in val_cols:
+        p = ~F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+        changed_pred = p if changed_pred is None else (changed_pred | p)
+    if changed_pred is None:  # key-only schema: nothing can "update"
+        return inserted.unionAll(deleted)
+    updated = (
+        n.join(o, keys)
+        .where(changed_pred)
+        .select(*[F.col(f"n.{c}").alias(c) if c in val_cols else F.col(c) for c in cols])
+        .withColumn("change", F.lit("updated"))
+    )
+    return inserted.unionAll(deleted).unionAll(updated)

@@ -112,6 +112,10 @@ def test_all_northstar_ops_in_window():
         # this round; their topk rows keep each ANN leg in-window
         "ns_lsh_ann_recall10",
         "ns_ivf_ann_recall10",
+        # late-r6 rotation for the new cdc_snapshot_diff row
+        # (r5-driver-green; this round's dedup.py changes are all NEW
+        # functions — the SimHash path is untouched and live-gated)
+        "ns_simhash_md5",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -263,6 +267,7 @@ def test_changed_or_new_rows_in_window():
         "scd2_point_in_time",
         "ns_quantile_clip",
         "ns_shortest_paths",
+        "cdc_snapshot_diff",
     ):
         assert n in _window_names(), n
 

@@ -700,3 +700,42 @@ def test_point_in_time_join_semantics(spark):
         (2, 5): "w1",
     }
     assert out.count() == facts.count()  # at most one version per fact
+
+
+def test_snapshot_diff_semantics(spark):
+    """cdc.snapshot_diff: inserted/deleted/updated classification under
+    null-safe comparison (NULL -> value and value -> NULL are updates;
+    NULL == NULL is unchanged), key-only schemas, mismatch guard."""
+    import pytest as _pytest
+
+    from flumedb_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None), (5, "e")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (4, None), (6, "f")],
+        "k long, v string",
+    )
+    got = {
+        (r["k"], r["change"]): r["v"]
+        for r in snapshot_diff(old, new, "k").collect()
+    }
+    assert got == {
+        (2, "updated"): "B",   # value changed (new side emitted)
+        (3, "updated"): "c",   # NULL -> value is an update
+        (5, "deleted"): "e",   # old side emitted
+        (6, "inserted"): "f",
+    }
+    # k=1 (unchanged) and k=4 (NULL == NULL) are absent
+
+    ko = spark.createDataFrame([(1,), (2,)], "k long")
+    kn = spark.createDataFrame([(2,), (3,)], "k long")
+    only_keys = {
+        (r["k"], r["change"]) for r in snapshot_diff(ko, kn, "k").collect()
+    }
+    assert only_keys == {(1, "deleted"), (3, "inserted")}
+
+    with _pytest.raises(ValueError, match="schemas must match"):
+        snapshot_diff(old, new.withColumnRenamed("v", "w"), "k")
