@@ -739,3 +739,32 @@ def test_snapshot_diff_semantics(spark):
 
     with _pytest.raises(ValueError, match="schemas must match"):
         snapshot_diff(old, new.withColumnRenamed("v", "w"), "k")
+
+
+def test_snapshot_diff_roundtrip_applies(spark):
+    """Algebraic closure: applying the derived change feed to `old`
+    must reproduce `new` exactly — (old - deleted - updated keys) +
+    inserted + updated == new. Randomized-ish construction over a
+    deterministic grid of overlaps/updates/nulls."""
+    from pyspark.sql import functions as F
+
+    from flumedb_spark.operators.cdc import snapshot_diff
+
+    rows_old = [
+        (i, None if i % 11 == 0 else f"v{i % 7}") for i in range(0, 60, 2)
+    ]
+    rows_new = [
+        (i, None if i % 13 == 0 else f"v{(i * 3) % 7}") for i in range(0, 90, 3)
+    ]
+    old = spark.createDataFrame(rows_old, "k long, v string")
+    new = spark.createDataFrame(rows_new, "k long, v string")
+    feed = snapshot_diff(old, new, "k").cache()
+
+    gone = feed.where(F.col("change").isin("deleted", "updated")).select("k")
+    survivors = old.join(gone, "k", "left_anti")
+    applied = survivors.unionByName(
+        feed.where(F.col("change").isin("inserted", "updated")).select("k", "v")
+    )
+    got = sorted(map(tuple, applied.collect()))
+    want = sorted(rows_new)
+    assert got == want
