@@ -697,19 +697,36 @@ class ParquetLog:
 
         Returns the number of rows actually deleted. At 100 TB the
         footer prune keeps the rewrite proportional to affected files
-        (deletion batches cluster in recent files in practice); for
-        massive redaction sets pass seqs in batches — the seq list is
-        broadcast into the rewrite filter.
+        (deletion batches cluster in recent files in practice).
+        ``seqs`` may be an iterable (broadcast into the rewrite filter
+        — the takedown-batch form) or a single-column DataFrame of
+        seqs (anti-join rewrite — the bulk-redaction form: the target
+        set never passes through the driver; only its min/max/count
+        scalars do, for the footer prune and the no-op check).
         """
-        targets = sorted({int(s) for s in seqs})
-        if not targets:
-            return 0
+        target_df = None
+        if isinstance(seqs, DataFrame):
+            seq_col = seqs.columns[0]
+            target_df = seqs.select(
+                F.col(seq_col).cast("long").alias("seq")
+            ).distinct()
+            bounds = target_df.agg(
+                F.min("seq").alias("lo"),
+                F.max("seq").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            if bounds["n"] == 0:
+                return 0
+            smin, smax = int(bounds["lo"]), int(bounds["hi"])
+        else:
+            targets = sorted({int(s) for s in seqs})
+            if not targets:
+                return 0
+            smin, smax = targets[0], targets[-1]
         snap = self._load_meta()
         if snap["since"] < 0 or not snap.get("files"):
             return 0
         import pyarrow.parquet as pq
-
-        smin, smax = targets[0], targets[-1]
         affected = []
         for name in snap["files"]:
             md = pq.ParquetFile(os.path.join(self.data_dir, name)).metadata
@@ -735,7 +752,10 @@ class ParquetLog:
         paths = [os.path.join(self.data_dir, f) for f in affected]
         df = spark.read.schema(LOG_SCHEMA).parquet(*paths)
         before = df.count()
-        remaining = df.where(~F.col("seq").isin(targets))
+        if target_df is not None:
+            remaining = df.join(target_df, "seq", "left_anti")
+        else:
+            remaining = df.where(~F.col("seq").isin(targets))
         tmp = os.path.join(self.path, f"redact-{uuid.uuid4().hex[:8]}")
         (
             remaining.repartitionByRange(max(1, len(affected)), "seq")

@@ -144,3 +144,27 @@ def test_delete_propagates_through_delta_export(spark, tmp_log_dir):
         set(seqs) - {seqs[2], seqs[6]}
     )
     log.destroy()
+
+
+def test_delete_seqs_dataframe_targets_equivalent(spark, tmp_log_dir):
+    """The bulk-redaction form (DataFrame target set, anti-join rewrite)
+    must behave exactly like the list form — including the empty-set
+    no-op — with the target seqs never collected to the driver."""
+    la = ParquetLog(tmp_log_dir + "/list_form")
+    lb = ParquetLog(tmp_log_dir + "/df_form")
+    seqs_a = [la.append({"foo": i}) for i in range(15)]
+    seqs_b = [lb.append({"foo": i}) for i in range(15)]
+    victims = [s for i, s in enumerate(seqs_a) if i % 4 == 0]
+
+    assert la.delete_seqs(spark, victims) == len(victims)
+    vdf = spark.createDataFrame([(s,) for s in victims], "seq long")
+    assert lb.delete_seqs(spark, vdf) == len(victims)
+
+    left_a = sorted(r["seq"] for r in la.stream_df(spark).collect())
+    left_b = sorted(r["seq"] for r in lb.stream_df(spark).collect())
+    assert left_a == left_b == sorted(set(seqs_b) - set(victims))
+
+    empty = spark.createDataFrame([], "seq long")
+    assert lb.delete_seqs(spark, empty) == 0
+    la.destroy()
+    lb.destroy()
