@@ -114,13 +114,15 @@ DRIVER_WINDOW: list[str] = [
     # (r6: o1/o5/o7/o15 rotate back OUT — freshly driver-attested at
     # sf0.01 in r5, still live-gated every suite run — freeing slots for
     # the new r6 rows below; o2/o3/o4 keep the core-O family in-window)
-    "o3_get_point",
-    # (o4_stream_reverse_topk rotated out late r6 — r5-driver-green at
-    # sf0.01; this round's engine.py/log.py additions (delete_where /
-    # delete_seqs, maintain hooks) do not touch the stream_df path,
-    # which stays covered by test_engine/test_properties + the live
-    # gate — slot goes to the new ns_shortest_paths BFS row)
+    # (o3_get_point / o4_stream_reverse_topk rotated out late r6 — the
+    # whole core-O family was freshly driver-attested at sf0.01 in r5,
+    # and this round's engine.py/log.py additions (delete_where /
+    # delete_seqs, maintain hooks) are NEW surface that does not touch
+    # the get/stream read paths, which stay covered by
+    # test_engine/test_properties + the live gate — slots go to the new
+    # ns_shortest_paths / ns_weighted_paths distance rows)
     "ns_shortest_paths",
+    "ns_weighted_paths",
     # (o2_bulk_append rotated out late r6 — r5-driver-green at sf0.01;
     # this round's log.py change (delete_seqs) is an addition that does
     # not touch the bulk-append path, which stays covered by

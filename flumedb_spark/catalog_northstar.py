@@ -3175,3 +3175,61 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.round("value", 6).alias("value"), "change"
     ).orderBy("change", "event_id")
+
+
+_WSSSP_DUCK = """
+    WITH RECURSIVE pur AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    w AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS wt
+      FROM pur a JOIN pur b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT u, v FROM w ORDER BY wt DESC, u, v LIMIT 500),
+    ed AS (
+      SELECT u AS src, v AS dst, (u + v) % 5 + 1 AS cost FROM e
+      UNION ALL
+      SELECT v AS src, u AS dst, (u + v) % 5 + 1 AS cost FROM e
+    ),
+    reach(node_id, d) AS (
+      SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+                            (CAST(3 AS BIGINT), CAST(0 AS BIGINT))) s
+      UNION
+      SELECT ed.dst, r.d + ed.cost FROM reach r
+      JOIN ed ON ed.src = r.node_id
+      WHERE r.d + ed.cost < 64
+    )
+    SELECT node_id, min(d) AS dist FROM reach
+    GROUP BY node_id ORDER BY node_id
+"""
+
+
+@query("ns_weighted_paths", oracle=_WSSSP_DUCK)
+def ns_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (graph.shortest_paths with weight_col) —
+    distributed Bellman-Ford in label-correcting form over the top-500
+    co-purchase ties with deterministic integer edge costs
+    ((u+v)%5+1): the cheap multi-hop detour beats the heavy direct
+    edge, which unit-weight BFS cannot express. Oracle: recursive CTE
+    with a distance cap far above the graph's weighted diameter (the
+    Spark side runs to a true fixpoint)."""
+    from .operators import graph as _graph
+
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    pur = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    )
+    w = _graph.project_bipartite(pur, left_col="c", right_col="s")
+    top = w.orderBy(F.desc("weight"), "u", "v").limit(500).select("u", "v")
+    cost = ((F.col("u") + F.col("v")) % 5 + 1).alias("cost")
+    ed = top.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), cost
+    ).unionAll(
+        top.select(F.col("v").alias("src"), F.col("u").alias("dst"), cost)
+    )
+    srcs = spark.createDataFrame([(1,), (3,)], "node_id long")
+    d = _graph.shortest_paths(ed, srcs, weight_col="cost")
+    return d.orderBy("node_id")

@@ -220,12 +220,19 @@ def shortest_paths(
     edges: DataFrame,
     sources: DataFrame,
     max_rounds: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Unit-weight shortest-path distances from a source set (multi-
-    source BFS) by frontier-based relaxation run to an EXACT fixpoint —
-    the fourth leg of the graph family (components: star contraction;
-    centrality: PageRank; triangles: oriented enumeration; distances:
-    this).
+    """Shortest-path distances from a source set by frontier-based
+    relaxation run to an EXACT fixpoint — the fourth leg of the graph
+    family (components: star contraction; centrality: PageRank;
+    triangles: oriented enumeration; distances: this). Unit weights by
+    default (multi-source BFS); pass ``weight_col`` for NON-NEGATIVE
+    integer edge weights (distributed Bellman-Ford in its
+    label-correcting form: a node whose distance improves re-enters the
+    frontier and re-relaxes its out-edges — correct for any
+    non-negative weights; negative weights raise). With weights,
+    rounds needed = the max HOP COUNT over shortest paths (<= n-1),
+    not the weighted eccentricity.
 
     Per round: the frontier (nodes whose distance improved last round)
     joins the edge list once, candidate distances merge into the
@@ -245,12 +252,29 @@ def shortest_paths(
     and the frontier SHRINKS once the BFS wave passes the bulk of the
     graph.
     """
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
+    )
     e = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        edges.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            w_expr.alias("_w"),
+        )
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
+        # parallel edges keep only the cheapest (the only one that can
+        # ever be on a shortest path)
+        .groupBy("src", "dst")
+        .agg(F.min("_w").alias("_w"))
         .localCheckpoint(eager=True)
     )
+    if weight_col is not None:
+        wmin = e.agg(F.min("_w").alias("m")).collect()[0]["m"]
+        if wmin is not None and wmin < 0:
+            raise ValueError(
+                "negative edge weights are not supported (Bellman-Ford "
+                "label-correcting assumes non-negative relaxation)"
+            )
     dist = (
         sources.select(F.col("node_id").cast("long"))
         .distinct()
@@ -265,7 +289,7 @@ def shortest_paths(
             frontier.join(e, frontier["node_id"] == e["src"])
             .select(
                 F.col("dst").alias("node_id"),
-                (F.col("dist") + F.lit(1)).alias("dist"),
+                (F.col("dist") + F.col("_w")).alias("dist"),
             )
             .groupBy("node_id")
             .agg(F.min("dist").alias("dist"))

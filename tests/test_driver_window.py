@@ -199,10 +199,10 @@ def test_changed_or_new_rows_in_window():
         # driver sf0.01 re-attestation after r1/r2 rotation); r6:
         # o1/o5/o7/o15 rotate back OUT (freshly r5-green at sf0.01,
         # live-gated every suite run) to free slots for the new r6 rows
-        "o3_get_point",
-        # (o4_stream_reverse_topk rotated out late r6 for
-        #  ns_shortest_paths — r5-driver-green; stream_df path untouched
-        #  by this round's engine/log additions, live-gated every run)
+        # (o3_get_point / o4_stream_reverse_topk rotated out late r6
+        #  for ns_shortest_paths / ns_weighted_paths — the core-O family
+        #  was freshly r5-driver-green at sf0.01 and its read paths are
+        #  untouched by this round's engine/log additions; live-gated)
         # r6 new rows: extraction stage (VERDICT-r5 #2), datafile-meta
         # promotion (#1), exact-substring dedup (#5)
         "ns_warc_bodies", "ns_archive_extract",
@@ -267,6 +267,7 @@ def test_changed_or_new_rows_in_window():
         "scd2_point_in_time",
         "ns_quantile_clip",
         "ns_shortest_paths",
+        "ns_weighted_paths",
         "cdc_snapshot_diff",
     ):
         assert n in _window_names(), n

@@ -197,3 +197,38 @@ def test_bfs_partitioning_invariance(spark):
     a = sorted(map(tuple, shortest_paths(e, s).collect()))
     b = sorted(map(tuple, shortest_paths(e.repartition(7, "dst"), s).collect()))
     assert a == b and len(a) > 1
+
+
+def test_weighted_cheap_detour_beats_direct_edge(spark):
+    # direct 1->4 weight 10; detour 1->2->3->4 weight 2+3+1 = 6
+    edges = [(1, 4, 10), (1, 2, 2), (2, 3, 3), (3, 4, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(1,)], "node_id long")
+    got = {
+        r["node_id"]: r["dist"]
+        for r in shortest_paths(e, s, weight_col="w").collect()
+    }
+    assert got == {1: 0, 2: 2, 3: 5, 4: 6}
+
+
+def test_weighted_parallel_edges_keep_cheapest_and_zero_weights(spark):
+    edges = [(1, 2, 7), (1, 2, 3), (2, 3, 0), (3, 4, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(1,)], "node_id long")
+    got = {
+        r["node_id"]: r["dist"]
+        for r in shortest_paths(e, s, weight_col="w").collect()
+    }
+    assert got == {1: 0, 2: 3, 3: 3, 4: 4}
+
+
+def test_weighted_negative_raises_and_unit_path_unchanged(spark):
+    import pytest as _pytest
+
+    e = spark.createDataFrame([(1, 2, -1)], "src long, dst long, w long")
+    s = spark.createDataFrame([(1,)], "node_id long")
+    with _pytest.raises(ValueError, match="negative edge weights"):
+        shortest_paths(e, s, weight_col="w")
+    # unit-weight default ignores the weight column entirely
+    got = {r["node_id"]: r["dist"] for r in shortest_paths(e, s).collect()}
+    assert got == {1: 0, 2: 1}
