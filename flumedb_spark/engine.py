@@ -711,19 +711,14 @@ class Flume:
         """Redact every committed record matching ``predicate`` — a SQL
         expression over the raw log frame (columns ``seq``, ``value``;
         with the json codec, ``get_json_object(value, '$.field')``
-        reaches into payloads). The matching seq set is collected
-        driver-side (bounded by the redaction batch, not the log) and
-        routed through :meth:`delete_seqs`."""
+        reaches into payloads). The matching seq set stays a DataFrame
+        end-to-end (the bulk-redaction form of :meth:`delete_seqs`), so
+        a broad predicate never materializes an unbounded seq list on
+        the driver (ADVICE r6)."""
         self._throw_if_closed()
-        rows = (
-            self.log.df(self.spark)
-            .where(predicate)
-            .select("seq")
-            .collect()
+        return self.delete_seqs(
+            self.log.df(self.spark).where(predicate).select("seq")
         )
-        if not rows:
-            return 0
-        return self.delete_seqs([r["seq"] for r in rows])
 
     # ---- lifecycle (O16/O18) -------------------------------------------
     def rebuild(self) -> None:

@@ -92,9 +92,16 @@ def spark_to_avro_schema(schema: T.StructType, name: str = "row") -> dict:
     return top
 
 
-def _to_avro_value(v, dt: T.DataType):
+def _to_avro_value(v, dt: T.DataType, tz: str = "UTC"):
     """Convert a pandas/python cell to the value shape the encoder
-    expects for the mapped Avro type."""
+    expects for the mapped Avro type.
+
+    ``tz``: the Spark session timezone. Arrow batches hand timestamps
+    to Python NAIVE in the session zone (Spark's documented toPandas/
+    mapInPandas conversion), so a naive value must be localized to
+    ``tz`` before taking epoch micros — treating it as UTC shifted
+    every written timestamp-micros by the zone offset whenever
+    spark.sql.session.timeZone != UTC (ADVICE r6)."""
     import datetime
     import decimal
 
@@ -117,21 +124,23 @@ def _to_avro_value(v, dt: T.DataType):
         ts = pd.Timestamp(v)
         if ts is pd.NaT:
             return None
-        return int(ts.value // 1000)  # ns -> us
+        if ts.tz is None:
+            ts = ts.tz_localize(tz)  # naive == session-local, per Arrow
+        return int(ts.value // 1000)  # ns (UTC epoch) -> us
     if isinstance(dt, T.DecimalType):
         d = decimal.Decimal(v).scaleb(dt.scale)
         unscaled = int(d.to_integral_value())
         n = max(1, (unscaled.bit_length() + 8) // 8)
         return unscaled.to_bytes(n, "big", signed=True)
     if isinstance(dt, T.ArrayType):
-        return [_to_avro_value(x, dt.elementType) for x in v]
+        return [_to_avro_value(x, dt.elementType, tz) for x in v]
     if isinstance(dt, T.MapType):
-        return {str(k): _to_avro_value(x, dt.valueType) for k, x in dict(v).items()}
+        return {str(k): _to_avro_value(x, dt.valueType, tz) for k, x in dict(v).items()}
     if isinstance(dt, T.StructType):
         if hasattr(v, "asDict"):
             v = v.asDict()
         return {
-            f.name: _to_avro_value(dict(v).get(f.name), f.dataType)
+            f.name: _to_avro_value(dict(v).get(f.name), f.dataType, tz)
             for f in dt.fields
         }
     if isinstance(dt, T.BinaryType):
@@ -158,13 +167,17 @@ def write_avro_ocf(
     schema = df.schema
     avro_schema = spark_to_avro_schema(schema, name=record_name)
     fields = [(f.name, f.dataType) for f in schema.fields]
+    # captured on the driver, closed over into the executor kernel:
+    # Arrow hands timestamps to Python naive in THIS zone
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: list[dict] = []
         for pdf in batches:
             for rec in pdf.to_dict("records"):
                 rows.append(
-                    {n: _to_avro_value(rec.get(n), dt) for n, dt in fields}
+                    {n: _to_avro_value(rec.get(n), dt, session_tz)
+                     for n, dt in fields}
                 )
         if not rows:
             yield pd.DataFrame({"file": [], "n_records": []})

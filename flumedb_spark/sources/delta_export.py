@@ -119,12 +119,25 @@ def read_delta_snapshot(table_root: str, at_version: int | None = None) -> dict:
                     "files": files, "metaData": meta, "protocol": proto,
                     "version": cv,
                 }
-        except (KeyError, ValueError, OSError):
-            # unreadable hint/checkpoint: fall back to the full replay
+        except (KeyError, ValueError, OSError) as exc:
+            # unreadable hint/checkpoint: fall back to the full replay —
+            # but ONLY when the JSON log is complete from version 0.
+            # After clean_delta_log has removed the commits a checkpoint
+            # covers, a "full replay" over the surviving JSONs would
+            # silently return an incomplete file set (wrong data); a
+            # gapped log with a dead checkpoint is unreadable, and the
+            # honest answer is an error (ADVICE r6, medium).
             files, meta, proto = set(), None, None
             versions = _existing_versions(delta_dir)
             if at_version is not None:
                 versions = [v for v in versions if v <= at_version]
+            if not versions or versions != list(range(0, versions[-1] + 1)):
+                raise OSError(
+                    f"delta: checkpoint in {delta_dir} is unreadable and the "
+                    f"JSON log is gapped (earliest surviving commit "
+                    f"{versions[0] if versions else None}); refusing a "
+                    "replay that would return an incomplete snapshot"
+                ) from exc
     for v in versions:
         with open(_version_path(delta_dir, v)) as f:
             for line in f:

@@ -205,6 +205,21 @@ def _load_metadata(table_root: str, version: int) -> dict | None:
         return None
 
 
+def _current_schema(md: dict) -> dict | None:
+    """The schema whose schema-id equals the table's current-schema-id
+    (spec: `schemas` is a LIST across evolution; index 0 is only the
+    oldest). Falls back to schemas[0] for writers that omit the id —
+    ADVICE r6: foreign tables with schema evolution resolved the wrong
+    schema before this."""
+    schemas = md.get("schemas") or [None]
+    cur = md.get("current-schema-id")
+    if cur is not None:
+        for s in schemas:
+            if isinstance(s, dict) and s.get("schema-id") == cur:
+                return s
+    return schemas[0]
+
+
 def read_iceberg_snapshot(table_root: str, snapshot_id: int | None = None) -> dict:
     """Replay reader (the conformance half): walk version-hint ->
     metadata.json -> current snapshot -> manifest list (Avro) ->
@@ -229,7 +244,7 @@ def read_iceberg_snapshot(table_root: str, snapshot_id: int | None = None) -> di
     if snap_id in (None, -1):
         return {"version": version, "snapshot_id": None,
                 "sequence_number": md.get("last-sequence-number", 0),
-                "files": files, "schema": md.get("schemas", [None])[0]}
+                "files": files, "schema": _current_schema(md)}
     try:
         snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap_id)
     except StopIteration:
@@ -251,9 +266,16 @@ def read_iceberg_snapshot(table_root: str, snapshot_id: int | None = None) -> di
                 seq = e.get("sequence_number")
                 if seq is None:
                     seq = mf["sequence_number"]
+                # the snapshot a file was ADDED at (spec: entry
+                # snapshot_id is the adding snapshot, preserved on
+                # EXISTING restatements); inherit from the manifest's
+                # added_snapshot_id when a foreign writer nulled it
+                add_snap = e.get("snapshot_id")
+                if add_snap is None:
+                    add_snap = mf.get("added_snapshot_id", snap_id)
                 files[d["file_path"]] = (
                     d["record_count"], d["file_size_in_bytes"], seq,
-                    _bounds_maps(d),
+                    _bounds_maps(d), add_snap,
                 )
     return {
         "version": version,
@@ -264,7 +286,7 @@ def read_iceberg_snapshot(table_root: str, snapshot_id: int | None = None) -> di
             "sequence-number", md.get("last-sequence-number", 0)
         ),
         "files": files,
-        "schema": md.get("schemas", [None])[0],
+        "schema": _current_schema(md),
     }
 
 
@@ -367,16 +389,19 @@ def export_iceberg_metadata(log) -> int:
         stats = {}
         for path in sorted(current):
             if path in prev_files:
-                # an EXISTING entry keeps the data sequence number it
-                # was ADDED at (spec: existing entries must preserve
-                # it), carried through the replay read — NOT the
-                # previous snapshot's head sequence
-                rc, size, add_seq, bounds = prev_files[path]
+                # an EXISTING entry keeps BOTH the data sequence number
+                # and the snapshot_id it was ADDED at (spec: existing
+                # entries preserve their adding snapshot, so external
+                # incremental scans / metadata tables attribute files
+                # correctly — ADVICE r6), carried through the replay
+                # read — NOT the new snapshot's head values
+                rc, size, add_seq, bounds, add_snap = prev_files[path]
                 status = _ENTRY_EXISTING
             else:
                 rc = _parquet_row_count(path)
                 size = os.path.getsize(path)
                 add_seq = seq_num
+                add_snap = snapshot_id
                 status = _ENTRY_ADDED
                 # seq min/max from the parquet footer -> manifest-level
                 # file pruning for range scans (field-id 1 == seq)
@@ -405,7 +430,7 @@ def export_iceberg_metadata(log) -> int:
             entries.append(
                 {
                     "status": status,
-                    "snapshot_id": snapshot_id,
+                    "snapshot_id": add_snap,
                     "sequence_number": add_seq,
                     "file_sequence_number": None,
                     "data_file": data_file,

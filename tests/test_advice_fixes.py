@@ -533,3 +533,147 @@ def test_ogg_truncated_page_and_spanning_packet_rejected():
     pkt260 = pkt + b"\x00" * 241
     head2 = good[:26] + bytes([2, 255, 5])
     assert mm.decode_ogg_meta(head2 + pkt260)["codec"] == "opus"
+
+
+# ---- round-6 advisor findings ----------------------------------------
+
+
+def test_delta_gapped_log_with_dead_checkpoint_raises(spark, tmp_path):
+    """A cleaned Delta log whose checkpoint is then corrupted must
+    ERROR, not silently replay the surviving (gapped) JSONs into an
+    incomplete snapshot (ADVICE r6, medium)."""
+    import glob
+
+    from flumedb_spark.engine import Flume
+    from flumedb_spark.sources import delta_export as de
+
+    db = Flume(str(tmp_path / "log"), spark=spark)
+    for i in range(6):
+        db.append({"i": i})
+        de.export_delta_log(db.log, checkpoint_interval=None)
+    delta_dir = os.path.join(db.log.path, "_delta_log")
+    de.write_delta_checkpoint(db.log.path)
+    cleaned = de.clean_delta_log(db.log.path, keep_versions=2)
+    assert cleaned["deleted"] > 0, "cleaning must remove covered commits"
+    assert de.read_delta_snapshot(db.log.path)["files"]  # healthy via ckpt
+    ckpts = glob.glob(os.path.join(delta_dir, "*.checkpoint.parquet"))
+    assert ckpts, "test needs a checkpoint to corrupt"
+    for c in ckpts:
+        with open(c, "wb") as f:
+            f.write(b"not parquet")
+    with pytest.raises(OSError):
+        de.read_delta_snapshot(db.log.path)
+    db.close()
+
+
+def test_iceberg_existing_entries_keep_adding_snapshot_id(spark, tmp_path):
+    """Spec: a manifest entry's snapshot_id is the snapshot where the
+    file was ADDED; restating it as EXISTING in a later snapshot must
+    carry the original id forward (ADVICE r6)."""
+    from flumedb_spark.engine import Flume
+    from flumedb_spark.operators.archives import avro_records
+    from flumedb_spark.sources import iceberg_export as ie
+
+    db = Flume(str(tmp_path / "log"), spark=spark)
+    db.append({"i": 1})
+    v1 = ie.export_iceberg_metadata(db.log)
+    db.append({"i": 2})
+    v2 = ie.export_iceberg_metadata(db.log)
+    assert v2 > v1
+    snap = ie.read_iceberg_snapshot(db.log.path)
+    # the v1 file restated as EXISTING must still say snapshot v1
+    meta_dir = os.path.join(db.log.path, "metadata")
+    lists = [f for f in os.listdir(meta_dir) if f.startswith(f"snap-{v2}-")]
+    assert lists
+    with open(os.path.join(meta_dir, lists[0]), "rb") as f:
+        mfs = avro_records(f.read())
+    with open(mfs[0]["manifest_path"], "rb") as f:
+        entries = avro_records(f.read())
+    by_status = {}
+    for e in entries:
+        by_status.setdefault(e["status"], []).append(e)
+    assert 0 in by_status, "expected an EXISTING restatement"
+    for e in by_status[0]:
+        assert e["snapshot_id"] == v1, "EXISTING entry lost its adding snapshot"
+    for e in by_status.get(1, []):
+        assert e["snapshot_id"] == v2
+    # the replay reader carries the adding snapshot through (5th slot)
+    assert {t[4] for t in snap["files"].values()} == {v1, v2}
+    db.close()
+
+
+def test_iceberg_schema_resolves_current_schema_id(tmp_path):
+    """Foreign metadata with schema evolution must resolve the schema
+    whose schema-id equals current-schema-id, not schemas[0]."""
+    from flumedb_spark.sources.iceberg_export import _current_schema
+
+    md = {
+        "current-schema-id": 1,
+        "schemas": [
+            {"schema-id": 0, "fields": [{"id": 1, "name": "old"}]},
+            {"schema-id": 1, "fields": [{"id": 1, "name": "new"}]},
+        ],
+    }
+    assert _current_schema(md)["fields"][0]["name"] == "new"
+    # writers that omit the id fall back to schemas[0]
+    assert _current_schema({"schemas": [{"schema-id": 0}]}) == {"schema-id": 0}
+
+
+def test_delete_where_stays_distributed(spark, tmp_path):
+    """delete_where must route through the DataFrame bulk-redaction
+    form — no driver-side seq list (ADVICE r6)."""
+    from unittest.mock import patch
+
+    from flumedb_spark.engine import Flume
+
+    db = Flume(str(tmp_path / "log"), spark=spark)
+    for i in range(10):
+        db.append({"i": i})
+    from pyspark.sql import DataFrame
+
+    seen = {}
+    orig = db.log.delete_seqs
+
+    def spy(spark_, seqs):
+        seen["type"] = type(seqs)
+        return orig(spark_, seqs)
+
+    with patch.object(db.log, "delete_seqs", side_effect=spy):
+        n = db.delete_where("get_json_object(value, '$.i') % 2 = 0")
+    assert n == 5
+    assert issubclass(seen["type"], DataFrame)
+    vals = sorted(
+        json.loads(r["value"])["i"]
+        for r in db.log.df(spark).select("value").collect()
+    )
+    assert vals == [1, 3, 5, 7, 9]
+    db.close()
+
+
+def test_avro_sink_timestamps_respect_session_timezone(spark, tmp_path):
+    """timestamp-micros must be UTC epoch micros regardless of
+    spark.sql.session.timeZone (ADVICE r6): a naive session-local
+    wall-clock is localized, not mis-read as UTC."""
+    import datetime
+
+    from flumedb_spark.sources.avro_sink import read_avro_ocf, write_avro_ocf
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # 2024-01-15 12:00:00 in New York == 17:00 UTC
+        df = spark.sql(
+            "SELECT 1 AS id, timestamp'2024-01-15 12:00:00' AS ts"
+        )
+        out = str(tmp_path / "tz_avro")
+        write_avro_ocf(df.coalesce(1), out)
+        recs = read_avro_ocf(spark, out, logical=False)
+        want_us = int(
+            datetime.datetime(
+                2024, 1, 15, 17, 0, 0, tzinfo=datetime.timezone.utc
+            ).timestamp()
+            * 1_000_000
+        )
+        assert recs[0]["ts"] == want_us
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -435,7 +435,7 @@ def test_column_bounds_and_manifest_pruning(tmp_path, spark):
 
     snap = read_iceberg_snapshot(log.path)
     assert len(snap["files"]) == 3
-    for rc, size, seq, bounds in snap["files"].values():
+    for rc, size, seq, bounds, add_snap in snap["files"].values():
         assert bounds is not None and 1 in bounds
         lo = int.from_bytes(bounds[1][0], "little", signed=True)
         hi = int.from_bytes(bounds[1][1], "little", signed=True)

@@ -170,6 +170,14 @@ def test_retrieval_selection_family_plan_shapes(plans):
         assert "Python" not in p, name
         assert "SortMergeJoin" not in p, name
         assert "CartesianProduct" not in p, name
+    # r7 (VERDICT r6 #2): DSIR's corpus-global quartile must never be a
+    # single-partition ntile window — the fix replaces it with the
+    # distributed rank path (range repartition + pid-partitioned
+    # row_number + broadcast offsets), so `ntile` must be absent from
+    # the plan and the remaining window must be pid-partitioned.
+    p = plans("ns_dsir_weights")
+    assert "ntile" not in p, "DSIR regressed to a global ntile window"
+    assert "row_number" in p and "_pid" in p
     p = plans("ns_bm25_topk")
     assert "TakeOrderedAndProject" in p
     # zero data-sized shuffles: per-term tf is a JVM array expression,

@@ -352,3 +352,54 @@ def test_setsim_prefix_equals_bruteforce_random(spark, token_docs):
         for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
     }
     assert fast == brute
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 4, 5, 7, 8, 97, 100])
+def test_global_ntile_matches_window_ntile(spark, n):
+    """The distributed rank path (range repartition + pid-partitioned
+    row_number + broadcast offsets + closed-form tile arithmetic) must
+    reproduce SQL ntile(4) bit-for-bit across every n % 4 residue,
+    including the degenerate n < tiles cases."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, (i * 37) % 53) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, score long") if rows else (
+        spark.createDataFrame([], "doc_id long, score long")
+    )
+    got = (
+        selection.global_ntile(
+            df, [F.col("score").desc(), F.col("doc_id")], 4, "t"
+        )
+        .select("doc_id", "t")
+        .collect()
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    want = df.select("doc_id", F.ntile(4).over(w).cast("int").alias("t")).collect()
+    assert sorted((r.doc_id, r.t) for r in got) == sorted(
+        (r.doc_id, r.t) for r in want
+    )
+
+
+def test_global_ntile_plan_has_no_unpartitioned_window(spark):
+    """The scale contract itself: no single-partition WindowExec in the
+    distributed ntile's plan (the only Window is partitioned by the
+    range-shuffle pid), and the metadata-side offsets join broadcasts."""
+    import contextlib
+    import io
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17).alias("score")
+    )
+    out = selection.global_ntile(
+        df, [F.col("score").desc(), F.col("doc_id")], 4, "t"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "ntile" not in p
+    assert "row_number" in p
+    # the data-sized window is partitioned (its spec lists _pid); an
+    # unpartitioned window would plan an Exchange SinglePartition over
+    # the full input instead of the pid hash exchange
+    assert "_pid" in p
