@@ -8,8 +8,12 @@ actually runs them:
                                    length columns first)
       -> body extraction          (warc_bodies: response blocks only,
                                    HTTP headers stripped, 64 MiB cap)
-      -> text quality gates       (operators.text: length / token
-                                   stats, pure JVM column expressions)
+      -> HTML -> text             (html.html_text: stdlib-parser Arrow
+                                   kernel — strip script/style/tags,
+                                   decode entities, collapse whitespace)
+      -> text quality gates       (text.gopher_quality over the
+                                   EXTRACTED text + cheap length gates,
+                                   pure JVM column expressions)
       -> exact-substring dedup    (substring_dup_spans: md5-window
                                    shuffle, spans of >= W tokens shared
                                    with an earlier doc)
@@ -57,24 +61,54 @@ def main() -> None:
 
     # ---- stage 2: extract response bodies (headers stripped, capped)
     bodies = archives.warc_bodies(shards).where("ok AND NOT truncated")
-    texts = bodies.select(
-        # one doc per (shard, record): a stable numeric id for dedup
-        (F.col("doc_id") * 1000 + F.xxhash64("record_id") % 1000).alias("doc_id"),
+    pages = bodies.select(
+        # one doc per (shard, record): a stable, collision-free numeric
+        # id for dedup (the record index is embedded in record_id)
+        (
+            F.col("doc_id") * 1000
+            + F.regexp_extract("record_id", r":(\d+)>$", 1).cast("long")
+        ).alias("doc_id"),
         F.col("target_uri"),
-        # in production: decode(body, 'utf-8'). The synthetic bodies are
-        # opaque filler, so derive token-shaped text from the record —
-        # docs whose bodies collide on length become exact duplicates,
-        # which is what the dedup stage exists to catch
-        F.concat_ws(
-            " ",
-            F.array_repeat(
-                F.concat(F.lit("tok"), F.col("content_length") % 60), 12
+        # in production the body IS the page; the synthetic bodies are
+        # opaque filler, so wrap token-shaped words (derived from the
+        # record, length-colliding records become exact duplicates) in
+        # real markup — the extraction stage then has real work to do
+        F.concat(
+            F.lit("<html><head><title>page</title><style>p{}</style>"
+                  "</head><body><p>the text of "),
+            F.concat_ws(
+                " ",
+                F.array_repeat(
+                    F.concat(F.lit("tok"), F.col("content_length") % 60), 12
+                ),
             ),
-        ).alias("text"),
+            F.lit('</p> <a href="#">more</a></body></html>'),
+        ).alias("html"),
     )
 
-    # ---- stage 3: cheap quality gates BEFORE the dedup shuffle
-    texts = texts.where(F.length("text").between(10, 1_000_000))
+    # ---- stage 2b: HTML -> clean text (the stage every Common Crawl
+    # user hits on document one: strip markup/script/style, decode
+    # entities, collapse whitespace — Arrow-batched stdlib parser)
+    from flumedb_spark.operators.html import html_text
+
+    uris = pages.select("doc_id", "target_uri")
+    texts = (
+        html_text(pages)
+        .where("ok")
+        .join(uris, "doc_id")
+        .select("doc_id", "target_uri", "text")
+    )
+
+    # ---- stage 3: quality gates BEFORE the dedup shuffle — Gopher
+    # rules over the EXTRACTED text (word count / word length /
+    # alpha-fraction), then the cheap length gate
+    from flumedb_spark.operators.text import gopher_quality
+
+    quality = gopher_quality(texts, min_words=5, min_frac_alpha=0.5)
+    texts = (
+        texts.join(quality.where("keep = 1").select("doc_id"), "doc_id")
+        .where(F.length("text").between(10, 1_000_000))
+    )
 
     # ---- stage 4: exact-substring dedup (W=8 token shared spans)
     spans = substring_dup_spans(texts, window=8)

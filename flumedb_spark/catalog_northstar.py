@@ -702,6 +702,30 @@ def ns_warc_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_oracle() -> str:
+    from .operators.html import synthetic_html_oracle_sql
+
+    return synthetic_html_oracle_sql()
+
+
+@query("ns_html_text", oracle=_html_oracle())
+def ns_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> clean-text extraction (VERDICT-r6 #3) — the missing
+    stage between warc_bodies and the text-quality filters: per-doc
+    REAL pages (operators/html.with_synthetic_html_payload — head
+    noise, script/style blocks with <, >, && inside, comments, named +
+    numeric entities, inline tags wrapping corpus words, a link) run
+    through the stdlib-HTMLParser Arrow kernel
+    (operators/html.html_text). The oracle replays the expected
+    title/text/links arithmetically from the synthesis formula, so a
+    script leak, entity mishandling, or whitespace-gluing bug breaks
+    the value hash."""
+    from .operators import html as _html
+
+    pages = _html.with_synthetic_html_payload(spark.table("documents"))
+    return _html.html_text(pages).orderBy("doc_id")
+
+
 @query(
     "ns_archive_extract",
     oracle="""

@@ -1,0 +1,234 @@
+"""HTML -> clean text extraction — the Common Crawl ingest stage
+between ``archives.warc_bodies`` (raw HTTP bodies) and the text-quality
+filters (``text.gopher_quality``, ``selection.dsir_logweights``): turn
+markup into the visible text those stages are defined over.
+
+Kernel: a real incremental HTML parser (stdlib ``html.parser``, the
+robust tokenizer behind BeautifulSoup's 'html.parser' backend —
+character-reference decoding, attribute parsing, broken-markup
+recovery), run as an Arrow-batched ``mapInPandas`` kernel over binary
+or string pages (the codec-kernel shape of operators/archives.py and
+operators/jpegcodec.py: one Python dip total, Arrow both ways, corrupt
+pages yield ok=False rows instead of failing the job).
+
+Extraction spec (deterministic, engine-replayable):
+  * ``title``  — character data inside the first non-empty <title>,
+    whitespace-collapsed.
+  * ``text``   — all character data NOT inside <script>/<style>/
+    <title>/<template>/<noscript>, in document order, whitespace-
+    normalized: split on any whitespace run, join with single spaces.
+    Tags in the INLINE set (b/i/em/strong/u/s/span/sub/sup/code/
+    abbr/mark/small/big/wbr) are transparent — ``a<b>b</b>c`` stays
+    one word; every other tag is a word separator, so ``</h1><p>``
+    never glues a heading into the next paragraph (the lynx/
+    trafilatura convention). Comments, declarations, and processing
+    instructions contribute nothing.
+  * ``n_links`` — count of <a> start tags carrying an href attribute.
+  * entity decoding — full HTML5 named + numeric character references
+    (the parser's ``convert_charrefs``), i.e. html.unescape semantics.
+
+100 TB shape: per-page embarrassingly parallel (no shuffle at all —
+the stage inherits the upstream partitioning), Arrow-batched, input
+capped at ``cap`` bytes per page so a pathological page bounds memory;
+oversized pages are truncated at the cap and flagged rather than
+dropped (the warc_bodies contract). This is a Python-kernel stage by
+necessity — there is no Catalyst expression for stateful tag nesting —
+and it sits exactly where the pipeline already pays its one Python dip
+(the decode/extract stage), not in any relational hot path.
+
+Oracle strategy (the synth_zip/synth_warc pattern of
+operators/archives.py:92,531): ``with_synthetic_html_payload`` builds
+REAL pages from the documents table with pure SQL string functions —
+head/style/script/comment blocks, entity references, inline tags
+wrapping corpus words — so the DuckDB oracle replays what extraction
+MUST produce arithmetically from the same formula, and any kernel bug
+(script leakage, entity mishandling, whitespace gluing) breaks the
+value hash.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: per-page input cap — same bound as archives.MAX_MEMBER_BYTES
+MAX_PAGE_BYTES = 64 * 1024 * 1024
+
+_SKIP_CONTENT = {"script", "style", "template", "noscript"}
+
+#: tags transparent to word boundaries — everything else separates
+_INLINE = {
+    "b", "i", "em", "strong", "u", "s", "span", "sub", "sup", "code",
+    "abbr", "mark", "small", "big", "wbr",
+}
+
+HTML_TEXT_SCHEMA = (
+    "doc_id long, title string, text string, n_links long, "
+    "truncated boolean, ok boolean"
+)
+
+
+def _extract_one(page: str) -> tuple[str | None, str, int]:
+    """(title, text, n_links) per the module extraction spec."""
+    from html.parser import HTMLParser
+
+    class _X(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.chunks: list[str] = []
+            self.title_chunks: list[str] = []
+            self.n_links = 0
+            self._skip = 0  # nesting depth of skipped containers
+            self._in_title = False
+            self._title_done = False
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP_CONTENT:
+                self._skip += 1
+            elif tag == "title":
+                self._in_title = True
+            elif tag not in _INLINE and not self._skip:
+                self.chunks.append(" ")
+            if tag == "a" and any(k == "href" for k, _ in attrs):
+                self.n_links += 1
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP_CONTENT and self._skip:
+                self._skip -= 1
+            elif tag == "title":
+                self._in_title = False
+                if self.title_chunks:
+                    self._title_done = True
+            elif tag not in _INLINE and not self._skip:
+                self.chunks.append(" ")
+
+        def handle_data(self, data):
+            if self._in_title:
+                if not self._title_done:
+                    self.title_chunks.append(data)
+            elif not self._skip:
+                self.chunks.append(data)
+
+    p = _X()
+    p.feed(page)
+    p.close()
+    title = " ".join("".join(p.title_chunks).split()) or None
+    text = " ".join("".join(p.chunks).split())
+    return title, text, p.n_links
+
+
+def html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    cap: int = MAX_PAGE_BYTES,
+) -> DataFrame:
+    """(id, html) -> (id, title, text, n_links, truncated, ok).
+
+    ``html_col`` may be binary (WARC body bytes — decoded as UTF-8
+    with replacement, the Common Crawl default) or string. Pages past
+    ``cap`` bytes are truncated at the cap and flagged; a page the
+    parser cannot process yields one ok=False row (the corrupt-blob
+    contract of operators/archives.py)."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(html_col).alias("page")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "title", "text", "n_links", "truncated", "ok")
+            }
+            for doc_id, page in zip(pdf["doc_id"], pdf["page"]):
+                try:
+                    if page is None:
+                        raise ValueError("null page")
+                    if isinstance(page, (bytes, bytearray, memoryview)):
+                        raw = bytes(page)
+                        truncated = len(raw) > cap
+                        s = raw[:cap].decode("utf-8", errors="replace")
+                    else:
+                        s = str(page)
+                        truncated = len(s) > cap
+                        s = s[:cap]
+                    title, text, n_links = _extract_one(s)
+                    out["doc_id"].append(doc_id)
+                    out["title"].append(title)
+                    out["text"].append(text)
+                    out["n_links"].append(n_links)
+                    out["truncated"].append(truncated)
+                    out["ok"].append(True)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["title"].append(None)
+                    out["text"].append(None)
+                    out["n_links"].append(0)
+                    out["truncated"].append(False)
+                    out["ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, HTML_TEXT_SCHEMA)
+
+
+def with_synthetic_html_payload(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, html) REAL pages built from the corpus with pure SQL
+    string functions — deterministic, so a DuckDB oracle rebuilds the
+    expected extraction output from the same formula (the synth_warc
+    pattern). The page exercises every extraction hazard: head
+    noise (style/script with <, >, && inside), comments, entity
+    references (named + numeric), an inline tag wrapping corpus words,
+    multi-line whitespace, and a link.
+
+    Expected extraction (replayed by the oracle):
+      title   = 'Doc <id> & Co'
+      text    = 'Heading "<id>" <text with single spaces> tail <kept> '
+                '& fin link-<id%7>'
+      n_links = 1
+    """
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<!DOCTYPE html>\n<html>\n<head>\n  <title>\n  Doc "),
+        d,
+        F.lit(" &amp; Co\n  </title>\n"),
+        F.lit("  <style>\n    p { color: red; }\n  </style>\n"),
+        F.lit('  <script>\n    if (1 < 2 && 3 > 1) { x("<p>"); }\n  </script>\n'),
+        F.lit("</head>\n<body>\n  <!-- hidden "),
+        d,
+        F.lit(' -->\n  <h1 class="h">Heading &quot;'),
+        d,
+        F.lit("&quot;</h1>\n  <p>"),
+        # an inline tag wrapping a corpus word: transparent to text
+        F.regexp_replace(F.col(text_col), " the ", " <b>the</b> "),
+        F.lit("</p>\n  <p>tail &lt;kept&gt; &#38; fin</p>\n"),
+        F.lit('  <a href="http://ex.test/'),
+        d,
+        F.lit('">link-'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</a>\n</body>\n</html>\n"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def synthetic_html_oracle_sql() -> str:
+    """DuckDB twin: replay the expected extraction output of
+    ``html_text(with_synthetic_html_payload(documents))`` from the
+    synthesis formula (title/text/links arithmetic — no HTML parsing
+    in the oracle, exactly the archives-family pattern)."""
+    return """
+    SELECT doc_id,
+      'Doc ' || CAST(doc_id AS VARCHAR) || ' & Co' AS title,
+      'Heading "' || CAST(doc_id AS VARCHAR) || '" '
+        || regexp_replace(trim(text), ' +', ' ', 'g')
+        || ' tail <kept> & fin link-' || CAST(doc_id % 7 AS VARCHAR) AS text,
+      CAST(1 AS BIGINT) AS n_links,
+      false AS truncated,
+      true AS ok
+    FROM documents
+    ORDER BY doc_id
+    """

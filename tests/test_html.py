@@ -1,0 +1,133 @@
+"""Behavioral tests for operators/html.py — HTML -> clean-text
+extraction. The oracle gate (test_full_gate) pins cross-engine parity
+of ns_html_text; these pin the extraction SEMANTICS on hand-written
+pages: script/style/template/noscript skipping (nested), entity
+decoding, whitespace normalization, title capture, link counting,
+binary input, the corrupt-page contract, and the truncation cap."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flumedb_spark.operators import html as H
+
+
+def _run(spark, pages, **kw):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], "doc_id long, html string"
+    )
+    out = H.html_text(df, **kw).orderBy("doc_id").collect()
+    return out
+
+
+def test_basic_extraction(spark):
+    [r] = _run(
+        spark,
+        ["<html><head><title> A  B </title></head>"
+         "<body><h1>Hi</h1><p>one two</p></body></html>"],
+    )
+    assert r.title == "A B"
+    assert r.text == "Hi one two"
+    assert r.n_links == 0 and r.ok and not r.truncated
+
+
+def test_script_style_and_nesting_skipped(spark):
+    [r] = _run(
+        spark,
+        ["<body>keep1 <script>var a = '<p>fake</p>';</script>"
+         "<style>p { color: red }</style>"
+         "<noscript>no <b>js</b></noscript>"
+         "<template><div>tpl</div></template> keep2</body>"],
+    )
+    assert r.text == "keep1 keep2"
+
+
+def test_entities_and_charrefs_decoded(spark):
+    [r] = _run(
+        spark,
+        ["<body>&lt;tag&gt; &amp; &quot;q&quot; &#65;&#x42; &nbsp;end</body>"],
+    )
+    # &nbsp; decodes to U+00A0 which is whitespace for str.split()
+    assert r.text == '<tag> & "q" AB end'
+
+
+def test_inline_tags_transparent_and_blocks_split(spark):
+    [r] = _run(
+        spark,
+        ["<body><p>one <b>bold</b> two</p>\n<p>three</p></body>"],
+    )
+    assert r.text == "one bold two three"
+
+
+def test_links_counted_only_with_href(spark):
+    [r] = _run(
+        spark,
+        ['<body><a href="/x">x</a><a name="anchor">y</a>'
+         '<a href="">z</a></body>'],
+    )
+    assert r.n_links == 2
+    assert r.text == "x y z"
+
+
+def test_title_first_nonempty_wins(spark):
+    [r] = _run(
+        spark,
+        ["<head><title>first</title></head><body>"
+         "<svg><title>second</title></svg>body</body>"],
+    )
+    assert r.title == "first"
+    assert "body" in r.text
+
+
+def test_missing_title_is_null(spark):
+    [r] = _run(spark, ["<body>just text</body>"])
+    assert r.title is None and r.text == "just text"
+
+
+def test_binary_pages_decoded_utf8(spark):
+    df = spark.createDataFrame(
+        [(1, "<body>café &amp; bar</body>".encode())],
+        "doc_id long, html binary",
+    )
+    [r] = H.html_text(df).collect()
+    assert r.text == "café & bar" and r.ok
+
+
+def test_null_page_is_corrupt_row(spark):
+    df = spark.createDataFrame([(7, None)], "doc_id long, html string")
+    [r] = H.html_text(df).collect()
+    assert r.doc_id == 7 and not r.ok and r.text is None
+
+
+def test_truncation_cap(spark):
+    page = "<body>" + ("word " * 100) + "</body>"
+    [r] = _run(spark, [page], cap=30)
+    assert r.truncated
+    assert r.ok  # truncated is flagged, not failed
+    assert len(r.text) <= 30
+
+
+def test_malformed_markup_recovers(spark):
+    # unclosed tags, stray <, bogus entity: parser recovers, no crash
+    [r] = _run(spark, ["<body><p>a < b &bogus; <i>c</body>"])
+    assert r.ok
+    assert "a" in r.text and "c" in r.text
+
+
+def test_plan_is_single_python_stage_no_shuffle(spark):
+    """100 TB shape: the extraction is one Arrow-batched Python stage
+    inheriting upstream partitioning — no Exchange in the plan."""
+    import contextlib
+    import io
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("<body>"), F.col("id").cast("string"), F.lit("</body>")).alias("html"),
+    )
+    out = H.html_text(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert p.count("MapInPandas (") == 1  # one kernel node (tree + detail listing)
