@@ -121,14 +121,27 @@ DRIVER_WINDOW: list[str] = [
     # the get/stream read paths, which stay covered by
     # test_engine/test_properties + the live gate — slots go to the new
     # ns_shortest_paths / ns_weighted_paths distance rows)
-    "ns_shortest_paths",
+    # (ns_shortest_paths rotated out r7 — r6-driver-green, the BFS path
+    # untouched this round; ns_weighted_paths keeps the distance family
+    # in-window and both re-run vs DuckDB every suite via the live gate
+    # — slot goes to the new personalized-PageRank row)
     "ns_weighted_paths",
+    # personalized PageRank (reset-vector walk-with-restart over the
+    # purchase graph, seeds = nation-0 customers) — NEW r7
+    # (VERDICT-r6 #5): completes the graph family next to ns_pagerank
+    "ns_ppr_topk",
     # (o2_bulk_append rotated out late r6 — r5-driver-green at sf0.01;
     # this round's log.py change (delete_seqs) is an addition that does
     # not touch the bulk-append path, which stays covered by
     # test_bulk_append.py + the live gate — slot goes to the new
     # ns_quantile_clip winsorization row)
-    "ns_quantile_clip",
+    # (ns_quantile_clip rotated out r7 — r6-driver-green,
+    # timeseries.py's rank_quantile path untouched this round;
+    # ts_gapfill_locf/ts_mad_outliers keep the family in-window — slot
+    # goes to the new HTML-to-text extraction row)
+    # HTML -> clean text extraction (stdlib-parser Arrow kernel between
+    # warc_bodies and the text-quality filters) — NEW r7 (VERDICT-r6 #3)
+    "ns_html_text",
     # (v1_reduce_stats rotated out late r6 — r5-driver-green,
     # views/reduce.py untouched all round — for the new
     # stream_locf_grid row; every V-family path re-runs vs DuckDB each
@@ -157,7 +170,13 @@ DRIVER_WINDOW: list[str] = [
     "ns_gopher_quality",
     "ns_lm_perplexity",
     "ns_source_mixture",
-    "ns_kmv_set_ops",
+    # (ns_kmv_set_ops rotated out r7 — r6-driver-green, sketches.py
+    # frozen this round; stream_hll_window keeps the sketch family
+    # in-window — slot goes to the new streaming-anomaly row)
+    # streaming MAD outliers (per-window exact medians over watermark-
+    # closed buckets, the streaming twin of ts_mad_outliers) — NEW r7
+    # (VERDICT-r6 #4)
+    "stream_mad_outliers",
     # Avro sink+source loop / Delta+Iceberg export+reader loop — NEW
     # late r6
     "src_avro_roundtrip",
@@ -1644,6 +1663,100 @@ def stream_locf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame(
             rows, "user_id long, bucket long, observed boolean, value_locf double"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_mad_outliers",
+    # Streaming robust anomaly detection (VERDICT-r6 #4) — the
+    # streaming twin of ts_mad_outliers, via
+    # streaming/stateful.py::mad_outliers_stream: exact medians do not
+    # stream, so the pinned honest form is per-window EXACT over
+    # watermark-CLOSED hourly buckets (within a finalized bucket the
+    # lower-median + MAD rule is bit-identical to the batch operator).
+    # A REAL applyInPandasWithState run over the three pinned
+    # micro-batches; the survive set and final-watermark bucket bound
+    # replay stream_locf_grid's pinned Spark 4.1 lag-alignment rules.
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, ts, user_id, value FROM events WHERE user_id < 25
+    ),
+    b0 AS (SELECT ts FROM ev WHERE event_id % 10 NOT IN (3, 7)),
+    wm0 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM b0),
+    fw AS (
+      SELECT epoch_us(max(ts) - INTERVAL 30 MINUTE) // 3600000000 - 1 AS b
+      FROM ev
+    ),
+    survive AS (
+      SELECT * FROM ev
+      WHERE event_id % 10 NOT IN (3, 7) OR event_id % 10 = 7
+      UNION ALL
+      SELECT * FROM ev
+      WHERE event_id % 10 = 3 AND ts >= (SELECT w FROM wm0)
+    ),
+    closed AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, event_id, value
+      FROM survive
+      WHERE epoch_us(ts) // 3600000000 <= (SELECT b FROM fw)
+    ),
+    med AS (
+      SELECT user_id, bucket, value AS med FROM (
+        SELECT user_id, bucket, value,
+          row_number() OVER (
+            PARTITION BY user_id, bucket ORDER BY value, event_id) AS rn,
+          count(*) OVER (PARTITION BY user_id, bucket) AS n
+        FROM closed) t
+      WHERE rn = (n + 1) // 2
+    ),
+    ad AS (
+      SELECT c.user_id, c.bucket, c.event_id, c.value, m.med,
+        abs(c.value - m.med) AS dev
+      FROM closed c JOIN med m USING (user_id, bucket)
+    ),
+    mad AS (
+      SELECT user_id, bucket, dev AS mad FROM (
+        SELECT user_id, bucket, dev,
+          row_number() OVER (
+            PARTITION BY user_id, bucket ORDER BY dev, event_id) AS rn,
+          count(*) OVER (PARTITION BY user_id, bucket) AS n
+        FROM ad) t
+      WHERE rn = (n + 1) // 2
+    )
+    SELECT a.user_id, a.bucket, a.event_id, a.value, a.med, m.mad
+    FROM ad a JOIN mad m USING (user_id, bucket)
+    WHERE a.dev > 3.0 * m.mad
+    ORDER BY a.user_id, a.bucket, a.event_id
+    """,
+)
+def stream_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import mad_outliers_stream
+
+    ev = (
+        spark.table("events")
+        .where(F.col("user_id") < 25)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    work = tempfile.mkdtemp(prefix="stream_mad_")
+    try:
+        src = _staged_stream_source(spark, ev, work)
+        out = mad_outliers_stream(src, watermark="30 minutes")
+        sink = _run_stream_to_memory(spark, out, work, output_mode="update")
+        # each (key, bucket) finalizes exactly once, so the sink IS the
+        # outlier set (asserted by the unit probe)
+        rows = (
+            sink.select("user_id", "bucket", "event_id", "value", "med", "mad")
+            .orderBy("user_id", "bucket", "event_id")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "user_id long, bucket long, event_id long, value double, "
+            "med double, mad double",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

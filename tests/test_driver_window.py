@@ -116,6 +116,16 @@ def test_all_northstar_ops_in_window():
         # (r5-driver-green; this round's dedup.py changes are all NEW
         # functions — the SimHash path is untouched and live-gated)
         "ns_simhash_md5",
+        # r7 rotations for the new ns_ppr_topk / ns_html_text /
+        # stream_mad_outliers rows: all three r6-driver-green with
+        # their paths frozen this round (graph.py's BFS, timeseries.py's
+        # rank_quantile, sketches.py); ns_weighted_paths,
+        # ts_gapfill_locf/ts_mad_outliers, and stream_hll_window keep
+        # each family in-window, and every rotated-out path re-runs vs
+        # DuckDB each suite run via tests/test_full_gate.py
+        "ns_shortest_paths",
+        "ns_quantile_clip",
+        "ns_kmv_set_ops",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -232,7 +242,9 @@ def test_changed_or_new_rows_in_window():
         # (q11/q16/q17 + ns_similarity_topk rotated out — all
         # r5-driver-green with frozen implementations)
         "ns_gopher_quality", "ns_lm_perplexity",
-        "ns_source_mixture", "ns_kmv_set_ops",
+        "ns_source_mixture",
+        # (ns_kmv_set_ops rotated out r7 for stream_mad_outliers —
+        #  r6-driver-green, sketches.py frozen this round)
         # late-r6 new: PQ-ADC ANN + its recall-vs-exact-L2 twin
         # (ns_embedding_neardup / ns_audio_decode_meta rotated out)
         "ns_pq_ann_topk_seeded", "ns_pq_ann_recall10",
@@ -265,10 +277,17 @@ def test_changed_or_new_rows_in_window():
         #  r5-driver-green, views/reduce.py untouched all round)
         "stream_locf_grid",
         "scd2_point_in_time",
-        "ns_quantile_clip",
-        "ns_shortest_paths",
         "ns_weighted_paths",
         "cdc_snapshot_diff",
+        # r7 new rows (VERDICT-r6 #3/#4/#5) — take the slots of
+        # ns_quantile_clip / ns_kmv_set_ops / ns_shortest_paths
+        # (r6-driver-green, paths frozen this round):
+        "ns_html_text",
+        "stream_mad_outliers",
+        "ns_ppr_topk",
+        # r7 changed paths: DSIR's quartile assignment was rewritten
+        # (distributed rank, selection.py) — its row must re-attest
+        "ns_dsir_weights",
     ):
         assert n in _window_names(), n
 

@@ -232,3 +232,38 @@ def test_weighted_negative_raises_and_unit_path_unchanged(spark):
     # unit-weight default ignores the weight column entirely
     got = {r["node_id"]: r["dist"] for r in shortest_paths(e, s).collect()}
     assert got == {1: 0, 2: 1}
+
+
+def test_ppr_reset_vector_semantics(spark):
+    """Personalized PageRank: (1) with seeds = all nodes it equals the
+    global uniform run bit-for-bit (shared arithmetic path); (2) with a
+    single seed on a chain, mass decays away from the seed and nodes
+    unreachable from it get zero; (3) an empty reset set raises."""
+    import pytest as _pytest
+
+    from flumedb_spark.operators.graph import pagerank
+
+    # chain 0 -> 1 -> 2, plus isolated node 3
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    nd = spark.createDataFrame([(i,) for i in range(4)], "node_id long")
+
+    all_seeds = nd.select("node_id")
+    uniform = {r["node_id"]: r["rank"] for r in pagerank(e, nd, iterations=3).collect()}
+    seeded_all = {
+        r["node_id"]: r["rank"]
+        for r in pagerank(e, nd, iterations=3, reset_nodes=all_seeds).collect()
+    }
+    assert uniform == seeded_all
+
+    seed0 = spark.createDataFrame([(0,)], "node_id long")
+    ppr = {
+        r["node_id"]: r["rank"]
+        for r in pagerank(e, nd, iterations=3, reset_nodes=seed0).collect()
+    }
+    assert ppr[0] > ppr[1] > ppr[2] > 0  # decay along the walk
+    assert ppr[3] == 0  # unreachable from the seed, not in the reset set
+
+    with _pytest.raises(ValueError):
+        pagerank(
+            e, nd, reset_nodes=spark.createDataFrame([(99,)], "node_id long")
+        )

@@ -1056,3 +1056,67 @@ def test_stream_locf_grid_semantics(spark, tmp_path):
         # their ends exceed the final watermark 05:30 — still pending
     }
     assert not any(v == 99.0 for _, v in as_map.values())
+
+
+def test_stream_mad_outliers_semantics(spark, tmp_path):
+    """Streaming MAD outliers (stateful.mad_outliers_stream):
+    constructed three-batch stream pinning (1) exactly-once per
+    (key, bucket), (2) a watermark-late event never enters its bucket's
+    median/MAD, (3) per-closed-bucket results are bit-identical to the
+    batch timeseries.mad_outliers rule, (4) open buckets (end past the
+    final watermark) emit nothing."""
+    from datetime import datetime
+
+    from flumedb_spark.catalog import _run_stream_to_memory, _staged_stream_source
+    from flumedb_spark.streaming.stateful import mad_outliers_stream
+
+    def ts(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    base = 473352  # epoch-hour of 2024-01-01 00:00 UTC
+    # bucket 0 (u1): values 1,1,1,1,100 at 00:00-00:40 — med=1, mad=0,
+    #   so 100 is the lone outlier; the late-arriving (b2, id 3) copy
+    #   at 00:50 value 500 is DROPPED (ts < wm0) and must not shift
+    #   the median or appear as an outlier.
+    # bucket 3 (u1): id 7 (b1, never late) value 30 joins ids 11,21
+    #   values 10,20 — med=20, mad=|10-20|=10 lower-median of {10,0,10}
+    #   -> devs sorted (0,10,10): mad=10 ... n=3 -> rank 2 -> 10; no
+    #   dev (10,0,10) exceeds 3*10, so bucket 3 emits nothing.
+    # bucket 6 (u1): id 13 at 06:00 — final wm 05:30 leaves it OPEN.
+    rows = [
+        (1, ts(0, 0), 1, 1.0),
+        (2, ts(0, 10), 1, 1.0),
+        (4, ts(0, 20), 1, 1.0),
+        (5, ts(0, 30), 1, 1.0),
+        (6, ts(0, 40), 1, 100.0),
+        (11, ts(3, 0), 1, 10.0),
+        (21, ts(3, 10), 1, 20.0),
+        (8, ts(5, 0), 1, 7.0),  # advances wm0 to 04:30
+        (7, ts(3, 20), 1, 30.0),  # b1: never late, joins bucket 3
+        (3, ts(0, 50), 1, 500.0),  # b2: ts < wm0 -> dropped as late
+        (13, ts(6, 0), 1, 60.0),  # b2: survives but bucket 6 stays open
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    work = str(tmp_path / "mad_sem")
+    os.makedirs(work)
+    src = _staged_stream_source(spark, ev, work)
+    sink = _run_stream_to_memory(
+        spark, mad_outliers_stream(src, watermark="30 minutes"), work, "update"
+    )
+    got = [
+        (r["user_id"], r["bucket"], r["event_id"], r["value"], r["med"], r["mad"])
+        for r in sink.collect()
+    ]
+    assert got == [(1, base, 6, 100.0, 1.0, 0.0)]
+
+    # (3) agreement with the batch operator over the same closed bucket
+    from flumedb_spark.operators.timeseries import mad_outliers
+
+    closed = ev.where("event_id in (1,2,4,5,6)").selectExpr(
+        "user_id", "event_id", "value"
+    )
+    batch = mad_outliers(closed, "user_id", "value", "event_id").collect()
+    assert [(r["user_id"], r["event_id"], r["value"], r["med"], r["mad"])
+            for r in batch] == [(1, 6, 100.0, 1.0, 0.0)]
