@@ -68,3 +68,34 @@ def test_headline_set_has_no_duplicates_and_compact_covers_it():
     out = _fake_out(n_headline=len(bench.HEADLINE))
     line = json.dumps(bench.compact_summary(out, "bench_full.json"))
     assert len(line) < 1800, len(line)
+
+
+def test_compact_line_carries_self_adjudication_fields():
+    """r7 (VERDICT-r6 #1a): the driver-parsed line must carry the
+    interleaved per-pass ratios and the calib probe so host noise is
+    adjudicable from the artifact alone — and still fit the capture."""
+    out = _fake_out(n_headline=len(bench.HEADLINE))
+    out["batched_passes"] = {
+        "spark": [2.1, 2.2, 2.05, 2.3, 2.15],
+        "duckdb": [1.4, 1.5, 1.38, 1.52, 1.41],
+        "ratio": [1.5, 1.467, 1.486, 1.513, 1.525],
+        "batched_sec": 2.05,
+        "duck_sec": 1.38,
+        "ratio_median": 1.5,
+    }
+    out["calib"] = {"ref": bench.CALIB_REF, "start": 0.101, "mid": 0.15, "end": 0.103}
+    out["batched_headline_sec"] = 2.05
+    out["batched_vs_duckdb_ratio"] = 1.5
+    line = json.dumps(bench.compact_summary(out, "bench_full.json"))
+    assert len(line) < 2100, len(line)
+    parsed = json.loads(line)
+    assert parsed["batched_ratio_passes"] == [1.5, 1.467, 1.486, 1.513, 1.525]
+    assert parsed["calib"]["ref"] == bench.CALIB_REF
+    assert parsed["primary_ratio_metric"] == "batched_dag_interleaved_median"
+
+
+def test_median_rule():
+    assert bench._median([]) is None
+    assert bench._median([3.0]) == 3.0
+    assert bench._median([1.0, 9.0, 2.0]) == 2.0
+    assert bench._median([1.0, 2.0, 3.0, 10.0]) == 2.5
