@@ -472,10 +472,9 @@ def main() -> None:
             p1 = [n for n in sf1_names if n in duck1]
             s1 = round(sum(t1[n] for n in p1), 4)
             d1 = round(sum(duck1[n] for n in p1), 4)
-            b1 = _batched_submission(
-                lambda: {name: qs[name](spark, sf1_dir) for name in sf1_names},
-                p1,
-            )
+            b1 = _batched_interleaved(
+                lambda name: qs[name](spark, sf1_dir), p1, None, passes=2
+            ).get("batched_sec")
             out["sf1"] = {
                 "queries": t1,
                 "total_sec": round(sum(t1.values()), 4),
@@ -589,13 +588,19 @@ def _oracle_names() -> set:
 
 
 def _batched_interleaved(
-    make_one, names: list[str], con, passes: int = 5, threads: int = 8
+    make_one, names: list[str], con, passes: int = 5, threads: int = 16
 ) -> dict:
-    """The r7 primary measurement (VERDICT-r6 #1a): each pass runs the
-    whole Spark query set as ONE action (tagged/json-packed union —
-    the batched DAG) and then, back-to-back in the SAME window, the
-    full DuckDB sweep of the same queries on the same process's
-    connection. Host noise therefore inflates both sides of the pass
+    """The r7 primary measurement (VERDICT-r6 #1a+#1b): each pass
+    submits the whole Spark query set as ONE JOB GROUP — every query
+    constructed fresh and ``count()``-ed from its own thread, Spark's
+    scheduler multiplexing the concurrent jobs across cores (the
+    realistic shape of a multi-query serving layer; exactly the
+    verdict's 'submit the full set as one job group') — and then,
+    back-to-back in the SAME window, the full DuckDB sweep of the same
+    queries on the same process's connection (sequential: DuckDB's
+    per-query submission cost is sub-ms and each query already uses
+    all threads, so sequential is its best case — unchanged from every
+    prior round). Host noise therefore inflates both sides of the pass
     it lands on, and the reported ratio is the MEDIAN of per-pass
     ratios — robust to a stall in any single pass, not cherry-pickable
     to the quietest one. Returns
@@ -603,45 +608,32 @@ def _batched_interleaved(
        "batched_sec": min(spark), "duck_sec": min(duckdb),
        "ratio_median": median(ratio)}`` (lists rounded, per pass).
 
+    Same-window A/B (r7, min-of-3, docs/SCALING.md): concurrent job
+    submission 2.29 s vs the old tagged/json-packed union DAG 4.24 s
+    for the 24 headline queries at sf0.1 — the union serialized eager
+    construction, paid a 24-branch analysis, and its json-packing
+    Py4J chain alone cost ~0.8 s/pass.
+
     ``make_one(name) -> DataFrame`` constructs ONE query with a FRESH
     plan; construction runs INSIDE the timed region each pass (r6
     honesty rule: eager-construction operators must pay their
-    materialization in the number, same as the sequential passes) but
-    CONCURRENTLY across queries (r7, VERDICT-r6 #1b): several
-    operators run Spark jobs eagerly during construction
-    (localCheckpoint of LSH band/sketch tables), and serializing those
-    on the driver is pure artifact — a multi-query client submits
-    concurrently, and Spark schedules concurrent jobs natively. Profiled
-    at sf0.01: 2.4 s of the 3.8 s batched pass was serialized eager
-    construction. count(), not a plan-pinned collect: repeating an
-    action on the SAME Dataset would reuse its shuffle map outputs and
-    time only the final stage."""
+    materialization in the number) and fresh plans mean full
+    re-execution — Spark has no cross-job shuffle reuse, and a
+    plan-pinned Dataset re-collected would be the thing that reuses
+    map outputs (rejected in r5, still rejected)."""
     try:
         from concurrent.futures import ThreadPoolExecutor
-        from functools import reduce as _reduce
 
-        from pyspark.sql import functions as F
+        def run_all():
+            with ThreadPoolExecutor(min(threads, max(4, len(names)))) as ex:
+                list(ex.map(lambda n: make_one(n).count(), names))
 
-        def assemble():
-            with ThreadPoolExecutor(threads) as ex:
-                prepared = dict(zip(names, ex.map(make_one, names)))
-            parts = [
-                prepared[n].select(
-                    F.lit(n).alias("q"),
-                    F.to_json(
-                        F.struct(*[F.col(c) for c in prepared[n].columns])
-                    ).alias("r"),
-                )
-                for n in names
-            ]
-            return _reduce(lambda a, b: a.unionByName(b), parts)
-
-        assemble().count()  # warm/codegen for the union shape
+        run_all()  # warm/codegen
         sp: list[float] = []
         dk: list[float] = []
         for _ in range(passes):
             t0 = time.perf_counter()
-            assemble().count()
+            run_all()
             sp.append(round(time.perf_counter() - t0, 4))
             if con is not None and names:
                 t0 = time.perf_counter()
@@ -760,7 +752,7 @@ def compact_summary(out: dict, full_path: str | None = None) -> dict:
             batched_ratio if batched_ratio is not None else seq_ratio
         ),
         "primary_ratio_metric": (
-            "batched_dag_interleaved_median"
+            "jobgroup_interleaved_median"
             if batched_ratio is not None
             else "sequential"
         ),

@@ -91,7 +91,7 @@ def test_compact_line_carries_self_adjudication_fields():
     parsed = json.loads(line)
     assert parsed["batched_ratio_passes"] == [1.5, 1.467, 1.486, 1.513, 1.525]
     assert parsed["calib"]["ref"] == bench.CALIB_REF
-    assert parsed["primary_ratio_metric"] == "batched_dag_interleaved_median"
+    assert parsed["primary_ratio_metric"] == "jobgroup_interleaved_median"
 
 
 def test_median_rule():
