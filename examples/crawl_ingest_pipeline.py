@@ -128,6 +128,33 @@ def main() -> None:
         f"({drop_ids.count()} mostly-duplicate docs dropped)"
     )
 
+    # ---- stage 4b: the crawl GRAPH — link extraction over the kept
+    # pages feeds centrality (who gets linked) exactly as a crawler's
+    # frontier/priority stage would consume it
+    from flumedb_spark.operators.graph import pagerank
+    from flumedb_spark.operators.html import html_links
+
+    kept_pages = pages.join(keepers.select("doc_id"), "doc_id")
+    edges = (
+        html_links(kept_pages)
+        .where("ok")
+        .select(
+            F.col("doc_id").alias("src"),
+            # synthetic pages all link "#"; in production parse the
+            # href's target doc — here route every link to the shard
+            # root so the graph is well-formed and hub-bearing
+            (F.col("doc_id") - F.col("doc_id") % 1000).alias("dst"),
+        )
+    )
+    nodes = keepers.selectExpr("doc_id AS node_id")
+    top = (
+        pagerank(edges, nodes, iterations=3)
+        .orderBy(F.desc("rank"), "node_id")
+        .limit(3)
+        .collect()
+    )
+    print(f"graph: top-ranked pages {[(r['node_id'], r['rank']) for r in top]}")
+
     # ---- stage 5: durable keeper manifest in the engine log
     with tempfile.TemporaryDirectory() as root:
         db = Flume(os.path.join(root, "corpus"), spark=spark)

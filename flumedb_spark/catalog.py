@@ -169,7 +169,14 @@ DRIVER_WINDOW: list[str] = [
     # mixing, KMV set-operation sketch (theta-style distinct algebra)
     "ns_gopher_quality",
     "ns_lm_perplexity",
-    "ns_source_mixture",
+    # (ns_source_mixture rotated out late r7 — r6-driver-green,
+    # sampling.py frozen this round; the sampling family stays
+    # live-gated every suite run — slot goes to the new crawl-graph
+    # link-extraction row)
+    # HTML link extraction (pages -> (doc, href, anchor) edge rows,
+    # formula-digraph oracle) — NEW r7: the crawl-graph stage feeding
+    # pagerank/components
+    "ns_html_links",
     # (ns_kmv_set_ops rotated out r7 — r6-driver-green, sketches.py
     # frozen this round; stream_hll_window keeps the sketch family
     # in-window — slot goes to the new streaming-anomaly row)

@@ -726,6 +726,30 @@ def ns_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _html.html_text(pages).orderBy("doc_id")
 
 
+def _links_oracle() -> str:
+    from .operators.html import synthetic_links_oracle_sql
+
+    return synthetic_links_oracle_sql()
+
+
+@query("ns_html_links", oracle=_links_oracle())
+def ns_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML link extraction — the crawl-GRAPH stage (pages -> edges):
+    per-doc REAL pages whose link structure is a deterministic formula
+    digraph (operators/html.with_synthetic_linked_html: page d carries
+    1 + d%3 links to (d*7 + i*13 + 1) % 97, anchors with entities +
+    inline tags), parsed by the stdlib-HTMLParser Arrow kernel
+    (operators/html.html_links) into (doc_id, href, anchor) edge rows
+    — the input shape graph.pagerank / connected_components_star rank
+    and cluster. The oracle replays the link formula arithmetically,
+    so an attribute-parse, anchor-text, or ordering bug breaks the
+    hash."""
+    from .operators import html as _html
+
+    pages = _html.with_synthetic_linked_html(spark.table("documents"))
+    return _html.html_links(pages).orderBy("doc_id", "href", "anchor")
+
+
 @query(
     "ns_archive_extract",
     oracle="""

@@ -232,3 +232,133 @@ def synthetic_html_oracle_sql() -> str:
     FROM documents
     ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------
+# link extraction: the crawl-graph stage (pages -> edges)
+# ---------------------------------------------------------------------
+
+HTML_LINKS_SCHEMA = "doc_id long, href string, anchor string, ok boolean"
+
+
+def html_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    cap: int = MAX_PAGE_BYTES,
+) -> DataFrame:
+    """(id, html) -> one row per <a href=...> in document order:
+    (doc_id, href, anchor, ok) — the stage that turns a crawl into a
+    LINK GRAPH (feed (doc_id, href) into ``graph.pagerank`` /
+    ``connected_components_star`` for centrality and site clustering).
+
+    ``anchor`` is the link's visible text (whitespace-collapsed, same
+    normalization as :func:`html_text`, entity-decoded). Empty-string
+    hrefs are kept (they are real self-links in HTML semantics);
+    anchors may be empty. Pages past ``cap`` are truncated at the cap
+    before parsing; corrupt pages yield a single ok=False row so the
+    edge count per page stays auditable. Same 100 TB shape as
+    html_text: one Arrow-batched kernel, no shuffle, inherits the
+    upstream partitioning."""
+    from html.parser import HTMLParser
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(html_col).alias("page")
+    )
+
+    class _L(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.links: list[tuple[str, list]] = []
+            self._open: list[list] = []  # anchor-text chunks per open <a>
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                href = next((v for k, v in attrs if k == "href"), None)
+                if href is not None:
+                    chunks: list = []
+                    self.links.append((href, chunks))
+                    self._open.append(chunks)
+
+        def handle_endtag(self, tag):
+            if tag == "a" and self._open:
+                self._open.pop()
+
+        def handle_data(self, data):
+            for chunks in self._open:
+                chunks.append(data)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "href", "anchor", "ok")}
+            for doc_id, page in zip(pdf["doc_id"], pdf["page"]):
+                try:
+                    if page is None:
+                        raise ValueError("null page")
+                    if isinstance(page, (bytes, bytearray, memoryview)):
+                        s = bytes(page)[:cap].decode("utf-8", errors="replace")
+                    else:
+                        s = str(page)[:cap]
+                    p = _L()
+                    p.feed(s)
+                    p.close()
+                    for href, chunks in p.links:
+                        out["doc_id"].append(doc_id)
+                        out["href"].append(href)
+                        out["anchor"].append(" ".join("".join(chunks).split()))
+                        out["ok"].append(True)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["href"].append(None)
+                    out["anchor"].append(None)
+                    out["ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, HTML_LINKS_SCHEMA)
+
+
+def with_synthetic_linked_html(docs: DataFrame, n_docs_mod: int = 97) -> DataFrame:
+    """(doc_id, html) pages whose link structure is a deterministic
+    FORMULA graph: page d carries 1 + d % 3 links, link i pointing at
+    document (d * 7 + i * 13 + 1) % ``n_docs_mod`` — a connected,
+    hub-bearing digraph an oracle replays arithmetically and
+    ``graph.pagerank`` can rank. Anchors carry entities + inline tags
+    so anchor-text extraction is exercised, not just attribute
+    parsing."""
+    d = F.col("doc_id").cast("string")
+    link = lambda i: F.when(  # noqa: E731
+        F.col("doc_id") % 3 >= i,
+        F.concat(
+            F.lit(f'<p>see <a href="http://corp.test/doc/'),
+            ((F.col("doc_id") * 7 + i * 13 + 1) % n_docs_mod).cast("string"),
+            F.lit(f'">ref &amp; <b>note</b> {i}</a></p>\n'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d,
+        F.lit("</title></head>\n<body>\n<h1>Doc "),
+        d,
+        F.lit("</h1>\n"),
+        link(0),
+        link(1),
+        link(2),
+        F.lit("</body></html>\n"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def synthetic_links_oracle_sql(n_docs_mod: int = 97) -> str:
+    """DuckDB twin of ``html_links(with_synthetic_linked_html(...))``:
+    replay the link formula arithmetically."""
+    return f"""
+    SELECT d.doc_id,
+      'http://corp.test/doc/'
+        || CAST((d.doc_id * 7 + s.i * 13 + 1) % {n_docs_mod} AS VARCHAR)
+        AS href,
+      'ref & note ' || CAST(s.i AS VARCHAR) AS anchor,
+      true AS ok
+    FROM documents d, generate_series(0, 2) s(i)
+    WHERE s.i <= d.doc_id % 3
+    ORDER BY d.doc_id, href, anchor
+    """

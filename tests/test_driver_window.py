@@ -126,6 +126,9 @@ def test_all_northstar_ops_in_window():
         "ns_shortest_paths",
         "ns_quantile_clip",
         "ns_kmv_set_ops",
+        # late-r7 rotation for the new ns_html_links crawl-graph row
+        # (r6-driver-green, sampling.py frozen this round)
+        "ns_source_mixture",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -242,7 +245,8 @@ def test_changed_or_new_rows_in_window():
         # (q11/q16/q17 + ns_similarity_topk rotated out — all
         # r5-driver-green with frozen implementations)
         "ns_gopher_quality", "ns_lm_perplexity",
-        "ns_source_mixture",
+        # (ns_source_mixture rotated out late r7 for ns_html_links —
+        #  r6-driver-green, sampling.py frozen this round)
         # (ns_kmv_set_ops rotated out r7 for stream_mad_outliers —
         #  r6-driver-green, sketches.py frozen this round)
         # late-r6 new: PQ-ADC ANN + its recall-vs-exact-L2 twin
@@ -285,6 +289,9 @@ def test_changed_or_new_rows_in_window():
         "ns_html_text",
         "stream_mad_outliers",
         "ns_ppr_topk",
+        # late-r7 new: crawl-graph link extraction (ns_source_mixture
+        # rotated out — r6-green, sampling.py frozen)
+        "ns_html_links",
         # r7 changed paths: DSIR's quartile assignment was rewritten
         # (distributed rank, selection.py) — its row must re-attest
         "ns_dsir_weights",

@@ -131,3 +131,64 @@ def test_plan_is_single_python_stage_no_shuffle(spark):
     p = buf.getvalue()
     assert "Exchange" not in p
     assert p.count("MapInPandas (") == 1  # one kernel node (tree + detail listing)
+
+
+# ---- link extraction (crawl-graph stage) ------------------------------
+
+
+def _links(spark, pages):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], "doc_id long, html string"
+    )
+    return H.html_links(df).orderBy("doc_id", "href", "anchor").collect()
+
+
+def test_links_href_anchor_and_order(spark):
+    rows = _links(
+        spark,
+        ['<body><a href="/b">Beta</a> <a href="/a">Alpha &amp; Co</a>'
+         '<a name="x">no href</a></body>'],
+    )
+    assert [(r.href, r.anchor) for r in rows] == [
+        ("/a", "Alpha & Co"),
+        ("/b", "Beta"),
+    ]
+    assert all(r.ok for r in rows)
+
+
+def test_links_nested_markup_in_anchor(spark):
+    [r] = _links(spark, ['<a href="/x">see <b>bold</b> text</a>'])
+    assert r.anchor == "see bold text"
+
+
+def test_links_empty_href_kept_and_pageless_page(spark):
+    rows = _links(spark, ['<a href="">self</a>', "no links here"])
+    assert [(r.doc_id, r.href) for r in rows] == [(0, "")]
+
+
+def test_links_null_page_is_corrupt_row(spark):
+    df = spark.createDataFrame([(3, None)], "doc_id long, html string")
+    [r] = H.html_links(df).collect()
+    assert r.doc_id == 3 and not r.ok and r.href is None
+
+
+def test_linked_synthesis_feeds_pagerank(spark):
+    """The crawl-graph chain end-to-end: formula pages -> html_links ->
+    integer edge list -> pagerank. The formula digraph has in-degree
+    hubs at (d*7 + i*13 + 1) % 97, so ranks must differ and every rank
+    is positive (all 97 residues are reachable or teleported)."""
+    from flumedb_spark.operators.graph import pagerank
+
+    docs = spark.range(200).selectExpr("id AS doc_id")
+    edges = (
+        H.html_links(H.with_synthetic_linked_html(docs))
+        .where("ok")
+        .select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract("href", r"/doc/(\d+)$", 1).cast("long").alias("dst"),
+        )
+    )
+    nodes = docs.selectExpr("doc_id AS node_id")
+    ranks = pagerank(edges, nodes, iterations=3)
+    vals = [r["rank"] for r in ranks.collect()]
+    assert len(vals) == 200 and min(vals) > 0 and len(set(vals)) > 1
