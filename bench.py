@@ -88,6 +88,11 @@ EXTRAS = [
     # 5 keyed join+agg rounds)
     "ns_pagerank", "ts_gapfill_locf", "ts_mad_outliers",
     "ns_profile_columns",
+    # r7 family: crawl chain (HTML text + link-graph extraction) and
+    # personalized PageRank (DuckDB side of the ppr row is the
+    # unrolled 5-iter seeded CTE, same heavy shape as ns_pagerank's —
+    # measured inside the section budget at sf0.1)
+    "ns_html_text", "ns_html_links", "ns_ppr_topk",
 ]
 
 
