@@ -158,8 +158,12 @@ DRIVER_WINDOW: list[str] = [
     # ns_triangle_count / scd2_point_in_time rows; the TPC-H family's
     # 22 entries re-run vs DuckDB every suite run via the live gate,
     # and the window's slots go to this round's NEW code paths)
-    # feature-store point-in-time join over SCD-2 validity — NEW late r6
-    "scd2_point_in_time",
+    # (scd2_point_in_time rotated out late r7 — r6-driver-green, cdc.py
+    # frozen this round; cdc_snapshot_diff keeps the CDC family
+    # in-window — slot goes to the new curriculum row)
+    # corpus-global curriculum deciles via the distributed global_ntile
+    # rank path (second consumer of the r7 primitive) — NEW r7
+    "ns_curriculum_deciles",
     # time-series regularization + robust anomaly family — NEW late r6:
     # hourly gap-fill with LOCF, and lower-median+MAD outlier flags
     "ts_gapfill_locf",

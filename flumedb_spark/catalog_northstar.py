@@ -2358,6 +2358,30 @@ _LM_DUCK = """
 """
 
 
+_CURRICULUM_DUCK = (
+    _LM_DUCK[: _LM_DUCK.index("SELECT s.doc_id")]
+    + """SELECT doc_id, n_tokens, avg_nll,
+      CAST(ntile(10) OVER (ORDER BY avg_nll, doc_id) AS INT)
+        AS difficulty_decile
+    FROM scored ORDER BY doc_id
+"""
+)
+
+
+@query("ns_curriculum_deciles", oracle=_CURRICULUM_DUCK)
+def ns_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global curriculum ordering (easy-to-hard): difficulty
+    decile by unigram-LM avg negative log-likelihood — the CCNet
+    micro-nat arithmetic scored corpus-GLOBALLY (unlike
+    ns_lm_perplexity's per-language terciles) via the distributed
+    global_ntile rank path (selection.py, the r7 primitive's second
+    consumer — no single-partition window; the oracle keeps the plain
+    ntile(10) the closed form reproduces bit-for-bit)."""
+    from .operators import selection as _selection
+
+    return _selection.curriculum_deciles(spark.table("documents"))
+
+
 @query("ns_lm_perplexity", oracle=_LM_DUCK)
 def ns_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM scoring (arXiv:1911.00359): avg negative

@@ -241,30 +241,11 @@ def synthetic_html_oracle_sql() -> str:
 HTML_LINKS_SCHEMA = "doc_id long, href string, anchor string, ok boolean"
 
 
-def html_links(
-    df: DataFrame,
-    html_col: str = "html",
-    id_col: str = "doc_id",
-    cap: int = MAX_PAGE_BYTES,
-) -> DataFrame:
-    """(id, html) -> one row per <a href=...> in document order:
-    (doc_id, href, anchor, ok) — the stage that turns a crawl into a
-    LINK GRAPH (feed (doc_id, href) into ``graph.pagerank`` /
-    ``connected_components_star`` for centrality and site clustering).
-
-    ``anchor`` is the link's visible text (whitespace-collapsed, same
-    normalization as :func:`html_text`, entity-decoded). Empty-string
-    hrefs are kept (they are real self-links in HTML semantics);
-    anchors may be empty. Pages past ``cap`` are truncated at the cap
-    before parsing; corrupt pages yield a single ok=False row so the
-    edge count per page stays auditable. Same 100 TB shape as
-    html_text: one Arrow-batched kernel, no shuffle, inherits the
-    upstream partitioning."""
+def _link_parser_class():
+    """The <a href> collector (module-level factory so tests can fuzz
+    the parser directly; class body needs the stdlib import local to
+    keep executor pickling dependency-free)."""
     from html.parser import HTMLParser
-
-    src = df.select(
-        F.col(id_col).alias("doc_id"), F.col(html_col).alias("page")
-    )
 
     class _L(HTMLParser):
         def __init__(self) -> None:
@@ -287,6 +268,33 @@ def html_links(
         def handle_data(self, data):
             for chunks in self._open:
                 chunks.append(data)
+
+    return _L
+
+
+def html_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    cap: int = MAX_PAGE_BYTES,
+) -> DataFrame:
+    """(id, html) -> one row per <a href=...> in document order:
+    (doc_id, href, anchor, ok) — the stage that turns a crawl into a
+    LINK GRAPH (feed (doc_id, href) into ``graph.pagerank`` /
+    ``connected_components_star`` for centrality and site clustering).
+
+    ``anchor`` is the link's visible text (whitespace-collapsed, same
+    normalization as :func:`html_text`, entity-decoded). Empty-string
+    hrefs are kept (they are real self-links in HTML semantics);
+    anchors may be empty. Pages past ``cap`` are truncated at the cap
+    before parsing; corrupt pages yield a single ok=False row so the
+    edge count per page stays auditable. Same 100 TB shape as
+    html_text: one Arrow-batched kernel, no shuffle, inherits the
+    upstream partitioning."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(html_col).alias("page")
+    )
+    _L = _link_parser_class()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -276,3 +276,43 @@ def dsir_oracle_sql(target_filter: str = "source = 'src0'") -> str:
         AS iw_quartile
     FROM scored ORDER BY doc_id
     """
+
+
+def curriculum_deciles(
+    docs: DataFrame, text_col: str = "text", n_tiles: int = 10
+) -> DataFrame:
+    """Corpus-global CURRICULUM ordering: every document assigned a
+    difficulty decile (1 = easiest / most probable ... n_tiles =
+    hardest) by its unigram-LM average negative log-likelihood — the
+    standard difficulty proxy for curriculum schedules and
+    hardness-stratified eval splits (easy-to-hard ordering, Bengio et
+    al. 2009).
+
+    Score: the CCNet micro-nat-exact ``text.unigram_logprob``
+    arithmetic (add-one-smoothed corpus unigram LM, integer
+    accumulation — engine-identical bit-for-bit). Decile: the
+    distributed :func:`global_ntile` — unlike the per-language
+    terciles of ``ns_lm_perplexity``, a curriculum is CORPUS-GLOBAL,
+    exactly the shape that needs the range-repartition rank path
+    instead of a single-partition window (this operator is the second
+    consumer of the r7 primitive, after DSIR's quartiles).
+
+    Returns (doc_id, n_tokens, avg_nll, difficulty_decile) — at 100 TB
+    the plan is: one token-count shuffle, one vocab-sized broadcast,
+    one range shuffle + one pid hash shuffle for the rank; no
+    single-reducer stage anywhere."""
+    from .text import unigram_logprob
+
+    scored = unigram_logprob(docs, text_col).select(
+        "doc_id", "n_tokens", "avg_nll"
+    )
+    return (
+        global_ntile(
+            scored,
+            order_cols=[F.col("avg_nll"), F.col("doc_id")],
+            n_tiles=n_tiles,
+            out_col="difficulty_decile",
+        )
+        .select("doc_id", "n_tokens", "avg_nll", "difficulty_decile")
+        .orderBy("doc_id")
+    )

@@ -280,7 +280,8 @@ def test_changed_or_new_rows_in_window():
         # (v1_reduce_stats rotated out late r6 for stream_locf_grid —
         #  r5-driver-green, views/reduce.py untouched all round)
         "stream_locf_grid",
-        "scd2_point_in_time",
+        # (scd2_point_in_time rotated out late r7 for the new
+        #  ns_curriculum_deciles row — r6-driver-green, cdc.py frozen)
         "ns_weighted_paths",
         "cdc_snapshot_diff",
         # r7 new rows (VERDICT-r6 #3/#4/#5) — take the slots of
@@ -292,6 +293,9 @@ def test_changed_or_new_rows_in_window():
         # late-r7 new: crawl-graph link extraction (ns_source_mixture
         # rotated out — r6-green, sampling.py frozen)
         "ns_html_links",
+        # late-r7 new: corpus-global curriculum deciles
+        # (scd2_point_in_time rotated out — r6-green, cdc.py frozen)
+        "ns_curriculum_deciles",
         # r7 changed paths: DSIR's quartile assignment was rewritten
         # (distributed rank, selection.py) — its row must re-attest
         "ns_dsir_weights",

@@ -192,3 +192,43 @@ def test_linked_synthesis_feeds_pagerank(spark):
     ranks = pagerank(edges, nodes, iterations=3)
     vals = [r["rank"] for r in ranks.collect()]
     assert len(vals) == 200 and min(vals) > 0 and len(set(vals)) > 1
+
+
+# ---- adversarial robustness (hypothesis fuzz) --------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_soup = st.text(
+    alphabet=st.sampled_from(list("<>&;/= \"'abtitlescriptyle!-\n\té世")),
+    max_size=300,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup)
+def test_extract_one_never_crashes_on_tag_soup(page):
+    """The kernel contract: arbitrary tag soup (unterminated tags,
+    stray &, nested quotes, partial entities, unicode) must extract,
+    never raise — stdlib HTMLParser is recovery-oriented and the
+    wrapper must not defeat that."""
+    title, text, n_links = H._extract_one(page)
+    assert isinstance(text, str)
+    assert n_links >= 0
+    assert title is None or title == " ".join(title.split())
+    assert text == " ".join(text.split())
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup)
+def test_links_parser_never_crashes_on_tag_soup(page):
+    """Same contract for the link collector: arbitrary soup never
+    raises, every collected link has a string href and list chunks,
+    and unclosed <a> tags don't corrupt the open-stack."""
+    p = H._link_parser_class()()
+    p.feed(page)
+    p.close()
+    for href, chunks in p.links:
+        assert isinstance(href, str)
+        assert all(isinstance(c, str) for c in chunks)

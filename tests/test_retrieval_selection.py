@@ -403,3 +403,19 @@ def test_global_ntile_plan_has_no_unpartitioned_window(spark):
     # unpartitioned window would plan an Exchange SinglePartition over
     # the full input instead of the pid hash exchange
     assert "_pid" in p
+
+
+def test_curriculum_deciles_semantics(spark, docs):
+    """Curriculum deciles: monotone in avg_nll (an easier doc never
+    lands in a harder decile than a harder doc), near-balanced decile
+    sizes (ntile contract), full corpus covered."""
+    out = selection.curriculum_deciles(docs).collect()
+    assert len(out) == docs.count()
+    by_nll = sorted(out, key=lambda r: (r["avg_nll"], r["doc_id"]))
+    deciles = [r["difficulty_decile"] for r in by_nll]
+    assert deciles == sorted(deciles), "decile not monotone in difficulty"
+    assert set(deciles) == set(range(1, 11))
+    from collections import Counter
+
+    sizes = Counter(deciles)
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile balance
