@@ -223,3 +223,22 @@ def test_pagerank_iteration_has_partial_aggregation(spark, sf_dir):
     assert "CartesianProduct" not in p
     # partial + final aggregate pair for the inflow sum
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_r7_family_plan_shapes(plans):
+    """r7 additions keep the scale posture: the curriculum's
+    corpus-global decile must use the distributed rank path (no ntile
+    anywhere in the plan — same gate as DSIR's quartile); personalized
+    PageRank keeps the partial-agg + no-cartesian contract of the
+    global operator; the HTML rows are single Arrow-kernel stages
+    whose only Python is the kernel itself."""
+    p = plans("ns_curriculum_deciles")
+    assert "ntile" not in p, "curriculum regressed to a global ntile window"
+    assert "row_number" in p and "_pid" in p
+    p = plans("ns_ppr_topk")
+    assert "CartesianProduct" not in p
+    assert "Python" not in p  # exact-integer arithmetic stays JVM-side
+    for q in ("ns_html_text", "ns_html_links"):
+        p = plans(q)
+        assert p.count("MapInPandas (") == 1, f"{q} gained a Python stage"
+        assert "CartesianProduct" not in p
