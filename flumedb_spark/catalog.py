@@ -193,9 +193,13 @@ DRIVER_WINDOW: list[str] = [
     "src_avro_roundtrip",
     "src_lakehouse_roundtrip",
     # streaming surface: real Structured Streaming runs, oracle-checked
-    # (interval_join_events rotated out late r5 for ns_warc_listing —
-    # the streaming family keeps both stream_* rows)
-    "stream_windowed_counts",
+    # (interval_join_events rotated out late r5 for ns_warc_listing)
+    # (stream_windowed_counts rotated out late r7 — r6-driver-green,
+    # streaming/live.py's windowed path frozen this round; the family
+    # keeps six in-window rows incl. the new stream_mad_outliers —
+    # slot goes to the new multilingual script-profile row)
+    # Unicode script profiling (multilingual routing signal) — NEW r7
+    "ns_script_profile",
     "stream_stateful_key_stats",
     # streaming dedup-within-watermark — NEW r6 (VERDICT-r5 #8); takes
     # the slot of r5-green frozen ns_zorder_morton (scd2 keeps the

@@ -2308,6 +2308,48 @@ _GOPHER_DUCK = """
 """
 
 
+def _script_oracle() -> str:
+    from .operators.text import script_profile_oracle_sql
+
+    return script_profile_oracle_sql(
+        """(SELECT doc_id, text || repeat(CASE
+             WHEN doc_id % 5 = 1 THEN ' привет мир'
+             WHEN doc_id % 5 = 2 THEN ' 你好世界 123'
+             WHEN doc_id % 5 = 3 THEN ' γεια σου κόσμε'
+             WHEN doc_id % 5 = 4 THEN ' مرحبا بالعالم'
+             ELSE '' END, CAST(doc_id % 3 + 1 AS INT)) AS text
+           FROM documents) d"""
+    )
+
+
+@query("ns_script_profile", oracle=_script_oracle())
+def ns_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling (text.script_profile) — the
+    multilingual router lang_id's Latin marker words cannot be: per-doc
+    codepoint counts over ten script blocks + dominant script, pure
+    column arithmetic. The corpus is ASCII, so the row synthesizes a
+    deterministic multilingual column (Cyrillic/CJK/Greek/Arabic
+    snippets repeated by doc_id formula — identical string built in
+    both engines) and profiles THAT; a range, character-vs-byte
+    length, or tiebreak bug breaks the hash."""
+    from .operators import text as _text
+
+    snip = (
+        F.when(F.col("doc_id") % 5 == 1, " привет мир")
+        .when(F.col("doc_id") % 5 == 2, " 你好世界 123")
+        .when(F.col("doc_id") % 5 == 3, " γεια σου κόσμε")
+        .when(F.col("doc_id") % 5 == 4, " مرحبا بالعالم")
+        .otherwise("")
+    )
+    ml = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.repeat(snip, (F.col("doc_id") % 3 + 1).cast("int"))
+        ).alias("text"),
+    )
+    return _text.script_profile(ml).orderBy("doc_id")
+
+
 @query("ns_gopher_quality", oracle=_GOPHER_DUCK)
 def ns_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (arXiv:2112.11446 Table A1): word-count

@@ -396,3 +396,97 @@ def unigram_logprob(
         "avg_nll",
         F.ntile(3).over(w).cast("int").alias("ppl_bucket"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# Unicode script profiling: the multilingual routing signal lang_id's
+# marker-word heuristic cannot give (markers are Latin-alphabet words;
+# a CJK or Cyrillic document scores zero on every marker). Counting
+# codepoints per script block is the standard first router in a
+# multilingual corpus pipeline (which tokenizer, which LM, which
+# quality thresholds) and is pure column arithmetic — no tables, no
+# shuffle, engine-exact.
+# ---------------------------------------------------------------------
+
+#: (script, regex character class) — class syntax chosen to parse
+#: identically as a Java regex (Spark) and RE2 (DuckDB uses \x{hhhh};
+#: Spark uses the literal range via \u escapes in the Python source).
+#: Ranges are the blocks' cores, not exhaustive Unicode script data —
+#: documented subset, deterministic on both engines.
+SCRIPT_RANGES: list[tuple[str, str, str]] = [
+    # (name, spark_class, duckdb_class)
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]", r"[\x{0400}-\x{04FF}]"),
+    ("greek", "[Ͱ-Ͽ]", r"[\x{0370}-\x{03FF}]"),
+    ("arabic", "[؀-ۿ]", r"[\x{0600}-\x{06FF}]"),
+    ("hebrew", "[֐-׿]", r"[\x{0590}-\x{05FF}]"),
+    ("cjk", "[一-鿿]", r"[\x{4E00}-\x{9FFF}]"),
+    ("kana", "[぀-ヿ]", r"[\x{3040}-\x{30FF}]"),
+    ("hangul", "[가-힯]", r"[\x{AC00}-\x{D7AF}]"),
+    ("devanagari", "[ऀ-ॿ]", r"[\x{0900}-\x{097F}]"),
+    ("digit", "[0-9]", "[0-9]"),
+]
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document codepoint counts for each script block in
+    ``SCRIPT_RANGES`` plus the dominant script.
+
+    ``n_<script>`` = number of codepoints in the block (exact BIGINT:
+    length(text) minus length(text with the block removed) — both
+    engines count CHARACTERS, not bytes). ``dominant_script`` = the
+    block with the greatest count, ties broken by ``SCRIPT_RANGES``
+    order (fixed, documented); 'none' when every count is zero.
+
+    100 TB shape: one narrow projection — no join, no aggregate, no
+    Python; scales like any column expression."""
+    t = F.col(text_col)
+    counts = {
+        name: (
+            F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+        ).cast("long")
+        for name, cls, _ in SCRIPT_RANGES
+    }
+    m = None
+    for c in counts.values():
+        m = c if m is None else F.greatest(m, c)
+    dominant = F.when(m == 0, "none")
+    for name, _, _ in SCRIPT_RANGES:
+        dominant = dominant.when(counts[name] == m, name)
+    return docs.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name, _, _ in SCRIPT_RANGES],
+        dominant.alias("dominant_script"),
+    )
+
+
+def script_profile_oracle_sql(from_clause: str = "documents") -> str:
+    """DuckDB twin of :func:`script_profile` over ``from_clause``
+    (a table name or a parenthesized subquery aliased ``d`` exposing
+    doc_id + text). RE2 needs the 'g' flag and \\x{hhhh} escapes; the
+    arithmetic and tiebreak order replicate the Spark side exactly."""
+    cnt = {
+        name: (
+            f"CAST(length(text) - length(regexp_replace(text, '{dcls}', '', 'g'))"
+            f" AS BIGINT)"
+        )
+        for name, _, dcls in SCRIPT_RANGES
+    }
+    names = [name for name, _, _ in SCRIPT_RANGES]
+    greatest = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dom = "CASE WHEN " + greatest + " = 0 THEN 'none' "
+    dom += " ".join(
+        f"WHEN n_{n} = {greatest} THEN '{n}'" for n in names
+    )
+    dom += " END"
+    cols = ",\n      ".join(f"{cnt[n]} AS n_{n}" for n in names)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+      {cols}
+      FROM {from_clause}
+    )
+    SELECT doc_id, {", ".join(f"n_{n}" for n in names)},
+      {dom} AS dominant_script
+    FROM base ORDER BY doc_id
+    """

@@ -198,7 +198,8 @@ def test_changed_or_new_rows_in_window():
         # round-4 new/changed rows: the streaming-surface oracle row, the
         # BLAS path's new exact-int oracle mode, and the four operator-
         # family oracle rows (skew/CDC/Z-order)
-        "stream_windowed_counts",
+        # (stream_windowed_counts rotated out late r7 for
+        #  ns_script_profile — r6-driver-green, windowed path frozen)
         "stream_stateful_key_stats",
         # (ns_similarity_topk_np rotated out late r6 for
         #  ns_profile_columns — r5-driver-green, similarity.py frozen)
@@ -296,6 +297,9 @@ def test_changed_or_new_rows_in_window():
         # late-r7 new: corpus-global curriculum deciles
         # (scd2_point_in_time rotated out — r6-green, cdc.py frozen)
         "ns_curriculum_deciles",
+        # late-r7 new: Unicode script profiling
+        # (stream_windowed_counts rotated out — r6-green, frozen)
+        "ns_script_profile",
         # r7 changed paths: DSIR's quartile assignment was rewritten
         # (distributed rank, selection.py) — its row must re-attest
         "ns_dsir_weights",

@@ -212,3 +212,29 @@ def test_neardup_canonical_prefers_quality(spark, docs):
         assert len(canon) == 1, cid  # exactly one keeper per cluster
         best = max(rs, key=lambda r: (r.quality, -r.doc_id))
         assert canon[0].doc_id == best.doc_id, cid
+
+
+def test_script_profile_semantics(spark):
+    """Script profiling on hand-built multilingual docs: counts per
+    block, dominant-script argmax with SCRIPT_RANGES-order tiebreak,
+    'none' when empty of every block."""
+    from flumedb_spark.operators.text import script_profile
+
+    rows = [
+        (0, "hello world"),                  # latin only
+        (1, "привет мир"),                   # cyrillic
+        (2, "hello 你好你好"),                # 4 cjk < 5 latin
+        (3, "ab яб"),                        # 2 latin vs 2 cyrillic: tie -> latin (range order)
+        (4, "!!! ???"),                      # none
+        (5, "γλώσσα"),                       # greek
+        (6, "2024 데이터"),                   # hangul 3 vs digit 4 -> digit? 4 digits > 3 hangul
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert out[0].dominant_script == "latin" and out[0].n_latin == 10
+    assert out[1].dominant_script == "cyrillic" and out[1].n_cyrillic == 9
+    assert out[2].dominant_script == "latin" and out[2].n_cjk == 4
+    assert out[3].dominant_script == "latin"  # tie broken by range order
+    assert out[4].dominant_script == "none"
+    assert out[5].dominant_script == "greek"
+    assert out[6].dominant_script == "digit" and out[6].n_hangul == 3
