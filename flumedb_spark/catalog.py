@@ -164,9 +164,14 @@ DRIVER_WINDOW: list[str] = [
     # corpus-global curriculum deciles via the distributed global_ntile
     # rank path (second consumer of the r7 primitive) — NEW r7
     "ns_curriculum_deciles",
-    # time-series regularization + robust anomaly family — NEW late r6:
-    # hourly gap-fill with LOCF, and lower-median+MAD outlier flags
-    "ts_gapfill_locf",
+    # time-series regularization + robust anomaly family — NEW late r6
+    # (ts_gapfill_locf rotated out late r7 — r6-driver-green,
+    # timeseries.py frozen this round; ts_mad_outliers +
+    # stream_mad_outliers keep the family — slot goes to the new
+    # event-transition row)
+    # event-type Markov transition matrix (third event-analytics leg
+    # beside funnel/retention) — NEW r7
+    "event_type_transitions",
     "ts_mad_outliers",
     # pre-training scoring/sketching family — NEW late r6: Gopher
     # quality rules, CCNet unigram-LM terciles, sqrt-temperature source
@@ -1112,6 +1117,39 @@ def _retention_sql(us: str, dv: str) -> str:
     FROM act GROUP BY cohort_week, week_offset
     ORDER BY cohort_week, week_offset
     """
+
+
+def _transitions_sql() -> str:
+    """Event-type Markov transition matrix: for every consecutive pair
+    of a user's events (total order (ts, event_id) — deterministic),
+    count prev_type -> next_type and its row-normalized probability.
+    The third leg of the event-analytics family (funnel = one fixed
+    path, retention = time offsets, transitions = the full first-order
+    behavior graph — the input to journey mining / next-action
+    models). Plan: one user-keyed lag window (co-partitioned, never a
+    single reducer) + one map-side-combined count; the probability
+    window runs over the |types|^2-row aggregate — metadata-sized."""
+    return """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+        lag(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type AS next_type,
+        CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+      round(CAST(n AS DOUBLE)
+            / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM cnt ORDER BY prev_type, next_type
+    """
+
+
+shared_sql("event_type_transitions", _transitions_sql())
 
 
 shared_sql(

@@ -274,7 +274,8 @@ def test_changed_or_new_rows_in_window():
         # centrality), time-series gap-fill/LOCF + MAD outliers, and
         # single-pass column profiling
         "ns_pagerank",
-        "ts_gapfill_locf",
+        # (ts_gapfill_locf rotated out late r7 for the new
+        #  event_type_transitions row — r6-green, timeseries.py frozen)
         "ts_mad_outliers",
         "ns_profile_columns",
         "ns_triangle_count",
@@ -300,6 +301,9 @@ def test_changed_or_new_rows_in_window():
         # late-r7 new: Unicode script profiling
         # (stream_windowed_counts rotated out — r6-green, frozen)
         "ns_script_profile",
+        # late-r7 new: event-type Markov transitions (ts_gapfill_locf
+        # rotated out — r6-green, timeseries.py frozen)
+        "event_type_transitions",
         # r7 changed paths: DSIR's quartile assignment was rewritten
         # (distributed rank, selection.py) — its row must re-attest
         "ns_dsir_weights",
