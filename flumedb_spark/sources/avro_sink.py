@@ -125,7 +125,13 @@ def _to_avro_value(v, dt: T.DataType, tz: str = "UTC"):
         if ts is pd.NaT:
             return None
         if ts.tz is None:
-            ts = ts.tz_localize(tz)  # naive == session-local, per Arrow
+            # naive == session-local, per Arrow. Deterministic DST policy
+            # (ADVICE r7): a wall time inside a fall-back fold resolves to
+            # the DST (earlier) instant, one inside a spring-forward gap
+            # shifts forward to the first valid instant — a bare
+            # tz_localize raises Ambiguous/NonExistentTimeError and kills
+            # the whole export for one such row.
+            ts = ts.tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
         return int(ts.value // 1000)  # ns (UTC epoch) -> us
     if isinstance(dt, T.DecimalType):
         d = decimal.Decimal(v).scaleb(dt.scale)

@@ -106,6 +106,8 @@ def read_delta_snapshot(table_root: str, at_version: int | None = None) -> dict:
         versions = [v for v in versions if v <= at_version]
     files: set[str] = set()
     meta = proto = None
+    from_checkpoint = False
+    replay_exc: Exception | None = None
     ckpt = _read_last_checkpoint(delta_dir)
     if ckpt is not None and at_version is not None and int(ckpt.get("version", -1)) > at_version:
         ckpt = None  # checkpoint is newer than the requested snapshot
@@ -114,30 +116,38 @@ def read_delta_snapshot(table_root: str, at_version: int | None = None) -> dict:
             cv = int(ckpt["version"])
             files, meta, proto = _load_checkpoint(_checkpoint_path(delta_dir, cv))
             versions = [v for v in versions if v > cv]
+            from_checkpoint = True
             if not versions:
                 return {
                     "files": files, "metaData": meta, "protocol": proto,
                     "version": cv,
                 }
         except (KeyError, ValueError, OSError) as exc:
-            # unreadable hint/checkpoint: fall back to the full replay —
-            # but ONLY when the JSON log is complete from version 0.
-            # After clean_delta_log has removed the commits a checkpoint
-            # covers, a "full replay" over the surviving JSONs would
-            # silently return an incomplete file set (wrong data); a
-            # gapped log with a dead checkpoint is unreadable, and the
-            # honest answer is an error (ADVICE r6, medium).
             files, meta, proto = set(), None, None
             versions = _existing_versions(delta_dir)
             if at_version is not None:
                 versions = [v for v in versions if v <= at_version]
-            if not versions or versions != list(range(0, versions[-1] + 1)):
-                raise OSError(
-                    f"delta: checkpoint in {delta_dir} is unreadable and the "
-                    f"JSON log is gapped (earliest surviving commit "
-                    f"{versions[0] if versions else None}); refusing a "
-                    "replay that would return an incomplete snapshot"
-                ) from exc
+            replay_exc = exc
+    if not from_checkpoint:
+        # contiguity guard for EVERY full-replay path that does not start
+        # from a readable checkpoint (ADVICE r7 hoist — previously only
+        # the unreadable-checkpoint except branch checked): a missing or
+        # corrupt ``_last_checkpoint`` hint, a time travel below the
+        # checkpoint version, and a dead checkpoint all fall through to a
+        # from-scratch JSON replay — and after clean_delta_log has
+        # removed the commits a checkpoint covers, that replay would
+        # silently return an incomplete file set (wrong data). A gapped
+        # log without a readable checkpoint is unreadable; the honest
+        # answer is an error. An empty log dir with no checkpoint
+        # artifacts stays a legal empty table (version -1).
+        gapped = bool(versions) and versions != list(range(0, versions[-1] + 1))
+        if gapped or (not versions and replay_exc is not None):
+            raise OSError(
+                f"delta: no readable checkpoint in {delta_dir} and the "
+                f"JSON log is gapped (earliest surviving commit "
+                f"{versions[0] if versions else None}); refusing a "
+                "replay that would return an incomplete snapshot"
+            ) from replay_exc
     for v in versions:
         with open(_version_path(delta_dir, v)) as f:
             for line in f:

@@ -267,12 +267,23 @@ def _mad_update(bucket_us, k, key, pdfs, state):
                 out["med"].append(med)
                 out["mad"].append(mad)
 
-    state.update(([e[0] for e in rest], [e[1] for e in rest],
-                  [e[2] for e in rest]))
-    # re-arm on watermark movement: keys with no new data still close
-    # their pending buckets (same TTL caveat as _locf_update)
-    if wm_ms > 0:
-        state.setTimeoutTimestamp(wm_ms + 1)
+    if rest:
+        state.update(([e[0] for e in rest], [e[1] for e in rest],
+                      [e[2] for e in rest]))
+        # re-arm on watermark movement: keys with no new data still close
+        # their pending buckets (same TTL caveat as _locf_update)
+        if wm_ms > 0:
+            state.setTimeoutTimestamp(wm_ms + 1)
+    elif state.exists:
+        # drained key: REMOVE state instead of keeping an empty-array
+        # entry with a re-armed timeout (ADVICE r7 — in a long-running
+        # stream that grows state and per-batch timeout work with every
+        # key ever seen). Removal is provably safe here, unlike
+        # _locf_update's carry: exactly-once relies on watermark closure
+        # — the pinned lag alignment guarantees a surviving late event
+        # can never target an already-closed bucket, so a fresh event
+        # for this key simply re-creates state with a new open bucket.
+        state.remove()
     yield pd.DataFrame(out)
 
 

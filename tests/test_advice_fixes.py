@@ -677,3 +677,136 @@ def test_avro_sink_timestamps_respect_session_timezone(spark, tmp_path):
         assert recs[0]["ts"] == want_us
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_avro_sink_dst_fold_and_gap_localize_deterministically():
+    """A naive wall time in a DST fold or gap must localize under the
+    documented policy (fold -> DST/earlier instant, gap -> shift
+    forward) instead of raising Ambiguous/NonExistentTimeError and
+    killing the whole export for one row (ADVICE r7)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flumedb_spark.sources.avro_sink import _to_avro_value
+
+    tz = "America/New_York"
+    # 2024-11-03 01:30 happens twice (fall back): policy picks the DST
+    # (earlier, UTC-4) instant = 05:30 UTC
+    amb = _to_avro_value(pd.Timestamp("2024-11-03 01:30:00"), T.TimestampType(), tz)
+    assert amb == 1730611800000000
+    # 2024-03-10 02:30 never happens (spring forward): shift forward to
+    # 03:00 EDT = 07:00 UTC
+    gap = _to_avro_value(pd.Timestamp("2024-03-10 02:30:00"), T.TimestampType(), tz)
+    assert gap == 1710054000000000
+
+
+def test_avro_sink_dst_fold_row_does_not_kill_export(spark, tmp_path):
+    """End-to-end: exporting a row whose session-local wall time falls
+    inside the fall-back fold completes instead of raising."""
+    from flumedb_spark.sources.avro_sink import read_avro_ocf, write_avro_ocf
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # SQL literal parses under the SESSION zone, so Arrow hands the
+        # executor kernel the ambiguous naive wall time 01:30
+        df = spark.sql("SELECT 1 AS id, timestamp'2024-11-03 01:30:00' AS ts")
+        out = str(tmp_path / "dst_avro")
+        write_avro_ocf(df.coalesce(1), out)
+        recs = read_avro_ocf(spark, out, logical=False)
+        assert len(recs) == 1
+        # whichever fold instant Spark stored, the writer's policy emits
+        # the DST (earlier) micros for the 01:30 naive wall time
+        assert recs[0]["ts"] == 1730611800000000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_delta_missing_hint_on_gapped_log_raises(spark, tmp_path):
+    """The gapped-log guard must cover EVERY full-replay path without a
+    readable checkpoint (ADVICE r7 hoist): when _last_checkpoint itself
+    is missing (not just unreadable parquet), a cleaned log must error,
+    not silently replay the surviving JSONs into an incomplete
+    snapshot."""
+    from flumedb_spark.engine import Flume
+    from flumedb_spark.sources import delta_export as de
+
+    db = Flume(str(tmp_path / "log"), spark=spark)
+    for i in range(6):
+        db.append({"i": i})
+        de.export_delta_log(db.log, checkpoint_interval=None)
+    delta_dir = os.path.join(db.log.path, "_delta_log")
+    de.write_delta_checkpoint(db.log.path)
+    cleaned = de.clean_delta_log(db.log.path, keep_versions=2)
+    assert cleaned["deleted"] > 0
+    assert de.read_delta_snapshot(db.log.path)["files"]  # healthy via ckpt
+    os.remove(os.path.join(delta_dir, "_last_checkpoint"))
+    with pytest.raises(OSError):
+        de.read_delta_snapshot(db.log.path)
+    db.close()
+
+
+def test_delta_empty_log_dir_still_reads_as_empty_table(tmp_path):
+    """The hoisted guard must NOT break the legal empty-table case: a
+    log dir with no commits and no checkpoint artifacts reads as
+    version -1 with no files."""
+    from flumedb_spark.sources import delta_export as de
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    snap = de.read_delta_snapshot(root)
+    assert snap["version"] == -1 and snap["files"] == set()
+
+
+def test_stream_mad_state_removed_when_drained():
+    """_mad_update must REMOVE state once its pending list drains —
+    keeping an empty-array entry with a re-armed event-time timeout
+    grows state and per-batch timeout work with every key ever seen
+    (ADVICE r7)."""
+    import pandas as pd
+
+    from flumedb_spark.streaming.stateful import _mad_update
+
+    class FakeState:
+        def __init__(self, wm_ms):
+            self.exists = False
+            self._v = None
+            self.removed = False
+            self.timeout_set = False
+            self._wm = wm_ms
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self.removed = True
+            self.exists = False
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout_set = True
+
+    bucket_us = 3_600_000_000
+    # watermark far past the events' buckets: everything closes, rest=[]
+    st = FakeState(wm_ms=10 * 3_600_000)
+    st.update(([1_000_000], [1], [5.0]))  # one pending event in bucket 0
+    st.timeout_set = False
+    out = list(_mad_update(bucket_us, 3.0, (7,), iter([pd.DataFrame(
+        {"ts_us": [2_000_000], "event_id": [2], "value": [6.0]}
+    )]), st))
+    assert st.removed and not st.exists
+    assert not st.timeout_set, "drained key must not re-arm a timeout"
+    assert len(out) == 1
+    # a fresh open-bucket event later re-creates state from scratch
+    st2 = FakeState(wm_ms=1)
+    list(_mad_update(bucket_us, 3.0, (7,), iter([pd.DataFrame(
+        {"ts_us": [9 * 3_600_000_000], "event_id": [3], "value": [1.0]}
+    )]), st2))
+    assert st2.exists and not st2.removed and st2.timeout_set

@@ -320,5 +320,12 @@ def test_clean_delta_log_retention(tmp_path, spark):
 
     with _pytest.raises(ValueError):
         read_delta_snapshot(log.path, at_version=3)
-    # versions inside the window still do
-    assert read_delta_snapshot(log.path, at_version=9)["version"] == 9
+    # versions below the checkpoint can no longer reconstruct either:
+    # the checkpoint cannot be rolled back and the pre-checkpoint JSONs
+    # are gone, so a replay over commits 8..9 alone would silently
+    # return a 2-file "snapshot" missing everything added in 0..7 —
+    # the hoisted gapped-log guard refuses instead (ADVICE r7)
+    with _pytest.raises(OSError):
+        read_delta_snapshot(log.path, at_version=9)
+    # the checkpoint version itself still time-travels exactly
+    assert read_delta_snapshot(log.path, at_version=11)["version"] == 11
