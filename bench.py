@@ -602,16 +602,23 @@ def _batched_interleaved(
     realistic shape of a multi-query serving layer; exactly the
     verdict's 'submit the full set as one job group') — and then,
     back-to-back in the SAME window, the full DuckDB sweep of the same
-    queries on the same process's connection (sequential: DuckDB's
-    per-query submission cost is sub-ms and each query already uses
-    all threads, so sequential is its best case — unchanged from every
-    prior round). Host noise therefore inflates both sides of the pass
-    it lands on, and the reported ratio is the MEDIAN of per-pass
-    ratios — robust to a stall in any single pass, not cherry-pickable
-    to the quietest one. Returns
-    ``{"spark": [...], "duckdb": [...], "ratio": [...],
-       "batched_sec": min(spark), "duck_sec": min(duckdb),
-       "ratio_median": median(ratio)}`` (lists rounded, per pass).
+    queries TWICE — sequentially AND concurrently (the same
+    ThreadPoolExecutor submission shape as the Spark side, one cursor
+    per worker thread). r8 (VERDICT-r7 "what's wrong" #1): the claim
+    that sequential is DuckDB's best case (each query already uses all
+    threads; submission cost is sub-ms) was asserted but unproven for
+    10-60 ms queries that cannot saturate 32 cores individually — now
+    BOTH modes are measured every pass and the per-pass ratio
+    denominator is whichever DuckDB side was faster, so the claim is
+    in the artifact instead of the docstring. Host noise inflates both
+    engines of the pass it lands on, and the reported ratio is the
+    MEDIAN of per-pass ratios — robust to a stall in any single pass,
+    not cherry-pickable to the quietest one. Returns
+    ``{"spark": [...], "duckdb": [...], "duckdb_concurrent": [...],
+       "ratio": [...], "batched_sec": min(spark),
+       "duck_sec": min(duckdb + duckdb_concurrent),
+       "ratio_median": median(ratio)}`` (lists rounded, per pass;
+    ratio[i] = spark[i] / min(duckdb[i], duckdb_concurrent[i])).
 
     Same-window A/B (r7, min-of-3, docs/SCALING.md): concurrent job
     submission 2.29 s vs the old tagged/json-packed union DAG 4.24 s
@@ -627,15 +634,40 @@ def _batched_interleaved(
     plan-pinned Dataset re-collected would be the thing that reuses
     map outputs (rejected in r5, still rejected)."""
     try:
+        import threading
         from concurrent.futures import ThreadPoolExecutor
 
+        n_workers = min(threads, max(4, len(names)))
+
         def run_all():
-            with ThreadPoolExecutor(min(threads, max(4, len(names)))) as ex:
+            with ThreadPoolExecutor(n_workers) as ex:
                 list(ex.map(lambda n: make_one(n).count(), names))
 
+        from flumedb_spark.catalog import ORACLES
+
+        _tls = threading.local()
+
+        def duck_concurrent():
+            # identical submission shape to the Spark side: one pool,
+            # every query from its own thread; DuckDB requires one
+            # cursor per thread (cursors share the parent connection's
+            # in-memory catalog, so the registered views are visible)
+            def one(n):
+                cur = getattr(_tls, "cur", None)
+                if cur is None:
+                    cur = _tls.cur = con.cursor()
+                cur.execute(ORACLES[n]).fetchall()
+
+            with ThreadPoolExecutor(n_workers) as ex:
+                list(ex.map(one, names))
+
         run_all()  # warm/codegen
+        if con is not None and names:
+            duck_concurrent()  # warm the concurrent shape too (threads,
+            # per-thread cursors) — DuckDB gets its best case on both modes
         sp: list[float] = []
         dk: list[float] = []
+        dkc: list[float] = []
         for _ in range(passes):
             t0 = time.perf_counter()
             run_all()
@@ -645,13 +677,21 @@ def _batched_interleaved(
                 for n in names:
                     _duck_once(con, n)
                 dk.append(round(time.perf_counter() - t0, 4))
-        ratios = [round(s / d, 3) for s, d in zip(sp, dk) if d]
+                t0 = time.perf_counter()
+                duck_concurrent()
+                dkc.append(round(time.perf_counter() - t0, 4))
+        # per-pass denominator: whichever DuckDB submission mode was
+        # faster in THAT pass — the ratio's DuckDB side is always its
+        # measured best case, never an asserted one
+        dbest = [min(s, c) for s, c in zip(dk, dkc)] if dkc else dk
+        ratios = [round(s / d, 3) for s, d in zip(sp, dbest) if d]
         return {
             "spark": sp,
             "duckdb": dk,
+            "duckdb_concurrent": dkc,
             "ratio": ratios,
             "batched_sec": min(sp) if sp else None,
-            "duck_sec": min(dk) if dk else None,
+            "duck_sec": min(dbest) if dbest else None,
             "ratio_median": (
                 round(_median(ratios), 3) if ratios else None
             ),
@@ -763,6 +803,19 @@ def compact_summary(out: dict, full_path: str | None = None) -> dict:
         ),
         "batched_ratio_passes": (
             out.get("batched_passes", {}).get("ratio")
+            if isinstance(out.get("batched_passes"), dict)
+            else None
+        ),
+        # r8 (VERDICT-r7 #3): both DuckDB submission modes per pass —
+        # the ratio denominator is the per-pass min of the two, so the
+        # sequential-is-best-case claim is measured, not asserted
+        "duckdb_sequential_passes": (
+            out.get("batched_passes", {}).get("duckdb")
+            if isinstance(out.get("batched_passes"), dict)
+            else None
+        ),
+        "duckdb_concurrent_passes": (
+            out.get("batched_passes", {}).get("duckdb_concurrent")
             if isinstance(out.get("batched_passes"), dict)
             else None
         ),
