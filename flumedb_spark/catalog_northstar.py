@@ -3469,3 +3469,108 @@ def ns_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = spark.createDataFrame([(1,), (3,)], "node_id long")
     d = _graph.shortest_paths(ed, srcs, weight_col="cost")
     return d.orderBy("node_id")
+
+
+# ---------------------------------------------------------------------
+# r8 additions (VERDICT-r7 #4): URL canonicalization with sorted query
+# params, RFC-lite reference resolution, and the host-level crawl-graph
+# rollup — the normalization stage between html_links and pagerank.
+# ---------------------------------------------------------------------
+
+from .operators import urls as _urls  # noqa: E402
+
+_URL_CANON_R8_DUCK = """
+    SELECT doc_id, url, canonical_url FROM (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.TEST:443/p/' || CAST(doc_id % 40 AS VARCHAR) || '?z=1&utm_source=feed&a=2'
+          WHEN 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.test:80/p/' || CAST(doc_id % 40 AS VARCHAR) || '/?b=2&a=1'
+          WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.test/p/' || CAST(doc_id % 40 AS VARCHAR) || '#sec-2'
+          WHEN 3 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.test/p/' || CAST(doc_id % 40 AS VARCHAR) || '?fbclid=xx&gclid=yy'
+          ELSE 'https://WWW.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.test/p/' || CAST(doc_id % 40 AS VARCHAR) || '/'
+        END AS url,
+        CASE doc_id % 5
+          WHEN 0 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.test/p/' || CAST(doc_id % 40 AS VARCHAR) || '?a=2&z=1'
+          WHEN 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.test/p/' || CAST(doc_id % 40 AS VARCHAR) || '/?a=1&b=2'
+          WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.test/p/' || CAST(doc_id % 40 AS VARCHAR)
+          WHEN 3 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.test/p/' || CAST(doc_id % 40 AS VARCHAR)
+          ELSE 'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.test/p/' || CAST(doc_id % 40 AS VARCHAR)
+        END AS canonical_url
+      FROM documents
+    ) ORDER BY doc_id
+"""
+
+
+@query("ns_url_canonical", oracle=_URL_CANON_R8_DUCK)
+def ns_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full URL canonical key (operators/urls.canonicalize_url =
+    text.canonicalize_url + SORTED query params — the property r7's
+    key lacked: ?b=2&a=1 and ?a=1&b=2 must collide). Five fixture
+    variants per doc exercise scheme/host case, default ports,
+    fragments, tracking params, unsorted params, and trailing slashes;
+    the oracle replays the EXPECTED canonical strings closed-form, so
+    any regex-chain bug (including a param-sort divergence) breaks the
+    hash. Slash-before-query is preserved by design (only a trailing
+    end-of-string slash strips)."""
+    d = F.col("doc_id")
+    k, m = (d % 7).cast("string"), (d % 40).cast("string")
+    c = d % 5
+    url = (
+        F.when(c == 0, F.concat(F.lit("HTTPS://Site"), k, F.lit(".Example.TEST:443/p/"), m, F.lit("?z=1&utm_source=feed&a=2")))
+        .when(c == 1, F.concat(F.lit("http://site"), k, F.lit(".example.test:80/p/"), m, F.lit("/?b=2&a=1")))
+        .when(c == 2, F.concat(F.lit("https://site"), k, F.lit(".example.test/p/"), m, F.lit("#sec-2")))
+        .when(c == 3, F.concat(F.lit("https://site"), k, F.lit(".example.test/p/"), m, F.lit("?fbclid=xx&gclid=yy")))
+        .otherwise(F.concat(F.lit("https://WWW.site"), k, F.lit(".example.test/p/"), m, F.lit("/")))
+    )
+    return (
+        spark.table("documents")
+        .select("doc_id", url.alias("url"))
+        .withColumn("canonical_url", _urls.canonicalize_url(F.col("url")))
+        .orderBy("doc_id")
+    )
+
+
+@query("ns_url_resolve", oracle=_urls.resolved_canonical_oracle_sql())
+def ns_url_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986-lite reference resolution (operators/urls.resolve_url):
+    each doc's page URL against four href classes — absolute (mixed
+    case, unsorted params, fragment), root-relative, protocol-relative
+    (tracking param), and relative-with-dot-segments — then
+    canonicalized. The oracle replays the expected resolved strings
+    closed-form from the formulas, so a base-dir, dot-segment, scheme-
+    inherit, or canonicalization bug breaks the hash. Cross-checked
+    against urllib.parse.urljoin ground truth in tests/test_urls.py."""
+    from functools import reduce as _reduce
+
+    docs = spark.table("documents")
+    parts = [
+        docs.select(
+            "doc_id",
+            F.lit(i).alias("link_i"),
+            _urls.canonicalize_url(
+                _urls.resolve_url(_urls.page_url_expr(), _urls.link_href_expr(i))
+            ).alias("resolved_url"),
+        )
+        for i in range(4)
+    ]
+    return _reduce(lambda a, b: a.unionByName(b), parts).orderBy("doc_id", "link_i")
+
+
+@query("ns_host_graph", oracle=_urls.host_graph_oracle_sql())
+def ns_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl-graph rollup, chained through the REAL parser:
+    multi-host fixture pages -> html.html_links (stdlib-HTMLParser
+    Arrow kernel) -> urls.host_graph (doc_id equi-join back to page
+    URLs, resolve + canonicalize every href, http(s)+cross-host filter,
+    (src_host, dst_host) rollup). Self-edges from the root-relative and
+    dot-segment links are dropped by include_self=False — the oracle
+    replays the two surviving cross-host edge formulas, so a
+    resolution, host-extraction, or rollup bug breaks the hash. Output
+    feeds graph.pagerank / connected_components_star directly."""
+    from .operators import html as _html
+
+    pages = _urls.with_synthetic_multihost_pages(spark.table("documents"))
+    links = _html.html_links(pages, html_col="html").where(F.col("ok"))
+    return _urls.host_graph(
+        pages.select("doc_id", "url"), links.select("doc_id", "href")
+    )
