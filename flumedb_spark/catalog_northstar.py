@@ -3574,3 +3574,56 @@ def ns_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _urls.host_graph(
         pages.select("doc_id", "url"), links.select("doc_id", "href")
     )
+
+
+# ---------------------------------------------------------------------
+# r8 (VERDICT-r7 #1): supervised quality-classifier scoring — the
+# "looks-like-target" gate next to Gopher rules and DSIR. Labeled
+# slices: pos = src0 ("target-like"), neg = src3 (disjoint by
+# construction in the fixture corpus).
+# ---------------------------------------------------------------------
+
+from .operators import quality_clf as _qclf  # noqa: E402
+
+
+@query(
+    "ns_quality_classifier",
+    oracle=_qclf.quality_classifier_oracle_sql(),
+)
+def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form NB log-odds quality classifier
+    (operators/quality_clf.train_quality_classifier + score_quality):
+    hashed-bigram class LMs over the labeled slices, class-prior bias,
+    broadcast-weights inference over every doc with exact micro-nat
+    arithmetic; keep = logit > 0. The oracle replays training AND
+    inference, so a smoothing, floor, prior, or accumulation bug
+    breaks the hash. Plan-gated: no Python stage, no window anywhere
+    (tests/test_plans.py)."""
+    docs = spark.table("documents")
+    pb = _qclf.per_bucket_counts(docs)
+    w, bias = _qclf.train_quality_classifier(
+        docs, "source = 'src0'", "source = 'src3'", per_bucket=pb
+    )
+    return _qclf.score_quality(docs, w, bias, per_bucket=pb)
+
+
+@query(
+    "ns_quality_clf_lr",
+    oracle=_qclf.quality_classifier_lr_oracle_sql(),
+)
+def ns_quality_clf_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration logistic-regression quality classifier (the
+    fastText-supervised trainer shape): 3 full-batch gradient steps
+    from zero weights on the labeled slices, every margin/probability/
+    update quantized to integer micro-units, broadcast-weights
+    inference corpus-wide. The oracle unrolls the entire training
+    trajectory as CTE layers (the ns_ppr_topk device), so a gradient,
+    quantization, or update-rule divergence in ANY step breaks the
+    hash. Separates the training classes exactly at the defaults
+    (tests/test_scoring_ops.py)."""
+    docs = spark.table("documents")
+    pb = _qclf.per_bucket_counts(docs)
+    w, bias = _qclf.train_quality_classifier_lr(
+        docs, "source = 'src0'", "source = 'src3'", per_bucket=pb
+    )
+    return _qclf.score_quality_lr(docs, w, bias, per_bucket=pb)

@@ -242,3 +242,25 @@ def test_r7_family_plan_shapes(plans):
         p = plans(q)
         assert p.count("MapInPandas (") == 1, f"{q} gained a Python stage"
         assert "CartesianProduct" not in p
+
+
+def test_r8_family_plan_shapes(plans):
+    """r8 additions keep the scale posture: the quality-classifier rows
+    (train + inference) must be pure JVM plans — no Python anywhere
+    (the LR trainer's weight/bias tables are built JVM-side, not
+    createDataFrame literals), no window of any kind, and the ONLY
+    SortMergeJoin is the final corpus-vs-scores doc_id join (two
+    data-sized sides — SMJ is the correct plan there); every weight/
+    bias/label join broadcasts, and the weight merges are union+groupBy
+    (full outer cannot broadcast). URL rows gated in tests/
+    test_urls.py."""
+    for q in ("ns_quality_classifier", "ns_quality_clf_lr"):
+        p = plans(q)
+        assert "Python" not in p, f"{q} dropped into Python"
+        assert "Window" not in p, f"{q} gained a window"
+        # formatted explain lists each operator twice (tree + detail);
+        # count the detail line
+        assert p.count(") SortMergeJoin") <= 1, (
+            f"{q}: a weight/label join stopped broadcasting"
+        )
+        assert "BroadcastHashJoin" in p, q

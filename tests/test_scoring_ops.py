@@ -238,3 +238,78 @@ def test_script_profile_semantics(spark):
     assert out[4].dominant_script == "none"
     assert out[5].dominant_script == "greek"
     assert out[6].dominant_script == "digit" and out[6].n_hangul == 3
+
+
+# ---------------------------------------------------------------------
+# r8: supervised quality classifier (NB closed-form + fixed-iter LR)
+# ---------------------------------------------------------------------
+
+
+def _toy_labeled_docs(spark):
+    # two clearly separable vocabularies + unlabeled docs of each style
+    rows = [
+        (0, "alpha beta alpha beta gamma", "pos"),
+        (1, "alpha gamma beta alpha", "pos"),
+        (2, "zeta eta theta zeta", "neg"),
+        (3, "eta theta zeta eta theta", "neg"),
+        (4, "alpha beta gamma alpha", "unl"),   # pos-style
+        (5, "zeta theta eta zeta", "unl"),      # neg-style
+        (6, "solo", "unl"),                     # < 2 tokens: featureless
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_quality_classifier_nb_separates_and_scores_featureless(spark):
+    from flumedb_spark.operators import quality_clf as qc
+
+    docs = _toy_labeled_docs(spark)
+    w, bias = qc.train_quality_classifier(docs, "source = 'pos'", "source = 'neg'")
+    out = {r.doc_id: r for r in qc.score_quality(docs, w, bias).collect()}
+    assert out[0].keep and out[1].keep and out[4].keep
+    assert not out[2].keep and not out[3].keep and not out[5].keep
+    # featureless doc scores exactly the prior (here ln(2/2) = 0 -> not kept)
+    assert out[6].n_grams == 0 and out[6].logit_micro == 0 and not out[6].keep
+    # every input doc gets a verdict
+    assert len(out) == 7
+
+
+def test_quality_classifier_lr_separates_and_is_deterministic(spark):
+    from flumedb_spark.operators import quality_clf as qc
+
+    docs = _toy_labeled_docs(spark)
+    w1, b1 = qc.train_quality_classifier_lr(docs, "source = 'pos'", "source = 'neg'")
+    out1 = {r.doc_id: r for r in qc.score_quality_lr(docs, w1, b1).collect()}
+    assert out1[0].keep and out1[4].keep and not out1[2].keep and not out1[5].keep
+    # p_micro is a valid quantized probability, monotone in margin
+    assert 0 <= out1[0].p_micro <= 1_000_000 and out1[0].p_micro > out1[2].p_micro
+    # retrain: the fixed-point trajectory is bit-identical
+    w2, b2 = qc.train_quality_classifier_lr(docs, "source = 'pos'", "source = 'neg'")
+    out2 = {r.doc_id: r for r in qc.score_quality_lr(docs, w2, b2).collect()}
+    assert {k: v.margin_micro for k, v in out1.items()} == {
+        k: v.margin_micro for k, v in out2.items()
+    }
+
+
+def test_quality_classifier_corpus_separation(spark, docs):
+    """On the fixture corpus both trainers must separate their own
+    training labels well (NB >= 95% on each class; LR exact at the
+    defaults at sf0.01+, >= 0.9 at the tiny suite SF)."""
+    from flumedb_spark.operators import quality_clf as qc
+
+    pb = qc.per_bucket_counts(docs)
+    w, bias = qc.train_quality_classifier(
+        docs, "source = 'src0'", "source = 'src3'", per_bucket=pb
+    )
+    scored = qc.score_quality(docs, w, bias, per_bucket=pb)
+    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    pos_acc = j.where("source = 'src0'").agg(F.avg(F.col("keep").cast("int"))).collect()[0][0]
+    neg_acc = j.where("source = 'src3'").agg(F.avg((~F.col("keep")).cast("int"))).collect()[0][0]
+    assert pos_acc >= 0.95 and neg_acc >= 0.95, (pos_acc, neg_acc)
+    wl, bl = qc.train_quality_classifier_lr(
+        docs, "source = 'src0'", "source = 'src3'", per_bucket=pb
+    )
+    sl = qc.score_quality_lr(docs, wl, bl, per_bucket=pb)
+    jl = sl.join(docs.select("doc_id", "source"), "doc_id")
+    pos_l = jl.where("source = 'src0'").agg(F.avg(F.col("keep").cast("int"))).collect()[0][0]
+    neg_l = jl.where("source = 'src3'").agg(F.avg((~F.col("keep")).cast("int"))).collect()[0][0]
+    assert pos_l >= 0.9 and neg_l >= 0.9, (pos_l, neg_l)
