@@ -1120,3 +1120,94 @@ def test_stream_mad_outliers_semantics(spark, tmp_path):
     batch = mad_outliers(closed, "user_id", "value", "event_id").collect()
     assert [(r["user_id"], r["event_id"], r["value"], r["med"], r["mad"])
             for r in batch] == [(1, 6, 100.0, 1.0, 0.0)]
+
+
+def test_stream_interval_join_semantics(spark, tmp_path):
+    """PROBE (r8): pins the two-source stream-stream interval-join
+    semantics the stream_interval_join oracle relies on —
+    (a) two file sources with maxFilesPerTrigger=1 advance TOGETHER
+    (one file from each per micro-batch, mtime order), so per-key
+    co-batched sides join intra-batch; (b) the late-event filter in
+    batch N uses the GLOBAL watermark through batch N-2, where global
+    = MIN across both sources' watermark operators; (c) matched pairs
+    emit iff both sides survive the filter."""
+    import datetime
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flumedb_spark.streaming.live import interval_join_streams
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(9):
+        for j in range(4):
+            m = u * 60 + j * 15
+            rows.append((u, 100 * u + j, t0 + datetime.timedelta(minutes=m), "c"))
+            rows.append(
+                (u, 200 * u + j, t0 + datetime.timedelta(minutes=m + 10), "p")
+            )
+    ev = spark.createDataFrame(rows, "u long, eid long, ts timestamp, k string")
+
+    def stage(df, sub):
+        d = str(tmp_path / sub)
+        os.makedirs(d)
+        for i in range(3):
+            st = str(tmp_path / f"{sub}_st{i}")
+            df.where(F.col(df.columns[0]) % 3 == i).coalesce(1).write.parquet(st)
+            part = next(f for f in os.listdir(st) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"b{i}.parquet")
+            shutil.move(os.path.join(st, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    cs = stage(
+        ev.where("k = 'c'").select(
+            F.col("u").alias("c_user"),
+            F.col("eid").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        ),
+        "c",
+    )
+    ps = stage(
+        ev.where("k = 'p'").select(
+            F.col("u").alias("p_user"),
+            F.col("eid").alias("purch_id"),
+            F.col("ts").alias("p_ts"),
+        ),
+        "p",
+    )
+    out = interval_join_streams(
+        ps, cs, on="p_user = c_user", left_ts="p_ts", right_ts="c_ts"
+    ).select("p_user", "click_id", "purch_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_probe")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ssj_probe").collect()
+    spark.catalog.dropTempView("ssj_probe")
+    by_u = {}
+    for r in got:
+        by_u.setdefault(r.p_user, set()).add((r.click_id, r.purch_id))
+    # each user: purchase j matches clicks j (10 min back) and j-1
+    # (25 min back) -> 7 pairs; users in batches 0/1 never filtered
+    for u in (0, 3, 6, 1, 4, 7):
+        assert len(by_u[u]) == 7, (u, sorted(by_u.get(u, ())))
+    # batch-2 users filter vs wm-after-b0 = min(max c_ts, max p_ts of
+    # batch 0) - 30min = (6*60+45 min) - 30min = 375 min: users 2 and 5
+    # (all rows below) drop entirely, user 8 (rows at 480+) keeps all 7
+    assert 2 not in by_u and 5 not in by_u
+    assert len(by_u[8]) == 7
+    # exact pair identity for user 0 (click j matches purchases j and
+    # j+1 — the intra-batch matching shape): ids are 100*0+j / 200*0+j
+    assert by_u[0] == {(0, 0), (0, 1), (1, 1), (1, 2), (2, 2), (2, 3), (3, 3)}
