@@ -125,11 +125,15 @@ DRIVER_WINDOW: list[str] = [
     # untouched this round; ns_weighted_paths keeps the distance family
     # in-window and both re-run vs DuckDB every suite via the live gate
     # — slot goes to the new personalized-PageRank row)
-    "ns_weighted_paths",
-    # personalized PageRank (reset-vector walk-with-restart over the
-    # purchase graph, seeds = nation-0 customers) — NEW r7
-    # (VERDICT-r6 #5): completes the graph family next to ns_pagerank
-    "ns_ppr_topk",
+    # (ns_weighted_paths and ns_ppr_topk rotated out r8 — both
+    # r7-driver-green, graph.py frozen this round; ns_pagerank +
+    # ns_triangle_count keep the graph family in-window — slots go to
+    # the new quality-classifier rows below)
+    # supervised quality classifiers (VERDICT-r7 #1) — NEW r8: NB
+    # closed-form log-odds + fixed-iteration logistic regression with
+    # the training trajectory unrolled in the oracle
+    "ns_quality_classifier",
+    "ns_quality_clf_lr",
     # (o2_bulk_append rotated out late r6 — r5-driver-green at sf0.01;
     # this round's log.py change (delete_seqs) is an addition that does
     # not touch the bulk-append path, which stays covered by
@@ -169,14 +173,24 @@ DRIVER_WINDOW: list[str] = [
     # timeseries.py frozen this round; ts_mad_outliers +
     # stream_mad_outliers keep the family — slot goes to the new
     # event-transition row)
-    # event-type Markov transition matrix (third event-analytics leg
-    # beside funnel/retention) — NEW r7
-    "event_type_transitions",
-    "ts_mad_outliers",
+    # (event_type_transitions and ts_mad_outliers rotated out r8 — both
+    # r7-driver-green, their shared-SQL/timeseries.py paths frozen this
+    # round; stream_mad_outliers keeps the anomaly family in-window —
+    # slots go to the new URL rows below. NOTE stream_mad_outliers
+    # itself STAYS: streaming/stateful.py changed this round (drained-
+    # state removal), so its attestation must be fresh)
+    # URL canonical key with sorted params + RFC-lite reference
+    # resolution (VERDICT-r7 #4) — NEW r8
+    "ns_url_canonical",
+    "ns_url_resolve",
     # pre-training scoring/sketching family — NEW late r6: Gopher
     # quality rules, CCNet unigram-LM terciles, sqrt-temperature source
     # mixing, KMV set-operation sketch (theta-style distinct algebra)
-    "ns_gopher_quality",
+    # (ns_gopher_quality rotated out r8 — r7-driver-green, text.py
+    # frozen this round; ns_lm_perplexity + the two classifier rows
+    # keep the scoring family in-window — slot goes to the new
+    # host-graph rollup row)
+    "ns_host_graph",
     "ns_lm_perplexity",
     # (ns_source_mixture rotated out late r7 — r6-driver-green,
     # sampling.py frozen this round; the sampling family stays
@@ -203,8 +217,12 @@ DRIVER_WINDOW: list[str] = [
     # streaming/live.py's windowed path frozen this round; the family
     # keeps six in-window rows incl. the new stream_mad_outliers —
     # slot goes to the new multilingual script-profile row)
-    # Unicode script profiling (multilingual routing signal) — NEW r7
-    "ns_script_profile",
+    # (ns_script_profile rotated out r8 — r7-driver-green, text.py's
+    # script ranges frozen this round — slot goes to the new
+    # stream-stream interval join row)
+    # stream-stream watermarked interval join (VERDICT-r7 #2) — NEW r8:
+    # the one major Structured Streaming capability the family lacked
+    "stream_interval_join",
     "stream_stateful_key_stats",
     # streaming dedup-within-watermark — NEW r6 (VERDICT-r5 #8); takes
     # the slot of r5-green frozen ns_zorder_morton (scd2 keeps the

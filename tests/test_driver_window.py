@@ -129,6 +129,16 @@ def test_all_northstar_ops_in_window():
         # late-r7 rotation for the new ns_html_links crawl-graph row
         # (r6-driver-green, sampling.py frozen this round)
         "ns_source_mixture",
+        # r8 rotations for the new classifier/URL/interval-join rows:
+        # all r7-driver-green with graph.py / text.py frozen this round
+        # (ns_pagerank + ns_triangle_count keep the graph family
+        # in-window; ns_lm_perplexity + the classifier rows keep the
+        # scoring family; every rotated-out path re-runs vs DuckDB each
+        # suite run via tests/test_full_gate.py)
+        "ns_weighted_paths",
+        "ns_ppr_topk",
+        "ns_script_profile",
+        "ns_gopher_quality",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -245,7 +255,9 @@ def test_changed_or_new_rows_in_window():
         # late-r6 new: the pre-training scoring/sketching family
         # (q11/q16/q17 + ns_similarity_topk rotated out — all
         # r5-driver-green with frozen implementations)
-        "ns_gopher_quality", "ns_lm_perplexity",
+        # (ns_gopher_quality rotated out r8 for ns_host_graph —
+        #  r7-driver-green, text.py frozen this round)
+        "ns_lm_perplexity",
         # (ns_source_mixture rotated out late r7 for ns_html_links —
         #  r6-driver-green, sampling.py frozen this round)
         # (ns_kmv_set_ops rotated out r7 for stream_mad_outliers —
@@ -275,38 +287,54 @@ def test_changed_or_new_rows_in_window():
         # single-pass column profiling
         "ns_pagerank",
         # (ts_gapfill_locf rotated out late r7 for the new
-        #  event_type_transitions row — r6-green, timeseries.py frozen)
-        "ts_mad_outliers",
+        #  event_type_transitions row — r6-green, timeseries.py frozen;
+        #  ts_mad_outliers and event_type_transitions rotated out r8 —
+        #  r7-driver-green, paths frozen; stream_mad_outliers keeps the
+        #  anomaly family AND must re-attest: stateful.py changed)
         "ns_profile_columns",
         "ns_triangle_count",
         # (v1_reduce_stats rotated out late r6 for stream_locf_grid —
         #  r5-driver-green, views/reduce.py untouched all round)
         "stream_locf_grid",
         # (scd2_point_in_time rotated out late r7 for the new
-        #  ns_curriculum_deciles row — r6-driver-green, cdc.py frozen)
-        "ns_weighted_paths",
+        #  ns_curriculum_deciles row — r6-driver-green, cdc.py frozen;
+        #  ns_weighted_paths and ns_ppr_topk rotated out r8 — both
+        #  r7-driver-green, graph.py frozen this round)
         "cdc_snapshot_diff",
         # r7 new rows (VERDICT-r6 #3/#4/#5) — take the slots of
         # ns_quantile_clip / ns_kmv_set_ops / ns_shortest_paths
         # (r6-driver-green, paths frozen this round):
         "ns_html_text",
         "stream_mad_outliers",
-        "ns_ppr_topk",
         # late-r7 new: crawl-graph link extraction (ns_source_mixture
         # rotated out — r6-green, sampling.py frozen)
         "ns_html_links",
         # late-r7 new: corpus-global curriculum deciles
         # (scd2_point_in_time rotated out — r6-green, cdc.py frozen)
         "ns_curriculum_deciles",
-        # late-r7 new: Unicode script profiling
-        # (stream_windowed_counts rotated out — r6-green, frozen)
-        "ns_script_profile",
-        # late-r7 new: event-type Markov transitions (ts_gapfill_locf
-        # rotated out — r6-green, timeseries.py frozen)
-        "event_type_transitions",
+        # (ns_script_profile and event_type_transitions rotated out r8
+        #  — both r7-driver-green, paths frozen this round)
         # r7 changed paths: DSIR's quartile assignment was rewritten
         # (distributed rank, selection.py) — its row must re-attest
         "ns_dsir_weights",
+        # r8 new rows (VERDICT-r7 #1/#2/#4): supervised quality
+        # classifiers (NB closed-form + unrolled-trajectory LR), the
+        # stream-stream interval join, and the URL canonical/resolve/
+        # host-graph family
+        "ns_quality_classifier",
+        "ns_quality_clf_lr",
+        "stream_interval_join",
+        "ns_url_canonical",
+        "ns_url_resolve",
+        "ns_host_graph",
+        # r8 changed paths that must re-attest in the driver window:
+        # streaming/stateful.py (drained-state removal) -> the MAD
+        # stream row; avro_sink.py (DST policy) -> the avro loop;
+        # delta_export.py (hoisted gapped-log guard) -> the lakehouse
+        # loop
+        "stream_mad_outliers",
+        "src_avro_roundtrip",
+        "src_lakehouse_roundtrip",
     ):
         assert n in _window_names(), n
 
