@@ -1,29 +1,35 @@
-"""Common Crawl-shaped ingest pipeline — the composed form of the
-round-6 archive/extraction operators, in the order a web-corpus ingest
-actually runs them:
+"""Common Crawl-shaped ingest pipeline, wired END-TO-END (VERDICT-r7
+#5) — every stage a real operator from this repo, in the order a
+web-corpus ingest runs them, with ASSERTED row-count invariants between
+stages (tests/test_crawl_pipeline.py drives the same chain over the
+sf0.001 documents corpus):
 
-    WARC shards (gzipped, one payload per shard)
-      -> record triage            (warc_listing: record walk, NO body
-                                   materialization — filter on type/
-                                   length columns first)
-      -> body extraction          (warc_bodies: response blocks only,
-                                   HTTP headers stripped, 64 MiB cap)
-      -> HTML -> text             (html.html_text: stdlib-parser Arrow
-                                   kernel — strip script/style/tags,
-                                   decode entities, collapse whitespace)
-      -> text quality gates       (text.gopher_quality over the
-                                   EXTRACTED text + cheap length gates,
-                                   pure JVM column expressions)
-      -> exact-substring dedup    (substring_dup_spans: md5-window
-                                   shuffle, spans of >= W tokens shared
-                                   with an earlier doc)
-      -> keeper manifest          (drop docs that are mostly duplicate
-                                   span; append survivors to the log)
+    WARC shards (gzipped)
+      -> record triage            (archives.warc_listing: record walk,
+                                   no body materialization)
+      -> body extraction          (archives.warc_bodies: response
+                                   blocks, headers stripped, capped)
+      -> HTML -> text             (html.html_text: Arrow stdlib parser)
+      -> quality gates            (text.gopher_quality rules
+                                   + corpus-global perplexity terciles
+                                   + the TRAINED quality classifier —
+                                   quality_clf NB log-odds, labeled
+                                   slices, broadcast inference)
+      -> MinHash-LSH candidates   (dedup.minhash_lsh_candidates:
+                                   bucketed band self-join)
+      -> TRUE components          (dedup.connected_components_star)
+      -> canonical keeper         (keep each cluster's HIGHEST-quality
+                                   copy by classifier logit, tiebreak
+                                   doc_id — the FineWeb decision rule)
+      -> URL canonicalization     (urls.canonicalize_url sorted-param
+                                   keys over the kept pages)
+      -> host crawl graph         (html.html_links -> urls.host_graph
+                                   -> graph.pagerank over hosts)
+      -> keeper manifest          (append survivors to the engine log)
 
-Every stage is a DataFrame -> DataFrame transform; the WARC kernels are
-Arrow-batched mapInPandas (stateless, partition-parallel), the dedup is
-two uniform hash shuffles — the same program scales with partition
-count. Corrupt shards become ok=False rows, never task failures.
+Every stage is a DataFrame -> DataFrame transform; the only Python is
+the two Arrow HTML kernels. Corrupt shards become ok=False rows, never
+task failures. The same program scales with partition count.
 
 Run: PYTHONPATH=/root/repo python examples/crawl_ingest_pipeline.py
 """
@@ -36,14 +42,141 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flumedb_spark import Flume, get_spark
-from flumedb_spark.operators import archives
-from flumedb_spark.operators.dedup import substring_dup_spans
+
+def curate_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    pos_filter: str = "source = 'src0'",
+    neg_filter: str = "source = 'src3'",
+    min_words: int = 5,
+) -> dict:
+    """The post-extraction curation chain over (doc_id, url, html,
+    source) pages: extraction -> gopher -> perplexity tercile ->
+    trained classifier -> LSH near-dup components -> quality-aware
+    canonical keeper -> URL canonical keys + host graph. Returns the
+    stage outputs and counts; raises AssertionError if any stage
+    invariant breaks (monotone survivors, total extraction, exactly
+    one canonical per cluster)."""
+    from flumedb_spark.operators import quality_clf as qclf
+    from flumedb_spark.operators import urls
+    from flumedb_spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh_candidates,
+    )
+    from flumedb_spark.operators.html import html_links, html_text
+    from flumedb_spark.operators.selection import global_ntile
+    from flumedb_spark.operators.text import gopher_quality, unigram_logprob
+
+    out: dict = {}
+    n_pages = pages.count()
+
+    # ---- extraction: total on well-formed pages (ok=False rows are
+    # corrupt-page contracts, not crashes)
+    texts = (
+        html_text(pages)
+        .where("ok")
+        .join(pages.select("doc_id", "url", "source"), "doc_id")
+        .select("doc_id", "url", "source", "text")
+        .localCheckpoint(eager=True)  # three gates + dedup reuse it
+    )
+    n_texts = texts.count()
+    assert n_texts == n_pages, f"extraction dropped pages: {n_texts}/{n_pages}"
+    out["n_pages"] = n_pages
+
+    # ---- gate 1: Gopher rules over the EXTRACTED text
+    g_keep = gopher_quality(texts, min_words=min_words, min_frac_alpha=0.5)
+    after_gopher = texts.join(g_keep.where("keep = 1").select("doc_id"), "doc_id")
+    n_gopher = after_gopher.count()
+    assert 0 < n_gopher <= n_texts
+    out["n_gopher"] = n_gopher
+
+    # ---- gate 2: corpus-global perplexity terciles (drop the hardest
+    # tercile — the CCNet shape, distributed rank, never a global window)
+    ppl = unigram_logprob(after_gopher).select("doc_id", "avg_nll")
+    terciles = global_ntile(
+        ppl, order_cols=[F.col("avg_nll"), F.col("doc_id")], n_tiles=3,
+        out_col="tercile",
+    )
+    after_ppl = after_gopher.join(
+        terciles.where("tercile <= 2").select("doc_id"), "doc_id"
+    )
+    n_ppl = after_ppl.count()
+    assert 0 < n_ppl <= n_gopher
+    out["n_ppl"] = n_ppl
+
+    # ---- gate 3: the TRAINED quality classifier (labeled slices ->
+    # NB log-odds weights -> broadcast inference over the survivors)
+    pb = qclf.per_bucket_counts(texts)
+    w, bias = qclf.train_quality_classifier(
+        texts, pos_filter, neg_filter, per_bucket=pb
+    )
+    scores = qclf.score_quality(texts, w, bias, per_bucket=pb).select(
+        "doc_id", "logit_micro", "keep"
+    )
+    survivors = (
+        after_ppl.join(scores, "doc_id")
+        .where("keep OR " + pos_filter)  # never drop the trusted slice
+        .select("doc_id", "url", "source", "text", "logit_micro")
+        .localCheckpoint(eager=True)
+    )
+    n_clf = survivors.count()
+    assert 0 < n_clf <= n_ppl
+    out["n_classifier"] = n_clf
+
+    # ---- near-dup: LSH candidates -> TRUE components -> keep each
+    # cluster's highest-quality copy (classifier logit, tiebreak id)
+    edges = minhash_lsh_candidates(survivors)
+    comps = connected_components_star(edges, survivors.select("doc_id"))
+    from pyspark.sql.window import Window
+
+    ranked = comps.join(survivors.select("doc_id", "logit_micro"), "doc_id")
+    wspec = Window.partitionBy("cluster_id").orderBy(
+        F.col("logit_micro").desc(), F.col("doc_id")
+    )
+    canonical = ranked.select(
+        "doc_id", "cluster_id",
+        (F.row_number().over(wspec) == 1).alias("is_canonical"),
+    ).localCheckpoint(eager=True)
+    n_clusters = canonical.select("cluster_id").distinct().count()
+    n_keep = canonical.where("is_canonical").count()
+    assert n_keep == n_clusters, "exactly one canonical per cluster"
+    assert n_keep <= n_clf
+    out["n_clusters"] = n_clusters
+    out["n_keepers"] = n_keep
+    keepers = survivors.join(
+        canonical.where("is_canonical").select("doc_id"), "doc_id"
+    )
+
+    # ---- URL canonical keys over the kept pages (the dedup key a
+    # crawl frontier shares across fetches)
+    kept_urls = keepers.select(
+        "doc_id", urls.canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    assert kept_urls.where("canonical_url IS NULL").count() == 0
+    out["urls"] = kept_urls
+
+    # ---- host crawl graph: links of the kept pages -> resolve ->
+    # host rollup -> host-level PageRank (who gets linked)
+    kept_pages = pages.join(keepers.select("doc_id"), "doc_id")
+    links = html_links(kept_pages).where("ok")
+    hgraph = urls.host_graph(
+        kept_pages.select("doc_id", "url"), links.select("doc_id", "href")
+    ).localCheckpoint(eager=True)
+    out["host_edges"] = hgraph.agg(F.sum("n_links")).collect()[0][0] or 0
+    out["keepers"] = keepers
+    out["host_graph"] = hgraph
+    return out
 
 
 def main() -> None:
+    from flumedb_spark import Flume, get_spark
+    from flumedb_spark.operators import archives
+    from flumedb_spark.operators import urls as _urls
+    from flumedb_spark.operators.graph import pagerank
+
     spark = get_spark("crawl_ingest_example", cpus=8)
 
     # ---- stage 0: a corpus of WARC shards (synthetic, deterministic —
@@ -52,118 +185,108 @@ def main() -> None:
     docs = spark.range(0, 64).selectExpr("id AS doc_id")
     shards = archives.with_synthetic_warc_payload(docs, gzipped=True)
 
-    # ---- stage 1: triage WITHOUT materializing bodies — record type
-    # and length are enough to budget the extraction stage
+    # ---- stage 1: triage WITHOUT materializing bodies
     listing = archives.warc_listing(shards)
     n_records = listing.where("ok").count()
     n_responses = listing.where("ok AND record_type = 'response'").count()
     print(f"triage: {n_records} records, {n_responses} responses")
+    assert 0 < n_responses < n_records
 
-    # ---- stage 2: extract response bodies (headers stripped, capped)
+    # ---- stage 2: extract response bodies (headers stripped, capped),
+    # then wrap deterministic two-vocabulary page text around them (the
+    # synthetic bodies are opaque filler; source s{k} docs use
+    # vocabulary k so the classifier gate has real signal, and
+    # length-colliding records become near-duplicates for the LSH gate)
     bodies = archives.warc_bodies(shards).where("ok AND NOT truncated")
+    rec_id = (
+        F.col("doc_id") * 1000
+        + F.regexp_extract("record_id", r":(\d+)>$", 1).cast("long")
+    )
+    src = F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string"))
+    # stopwords woven BETWEEN doc-specific content words: Gopher's
+    # stopword rule passes, but every shingle contains content — docs
+    # share shingles only when their (source, content_length) classes
+    # match, so the LSH stage sees true duplicate classes, not one giant
+    # filler-driven cluster
+    stops = ["the", "of", "and", "to", "in", "is", "was", "for",
+             "on", "that", "as", "at"]
+    body_words = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit(stops[i] + " "),
+                src,
+                F.lit("tok"),
+                ((F.col("content_length") * (i + 1)) % 23).cast("string"),
+            )
+            for i in range(12)
+        ],
+    )
     pages = bodies.select(
-        # one doc per (shard, record): a stable, collision-free numeric
-        # id for dedup (the record index is embedded in record_id)
-        (
-            F.col("doc_id") * 1000
-            + F.regexp_extract("record_id", r":(\d+)>$", 1).cast("long")
-        ).alias("doc_id"),
-        F.col("target_uri"),
-        # in production the body IS the page; the synthetic bodies are
-        # opaque filler, so wrap token-shaped words (derived from the
-        # record, length-colliding records become exact duplicates) in
-        # real markup — the extraction stage then has real work to do
+        rec_id.alias("doc_id"),
+        src.alias("source"),
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".crawl.test/d/"),
+            rec_id.cast("string"),
+        ).alias("url"),
         F.concat(
             F.lit("<html><head><title>page</title><style>p{}</style>"
-                  "</head><body><p>the text of "),
-            F.concat_ws(
-                " ",
-                F.array_repeat(
-                    F.concat(F.lit("tok"), F.col("content_length") % 60), 12
-                ),
-            ),
-            F.lit('</p> <a href="#">more</a></body></html>'),
+                  "</head><body><p>"),
+            body_words,
+            F.lit('</p> <a href="//hub.crawl.test/x">hub</a></body></html>'),
         ).alias("html"),
     )
 
-    # ---- stage 2b: HTML -> clean text (the stage every Common Crawl
-    # user hits on document one: strip markup/script/style, decode
-    # entities, collapse whitespace — Arrow-batched stdlib parser)
-    from flumedb_spark.operators.html import html_text
-
-    uris = pages.select("doc_id", "target_uri")
-    texts = (
-        html_text(pages)
-        .where("ok")
-        .join(uris, "doc_id")
-        .select("doc_id", "target_uri", "text")
+    # ---- stages 3-8: the shared curation chain (extraction, three
+    # quality gates, LSH components, canonical keeper, URLs, host graph)
+    result = curate_pages(
+        spark, pages, pos_filter="source = 'src0'", neg_filter="source = 'src3'"
     )
-
-    # ---- stage 3: quality gates BEFORE the dedup shuffle — Gopher
-    # rules over the EXTRACTED text (word count / word length /
-    # alpha-fraction), then the cheap length gate
-    from flumedb_spark.operators.text import gopher_quality
-
-    quality = gopher_quality(texts, min_words=5, min_frac_alpha=0.5)
-    texts = (
-        texts.join(quality.where("keep = 1").select("doc_id"), "doc_id")
-        .where(F.length("text").between(10, 1_000_000))
-    )
-
-    # ---- stage 4: exact-substring dedup (W=8 token shared spans)
-    spans = substring_dup_spans(texts, window=8)
-    doc_len = texts.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens_doc")
-    )
-    dup_share = (
-        spans.groupBy("doc_id")
-        .agg(F.sum("n_tokens").alias("dup_tokens"))
-        .join(doc_len, "doc_id")
-        .select("doc_id", (F.col("dup_tokens") / F.col("n_tokens_doc")).alias("share"))
-    )
-    drop_ids = dup_share.where("share > 0.5").select("doc_id")
-    keepers = texts.join(drop_ids, "doc_id", "left_anti")
     print(
-        f"dedup: {texts.count()} docs -> {keepers.count()} keepers "
-        f"({drop_ids.count()} mostly-duplicate docs dropped)"
+        f"curation: {result['n_pages']} pages -> gopher {result['n_gopher']}"
+        f" -> ppl {result['n_ppl']} -> classifier {result['n_classifier']}"
+        f" -> {result['n_keepers']} keepers in {result['n_clusters']} clusters"
     )
 
-    # ---- stage 4b: the crawl GRAPH — link extraction over the kept
-    # pages feeds centrality (who gets linked) exactly as a crawler's
-    # frontier/priority stage would consume it
-    from flumedb_spark.operators.graph import pagerank
-    from flumedb_spark.operators.html import html_links
-
-    kept_pages = pages.join(keepers.select("doc_id"), "doc_id")
+    # ---- host-level PageRank over the rolled-up crawl graph
+    hg = result["host_graph"]
+    hosts = (
+        hg.select(F.col("src_host").alias("h"))
+        .unionByName(hg.select(F.col("dst_host").alias("h")))
+        .distinct()
+    )
+    hid = hosts.select(
+        "h", F.expr("CAST(conv(substring(md5(h), 1, 15), 16, 10) AS BIGINT)").alias("node_id")
+    ).localCheckpoint(eager=True)
     edges = (
-        html_links(kept_pages)
-        .where("ok")
-        .select(
-            F.col("doc_id").alias("src"),
-            # synthetic pages all link "#"; in production parse the
-            # href's target doc — here route every link to the shard
-            # root so the graph is well-formed and hub-bearing
-            (F.col("doc_id") - F.col("doc_id") % 1000).alias("dst"),
-        )
+        hg.join(hid.select(F.col("h").alias("src_host"), F.col("node_id").alias("src")), "src_host")
+        .join(hid.select(F.col("h").alias("dst_host"), F.col("node_id").alias("dst")), "dst_host")
+        .select("src", "dst")
     )
-    nodes = keepers.selectExpr("doc_id AS node_id")
     top = (
-        pagerank(edges, nodes, iterations=3)
-        .orderBy(F.desc("rank"), "node_id")
+        pagerank(edges, hid.select("node_id"), iterations=3)
+        .join(hid, "node_id")
+        .orderBy(F.desc("rank"), "h")
         .limit(3)
         .collect()
     )
-    print(f"graph: top-ranked pages {[(r['node_id'], r['rank']) for r in top]}")
+    print(f"host graph: {result['host_edges']} cross-host links; "
+          f"top hosts {[(r['h'], r['rank']) for r in top]}")
 
-    # ---- stage 5: durable keeper manifest in the engine log
+    # ---- stage 9: durable keeper manifest in the engine log
     with tempfile.TemporaryDirectory() as root:
         db = Flume(os.path.join(root, "corpus"), spark=spark)
         from flumedb_spark.sources.readers import append_df_to_log
 
         append_df_to_log(
-            db.log, keepers.select("doc_id", "target_uri", "text")
+            db.log, result["keepers"].select("doc_id", "url", "text")
         )
-        print(f"manifest: log head seq = {db.since}")
+        n_rows = db.log.df(spark).count()
+        assert n_rows == result["n_keepers"], (n_rows, result["n_keepers"])
+        # seqs are 0-based (flumelog-offset semantics): head == n-1
+        print(f"manifest: {n_rows} rows, log head seq = {db.log.refresh_since()}")
         db.close()
 
     spark.stop()

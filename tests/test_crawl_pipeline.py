@@ -1,0 +1,89 @@
+"""End-to-end crawl curation chain over the sf0.001 corpus
+(VERDICT-r7 #5): drives examples/crawl_ingest_pipeline.curate_pages —
+extraction -> gopher -> perplexity tercile -> trained classifier ->
+LSH components -> quality-aware canonical keeper -> URL canonical keys
+-> host graph — and checks the cross-stage invariants the example
+asserts, plus corpus-specific ones (text round-trips the parser
+exactly; the trusted positive slice survives curation; host-graph
+volume matches the link fixture closed-form)."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+)
+
+from crawl_ingest_pipeline import curate_pages  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    from flumedb_spark.catalog import register_tables
+    from flumedb_spark.operators import urls
+
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    # real corpus text wrapped in real markup + the four-class link
+    # fixture (absolute / root-relative / protocol-relative / dot-
+    # segment) so the host-graph stage has a closed-form expectation
+    a = lambda i: F.concat(  # noqa: E731
+        F.lit('<p><a href="'), urls.link_href_expr(i), F.lit(f'">l{i}</a></p>')
+    )
+    html = F.concat(
+        F.lit("<html><head><title>d</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        a(0), a(1), a(2), a(3),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        "doc_id", "source", urls.page_url_expr().alias("url"), html.alias("html")
+    ).localCheckpoint(eager=True)
+
+
+def test_curation_chain_invariants(spark, pages):
+    result = curate_pages(
+        spark, pages, pos_filter="source = 'src0'", neg_filter="source = 'src3'"
+    )
+    n = pages.count()
+    # stage monotonicity (curate_pages asserts the per-stage bounds;
+    # re-check the chain shape here explicitly)
+    assert result["n_pages"] == n
+    assert result["n_gopher"] <= n
+    assert result["n_ppl"] <= result["n_gopher"]
+    assert result["n_classifier"] <= result["n_ppl"]
+    assert 0 < result["n_keepers"] <= result["n_classifier"]
+    assert result["n_keepers"] == result["n_clusters"]
+    # the classifier gate never drops the trusted positive slice
+    kept_src = result["keepers"].select("source").distinct()
+    assert kept_src.where("source = 'src0'").count() == 1
+    # URL canonical keys exist and are unique per keeper (the page-url
+    # fixture is injective in doc_id only up to its modulus classes —
+    # canonical keys may collide across docs, but never be null)
+    urls_df = result["urls"]
+    assert urls_df.count() == result["n_keepers"]
+    # host graph: every keeper contributes exactly its 2 cross-host
+    # fixture links (i=0 and i=2; i=1/i=3 are self-host and dropped)
+    assert result["host_edges"] == 2 * result["n_keepers"]
+
+
+def test_extraction_roundtrips_corpus_text(spark, pages):
+    """html_text over the wrapped corpus must return each document's
+    text EXACTLY (entity-free corpus, single-space tokens): a
+    whitespace-gluing or tag-leak bug shows up as a diff count."""
+    from flumedb_spark.operators.html import html_text
+
+    docs = spark.table("documents").select("doc_id", "text")
+    got = html_text(pages).where("ok").select("doc_id", F.col("text").alias("got"))
+    joined = got.join(docs, "doc_id")
+    # extracted text = corpus text + the four anchor texts appended
+    diffs = joined.where(
+        ~F.col("got").startswith(F.col("text"))
+        | (F.col("got") != F.concat(F.col("text"), F.lit(" l0 l1 l2 l3")))
+    ).count()
+    assert diffs == 0
+    assert got.count() == docs.count()
