@@ -143,9 +143,14 @@ DRIVER_WINDOW: list[str] = [
     # timeseries.py's rank_quantile path untouched this round;
     # ts_gapfill_locf/ts_mad_outliers keep the family in-window — slot
     # goes to the new HTML-to-text extraction row)
-    # HTML -> clean text extraction (stdlib-parser Arrow kernel between
-    # warc_bodies and the text-quality filters) — NEW r7 (VERDICT-r6 #3)
-    "ns_html_text",
+    # (ns_html_text rotated out late r8 — r7-driver-green, html.py
+    # frozen this round; ns_html_links + ns_host_graph keep the
+    # extraction family in-window, and the crawl-pipeline test chains
+    # html_text end-to-end every suite run — slot goes to the new
+    # LEFT-OUTER stream-stream interval join row)
+    # left-outer stream-stream interval join (null-extension of
+    # unmatched rows under the pinned wm-1ms eviction rule) — NEW r8
+    "stream_interval_join_left",
     # (v1_reduce_stats rotated out late r6 — r5-driver-green,
     # views/reduce.py untouched all round — for the new
     # stream_locf_grid row; every V-family path re-runs vs DuckDB each
@@ -2652,6 +2657,107 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ps, cs, on="user_id = c_user", left_ts="p_ts", right_ts="c_ts",
             lookback="30 minutes", watermark="30 minutes",
         ).select("purchase_seq", "click_seq", "user_id")
+        sink = _run_stream_to_memory(spark, out, work, output_mode="append")
+        rows = sink.orderBy("purchase_seq", "click_seq").collect()
+        return spark.createDataFrame(
+            rows, "purchase_seq long, click_seq long, user_id long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_interval_join_left",
+    # LEFT-OUTER stream-stream interval join — same two-source run as
+    # stream_interval_join plus null-extension of unmatched purchases.
+    # Empirically pinned null-emission rule (four probes, unified in
+    # tests/test_streaming.py::test_stream_interval_join_left_boundary):
+    # eviction in batch N uses the GLOBAL watermark at batch start
+    # (min across both sources of floor-to-ms(max ts seen) - 30min),
+    # and an unmatched surviving purchase null-emits iff
+    # p_ts <= that watermark - 1ms (Spark's internal wm-1ms bound:
+    # a row AT the watermark millisecond is held, anything below it
+    # emits). Cumulatively the final threshold is the all-data global
+    # watermark - 1ms — the trailing no-data batch runs exactly when
+    # that value advanced past the last data batch's, and when it does
+    # not run the two thresholds coincide, so no conditional is needed.
+    # click_seq is coalesced to -1 on both engines (null ordering/
+    # hashing parity).
+    oracle="""
+    WITH wm0 AS (
+      SELECT least(
+        (SELECT max(ts) FROM events
+         WHERE event_type = 'click' AND user_id % 3 = 0),
+        (SELECT max(ts) FROM events
+         WHERE event_type = 'purchase' AND user_id % 3 = 0)
+      ) - INTERVAL 30 MINUTE AS w
+    ),
+    fw AS (
+      SELECT date_trunc('milliseconds', least(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+      )) - INTERVAL 30 MINUTE - INTERVAL 1 MILLISECOND AS w
+    ),
+    sc AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click'
+        AND (user_id % 3 IN (0, 1) OR ts >= (SELECT w FROM wm0))
+    ),
+    sp AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase'
+        AND (user_id % 3 IN (0, 1) OR ts >= (SELECT w FROM wm0))
+    )
+    SELECT p.event_id AS purchase_seq, c.event_id AS click_seq, p.user_id
+    FROM sp p JOIN sc c ON c.user_id = p.user_id
+      AND c.ts > p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    UNION ALL
+    SELECT p.event_id, -1, p.user_id
+    FROM sp p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sc c WHERE c.user_id = p.user_id
+          AND c.ts > p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+      )
+      AND p.ts <= (SELECT w FROM fw)
+    ORDER BY purchase_seq, click_seq
+    """,
+)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.live import interval_join_streams
+
+    ev = spark.table("events")
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_seq"),
+        F.col("ts").alias("c_ts"),
+    )
+    purch = ev.where("event_type = 'purchase'").select(
+        "user_id",
+        F.col("event_id").alias("purchase_seq"),
+        F.col("ts").alias("p_ts"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_ijl_")
+    try:
+        cs = _staged_stream_source(
+            spark, clicks, os.path.join(work, "c"), seq_col="click_seq",
+            preds=tuple(F.col("c_user") % 3 == i for i in range(3)),
+        )
+        ps = _staged_stream_source(
+            spark, purch, os.path.join(work, "p"), seq_col="purchase_seq",
+            preds=tuple(F.col("user_id") % 3 == i for i in range(3)),
+        )
+        out = interval_join_streams(
+            ps, cs, on="user_id = c_user", left_ts="p_ts", right_ts="c_ts",
+            lookback="30 minutes", watermark="30 minutes", how="left_outer",
+        ).select(
+            "purchase_seq",
+            F.coalesce(F.col("click_seq"), F.lit(-1)).alias("click_seq"),
+            "user_id",
+        )
         sink = _run_stream_to_memory(spark, out, work, output_mode="append")
         rows = sink.orderBy("purchase_seq", "click_seq").collect()
         return spark.createDataFrame(

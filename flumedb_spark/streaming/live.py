@@ -458,6 +458,7 @@ def interval_join_streams(
     right_ts: str,
     lookback: str = "30 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream watermarked INTERVAL join (the one major
     Structured Streaming capability the family lacked, VERDICT-r7 #2):
@@ -480,12 +481,21 @@ def interval_join_streams(
     (multipleWatermarkPolicy = min across the two sources; the
     late-event filter in batch N uses the watermark through batch N-2
     — probe-pinned in tests/test_streaming.py::
-    test_stream_interval_join_semantics)."""
+    test_stream_interval_join_semantics).
+
+    ``how="left_outer"`` additionally emits every unmatched left row
+    null-extended once it is provably unmatchable. Empirically pinned
+    null-emission rule (probe: test_stream_interval_join_left_boundary):
+    eviction in batch N uses the GLOBAL watermark at batch start (min
+    across both sources of floor-to-ms(max event time seen) - delay),
+    and an unmatched left row emits iff left_ts <= wm - 1ms — a row AT
+    the watermark millisecond is held, anything below emits. The final
+    cumulative threshold is the all-data global watermark - 1ms."""
     cond = F.expr(
         f"{on} AND {right_ts} <= {left_ts}"
         f" AND {right_ts} > {left_ts} - INTERVAL {lookback}"
     )
     return (
         left.withWatermark(left_ts, watermark)
-        .join(right.withWatermark(right_ts, watermark), cond, "inner")
+        .join(right.withWatermark(right_ts, watermark), cond, how)
     )

@@ -139,6 +139,11 @@ def test_all_northstar_ops_in_window():
         "ns_ppr_topk",
         "ns_script_profile",
         "ns_gopher_quality",
+        # late-r8 rotation for the new stream_interval_join_left row
+        # (r7-driver-green, html.py frozen this round; ns_html_links +
+        # ns_host_graph keep the extraction family in-window and the
+        # crawl-pipeline test chains html_text every suite run)
+        "ns_html_text",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -304,7 +309,6 @@ def test_changed_or_new_rows_in_window():
         # r7 new rows (VERDICT-r6 #3/#4/#5) — take the slots of
         # ns_quantile_clip / ns_kmv_set_ops / ns_shortest_paths
         # (r6-driver-green, paths frozen this round):
-        "ns_html_text",
         "stream_mad_outliers",
         # late-r7 new: crawl-graph link extraction (ns_source_mixture
         # rotated out — r6-green, sampling.py frozen)
@@ -324,6 +328,7 @@ def test_changed_or_new_rows_in_window():
         "ns_quality_classifier",
         "ns_quality_clf_lr",
         "stream_interval_join",
+        "stream_interval_join_left",
         "ns_url_canonical",
         "ns_url_resolve",
         "ns_host_graph",

@@ -1211,3 +1211,84 @@ def test_stream_interval_join_semantics(spark, tmp_path):
     # exact pair identity for user 0 (click j matches purchases j and
     # j+1 — the intra-batch matching shape): ids are 100*0+j / 200*0+j
     assert by_u[0] == {(0, 0), (0, 1), (1, 1), (1, 2), (2, 2), (2, 3), (3, 3)}
+
+
+def test_stream_interval_join_left_boundary(spark, tmp_path):
+    """PROBE (r8): pins the left-outer null-emission rule the
+    stream_interval_join_left oracle relies on — eviction in batch N
+    uses the GLOBAL watermark at batch start (min across both sources
+    of floor-ms(max ts) - delay), and an unmatched left row null-emits
+    iff left_ts <= wm - 1ms: a row AT the watermark millisecond is
+    held, anything below emits. Cumulative final threshold =
+    all-data global watermark - 1ms."""
+    import datetime
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flumedb_spark.streaming.live import interval_join_streams
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)  # noqa: E731
+    us1 = datetime.timedelta(microseconds=1)
+    # b0 anchors push both sides to 1000 (wm 970 during b1/b2);
+    # b1 unmatched purchases straddle 970; b2 anchors raise both sides
+    # to 2000 (final wm 1970, trailing batch runs) + purchases
+    # straddling 1970 — incl. one at 1970 - 1us and one at exactly 1970
+    crows = [(99, 1, mins(1000)), (97, 2, mins(400)), (98, 3, mins(2000))]
+    prows = [
+        (99, 40, mins(1000)), (98, 41, mins(2000)),
+        (1, 50, mins(935)), (4, 51, mins(965)),
+        (7, 52, mins(970) - us1), (10, 53, mins(975)),
+        (2, 60, mins(1945)), (5, 61, mins(1965)),
+        (8, 62, mins(1970) - us1), (11, 63, mins(1970)),
+    ]
+    clicks = spark.createDataFrame(crows, "c_user long, click_id long, c_ts timestamp")
+    purch = spark.createDataFrame(prows, "p_user long, purch_id long, p_ts timestamp")
+
+    def stage(df, sub, key):
+        d = str(tmp_path / sub)
+        os.makedirs(d)
+        for i in range(3):
+            st = str(tmp_path / f"{sub}_st{i}")
+            df.where(F.col(key) % 3 == i).coalesce(1).write.parquet(st)
+            part = next(f for f in os.listdir(st) if f.endswith(".parquet"))
+            shutil.move(os.path.join(st, part), os.path.join(d, f"b{i}.parquet"))
+            os.utime(os.path.join(d, f"b{i}.parquet"),
+                     (1_700_000_000 + i * 100,) * 2)
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    out = interval_join_streams(
+        stage(purch, "p", "p_user"), stage(clicks, "c", "c_user"),
+        on="p_user = c_user", left_ts="p_ts", right_ts="c_ts",
+        how="left_outer",
+    ).select("purch_id", "click_id")
+    batches = []
+
+    def fb(df, bid):
+        batches.append((bid, sorted(r.purch_id for r in df.where("click_id IS NULL").collect())))
+
+    q = (
+        out.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {bid: ids for bid, ids in batches if ids}
+    # batch 1 runs with wm=970 (from b0), bound = wm - 1ms compared at
+    # FULL us precision: 935 and 965 emit; 970-1us (969:59.999999 >
+    # 969:59.999000) and 975 are held
+    assert emitted.get(1) == [50, 51], emitted
+    # trailing batch with final wm=1970 (bound 1969:59.999000): the
+    # held 970-1us row and 975 now emit alongside 1945/1965; 1970-1us
+    # and exactly-1970 sit inside the final watermark millisecond and
+    # never emit
+    assert emitted.get(3) == [52, 53, 60, 61], emitted
+    assert all(62 not in ids and 63 not in ids for _, ids in batches)
