@@ -201,10 +201,13 @@ DRIVER_WINDOW: list[str] = [
     # sampling.py frozen this round; the sampling family stays
     # live-gated every suite run — slot goes to the new crawl-graph
     # link-extraction row)
-    # HTML link extraction (pages -> (doc, href, anchor) edge rows,
-    # formula-digraph oracle) — NEW r7: the crawl-graph stage feeding
-    # pagerank/components
-    "ns_html_links",
+    # (ns_html_links rotated out late r8 — r7-driver-green, html.py
+    # frozen this round, and the NEW ns_host_graph row chains the SAME
+    # html_links kernel through the host rollup at driver level — slot
+    # goes to the new robots politeness-gate row)
+    # robots.txt parse + RFC 9309 longest-match crawl permission — NEW
+    # r8: the crawl stack's MAY-I-FETCH stage
+    "ns_robots_decisions",
     # (ns_kmv_set_ops rotated out r7 — r6-driver-green, sketches.py
     # frozen this round; stream_hll_window keeps the sketch family
     # in-window — slot goes to the new streaming-anomaly row)

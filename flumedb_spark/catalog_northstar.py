@@ -3627,3 +3627,31 @@ def ns_quality_clf_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source = 'src0'", "source = 'src3'", per_bucket=pb
     )
     return _qclf.score_quality_lr(docs, w, bias, per_bucket=pb)
+
+
+# ---------------------------------------------------------------------
+# r8: robots.txt politeness gate — the crawl stack's MAY-I-FETCH stage
+# (triage -> extract -> URLs -> host graph -> robots decision).
+# ---------------------------------------------------------------------
+
+from .operators import robots as _robots  # noqa: E402
+
+
+@query("ns_robots_decisions", oracle=_robots.robots_oracle_sql())
+def ns_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse + RFC 9309 longest-match crawl permission
+    (operators/robots.py): per-host fixture bodies (a googlebot group
+    that must be ignored, consecutive-UA group semantics, comments,
+    an empty Disallow that must drop) parsed into the star group's
+    prefix rules, then every fixture page URL decided by the longest
+    matching rule with Allow winning ties. The oracle replays the
+    expected decisions closed-form from the fixture formulas, so a
+    group-attachment, case-sensitivity, empty-value, longest-match, or
+    tie-break bug breaks the hash. Parse is pure JVM; the only window
+    is per-host over robots LINES (file-sized frames)."""
+    from .operators import urls as _u
+
+    docs = spark.table("documents")
+    rules = _robots.parse_robots_rules(_robots.synthetic_robots_df(spark))
+    cand = docs.select("doc_id", _u.page_url_expr().alias("url"))
+    return _robots.robots_decisions(cand, rules).orderBy("doc_id")

@@ -139,11 +139,13 @@ def test_all_northstar_ops_in_window():
         "ns_ppr_topk",
         "ns_script_profile",
         "ns_gopher_quality",
-        # late-r8 rotation for the new stream_interval_join_left row
-        # (r7-driver-green, html.py frozen this round; ns_html_links +
-        # ns_host_graph keep the extraction family in-window and the
-        # crawl-pipeline test chains html_text every suite run)
+        # late-r8 rotations for the new stream_interval_join_left and
+        # ns_robots_decisions rows (both r7-driver-green, html.py
+        # frozen this round; ns_host_graph chains the html_links kernel
+        # at driver level and the crawl-pipeline test chains html_text
+        # every suite run)
         "ns_html_text",
+        "ns_html_links",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -310,9 +312,9 @@ def test_changed_or_new_rows_in_window():
         # ns_quantile_clip / ns_kmv_set_ops / ns_shortest_paths
         # (r6-driver-green, paths frozen this round):
         "stream_mad_outliers",
-        # late-r7 new: crawl-graph link extraction (ns_source_mixture
-        # rotated out — r6-green, sampling.py frozen)
-        "ns_html_links",
+        # (ns_html_links rotated out late r8 for ns_robots_decisions —
+        #  r7-driver-green, html.py frozen; ns_host_graph chains the
+        #  same kernel at driver level)
         # late-r7 new: corpus-global curriculum deciles
         # (scd2_point_in_time rotated out — r6-green, cdc.py frozen)
         "ns_curriculum_deciles",
@@ -332,6 +334,7 @@ def test_changed_or_new_rows_in_window():
         "ns_url_canonical",
         "ns_url_resolve",
         "ns_host_graph",
+        "ns_robots_decisions",
         # r8 changed paths that must re-attest in the driver window:
         # streaming/stateful.py (drained-state removal) -> the MAD
         # stream row; avro_sink.py (DST policy) -> the avro loop;

@@ -178,3 +178,79 @@ def test_host_graph_row_single_python_stage(spark, sf_dir):
     assert p.count("MapInPandas (") == 1, "rollup must not add Python stages"
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------
+# r8: robots.txt parsing + crawl-permission decisions
+# ---------------------------------------------------------------------
+
+
+def test_robots_parse_group_semantics(spark):
+    from flumedb_spark.operators import robots
+
+    body = "\n".join([
+        "# policy",
+        "User-agent: googlebot",
+        "Disallow: /google-only",
+        "",
+        "USER-AGENT: bingbot",          # consecutive UA lines: one group
+        "user-agent: *",
+        "Allow: /shared",
+        "DISALLOW: /priv",               # case-insensitive fields
+        "Disallow:",                     # empty value: dropped",
+        "",
+        "User-agent: yandex",
+        "Disallow: /yandex-only",
+    ])
+    df = spark.createDataFrame([("h.test", body)], "host string, robots_txt string")
+    rules = {(r.allow, r.path) for r in robots.parse_robots_rules(df).collect()}
+    # only the group CONTAINING '*' contributes; googlebot/yandex rules
+    # and the empty Disallow are excluded
+    assert rules == {(True, "/shared"), (False, "/priv")}
+
+
+def test_robots_decisions_longest_match_and_ties(spark):
+    from flumedb_spark.operators import robots
+
+    body = "\n".join([
+        "User-agent: *",
+        "Disallow: /a/",
+        "Allow: /a/pub",
+        "Disallow: /a/pub",  # same length as Allow: tie -> Allow wins
+    ])
+    rb = spark.createDataFrame([("h.test", body)], "host string, robots_txt string")
+    rules = robots.parse_robots_rules(rb)
+    urls_df = spark.createDataFrame(
+        [
+            (1, "https://h.test/a/secret"),     # /a/ disallows
+            (2, "https://h.test/a/public"),     # /a/pub allows (longest + tie)
+            (3, "https://h.test/other"),        # no match -> allowed
+            (4, "https://nohost.test/x"),       # host without rules -> allowed
+            (5, "https://h.test"),              # empty path -> '/' -> allowed
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: (r.allowed, r.rule_path)
+           for r in robots.robots_decisions(urls_df, rules).collect()}
+    assert got[1] == (False, "/a/")
+    assert got[2] == (True, "/a/pub")
+    assert got[3] == (True, "")
+    assert got[4] == (True, "")
+    assert got[5] == (True, "")
+    assert len(got) == 5  # no URL ever drops out of the decision
+
+
+def test_robots_row_stays_jvm_side(spark, sf_dir):
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        entry.queries()["ns_robots_decisions"](spark, sf_dir).explain("formatted")
+    p = buf.getvalue()
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
+    # the only windows are per-host over robots LINES (partitioned)
+    assert "No Partition Defined" not in p
