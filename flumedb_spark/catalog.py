@@ -170,9 +170,14 @@ DRIVER_WINDOW: list[str] = [
     # (scd2_point_in_time rotated out late r7 — r6-driver-green, cdc.py
     # frozen this round; cdc_snapshot_diff keeps the CDC family
     # in-window — slot goes to the new curriculum row)
-    # corpus-global curriculum deciles via the distributed global_ntile
-    # rank path (second consumer of the r7 primitive) — NEW r7
-    "ns_curriculum_deciles",
+    # (ns_curriculum_deciles rotated out late r8 — r7-driver-green,
+    # selection.py frozen this round; ns_dsir_weights keeps the
+    # global_ntile rank path in-window, and the crawl-pipeline test
+    # chains global_ntile terciles every suite run — slot goes to the
+    # new stream-static enrichment row)
+    # stream-static broadcast enrichment (the dimension-lookup stage of
+    # a live ingest; stateless, plain-join oracle) — NEW r8
+    "stream_static_enrich",
     # time-series regularization + robust anomaly family — NEW late r6
     # (ts_gapfill_locf rotated out late r7 — r6-driver-green,
     # timeseries.py frozen this round; ts_mad_outliers +
@@ -2765,6 +2770,54 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = sink.orderBy("purchase_seq", "click_seq").collect()
         return spark.createDataFrame(
             rows, "purchase_seq long, click_seq long, user_id long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_static_enrich",
+    # Stream-static broadcast enrichment (the dimension-lookup stage of
+    # a live ingest) — a REAL streaming run over the 3-batch harness
+    # joined per micro-batch to the STATIC customer dim. Stateless: no
+    # watermark, no state, no late-data rules — every event passes
+    # through exactly once with its enrichment, so the oracle is the
+    # plain batch left join.
+    oracle="""
+    SELECT e.event_id, e.user_id,
+      coalesce(c.c_mktsegment, 'none') AS segment,
+      CAST(coalesce(c.c_nationkey, -1) AS BIGINT) AS nationkey
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    ORDER BY e.event_id
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.live import enrich_stream_static
+
+    ev = spark.table("events").select("event_id", "user_id")
+    dim = spark.table("customer").select(
+        F.col("c_custkey"), "c_mktsegment", "c_nationkey"
+    )
+    work = tempfile.mkdtemp(prefix="stream_enrich_")
+    try:
+        src = _staged_stream_source(spark, ev, work)
+        out = enrich_stream_static(
+            src, dim, on=F.col("user_id") == F.col("c_custkey")
+        ).select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("c_mktsegment"), F.lit("none")).alias("segment"),
+            F.coalesce(F.col("c_nationkey").cast("long"), F.lit(-1)).alias(
+                "nationkey"
+            ),
+        )
+        sink = _run_stream_to_memory(spark, out, work, output_mode="append")
+        rows = sink.orderBy("event_id").collect()
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, segment string, nationkey long"
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -499,3 +499,22 @@ def interval_join_streams(
         left.withWatermark(left_ts, watermark)
         .join(right.withWatermark(right_ts, watermark), cond, how)
     )
+
+
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-STATIC enrichment join — the third join capability the
+    streaming family exercises (windowed aggs, stream-stream interval
+    joins, and now the dimension lookup every live ingest runs before
+    anything else). The static side is broadcast-hinted: a dimension
+    table joined per micro-batch must never shuffle the stream; at
+    100 TB the dim is either broadcastable (the normal case) or the
+    join key pre-partitions the stream once. Stateless — no watermark,
+    no state store: every stream row passes through exactly once with
+    its enrichment, so append mode needs no late-data semantics at
+    all (the oracle is a plain batch join)."""
+    return stream.join(F.broadcast(dim), on, how)

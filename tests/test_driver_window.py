@@ -139,6 +139,7 @@ def test_all_northstar_ops_in_window():
         "ns_ppr_topk",
         "ns_script_profile",
         "ns_gopher_quality",
+        "ns_curriculum_deciles",
         # late-r8 rotations for the new stream_interval_join_left and
         # ns_robots_decisions rows (both r7-driver-green, html.py
         # frozen this round; ns_host_graph chains the html_links kernel
@@ -315,9 +316,10 @@ def test_changed_or_new_rows_in_window():
         # (ns_html_links rotated out late r8 for ns_robots_decisions —
         #  r7-driver-green, html.py frozen; ns_host_graph chains the
         #  same kernel at driver level)
-        # late-r7 new: corpus-global curriculum deciles
-        # (scd2_point_in_time rotated out — r6-green, cdc.py frozen)
-        "ns_curriculum_deciles",
+        # (ns_curriculum_deciles rotated out late r8 for the new
+        #  stream_static_enrich row — r7-driver-green, selection.py
+        #  frozen; ns_dsir_weights keeps the global_ntile path and the
+        #  crawl-pipeline test chains its terciles every suite run)
         # (ns_script_profile and event_type_transitions rotated out r8
         #  — both r7-driver-green, paths frozen this round)
         # r7 changed paths: DSIR's quartile assignment was rewritten
@@ -335,6 +337,7 @@ def test_changed_or_new_rows_in_window():
         "ns_url_resolve",
         "ns_host_graph",
         "ns_robots_decisions",
+        "stream_static_enrich",
         # r8 changed paths that must re-attest in the driver window:
         # streaming/stateful.py (drained-state removal) -> the MAD
         # stream row; avro_sink.py (DST policy) -> the avro loop;
