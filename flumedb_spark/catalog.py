@@ -274,7 +274,12 @@ DRIVER_WINDOW: list[str] = [
     # round's dedup.py changes are all NEW functions, the SimHash path
     # is untouched and live-gated — slot goes to the new change-feed
     # derivation row)
-    "cdc_snapshot_diff",
+    # (cdc_snapshot_diff rotated out late r8 — r7-driver-green, cdc.py
+    # frozen this round; the CDC family stays live-gated every suite
+    # run — slot goes to the new sitemap URL-discovery row)
+    # sitemap XML parsing via built-in from_xml (urlset + sitemapindex,
+    # closed-form oracle) — NEW r8
+    "ns_sitemap_urls",
     # (ns_similarity_topk and ns_embedding_neardup rotated out late r6
     # — both r5-driver-green; the JVM-expression path stays covered by
     # ns_similarity_topk_np's plan twin + the live gate, and the dedup

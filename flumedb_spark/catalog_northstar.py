@@ -3655,3 +3655,25 @@ def ns_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = _robots.parse_robots_rules(_robots.synthetic_robots_df(spark))
     cand = docs.select("doc_id", _u.page_url_expr().alias("url"))
     return _robots.robots_decisions(cand, rules).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# r8: sitemap parsing — the URL-discovery stage beside the robots gate.
+# ---------------------------------------------------------------------
+
+from .operators import sitemaps as _sitemaps  # noqa: E402
+
+
+@query("ns_sitemap_urls", oracle=_sitemaps.sitemap_oracle_sql())
+def ns_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing via Spark's BUILT-IN from_xml (JVM, no
+    Python): per-doc fixture documents — <urlset> page entries with
+    optional lastmod / cycling changefreq / priority, plus
+    <sitemapindex> shard pointers every 11th doc — exploded into flat
+    URL rows with epoch-micro lastmod and integer-milli priority. The
+    oracle replays the fixture formulas closed-form, so an XML-schema,
+    explode, date, or normalization bug breaks the hash."""
+    pages = _sitemaps.with_synthetic_sitemaps(spark.table("documents"))
+    return _sitemaps.parse_sitemaps(pages).orderBy(
+        "doc_id", "kind", "loc", "priority_milli"
+    )

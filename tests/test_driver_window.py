@@ -308,7 +308,8 @@ def test_changed_or_new_rows_in_window():
         #  ns_curriculum_deciles row — r6-driver-green, cdc.py frozen;
         #  ns_weighted_paths and ns_ppr_topk rotated out r8 — both
         #  r7-driver-green, graph.py frozen this round)
-        "cdc_snapshot_diff",
+        # (cdc_snapshot_diff rotated out late r8 for ns_sitemap_urls —
+        #  r7-driver-green, cdc.py frozen this round)
         # r7 new rows (VERDICT-r6 #3/#4/#5) — take the slots of
         # ns_quantile_clip / ns_kmv_set_ops / ns_shortest_paths
         # (r6-driver-green, paths frozen this round):
@@ -338,6 +339,7 @@ def test_changed_or_new_rows_in_window():
         "ns_host_graph",
         "ns_robots_decisions",
         "stream_static_enrich",
+        "ns_sitemap_urls",
         # r8 changed paths that must re-attest in the driver window:
         # streaming/stateful.py (drained-state removal) -> the MAD
         # stream row; avro_sink.py (DST policy) -> the avro loop;

@@ -254,3 +254,57 @@ def test_robots_row_stays_jvm_side(spark, sf_dir):
     assert "CartesianProduct" not in p
     # the only windows are per-host over robots LINES (partitioned)
     assert "No Partition Defined" not in p
+
+
+# ---------------------------------------------------------------------
+# r8: sitemap parsing (URL discovery)
+# ---------------------------------------------------------------------
+
+
+def test_sitemap_parse_shapes_and_normalization(spark):
+    from flumedb_spark.operators import sitemaps
+
+    urlset = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "<url><loc>https://a.test/p1</loc><lastmod>2024-01-05</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>\n"
+        "<url><loc>https://a.test/p2</loc></url>\n"  # bare: all optional absent
+        "<url><priority>0.9</priority></url>\n"       # no loc: dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.test/s1.xml</loc>"
+        "<lastmod>2024-02-01</lastmod></sitemap>"
+        "<sitemap><loc>https://a.test/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index)], "doc_id long, xml string"
+    )
+    rows = {
+        (r.doc_id, r.kind, r.loc): (r.lastmod_us, r.changefreq, r.priority_milli)
+        for r in sitemaps.parse_sitemaps(df).collect()
+    }
+    import datetime
+
+    us = lambda d: int(  # noqa: E731
+        datetime.datetime.fromisoformat(d + "T00:00:00+00:00").timestamp() * 1e6
+    )
+    assert rows[(1, "url", "https://a.test/p1")] == (us("2024-01-05"), "daily", 800)
+    assert rows[(1, "url", "https://a.test/p2")] == (-1, "", -1)
+    assert rows[(2, "sitemap", "https://a.test/s1.xml")] == (us("2024-02-01"), "", -1)
+    assert rows[(2, "sitemap", "https://a.test/s2.xml")] == (-1, "", -1)
+    assert len(rows) == 4  # the loc-less entry dropped
+
+
+def test_sitemap_row_stays_jvm_side(spark, sf_dir):
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        entry.queries()["ns_sitemap_urls"](spark, sf_dir).explain("formatted")
+    p = buf.getvalue()
+    assert "Python" not in p, "from_xml must stay a JVM expression"
+    assert "CartesianProduct" not in p
