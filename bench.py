@@ -93,6 +93,12 @@ EXTRAS = [
     # unrolled 5-iter seeded CTE, same heavy shape as ns_pagerank's —
     # measured inside the section budget at sf0.1)
     "ns_html_text", "ns_html_links", "ns_ppr_topk",
+    # r8 family: trained quality classifier (NB closed-form; the LR
+    # twin's unrolled-trajectory oracle is the heavy DuckDB side and
+    # stays out of the timed extras), URL resolution, host-graph
+    # rollup, robots decisions, sitemap parsing
+    "ns_quality_classifier", "ns_url_resolve", "ns_host_graph",
+    "ns_robots_decisions", "ns_sitemap_urls",
 ]
 
 
