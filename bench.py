@@ -599,7 +599,7 @@ def _oracle_names() -> set:
 
 
 def _batched_interleaved(
-    make_one, names: list[str], con, passes: int = 5, threads: int = 16
+    make_one, names: list[str], con, passes: int = 7, threads: int = 16
 ) -> dict:
     """The r7 primary measurement (VERDICT-r6 #1a+#1b): each pass
     submits the whole Spark query set as ONE JOB GROUP — every query
