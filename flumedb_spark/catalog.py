@@ -201,7 +201,13 @@ DRIVER_WINDOW: list[str] = [
     # keep the scoring family in-window — slot goes to the new
     # host-graph rollup row)
     "ns_host_graph",
-    "ns_lm_perplexity",
+    # (ns_lm_perplexity rotated out late r8 — r7-driver-green, text.py
+    # frozen this round; the scoring family keeps four in-window rows
+    # via the two classifier rows + dsir + bm25 — slot goes to the new
+    # matryoshka-truncation recall row)
+    # MRL dimension-truncation recall@10 (exact-vs-exact, ground-truth
+    # oracle device) — NEW r8
+    "ns_matryoshka_recall10",
     # (ns_source_mixture rotated out late r7 — r6-driver-green,
     # sampling.py frozen this round; the sampling family stays
     # live-gated every suite run — slot goes to the new crawl-graph

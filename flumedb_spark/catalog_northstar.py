@@ -3677,3 +3677,61 @@ def ns_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sitemaps.parse_sitemaps(pages).orderBy(
         "doc_id", "kind", "loc", "priority_milli"
     )
+
+
+# ---------------------------------------------------------------------
+# r8: matryoshka (MRL) dimension-truncation recall — the evaluation an
+# embedding pipeline runs before serving truncated vectors: how much
+# exact-cosine top-k quality survives keeping only the FIRST d/2
+# components (arXiv:2205.13147's deployment question, answered on this
+# corpus with exact arithmetic in both engines).
+# ---------------------------------------------------------------------
+
+
+def _matryoshka_recall_sql(d: dict, dims: int = 32, k: int = 10) -> str:
+    """recall@k of the truncated-exact top-k vs the full-exact top-k:
+    both sides exact brute force over the bounded query set (vec_id <
+    5 — the family's ground-truth device), both computed by BOTH
+    engines, LEFT join from the exact side so zero-hit queries emit 0."""
+    return f"""
+    WITH {d['flat'].strip().rstrip(',')},
+    norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM flat GROUP BY vec_id),
+    tflat AS (SELECT vec_id, e, i FROM flat WHERE i <= {dims}),
+    tnorms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM tflat GROUP BY vec_id),
+    tdots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
+      FROM tflat a JOIN tflat b ON a.i = b.i AND b.vec_id != a.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            CAST(dot_i AS DOUBLE)
+              / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+              DESC,
+            neighbor_id) AS rn
+        FROM tdots
+        JOIN tnorms na ON na.vec_id = query_id
+        JOIN tnorms nb ON nb.vec_id = neighbor_id
+      ) t WHERE rn <= {k}
+    ),
+    {_EXACT_TOPK_CORE.strip().rstrip(',')}
+    SELECT e.query_id,
+      CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        AS hits
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+@query(
+    "ns_matryoshka_recall10",
+    oracle=_matryoshka_recall_sql(_ANN_DUCK),
+)
+def ns_matryoshka_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_matryoshka_recall_sql(_ANN_SPARK))

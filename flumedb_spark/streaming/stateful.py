@@ -82,13 +82,13 @@ LOCF_OUTPUT_SCHEMA = "user_id long, bucket long, observed boolean, value_locf do
 # pending events ride in state until their bucket is finalized by the
 # watermark, so state is bounded by the lateness window, not the stream
 LOCF_STATE_SCHEMA = (
-    "last_bucket long, carry double, has_carry boolean, "
+    "last_bucket long, carry double, has_carry boolean, last_obs long, "
     "p_ts array<long>, p_tb array<long>, p_val array<double>"
 )
 _NO_BUCKET = -(1 << 62)
 
 
-def _locf_update(bucket_us, key, pdfs, state):
+def _locf_update(bucket_us, ttl_buckets, key, pdfs, state):
     """Per-key state machine (streaming twin of timeseries.gapfill_locf):
     buffer events whose bucket the watermark has not closed; when the
     watermark passes a bucket end, emit exactly one (bucket, observed,
@@ -105,10 +105,12 @@ def _locf_update(bucket_us, key, pdfs, state):
     wm_ms = state.getCurrentWatermarkMs()
     wm_us = wm_ms * 1000
     if state.exists:
-        last_b, carry, has_carry, p_ts, p_tb, p_val = state.get
+        last_b, carry, has_carry, last_obs, p_ts, p_tb, p_val = state.get
         pend = list(zip(p_ts, p_tb, p_val))
     else:
-        last_b, carry, has_carry, pend = _NO_BUCKET, 0.0, False, []
+        last_b, carry, has_carry, last_obs, pend = (
+            _NO_BUCKET, 0.0, False, _NO_BUCKET, [],
+        )
     for pdf in pdfs:
         for ts_us, tb, val in zip(
             pdf["ts_us"].astype("int64"),
@@ -134,6 +136,18 @@ def _locf_update(bucket_us, key, pdfs, state):
             closing = by_bucket.get(b)
             if closing is not None:
                 carry, has_carry = closing[2], True
+                last_obs = b
+            elif (
+                ttl_buckets is not None
+                and last_obs != _NO_BUCKET
+                and b - last_obs > ttl_buckets
+            ):
+                # TTL: an abandoned key stops emitting unobserved grid
+                # rows ttl_buckets past its last observation (the grid
+                # resumes at the key's next real event, which by the
+                # pinned lag rule always lands in a not-yet-closed
+                # bucket — no closed bucket is ever re-opened)
+                continue
             out["user_id"].append(key[0])
             out["bucket"].append(b)
             out["observed"].append(closing is not None)
@@ -141,20 +155,34 @@ def _locf_update(bucket_us, key, pdfs, state):
         last_b = b_max
         pend = [e for e in pend if e[0] // bucket_us > b_max]
 
+    if (
+        ttl_buckets is not None
+        and not pend
+        and last_obs != _NO_BUCKET
+        and last_b != _NO_BUCKET
+        and last_b - last_obs > ttl_buckets
+    ):
+        # fully expired and nothing buffered: drop the key's state so a
+        # long-running stream is bounded by ACTIVE keys, not all keys
+        # ever seen (same rationale as _mad_update's drained removal)
+        state.remove()
+        yield pd.DataFrame(out)
+        return
+
     state.update(
         (
             last_b,
             carry,
             has_carry,
+            last_obs,
             [e[0] for e in pend],
             [e[1] for e in pend],
             [e[2] for e in pend],
         )
     )
     # re-arm: fire again as soon as the watermark moves (keys with no
-    # new data still extend their grid to the new watermark). In a
-    # production stream add a TTL: an abandoned key otherwise keeps
-    # emitting unobserved rows forever.
+    # new data still extend their grid to the new watermark; with
+    # ttl_buckets set, expiry above bounds that)
     if wm_ms > 0:
         state.setTimeoutTimestamp(wm_ms + 1)
     yield pd.DataFrame(out)
@@ -164,6 +192,7 @@ def locf_grid_stream(
     events_stream: DataFrame,
     watermark: str = "30 minutes",
     bucket_us: int = 3_600_000_000,
+    ttl_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming gap-fill + LOCF over ``(event_id, ts, user_id, value)``:
     one finalized row per (key, bucket) once the watermark closes the
@@ -171,7 +200,11 @@ def locf_grid_stream(
     windowed aggregate cannot emit (no row, no group). State carries
     only not-yet-closed events (bounded by the lateness window) plus
     the LOCF carry value; event-time timeouts extend each key's grid
-    when batches arrive without data for it."""
+    when batches arrive without data for it. ``ttl_buckets`` bounds an
+    ABANDONED key (r6/r7's documented caveat, now an option): the grid
+    stops ttl_buckets past the key's last observation and the state is
+    removed once nothing is buffered — total state becomes O(active
+    keys), and the grid resumes at the key's next real event."""
     import functools
 
     src = (
@@ -185,7 +218,7 @@ def locf_grid_stream(
         )
     )
     return src.groupBy("user_id").applyInPandasWithState(
-        functools.partial(_locf_update, bucket_us),
+        functools.partial(_locf_update, bucket_us, ttl_buckets),
         LOCF_OUTPUT_SCHEMA,
         LOCF_STATE_SCHEMA,
         "update",

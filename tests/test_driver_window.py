@@ -140,6 +140,7 @@ def test_all_northstar_ops_in_window():
         "ns_script_profile",
         "ns_gopher_quality",
         "ns_curriculum_deciles",
+        "ns_lm_perplexity",
         # late-r8 rotations for the new stream_interval_join_left and
         # ns_robots_decisions rows (both r7-driver-green, html.py
         # frozen this round; ns_host_graph chains the html_links kernel
@@ -263,9 +264,10 @@ def test_changed_or_new_rows_in_window():
         # late-r6 new: the pre-training scoring/sketching family
         # (q11/q16/q17 + ns_similarity_topk rotated out — all
         # r5-driver-green with frozen implementations)
-        # (ns_gopher_quality rotated out r8 for ns_host_graph —
-        #  r7-driver-green, text.py frozen this round)
-        "ns_lm_perplexity",
+        # (ns_gopher_quality and ns_lm_perplexity rotated out r8 for
+        #  ns_host_graph / ns_matryoshka_recall10 — both r7-driver-green,
+        #  text.py frozen this round; the scoring family keeps the two
+        #  classifier rows + dsir + bm25 in-window)
         # (ns_source_mixture rotated out late r7 for ns_html_links —
         #  r6-driver-green, sampling.py frozen this round)
         # (ns_kmv_set_ops rotated out r7 for stream_mad_outliers —
@@ -340,6 +342,7 @@ def test_changed_or_new_rows_in_window():
         "ns_robots_decisions",
         "stream_static_enrich",
         "ns_sitemap_urls",
+        "ns_matryoshka_recall10",
         # r8 changed paths that must re-attest in the driver window:
         # streaming/stateful.py (drained-state removal) -> the MAD
         # stream row; avro_sink.py (DST policy) -> the avro loop;

@@ -1292,3 +1292,66 @@ def test_stream_interval_join_left_boundary(spark, tmp_path):
     # never emit
     assert emitted.get(3) == [52, 53, 60, 61], emitted
     assert all(62 not in ids and 63 not in ids for _, ids in batches)
+
+
+def test_locf_ttl_bounds_abandoned_keys():
+    """_locf_update with ttl_buckets: an abandoned key stops emitting
+    unobserved grid rows ttl past its last observation and its state is
+    REMOVED once nothing is buffered; a later event re-creates the grid
+    from its own bucket (unit-level, fake state — the product default
+    ttl_buckets=None keeps the infinite-grid behavior the oracle row
+    attests)."""
+    import pandas as pd
+
+    from flumedb_spark.streaming.stateful import _locf_update
+
+    class FakeState:
+        def __init__(self, wm_ms):
+            self.exists = False
+            self._v = None
+            self.removed = False
+            self._wm = wm_ms
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self.removed = True
+            self.exists = False
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    H = 3_600_000_000  # 1h buckets in us
+    # one observation in bucket 0; watermark far ahead (bucket 10 open)
+    st = FakeState(wm_ms=10 * 3_600_000)
+    out = pd.concat(list(_locf_update(H, 2, (7,), iter([pd.DataFrame(
+        {"ts_us": [100], "event_id": [1], "value": [5.0]}
+    )]), st)))
+    # grid: bucket 0 observed, then ONLY ttl=2 unobserved rows (1, 2)
+    assert list(out["bucket"]) == [0, 1, 2]
+    assert list(out["observed"]) == [True, False, False]
+    assert st.removed and not st.exists, "expired key must drop state"
+    # a later event re-creates the grid from its own bucket
+    st2 = FakeState(wm_ms=20 * 3_600_000)
+    out2 = pd.concat(list(_locf_update(H, 2, (7,), iter([pd.DataFrame(
+        {"ts_us": [15 * H + 5], "event_id": [2], "value": [9.0]}
+    )]), st2)))
+    assert list(out2["bucket"]) == [15, 16, 17]
+    assert list(out2["observed"]) == [True, False, False]
+    # default (ttl None) keeps the infinite grid: same input, all 11
+    # closed buckets emitted and state kept
+    st3 = FakeState(wm_ms=10 * 3_600_000)
+    out3 = pd.concat(list(_locf_update(H, None, (7,), iter([pd.DataFrame(
+        {"ts_us": [100], "event_id": [1], "value": [5.0]}
+    )]), st3)))
+    assert list(out3["bucket"]) == list(range(0, 10))
+    assert st3.exists and not st3.removed
