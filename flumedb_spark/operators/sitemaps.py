@@ -36,7 +36,13 @@ def parse_sitemaps(
     page entries and 'sitemap' for ``<sitemapindex>`` shard pointers
     (a real fetcher enqueues the latter for recursive fetch). Entries
     with no <loc> are dropped (nothing to fetch); absent lastmod /
-    changefreq / priority normalize to -1 / '' / -1."""
+    changefreq / priority normalize to -1 / '' / -1.
+
+    Malformed XML parses to null under from_xml's PERMISSIVE default
+    and yields NO rows for that document (unlike the archive kernels'
+    ok=False contract, from_xml cannot emit a marker row) — audit by
+    anti-joining input ids against output ids, as
+    tests/test_urls.py::test_sitemap_malformed_inputs_auditable does."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(xml_col).alias("x"))
     is_index = F.col("x").contains("<sitemapindex")
     urls = (

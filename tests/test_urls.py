@@ -308,3 +308,26 @@ def test_sitemap_row_stays_jvm_side(spark, sf_dir):
     p = buf.getvalue()
     assert "Python" not in p, "from_xml must stay a JVM expression"
     assert "CartesianProduct" not in p
+
+
+def test_sitemap_malformed_inputs_auditable(spark):
+    """Malformed sitemap XML yields no rows (from_xml PERMISSIVE -> null
+    -> explode drops); the documented audit — anti-join input ids vs
+    output ids — must surface exactly the corrupt docs."""
+    from flumedb_spark.operators import sitemaps
+
+    df = spark.createDataFrame(
+        [
+            (1, "<urlset><url><loc>https://a.test/x</loc></url></urlset>"),
+            (2, "not xml at all <<<"),
+            (3, None),
+        ],
+        "doc_id long, xml string",
+    )
+    out = sitemaps.parse_sitemaps(df)
+    assert [r.doc_id for r in out.collect()] == [1]
+    missing = sorted(
+        r.doc_id
+        for r in df.join(out.select("doc_id").distinct(), "doc_id", "left_anti").collect()
+    )
+    assert missing == [2, 3]
