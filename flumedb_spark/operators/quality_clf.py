@@ -39,6 +39,8 @@ Python anywhere, no windows at all (plan-gated in tests/test_plans.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -385,7 +387,13 @@ def train_quality_classifier_lr(
             .localCheckpoint(eager=True)
         )
         gb = per_doc.agg(F.sum("err").cast("long").alias("g")).collect()[0].g
-        bias_val = bias_val + int(round(lr * gb / float(n_lab)))
+        # HALF-AWAY-FROM-ZERO, matching SQL round() in both engines —
+        # Python's built-in round is banker's rounding and would
+        # diverge on an exact-.5 gradient step
+        step = lr * gb / float(n_lab)
+        bias_val = bias_val + int(math.floor(abs(step) + 0.5)) * (
+            1 if step >= 0 else -1
+        )
     bias = spark.range(1).select(
         F.lit(int(bias_val)).cast("long").alias("w0_micro"),
         F.lit(int(n_lab)).cast("long").alias("n_lab"),
