@@ -259,10 +259,13 @@ DRIVER_WINDOW: list[str] = [
     # rotated out late r6 — r5-driver-green, path untouched — for its
     # full-corpus successor below, whose ground-truth oracle subsumes
     # the subset row's semantics)
-    # EXACT set-similarity join via prefix filtering (PPJoin family) —
-    # NEW late r6: deterministic-recall counterpart to MinHash-LSH,
-    # attested against the brute-force quadratic ground truth
-    "ns_setsim_join_prefix",
+    # (ns_setsim_join_prefix rotated out late r8 — r7-driver-green,
+    # dedup.py frozen this round; minhash/substring/neardup rows keep
+    # the dedup family in-window — its slot goes to the NEW
+    # line-dedup row, which extends the same family from reporting
+    # duplicates to REMOVING them)
+    # CCNet-style boilerplate removal with reassembly — NEW late r8
+    "ns_line_dedup",
     # cross-corpus Bloom decontamination — NEW late r6 (family #2):
     # takes the slot of r5-green ns_salted_join (skew.py frozen this
     # round; skew coverage stays live-gated every suite run)
@@ -295,7 +298,11 @@ DRIVER_WINDOW: list[str] = [
     # similarity.py frozen this round; the np serving twin's machinery
     # stays covered by the in-window ANN rows + the live gate — its
     # slot goes to the new ns_profile_columns row)
-    "ns_profile_columns",
+    # (ns_profile_columns rotated out late r8 — r7-driver-green,
+    # profile.py frozen this round and live-gated every suite run —
+    # its slot goes to the NEW C4 blocklist-gate row)
+    # C4 bad-words blocklist gate (scan-speed, no shuffle) — NEW late r8
+    "ns_blocklist_filter",
     # product-quantization ADC ANN (Jégou et al. 2011) — NEW late r6:
     # seeded codebooks, exact-BIGINT ranking key, recall-vs-exact-L2
     # twin ns_pq_ann_recall10 (also new, in the slot freed by
@@ -353,7 +360,12 @@ DRIVER_WINDOW: list[str] = [
     "src_tar_roundtrip",
     # event-analytics shapes every product-analytics engine serves —
     # NEW late r6: ordered 3-step funnel + weekly retention cohorts
-    "funnel_view_click_purchase",
+    # (funnel_view_click_purchase rotated out late r8 — r7-driver-green,
+    # its shared-SQL text frozen this round; retention_weekly_cohorts
+    # keeps the event-analytics family in-window — its slot goes to the
+    # NEW epoch-capped mixture planner row)
+    # epoch-capped token-budget water-filling — NEW late r8
+    "ns_mixture_capped",
     "retention_weekly_cohorts",
     # (ns_hll_user_estimate rotated out late r6 — r5-driver-green,
     # sketches.py frozen this round — freeing the slot for the new

@@ -3735,3 +3735,94 @@ def _matryoshka_recall_sql(d: dict, dims: int = 32, k: int = 10) -> str:
 )
 def ns_matryoshka_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_matryoshka_recall_sql(_ANN_SPARK))
+
+
+# ---------------------------------------------------------------------
+# r8 extension: CCNet-style boilerplate removal + C4 blocklist gate —
+# the two REMOVAL stages between the quality scorers (which only flag)
+# and the dedup family (which only reports): line_dedup_clean rebuilds
+# each document without its cross-corpus-repeated segments; the
+# blocklist gate is C4's bad-words filter as a scan-speed expression.
+# ---------------------------------------------------------------------
+
+from .operators import boilerplate as _boiler  # noqa: E402
+
+
+@query("ns_line_dedup", oracle=_boiler.line_dedup_oracle_sql(3, 2))
+def ns_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal WITH reassembly
+    (operators/boilerplate.line_dedup_clean, arXiv:1911.00359 §3.1):
+    3-word segments appearing in >2 distinct docs are dropped and every
+    document's text is rebuilt from its surviving segments in original
+    order (all docs survive; a fully-boilerplate doc returns ''). The
+    oracle replays segmentation, distinct-doc frequency, and ordered
+    reassembly — an off-by-one in the slice window, an occurrences-vs-
+    distinct-docs counting bug, or an unordered reassembly breaks the
+    hash. Pure JVM: one explode, one md5-keyed frequency aggregate, one
+    per-doc sorted-collect — no window, no Python."""
+    return _boiler.line_dedup_clean(
+        spark.table("documents"), seg_words=3, max_docs=2
+    ).orderBy("doc_id")
+
+
+_BLOCKTERMS = ["dup", "spam", "casino"]
+
+
+@query("ns_blocklist_filter", oracle=_boiler.blocklist_oracle_sql(_BLOCKTERMS))
+def ns_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 bad-words gate (operators/boilerplate.blocklist_filter,
+    arXiv:1910.10683 §2.2): the blocklist ('dup' is rare-but-present in
+    the corpus; 'spam'/'casino' exercise the zero-hit path) rides along
+    as an array literal, so matching is a per-row JVM expression with
+    no join and no shuffle. Hit count + sorted distinct hit list are
+    columns, never a filter — no document drops out of the decision."""
+    return _boiler.blocklist_filter(
+        spark.table("documents"), _BLOCKTERMS
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# r8 extension: epoch-capped token-budget water-filling — the data
+# recipe's allocation stage (source_mixture's sqrt-temperature weights
+# plus the <=N-epoch repeat cap every published recipe imposes).
+# ---------------------------------------------------------------------
+
+from .operators import sampling as _sampling  # noqa: E402
+
+_MIX_SRC_DUCK = (
+    "(SELECT doc_id, text, 'g' || CAST(CAST(floor(sqrt(doc_id % 100)) "
+    "AS BIGINT) AS VARCHAR) AS source FROM documents)"
+)
+
+
+@query(
+    "ns_mixture_capped",
+    oracle=_sampling.mixture_plan_capped_oracle_sql(
+        None, 1500, _MIX_SRC_DUCK, budget_permille_of_corpus=1200
+    ),
+)
+def ns_mixture_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped water-filling (operators/sampling.mixture_plan_capped):
+    sqrt-temperature ideal allocation, 1.5-epoch cap, one closed-form
+    surplus-redistribution round with a final clamp, residue reported as
+    unalloc_tokens. The corpus's uniform sources would make the cap
+    bind all-or-none, so the row derives skewed sources (sqrt-bucketed
+    doc_id -> group sizes 1,3,5,...,19) and a corpus-relative budget
+    (1200 permille) — the capped/uncapped split (and at sf0.01 even the
+    post-redistribution least-clamp) is exercised at EVERY test SF. All
+    arithmetic exact BIGINT; every window runs on the 10-row source
+    frame (metadata, not data)."""
+    from .operators import sampling as _samp
+
+    docs = spark.table("documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("g"),
+            F.floor(F.sqrt(F.col("doc_id") % 100)).cast("long").cast("string"),
+        ).alias("source"),
+    )
+    return _samp.mixture_plan_capped(
+        docs, budget_tokens=None, epoch_cap_milli=1500,
+        budget_permille_of_corpus=1200,
+    )

@@ -144,3 +144,179 @@ def source_mixture(
         alloc.alias("alloc_tokens"),
         F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
     ).orderBy("source")
+
+
+def mixture_plan_capped(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    budget_tokens: int | None = 1_000_000,
+    epoch_cap_milli: int = 2_000,
+    budget_permille_of_corpus: int | None = None,
+) -> DataFrame:
+    """Epoch-capped token-budget water-filling: :func:`source_mixture`'s
+    sqrt-temperature allocation, plus the constraint every real data
+    recipe adds (Gopher Table A3, LLaMA's <=2-epoch rule): no source may
+    repeat more than ``epoch_cap_milli/1000`` epochs. Sources whose
+    ideal allocation exceeds their cap are clamped, and the surplus is
+    redistributed across the UNCAPPED sources proportionally to weight
+    — one redistribution round, then a final clamp (closed-form; the
+    residue a second round would move is reported in
+    ``unalloc_tokens`` rather than hidden, so the plan is auditable).
+
+    ``budget_permille_of_corpus`` (mutually exclusive with
+    ``budget_tokens``) expresses the budget as a fraction of the
+    corpus's own token count — the form that keeps a recipe meaningful
+    when the corpus grows 100×, and what the catalog row uses so the
+    capped/uncapped split is scale-invariant across test SFs.
+
+    All arithmetic is exact BIGINT (weights are milli-quantized sqrt,
+    allocations are floors), so a DuckDB oracle replays it bit-for-bit.
+
+    Scale shape: one map-side-combinable aggregate over the corpus to
+    per-source totals, then every window runs on the SOURCE-cardinality
+    frame (tens of rows — metadata, not data; same documented posture
+    as ``source_mixture``).
+
+    Columns: source, n_tokens, w_milli, ideal_alloc, cap_tokens,
+    capped, final_alloc, epochs_milli, unalloc_tokens.
+    """
+    if (budget_tokens is None) == (budget_permille_of_corpus is None):
+        raise ValueError(
+            "mixture_plan_capped: exactly one of budget_tokens / "
+            "budget_permille_of_corpus must be set"
+        )
+    t = F.col(text_col)
+    per_src = docs.groupBy(source_col).agg(
+        F.sum(F.size(F.split(t, " "))).cast("long").alias("n_tokens")
+    )
+    win = Window.partitionBy()
+    if budget_permille_of_corpus is not None:
+        b = F.floor(
+            F.sum("n_tokens").over(win)
+            * F.lit(int(budget_permille_of_corpus)).cast("long")
+            / 1000
+        ).cast("long")
+    else:
+        b = F.lit(int(budget_tokens)).cast("long")
+    base = per_src.select(
+        F.col(source_col).alias("source"),
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens")) * 1000).cast("long").alias("w_milli"),
+        F.floor(
+            F.col("n_tokens") * F.lit(int(epoch_cap_milli)).cast("long") / 1000
+        ).cast("long").alias("cap_tokens"),
+    )
+    ideal = base.withColumn(
+        "ideal_alloc",
+        F.floor(b * F.col("w_milli") / F.sum("w_milli").over(win)).cast("long"),
+    ).withColumn("capped", F.col("ideal_alloc") > F.col("cap_tokens"))
+    spread = ideal.withColumn(
+        "surplus",
+        F.sum(
+            F.when(
+                F.col("capped"), F.col("ideal_alloc") - F.col("cap_tokens")
+            ).otherwise(F.lit(0).cast("long"))
+        ).over(win).cast("long"),
+    ).withColumn(
+        "w_uncapped",
+        F.sum(
+            F.when(~F.col("capped"), F.col("w_milli")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).over(win).cast("long"),
+    )
+    final = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        F.least(
+            F.col("cap_tokens"),
+            (
+                F.col("ideal_alloc")
+                + F.when(
+                    F.col("w_uncapped") > 0,
+                    F.floor(
+                        F.col("surplus") * F.col("w_milli") / F.col("w_uncapped")
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+        )
+    ).cast("long")
+    out = spread.withColumn("final_alloc", final)
+    return out.select(
+        "source",
+        "n_tokens",
+        "w_milli",
+        "ideal_alloc",
+        "cap_tokens",
+        "capped",
+        "final_alloc",
+        F.floor(F.col("final_alloc") * 1000 / F.col("n_tokens"))
+        .cast("long")
+        .alias("epochs_milli"),
+        (b - F.sum("final_alloc").over(win)).cast("long").alias("unalloc_tokens"),
+    ).orderBy("source")
+
+
+def mixture_plan_capped_oracle_sql(
+    budget_tokens: int | None = 1_000_000,
+    epoch_cap_milli: int = 2_000,
+    from_clause: str = "documents",
+    budget_permille_of_corpus: int | None = None,
+) -> str:
+    """DuckDB replay of :func:`mixture_plan_capped`."""
+    if (budget_tokens is None) == (budget_permille_of_corpus is None):
+        raise ValueError("exactly one budget form must be set")
+    c = int(epoch_cap_milli)
+    if budget_permille_of_corpus is not None:
+        b_expr = (
+            f"CAST(floor(sum(n_tokens) OVER () * "
+            f"CAST({int(budget_permille_of_corpus)} AS BIGINT) / 1000) "
+            f"AS BIGINT)"
+        )
+    else:
+        b_expr = f"CAST({int(budget_tokens)} AS BIGINT)"
+    return f"""
+    WITH per_src AS (
+      SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM {from_clause} GROUP BY source
+    ),
+    base AS (
+      SELECT source, n_tokens,
+        CAST(round(sqrt(n_tokens) * 1000) AS BIGINT) AS w_milli,
+        CAST(floor(n_tokens * CAST({c} AS BIGINT) / 1000) AS BIGINT)
+          AS cap_tokens,
+        {b_expr} AS budget
+      FROM per_src
+    ),
+    ideal AS (
+      SELECT *,
+        CAST(floor(budget * w_milli
+                   / sum(w_milli) OVER ()) AS BIGINT) AS ideal_alloc
+      FROM base
+    ),
+    flags AS (
+      SELECT *, (ideal_alloc > cap_tokens) AS capped FROM ideal
+    ),
+    spread AS (
+      SELECT *,
+        CAST(sum(CASE WHEN capped THEN ideal_alloc - cap_tokens ELSE 0 END)
+             OVER () AS BIGINT) AS surplus,
+        CAST(sum(CASE WHEN capped THEN 0 ELSE w_milli END)
+             OVER () AS BIGINT) AS w_uncapped
+      FROM flags
+    ),
+    fin AS (
+      SELECT *,
+        CAST(CASE WHEN capped THEN cap_tokens
+             ELSE least(cap_tokens,
+               ideal_alloc + CASE WHEN w_uncapped > 0
+                 THEN CAST(floor(surplus * w_milli / w_uncapped) AS BIGINT)
+                 ELSE 0 END)
+             END AS BIGINT) AS final_alloc
+      FROM spread
+    )
+    SELECT source, n_tokens, w_milli, ideal_alloc, cap_tokens, capped,
+      final_alloc,
+      CAST(floor(final_alloc * 1000 / n_tokens) AS BIGINT) AS epochs_milli,
+      CAST(budget - sum(final_alloc) OVER () AS BIGINT) AS unalloc_tokens
+    FROM fin ORDER BY source
+    """

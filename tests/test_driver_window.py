@@ -148,6 +148,14 @@ def test_all_northstar_ops_in_window():
         # every suite run)
         "ns_html_text",
         "ns_html_links",
+        # late-r8 extension rotations for the new ns_line_dedup /
+        # ns_blocklist_filter / ns_mixture_capped rows: both
+        # r7-driver-green with dedup.py / profile.py frozen this round
+        # (minhash/substring/neardup keep the dedup family in-window;
+        # column profiling re-runs vs DuckDB every suite via the live
+        # gate)
+        "ns_setsim_join_prefix",
+        "ns_profile_columns",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -301,7 +309,13 @@ def test_changed_or_new_rows_in_window():
         #  ts_mad_outliers and event_type_transitions rotated out r8 —
         #  r7-driver-green, paths frozen; stream_mad_outliers keeps the
         #  anomaly family AND must re-attest: stateful.py changed)
-        "ns_profile_columns",
+        # (ns_profile_columns rotated out late r8 for the new
+        #  ns_blocklist_filter row — r7-driver-green, profile.py frozen
+        #  this round; ns_setsim_join_prefix rotated out late r8 for
+        #  ns_line_dedup — r7-driver-green, dedup.py frozen;
+        #  funnel_view_click_purchase rotated out late r8 for
+        #  ns_mixture_capped — r7-driver-green, its shared-SQL text
+        #  frozen; retention_weekly_cohorts keeps the family)
         "ns_triangle_count",
         # (v1_reduce_stats rotated out late r6 for stream_locf_grid —
         #  r5-driver-green, views/reduce.py untouched all round)
@@ -351,6 +365,12 @@ def test_changed_or_new_rows_in_window():
         "stream_mad_outliers",
         "src_avro_roundtrip",
         "src_lakehouse_roundtrip",
+        # late-r8 extension rows: CCNet boilerplate removal with
+        # reassembly, the C4 blocklist gate, and epoch-capped
+        # water-filling (the allocation stage of a data recipe)
+        "ns_line_dedup",
+        "ns_blocklist_filter",
+        "ns_mixture_capped",
     ):
         assert n in _window_names(), n
 

@@ -264,3 +264,36 @@ def test_r8_family_plan_shapes(plans):
             f"{q}: a weight/label join stopped broadcasting"
         )
         assert "BroadcastHashJoin" in p, q
+
+
+def test_r8_extension_plan_shapes(plans):
+    """The r8-extension rows keep the scale posture.
+
+    - ns_line_dedup: pure JVM (one explode, one md5-keyed frequency
+      aggregate, one per-doc sorted-collect) — no Python, no Window;
+      the seg-hash join is two data-sized sides, so ONE SortMergeJoin
+      is the correct plan and exactly one is allowed.
+    - ns_blocklist_filter: a per-row expression — no Python, no
+      Window, no join, no Exchange at all (scan-speed at 100 TB).
+    - ns_mixture_capped: windows are allowed ONLY on the source-
+      cardinality frame (metadata-sized, documented); no Python, and
+      nothing data-sized joins.
+    """
+    p = plans("ns_line_dedup")
+    assert "Python" not in p, "line_dedup dropped into Python"
+    assert "Window" not in p, "line_dedup gained a window"
+    assert p.count(") SortMergeJoin") <= 1, "line_dedup: extra join"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    p = plans("ns_blocklist_filter")
+    assert "Python" not in p, "blocklist dropped into Python"
+    assert "Window" not in p
+    assert "Join" not in p, "blocklist must not join (broadcast-literal list)"
+    assert "hashpartitioning" not in p, (
+        "blocklist must not shuffle (the orderBy's rangepartitioning "
+        "exchange is the only one allowed)"
+    )
+
+    p = plans("ns_mixture_capped")
+    assert "Python" not in p, "mixture planner dropped into Python"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
