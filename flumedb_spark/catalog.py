@@ -126,7 +126,9 @@ DRIVER_WINDOW: list[str] = [
     # in-window and both re-run vs DuckDB every suite via the live gate
     # — slot goes to the new personalized-PageRank row)
     # (ns_weighted_paths and ns_ppr_topk rotated out r8 — both
-    # r7-driver-green, graph.py frozen this round; ns_pagerank +
+    # r7-driver-green, graph.py's BFS/PPR paths untouched this round
+    # (the late-r8 label_propagation addition is new surface with its
+    # own in-window row ns_label_prop); ns_pagerank +
     # ns_triangle_count keep the graph family in-window — slots go to
     # the new quality-classifier rows below)
     # supervised quality classifiers (VERDICT-r7 #1) — NEW r8: NB
@@ -260,7 +262,9 @@ DRIVER_WINDOW: list[str] = [
     # full-corpus successor below, whose ground-truth oracle subsumes
     # the subset row's semantics)
     # (ns_setsim_join_prefix rotated out late r8 — r7-driver-green,
-    # dedup.py frozen this round; minhash/substring/neardup rows keep
+    # dedup.py's existing paths untouched this round (the late-r8
+    # minhash_cross_decontaminate addition is new surface with its own
+    # in-window row); minhash/substring/neardup rows keep
     # the dedup family in-window — its slot goes to the NEW
     # line-dedup row, which extends the same family from reporting
     # duplicates to REMOVING them)
@@ -396,7 +400,12 @@ DRIVER_WINDOW: list[str] = [
     # ns_audio_decode_meta rotated out late r6 — r5-driver-green — for
     # the new ns_pq_ann_recall10 row; wav decode stays covered by
     # ns_media_meta + the live gate)
-    "ns_video_meta",
+    # (ns_video_meta rotated out late r8 — r7-driver-green,
+    # multimodal.py frozen this round; ns_media_meta + ns_avi_frames
+    # keep the container/codec family in-window — its slot goes to the
+    # NEW MinHash cross-corpus decontamination row)
+    # MinHash-LSH near-dup eval decontamination — NEW late r8
+    "ns_minhash_decontamination",
     "ns_jpeg_decode",
     "ns_avi_frames",
     # unified mixed-format media triage (mp4/webm/avi/flac/mp3/webp/ogg)
@@ -406,8 +415,12 @@ DRIVER_WINDOW: list[str] = [
     "ns_media_meta",
     # archive triage (zip central-directory listing, exploded) — NEW r5
     "ns_archive_listing",
-    # WARC record enumeration (Common Crawl container) — NEW r5
-    "ns_warc_listing",
+    # (ns_warc_listing rotated out late r8 — r7-driver-green,
+    # archives.py frozen this round; ns_warc_bodies subsumes the
+    # listing path at driver level and ns_archive_listing keeps the
+    # triage family — its slot goes to the NEW label-propagation row)
+    # deterministic label-propagation communities — NEW late r8
+    "ns_label_prop",
     # extraction stage (listing -> member/body CONTENT rows) — NEW r6
     # (VERDICT-r5 #2): WARC response bodies + zip member extraction
     "ns_warc_bodies",

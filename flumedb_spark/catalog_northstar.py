@@ -3826,3 +3826,203 @@ def ns_mixture_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, budget_tokens=None, epoch_cap_milli=1500,
         budget_permille_of_corpus=1200,
     )
+
+
+# ---------------------------------------------------------------------
+# r8 extension: label-propagation communities — the graph family's
+# third leg (components = reachability, PageRank = centrality, LPA =
+# densely-connected cluster membership).
+# ---------------------------------------------------------------------
+
+def _label_prop_duck(rounds: int = 3) -> str:
+    """Unrolled-CTE DuckDB replay of operators.graph.label_propagation
+    over the bidirectional customer<->supplier purchase graph (same
+    edge construction as ns_pagerank): one (neighbor-label count ->
+    deterministic mode) CTE pair per synchronous round, ties broken by
+    smallest label, isolated nodes carrying their label forward."""
+    parts = [
+        """WITH nds AS (
+      SELECT c_custkey * 2 AS node_id FROM customer
+      UNION ALL
+      SELECT s_suppkey * 2 + 1 AS node_id FROM supplier
+    ),
+    e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    eds AS (SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0),
+    l0 AS (SELECT node_id, node_id AS community FROM nds)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+    c{k} AS (
+      SELECT e.dst AS nid, l.community AS nbr_label,
+        CAST(count(*) AS BIGINT) AS n
+      FROM eds e JOIN l{p} l ON l.node_id = e.src
+      GROUP BY e.dst, l.community
+    ),
+    m{k} AS (
+      SELECT nid, nbr_label FROM (
+        SELECT nid, nbr_label,
+          row_number() OVER (PARTITION BY nid ORDER BY n DESC, nbr_label)
+            AS rn
+        FROM c{k}
+      ) t WHERE rn = 1
+    ),
+    l{k} AS (
+      SELECT p.node_id, COALESCE(m.nbr_label, p.community) AS community
+      FROM l{p} p LEFT JOIN m{k} m ON m.nid = p.node_id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT l.node_id,
+      CASE WHEN l.node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        AS node_type,
+      l.community,
+      CAST(count(*) OVER (PARTITION BY l.community) AS BIGINT)
+        AS community_size
+    FROM l{rounds} l
+    ORDER BY l.node_id"""
+    )
+    return "".join(parts)
+
+
+@query("ns_label_prop", oracle=_label_prop_duck(3))
+def ns_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (operators/graph.label_propagation, arXiv:0709.2938 with
+    smallest-label tie-break) — 3 rounds over the bidirectional
+    customer<->supplier purchase graph, every node's final community
+    plus its size. The oracle unrolls the full trajectory as CTE
+    layers (the ns_ppr_topk device), so a tie-break flip, a missed
+    isolated-node carry-forward, or an asynchronous update in ANY
+    round breaks the hash. The community-size window partitions by
+    community (cluster-sized frames, never global)."""
+    from .operators import graph as _graph
+    from pyspark.sql.window import Window as _W
+
+    c = spark.table("customer").select(
+        (F.col("c_custkey") * 2).alias("node_id")
+    )
+    s = spark.table("supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node_id")
+    )
+    nodes = c.unionAll(s)
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    lab = _graph.label_propagation(edges, nodes, rounds=3)
+    return lab.select(
+        "node_id",
+        F.when(F.col("node_id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        "community",
+        F.count(F.lit(1))
+        .over(_W.partitionBy("community"))
+        .cast("long")
+        .alias("community_size"),
+    ).orderBy("node_id")
+
+
+# ---------------------------------------------------------------------
+# r8 extension: MinHash cross-corpus decontamination — the NEAR-dup
+# counterpart to ns_bloom_cross_dedup (exact) and ns_decontamination
+# (n-gram overlap): GPT-3-style fuzzy eval-set removal, banded so the
+# train corpus is probed by broadcast, never paired quadratically.
+# ---------------------------------------------------------------------
+
+_XDECON_DUCK = (
+    "WITH "
+    + _SHINGLES_DUCK.format(where="")
+    + """,
+    sig AS (
+      SELECT doc_id,
+        min(md5(concat('0|', shingle))) AS h0,
+        min(md5(concat('1|', shingle))) AS h1,
+        min(md5(concat('2|', shingle))) AS h2,
+        min(md5(concat('3|', shingle))) AS h3,
+        min(md5(concat('4|', shingle))) AS h4,
+        min(md5(concat('5|', shingle))) AS h5,
+        min(md5(concat('6|', shingle))) AS h6,
+        min(md5(concat('7|', shingle))) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, u.band, u.bsig FROM sig, LATERAL (
+        SELECT unnest([0, 1, 2, 3]) AS band,
+               unnest([md5(concat(h0, h1)), md5(concat(h2, h3)),
+                       md5(concat(h4, h5)), md5(concat(h6, h7))]) AS bsig
+      ) u
+    ),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      FROM bands t
+      JOIN bands e ON t.band = e.band AND t.bsig = e.bsig
+      WHERE t.doc_id % 10 <> 7 AND e.doc_id % 10 = 7
+    ),
+    ag AS (
+      SELECT c.train_id, c.eval_id,
+        CAST(floor((
+            (CASE WHEN ts.h0 = es.h0 THEN 1 ELSE 0 END)
+          + (CASE WHEN ts.h1 = es.h1 THEN 1 ELSE 0 END)
+          + (CASE WHEN ts.h2 = es.h2 THEN 1 ELSE 0 END)
+          + (CASE WHEN ts.h3 = es.h3 THEN 1 ELSE 0 END)
+          + (CASE WHEN ts.h4 = es.h4 THEN 1 ELSE 0 END)
+          + (CASE WHEN ts.h5 = es.h5 THEN 1 ELSE 0 END)
+          + (CASE WHEN ts.h6 = es.h6 THEN 1 ELSE 0 END)
+          + (CASE WHEN ts.h7 = es.h7 THEN 1 ELSE 0 END)
+        ) * 1000 / 8) AS BIGINT) AS agree_milli
+      FROM cand c
+      JOIN sig ts ON ts.doc_id = c.train_id
+      JOIN sig es ON es.doc_id = c.eval_id
+    ),
+    best AS (
+      SELECT train_id, eval_id, agree_milli,
+        row_number() OVER (
+          PARTITION BY train_id ORDER BY agree_milli DESC, eval_id
+        ) AS rn,
+        CAST(count(*) OVER (PARTITION BY train_id) AS BIGINT)
+          AS n_eval_matches
+      FROM ag
+    )
+    SELECT d.doc_id,
+      coalesce(b.agree_milli >= 500, false) AS contaminated,
+      coalesce(b.n_eval_matches, 0) AS n_eval_matches,
+      coalesce(b.eval_id, -1) AS best_eval_id,
+      coalesce(b.agree_milli, -1) AS best_agree_milli
+    FROM documents d
+    LEFT JOIN best b ON b.train_id = d.doc_id AND b.rn = 1
+    WHERE d.doc_id % 10 <> 7
+    ORDER BY d.doc_id
+    """
+)
+
+
+@query("ns_minhash_decontamination", oracle=_XDECON_DUCK)
+def ns_minhash_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH cross-corpus NEAR-dup decontamination
+    (dedup.minhash_cross_decontaminate): eval slice = doc_id%10==7,
+    train = the rest; any train doc sharing an LSH band bucket with an
+    eval doc is verified by 8-permutation signature agreement
+    (>=500 milli -> contaminated). Both eval-side tables broadcast —
+    the train corpus is never paired quadratically and never
+    re-shingled for verification. The decision is a column over EVERY
+    train doc; -1 sentinels keep match-free rows exact-integer."""
+    docs = spark.table("documents")
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    ev = docs.where(F.col("doc_id") % 10 == 7)
+    return dedup.minhash_cross_decontaminate(train, ev).orderBy("doc_id")

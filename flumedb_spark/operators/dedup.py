@@ -751,3 +751,115 @@ def neardup_canonical(
         "quality",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+def minhash_cross_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    threshold_milli: int = 500,
+) -> DataFrame:
+    """NEAR-duplicate cross-corpus decontamination: flag every TRAIN
+    document whose MinHash signature collides with an EVAL document in
+    any LSH band and whose signature-agreement fraction (the unbiased
+    Jaccard estimate) reaches ``threshold_milli``/1000.
+
+    The near-dup counterpart to :func:`bloom_cross_dedup` (exact
+    hashes) and :func:`ngram_decontamination`-style n-gram overlap in
+    ``operators/text.py`` — this is the GPT-3-style fuzzy
+    decontamination stage (arXiv:2005.14165 Appendix C flags 13-gram
+    collisions; MinHash banding is the scalable generalization).
+
+    Scale shape: the eval benchmark is always tiny next to the train
+    corpus (1e4-1e6 vs 1e9+ docs), so BOTH eval-side tables — band
+    buckets and signatures — are broadcast; the train corpus is
+    touched by exactly one shingle->signature pass (map-side min
+    combine), one broadcast band probe, and one broadcast verify. No
+    shuffle is eval x train sized, no pair list is materialized beyond
+    the band collisions. Verification compares the 8 stored minhashes
+    (a pure column expression) — the shingle sets are never re-joined.
+
+    The decision is a COLUMN over every train doc (the robots.py
+    rule): output (doc_id, contaminated, n_eval_matches, best_eval_id,
+    best_agree_milli), with -1 sentinels for match-free docs so the
+    frame stays exact-integer and hashable.
+    """
+    from pyspark.sql import Window
+
+    tsig = minhash_signatures(
+        train, n, text_col, n_perm
+    ).localCheckpoint(eager=True)
+    esig = minhash_signatures(
+        eval_docs, n, text_col, n_perm
+    ).localCheckpoint(eager=True)
+    tb = lsh_bands(tsig, n_perm, n_bands).select(
+        F.col("doc_id").alias("train_id"), "band", "bsig"
+    )
+    eb = lsh_bands(esig, n_perm, n_bands).select(
+        F.col("doc_id").alias("eval_id"), "band", "bsig"
+    )
+    cand = (
+        tb.join(F.broadcast(eb), ["band", "bsig"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    ts = tsig.select(
+        F.col("doc_id").alias("train_id"),
+        *[F.col(f"h{p}").alias(f"t_h{p}") for p in range(n_perm)],
+    )
+    es = esig.select(
+        F.col("doc_id").alias("eval_id"),
+        *[F.col(f"h{p}").alias(f"e_h{p}") for p in range(n_perm)],
+    )
+    agree = sum(
+        (F.col(f"t_h{p}") == F.col(f"e_h{p}")).cast("int")
+        for p in range(n_perm)
+    )
+    scored = (
+        cand.join(ts, "train_id")
+        .join(F.broadcast(es), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            F.floor(agree * 1000 / F.lit(n_perm)).cast("long").alias(
+                "agree_milli"
+            ),
+        )
+    )
+    win = Window.partitionBy("train_id").orderBy(
+        F.desc("agree_milli"), F.asc("eval_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(win))
+        .withColumn(
+            "n_eval_matches",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("train_id"))
+            .cast("long"),
+        )
+        .where(F.col("rn") == 1)
+        .select("train_id", "eval_id", "agree_milli", "n_eval_matches")
+    )
+    return (
+        train.select(F.col("doc_id"))
+        .join(best, train["doc_id"] == best["train_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("agree_milli") >= F.lit(int(threshold_milli)),
+                F.lit(False),
+            ).alias("contaminated"),
+            F.coalesce(F.col("n_eval_matches"), F.lit(0))
+            .cast("long")
+            .alias("n_eval_matches"),
+            F.coalesce(F.col("eval_id"), F.lit(-1))
+            .cast("long")
+            .alias("best_eval_id"),
+            F.coalesce(F.col("agree_milli"), F.lit(-1))
+            .cast("long")
+            .alias("best_agree_milli"),
+        )
+    )

@@ -156,6 +156,15 @@ def test_all_northstar_ops_in_window():
         # gate)
         "ns_setsim_join_prefix",
         "ns_profile_columns",
+        # late-r8 extension rotation for the new ns_label_prop row
+        # (r7-driver-green, archives.py frozen; ns_warc_bodies
+        # subsumes the enumeration path at driver level)
+        "ns_warc_listing",
+        # late-r8 extension rotation for the new
+        # ns_minhash_decontamination row (r7-driver-green,
+        # multimodal.py frozen; ns_media_meta + ns_avi_frames keep the
+        # container/codec family in-window)
+        "ns_video_meta",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -210,11 +219,16 @@ def test_changed_or_new_rows_in_window():
         #  ns_pq_ann_recall10)
         # r5 new: real ISO BMFF container-metadata parse + pure-Python
         # baseline JPEG decode (exact constant-color oracle)
-        "ns_video_meta",
+        # (ns_video_meta rotated out late r8 for the new
+        #  ns_minhash_decontamination row — r7-driver-green,
+        #  multimodal.py frozen; ns_media_meta + ns_avi_frames keep
+        #  the family)
         "ns_jpeg_decode",
         "ns_media_meta",
         "ns_archive_listing",
-        "ns_warc_listing",
+        # (ns_warc_listing rotated out late r8 for ns_label_prop —
+        #  r7-driver-green, archives.py frozen this round;
+        #  ns_warc_bodies' enumeration path subsumes the listing)
         # (ns_rare_token_share — corpus-frequency rarity signal —
         #  rotated out late r6 for ns_bm25_topk: r5-driver-green, its
         #  text.py path untouched this round)
@@ -312,7 +326,9 @@ def test_changed_or_new_rows_in_window():
         # (ns_profile_columns rotated out late r8 for the new
         #  ns_blocklist_filter row — r7-driver-green, profile.py frozen
         #  this round; ns_setsim_join_prefix rotated out late r8 for
-        #  ns_line_dedup — r7-driver-green, dedup.py frozen;
+        #  ns_line_dedup — r7-driver-green, dedup.py's existing paths
+        #  untouched (the late-r8 cross-decontamination addition is
+        #  new surface with its own in-window row);
         #  funnel_view_click_purchase rotated out late r8 for
         #  ns_mixture_capped — r7-driver-green, its shared-SQL text
         #  frozen; retention_weekly_cohorts keeps the family)
@@ -323,7 +339,9 @@ def test_changed_or_new_rows_in_window():
         # (scd2_point_in_time rotated out late r7 for the new
         #  ns_curriculum_deciles row — r6-driver-green, cdc.py frozen;
         #  ns_weighted_paths and ns_ppr_topk rotated out r8 — both
-        #  r7-driver-green, graph.py frozen this round)
+        #  r7-driver-green, graph.py's BFS/PPR paths untouched this
+        #  round — the late-r8 label_propagation addition is new
+        #  surface attested by its own in-window ns_label_prop row)
         # (cdc_snapshot_diff rotated out late r8 for ns_sitemap_urls —
         #  r7-driver-green, cdc.py frozen this round)
         # r7 new rows (VERDICT-r6 #3/#4/#5) — take the slots of
@@ -371,6 +389,8 @@ def test_changed_or_new_rows_in_window():
         "ns_line_dedup",
         "ns_blocklist_filter",
         "ns_mixture_capped",
+        "ns_label_prop",
+        "ns_minhash_decontamination",
     ):
         assert n in _window_names(), n
 

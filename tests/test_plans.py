@@ -297,3 +297,37 @@ def test_r8_extension_plan_shapes(plans):
     p = plans("ns_mixture_capped")
     assert "Python" not in p, "mixture planner dropped into Python"
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_r8_extension_graph_decon_plan_shapes(plans):
+    """Late-r8 extension rows #2.
+
+    - ns_label_prop: pure JVM; every window partitions by node or
+      community (degree-/cluster-sized frames — assert no
+      unpartitioned window spec); no cartesian. The per-round lineage
+      is cut by localCheckpoint, so the plan shows the final round.
+    - ns_minhash_decontamination: the eval side must BROADCAST into
+      both the band probe and the verify join (>=2 BroadcastHashJoin);
+      train-sized joins (candidates x train signatures, final left
+      join onto the train corpus) may SMJ; no Python, no cartesian.
+    """
+    p = plans("ns_label_prop")
+    assert "Python" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # an unpartitioned window spec renders as "windowspecdefinition("
+    # with no partition columns before the frame — assert every Window
+    # node names a partition (community or nid)
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "specifiedwindowframe" in m.group(1) and m.group(1).split(",")[
+            0
+        ].strip() not in ("",), "global window in ns_label_prop"
+
+    p = plans("ns_minhash_decontamination")
+    assert "Python" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert p.count(") BroadcastHashJoin") >= 2, (
+        "eval side stopped broadcasting"
+    )
+    assert p.count(") SortMergeJoin") <= 2, "extra data-sized join"
