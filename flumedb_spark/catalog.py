@@ -414,7 +414,12 @@ DRIVER_WINDOW: list[str] = [
     # in-window)
     "ns_media_meta",
     # archive triage (zip central-directory listing, exploded) — NEW r5
-    "ns_archive_listing",
+    # (ns_archive_listing rotated out late r8 — r7-driver-green,
+    # archives.py frozen this round; ns_archive_extract chains the
+    # same central-directory listing path at driver level — its slot
+    # goes to the NEW anchor-text index row)
+    # anchor-text aggregation per canonical target — NEW late r8
+    "ns_anchor_text_index",
     # (ns_warc_listing rotated out late r8 — r7-driver-green,
     # archives.py frozen this round; ns_warc_bodies subsumes the
     # listing path at driver level and ns_archive_listing keeps the

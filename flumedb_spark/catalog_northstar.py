@@ -4026,3 +4026,67 @@ def ns_minhash_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % 10 != 7)
     ev = docs.where(F.col("doc_id") % 10 == 7)
     return dedup.minhash_cross_decontaminate(train, ev).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# r8 extension: anchor-text aggregation per canonical target — the
+# crawl-corpus signal between link extraction (ns_html_links) and the
+# host rollup (ns_host_graph): what the web CALLS each page.
+# ---------------------------------------------------------------------
+
+_ANCHOR_IDX_DUCK = """
+    WITH links AS (
+      SELECT d.doc_id,
+        'http://corp.test/doc/'
+          || CAST((d.doc_id * 7 + s.i * 13 + 1) % 97 AS VARCHAR) AS target,
+        'ref & note ' || CAST(s.i AS VARCHAR) AS anchor
+      FROM documents d, generate_series(0, 2) s(i)
+      WHERE s.i <= d.doc_id % 3
+    ),
+    pa AS (
+      SELECT target, anchor, CAST(count(*) AS BIGINT) AS n
+      FROM links GROUP BY target, anchor
+    ),
+    pt AS (
+      SELECT target, CAST(sum(n) AS BIGINT) AS n_refs,
+        CAST(count(*) AS BIGINT) AS n_anchors
+      FROM pa GROUP BY target
+    ),
+    sc AS (
+      SELECT target, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+      FROM links GROUP BY target
+    ),
+    tp AS (
+      SELECT target, anchor AS top_anchor, n AS top_anchor_refs FROM (
+        SELECT target, anchor, n,
+          row_number() OVER (PARTITION BY target ORDER BY n DESC, anchor)
+            AS rn
+        FROM pa
+      ) t WHERE rn = 1
+    )
+    SELECT pt.target, pt.n_refs, sc.n_src_docs, pt.n_anchors,
+      tp.top_anchor, tp.top_anchor_refs
+    FROM pt JOIN sc USING (target) JOIN tp USING (target)
+    ORDER BY pt.target
+"""
+
+
+@query("ns_anchor_text_index", oracle=_ANCHOR_IDX_DUCK)
+def ns_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (operators/urls.anchor_text_index) chained
+    through the REAL html.parser kernel: the formula-linked synthetic
+    pages (each page d links to (d*7+i*13+1)%97 with anchor
+    'ref & note i' — entity + inline <b> tag inside the anchor) are
+    parsed by html_links, hrefs canonicalized, and anchors aggregated
+    per target (total refs, distinct source docs, distinct anchors,
+    deterministic top anchor). The oracle replays the link FORMULA
+    arithmetically and aggregates in SQL, so an entity-decoding,
+    inline-tag, canonicalization, or tie-break bug anywhere in the
+    chain breaks the hash. The only window partitions by target
+    (anchor-vocabulary frames)."""
+    from .operators import html as _html
+    from .operators import urls as _urls
+
+    pages = _html.with_synthetic_linked_html(spark.table("documents"))
+    links = _html.html_links(pages)
+    return _urls.anchor_text_index(links)

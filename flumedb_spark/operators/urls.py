@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _SCHEME = "[a-zA-Z][a-zA-Z0-9+.-]*"
 
@@ -282,3 +283,70 @@ def host_graph_oracle_sql() -> str:
       FROM documents
     ) GROUP BY src_host, dst_host ORDER BY src_host, dst_host
     """
+
+
+def anchor_text_index(
+    links: DataFrame,
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Anchor-text aggregation per canonical link target — the crawl
+    signal search/quality pipelines mine (the anchor corpus is a
+    human-written description of the TARGET page; Common Crawl ships it
+    as a dedicated product). Input is ``html.html_links`` output rows
+    (doc_id, href, anchor); every href is canonicalized so
+    ``?b=2&a=1`` / ``?a=1&b=2`` references collide onto one target.
+
+    Output per target: n_refs (total in-links), n_src_docs (distinct
+    referring documents), n_anchors (distinct anchor strings),
+    top_anchor + top_anchor_refs (most frequent anchor text, ties to
+    the lexicographically smallest — the deterministic "best label"
+    for the target).
+
+    100 TB shape: one map-side-combinable (target, anchor) aggregate,
+    one target-partitioned window over DISTINCT-ANCHOR rows (frames
+    bounded by a target's anchor vocabulary, never global), one final
+    per-target merge. Canonicalization is scan-speed; nothing is
+    quadratic in links. The canonicalized link table is MATERIALIZED
+    once before fanning into the three aggregates — the minhash
+    band-table lesson (``dedup.minhash_lsh_candidates``): on a lazy
+    input each branch would re-run the whole upstream plan, tripling
+    the html.parser kernel (plan-gated to exactly one Python stage).
+    """
+    canon = canonicalize_url(F.col(href_col))
+    base = links.select(
+        canon.alias("target"),
+        F.col(anchor_col).alias("anchor"),
+        F.col(id_col).alias("src_doc"),
+    ).localCheckpoint(eager=True)
+    per_anchor = base.groupBy("target", "anchor").agg(
+        F.count("*").cast("long").alias("n"),
+    )
+    win = Window.partitionBy("target").orderBy(F.desc("n"), F.asc("anchor"))
+    ranked = per_anchor.withColumn("rn", F.row_number().over(win))
+    per_target = per_anchor.groupBy("target").agg(
+        F.sum("n").cast("long").alias("n_refs"),
+        F.count("*").cast("long").alias("n_anchors"),
+    )
+    srcs = base.groupBy("target").agg(
+        F.count_distinct("src_doc").cast("long").alias("n_src_docs")
+    )
+    top = ranked.where(F.col("rn") == 1).select(
+        "target",
+        F.col("anchor").alias("top_anchor"),
+        F.col("n").alias("top_anchor_refs"),
+    )
+    return (
+        per_target.join(srcs, "target")
+        .join(top, "target")
+        .select(
+            "target",
+            "n_refs",
+            "n_src_docs",
+            "n_anchors",
+            "top_anchor",
+            "top_anchor_refs",
+        )
+        .orderBy("target")
+    )

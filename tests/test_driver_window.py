@@ -165,6 +165,10 @@ def test_all_northstar_ops_in_window():
         # multimodal.py frozen; ns_media_meta + ns_avi_frames keep the
         # container/codec family in-window)
         "ns_video_meta",
+        # late-r8 extension rotation for the new ns_anchor_text_index
+        # row (r7-driver-green, archives.py frozen; ns_archive_extract
+        # chains the same central-directory listing path)
+        "ns_archive_listing",
     }
     assert ns, "north-star ops missing from registry entirely"
     assert ns <= names, f"ns_* outside driver window: {sorted(ns - names)}"
@@ -225,7 +229,9 @@ def test_changed_or_new_rows_in_window():
         #  the family)
         "ns_jpeg_decode",
         "ns_media_meta",
-        "ns_archive_listing",
+        # (ns_archive_listing rotated out late r8 for the new
+        #  ns_anchor_text_index row — r7-driver-green, archives.py
+        #  frozen; ns_archive_extract chains the same listing path)
         # (ns_warc_listing rotated out late r8 for ns_label_prop —
         #  r7-driver-green, archives.py frozen this round;
         #  ns_warc_bodies' enumeration path subsumes the listing)
@@ -391,6 +397,7 @@ def test_changed_or_new_rows_in_window():
         "ns_mixture_capped",
         "ns_label_prop",
         "ns_minhash_decontamination",
+        "ns_anchor_text_index",
     ):
         assert n in _window_names(), n
 

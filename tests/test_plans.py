@@ -331,3 +331,18 @@ def test_r8_extension_graph_decon_plan_shapes(plans):
         "eval side stopped broadcasting"
     )
     assert p.count(") SortMergeJoin") <= 2, "extra data-sized join"
+
+
+def test_anchor_index_plan_shape(plans):
+    """ns_anchor_text_index chains the html.parser kernel, which runs
+    exactly once at the link-table materialization (anchor_text_index
+    localCheckpoints its canonicalized input — the minhash band-table
+    lesson; an un-materialized input re-ran the kernel once per
+    aggregation branch, 3 MapInPandas stages). The explained plan
+    therefore shows ZERO Python (the three aggregates fan out from the
+    checkpointed scan) and no cartesian."""
+    p = plans("ns_anchor_text_index")
+    assert "MapInPandas" not in p and "Python" not in p, (
+        "anchor index re-runs the parser kernel per branch"
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
