@@ -99,6 +99,14 @@ EXTRAS = [
     # rollup, robots decisions, sitemap parsing
     "ns_quality_classifier", "ns_url_resolve", "ns_host_graph",
     "ns_robots_decisions", "ns_sitemap_urls",
+    # late-r8 extension family: boilerplate removal (data-sized
+    # explode+agg+reassembly — the heaviest of the six), blocklist
+    # gate (scan-speed), capped mixture planning, LPA communities
+    # (3-round unrolled CTE on the DuckDB side, same shape as
+    # pagerank's), MinHash cross-decontamination, anchor-text index
+    "ns_line_dedup", "ns_blocklist_filter", "ns_mixture_capped",
+    "ns_label_prop", "ns_minhash_decontamination",
+    "ns_anchor_text_index",
 ]
 
 

@@ -10,11 +10,16 @@ sf0.001 documents corpus):
       -> body extraction          (archives.warc_bodies: response
                                    blocks, headers stripped, capped)
       -> HTML -> text             (html.html_text: Arrow stdlib parser)
+      -> blocklist gate           (boilerplate.blocklist_filter: C4
+                                   bad-words, scan-speed array literal)
       -> quality gates            (text.gopher_quality rules
                                    + corpus-global perplexity terciles
                                    + the TRAINED quality classifier —
                                    quality_clf NB log-odds, labeled
                                    slices, broadcast inference)
+      -> eval decontamination     (dedup.minhash_cross_decontaminate:
+                                   broadcast eval bands + signature
+                                   verify — benchmark leakage out)
       -> MinHash-LSH candidates   (dedup.minhash_lsh_candidates:
                                    bucketed band self-join)
       -> TRUE components          (dedup.connected_components_star)
@@ -52,18 +57,23 @@ def curate_pages(
     pos_filter: str = "source = 'src0'",
     neg_filter: str = "source = 'src3'",
     min_words: int = 5,
+    blocklist: tuple[str, ...] = ("casino", "viagra"),
+    eval_docs: DataFrame | None = None,
 ) -> dict:
     """The post-extraction curation chain over (doc_id, url, html,
-    source) pages: extraction -> gopher -> perplexity tercile ->
-    trained classifier -> LSH near-dup components -> quality-aware
-    canonical keeper -> URL canonical keys + host graph. Returns the
-    stage outputs and counts; raises AssertionError if any stage
-    invariant breaks (monotone survivors, total extraction, exactly
-    one canonical per cluster)."""
+    source) pages: extraction -> C4 blocklist gate -> gopher ->
+    perplexity tercile -> trained classifier -> MinHash eval-set
+    decontamination (when ``eval_docs`` is given) -> LSH near-dup
+    components -> quality-aware canonical keeper -> URL canonical keys
+    + host graph. Returns the stage outputs and counts; raises
+    AssertionError if any stage invariant breaks (monotone survivors,
+    total extraction, exactly one canonical per cluster)."""
     from flumedb_spark.operators import quality_clf as qclf
     from flumedb_spark.operators import urls
+    from flumedb_spark.operators.boilerplate import blocklist_filter
     from flumedb_spark.operators.dedup import (
         connected_components_star,
+        minhash_cross_decontaminate,
         minhash_lsh_candidates,
     )
     from flumedb_spark.operators.html import html_links, html_text
@@ -86,11 +96,21 @@ def curate_pages(
     assert n_texts == n_pages, f"extraction dropped pages: {n_texts}/{n_pages}"
     out["n_pages"] = n_pages
 
+    # ---- gate 0: C4 bad-words blocklist (scan-speed, no shuffle; the
+    # decision is a column so the drop is auditable per doc)
+    bl = blocklist_filter(texts, list(blocklist))
+    after_bl = texts.join(bl.where("keep").select("doc_id"), "doc_id")
+    n_bl = after_bl.count()
+    assert 0 < n_bl <= n_texts
+    out["n_blocklist"] = n_bl
+
     # ---- gate 1: Gopher rules over the EXTRACTED text
-    g_keep = gopher_quality(texts, min_words=min_words, min_frac_alpha=0.5)
-    after_gopher = texts.join(g_keep.where("keep = 1").select("doc_id"), "doc_id")
+    g_keep = gopher_quality(after_bl, min_words=min_words, min_frac_alpha=0.5)
+    after_gopher = after_bl.join(
+        g_keep.where("keep = 1").select("doc_id"), "doc_id"
+    )
     n_gopher = after_gopher.count()
-    assert 0 < n_gopher <= n_texts
+    assert 0 < n_gopher <= n_bl
     out["n_gopher"] = n_gopher
 
     # ---- gate 2: corpus-global perplexity terciles (drop the hardest
@@ -125,6 +145,20 @@ def curate_pages(
     n_clf = survivors.count()
     assert 0 < n_clf <= n_ppl
     out["n_classifier"] = n_clf
+
+    # ---- gate 4 (optional): MinHash NEAR-dup decontamination against
+    # the eval benchmark — any survivor whose signature agrees >=50%
+    # with an eval doc is benchmark leakage and must not train
+    if eval_docs is not None:
+        decon = minhash_cross_decontaminate(
+            survivors.select("doc_id", "text"), eval_docs
+        )
+        survivors = survivors.join(
+            decon.where("NOT contaminated").select("doc_id"), "doc_id"
+        ).localCheckpoint(eager=True)
+        n_decon = survivors.count()
+        assert 0 < n_decon <= n_clf
+        out["n_decontaminated"] = n_decon
 
     # ---- near-dup: LSH candidates -> TRUE components -> keep each
     # cluster's highest-quality copy (classifier logit, tiebreak id)
@@ -239,15 +273,44 @@ def main() -> None:
         ).alias("html"),
     )
 
-    # ---- stages 3-8: the shared curation chain (extraction, three
-    # quality gates, LSH components, canonical keeper, URLs, host graph)
+    # ---- stages 3-9, pass 1: the shared curation chain (extraction,
+    # blocklist, three quality gates, LSH components, canonical keeper,
+    # URLs, host graph). 'src3tok1' plays the spam vocabulary: the
+    # blocklist gate drops the src3 docs whose content class emits it.
+    result0 = curate_pages(
+        spark, pages, pos_filter="source = 'src0'",
+        neg_filter="source = 'src3'",
+        blocklist=("src3tok1", "casino"),
+    )
+
+    # ---- benchmark-leakage fixture: yesterday's CURATED corpus became
+    # today's benchmark — re-curating the same crawl with that eval set
+    # must drop every keeper-class doc at the decontamination gate
+    # (exact self-copies agree at 1000 milli), provably shrinking the
+    # survivor set
+    bench = (
+        result0["keepers"]
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .orderBy("doc_id")
+        .limit(5)
+        .localCheckpoint(eager=True)
+    )
     result = curate_pages(
-        spark, pages, pos_filter="source = 'src0'", neg_filter="source = 'src3'"
+        spark, pages, pos_filter="source = 'src0'",
+        neg_filter="source = 'src3'",
+        blocklist=("src3tok1", "casino"), eval_docs=bench,
+    )
+    assert result["n_decontaminated"] < result["n_classifier"], (
+        "benchmark self-copies must be dropped"
     )
     print(
-        f"curation: {result['n_pages']} pages -> gopher {result['n_gopher']}"
+        f"curation: {result['n_pages']} pages"
+        f" -> blocklist {result['n_blocklist']}"
+        f" -> gopher {result['n_gopher']}"
         f" -> ppl {result['n_ppl']} -> classifier {result['n_classifier']}"
+        f" -> decon {result['n_decontaminated']}"
         f" -> {result['n_keepers']} keepers in {result['n_clusters']} clusters"
+        f" (pass 1 kept {result0['n_keepers']})"
     )
 
     # ---- host-level PageRank over the rolled-up crawl graph

@@ -46,18 +46,45 @@ def pages(spark, sf_dir):
 
 
 def test_curation_chain_invariants(spark, pages):
+    # eval benchmark = the %10==7 corpus slice itself (worst-case
+    # leakage: exact self-copies), blocklist = the corpus's one rare
+    # token — both late-r8 gates run inside the same chain
+    ev = (
+        spark.table("documents")
+        .where("doc_id % 10 = 7")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
     result = curate_pages(
-        spark, pages, pos_filter="source = 'src0'", neg_filter="source = 'src3'"
+        spark, pages, pos_filter="source = 'src0'",
+        neg_filter="source = 'src3'",
+        blocklist=("dup", "casino"), eval_docs=ev,
     )
     n = pages.count()
     # stage monotonicity (curate_pages asserts the per-stage bounds;
     # re-check the chain shape here explicitly)
     assert result["n_pages"] == n
-    assert result["n_gopher"] <= n
+    assert result["n_blocklist"] <= n
+    assert result["n_gopher"] <= result["n_blocklist"]
     assert result["n_ppl"] <= result["n_gopher"]
     assert result["n_classifier"] <= result["n_ppl"]
-    assert 0 < result["n_keepers"] <= result["n_classifier"]
+    # strict: exact self-copies of eval docs DID survive to the decon
+    # stage in this corpus (measured 8 drops at sf0.001), so the gate
+    # must remove at least one — a vacuous pass would hide a broken gate
+    assert result["n_decontaminated"] < result["n_classifier"]
+    assert 0 < result["n_keepers"] <= result["n_decontaminated"]
     assert result["n_keepers"] == result["n_clusters"]
+    # the blocklist gate really fired: 'dup' docs exist in the corpus
+    # and none survive
+    assert result["n_blocklist"] < n
+    assert (
+        result["keepers"].where("text LIKE '%dup%'").count() == 0
+    ), "a blocklisted doc survived curation"
+    # decontamination: an exact self-copy of an eval doc can never be
+    # a keeper (signature agreement 1000 >= threshold)
+    assert result["keepers"].where("doc_id % 10 = 7").count() == 0, (
+        "benchmark leakage survived decontamination"
+    )
     # the classifier gate never drops the trusted positive slice
     kept_src = result["keepers"].select("source").distinct()
     assert kept_src.where("source = 'src0'").count() == 1
