@@ -3996,12 +3996,12 @@ _XDECON_DUCK = (
           PARTITION BY train_id ORDER BY agree_milli DESC, eval_id
         ) AS rn,
         CAST(count(*) OVER (PARTITION BY train_id) AS BIGINT)
-          AS n_eval_matches
+          AS n_eval_candidates
       FROM ag
     )
     SELECT d.doc_id,
       coalesce(b.agree_milli >= 500, false) AS contaminated,
-      coalesce(b.n_eval_matches, 0) AS n_eval_matches,
+      coalesce(b.n_eval_candidates, 0) AS n_eval_candidates,
       coalesce(b.eval_id, -1) AS best_eval_id,
       coalesce(b.agree_milli, -1) AS best_agree_milli
     FROM documents d

@@ -188,10 +188,13 @@ def blocklist_filter(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """C4-style bad-words gate (arXiv:1910.10683 §2.2): flag documents
-    containing any blocklisted token. The blocklist rides along as an
-    array literal (kilobytes — the "List of Dirty, Naughty …" list C4
+    containing any blocklisted token. The blocklist rides along as a
+    MAP literal (kilobytes — the "List of Dirty, Naughty …" list C4
     uses is ~2k terms), so matching is a pure per-row JVM expression
-    with NO join and NO shuffle: at 100 TB this runs at scan speed.
+    with NO join and NO shuffle, and each token costs one hashed map
+    probe — O(tokens), not O(tokens × terms) (the r8 ADVICE: the
+    earlier array_contains scan degraded ~2000× at real list sizes).
+    At 100 TB this runs at scan speed.
 
     Matching is exact-token (the corpus is pre-tokenized word soup; a
     real pipeline lowercases + strips punctuation first — that is
@@ -205,8 +208,14 @@ def blocklist_filter(
     if not terms:
         raise ValueError("blocklist_filter: terms must be non-empty")
     toks = F.split(F.col(text_col), " ")
-    blocked = F.array(*[F.lit(t) for t in sorted(set(terms))])
-    hits = F.filter(toks, lambda t: F.array_contains(blocked, t))
+    # constant map literal -> per-token lookup is a single hash probe
+    pairs: list = []
+    for t in sorted(set(terms)):
+        pairs += [F.lit(t), F.lit(True)]
+    bmap = F.create_map(*pairs)
+    hits = F.filter(
+        toks, lambda t: F.coalesce(F.element_at(bmap, t), F.lit(False))
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(hits).cast("long").alias("n_blocked_hits"),

@@ -783,9 +783,14 @@ def minhash_cross_decontaminate(
     (a pure column expression) — the shingle sets are never re-joined.
 
     The decision is a COLUMN over every train doc (the robots.py
-    rule): output (doc_id, contaminated, n_eval_matches, best_eval_id,
+    rule): output (doc_id, contaminated, n_eval_candidates, best_eval_id,
     best_agree_milli), with -1 sentinels for match-free docs so the
-    frame stays exact-integer and hashable.
+    frame stays exact-integer and hashable. ``n_eval_candidates``
+    counts PRE-verification band collisions (every eval doc sharing an
+    LSH bucket, including pairs whose agreement falls below
+    ``threshold_milli``) — the candidate funnel width, NOT a verified
+    match count; ``contaminated``/``best_agree_milli`` carry the
+    verified decision.
     """
     from pyspark.sql import Window
 
@@ -835,13 +840,13 @@ def minhash_cross_decontaminate(
     best = (
         scored.withColumn("rn", F.row_number().over(win))
         .withColumn(
-            "n_eval_matches",
+            "n_eval_candidates",
             F.count(F.lit(1))
             .over(Window.partitionBy("train_id"))
             .cast("long"),
         )
         .where(F.col("rn") == 1)
-        .select("train_id", "eval_id", "agree_milli", "n_eval_matches")
+        .select("train_id", "eval_id", "agree_milli", "n_eval_candidates")
     )
     return (
         train.select(F.col("doc_id"))
@@ -852,9 +857,9 @@ def minhash_cross_decontaminate(
                 F.col("agree_milli") >= F.lit(int(threshold_milli)),
                 F.lit(False),
             ).alias("contaminated"),
-            F.coalesce(F.col("n_eval_matches"), F.lit(0))
+            F.coalesce(F.col("n_eval_candidates"), F.lit(0))
             .cast("long")
-            .alias("n_eval_matches"),
+            .alias("n_eval_candidates"),
             F.coalesce(F.col("eval_id"), F.lit(-1))
             .cast("long")
             .alias("best_eval_id"),

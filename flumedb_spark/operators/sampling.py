@@ -170,8 +170,14 @@ def mixture_plan_capped(
     when the corpus grows 100×, and what the catalog row uses so the
     capped/uncapped split is scale-invariant across test SFs.
 
-    All arithmetic is exact BIGINT (weights are milli-quantized sqrt,
+    All arithmetic is exact integer (weights are milli-quantized sqrt,
     allocations are floors), so a DuckDB oracle replays it bit-for-bit.
+    The two budget*weight products are widened to DECIMAL(38,0) (Spark)
+    / HUGEINT (DuckDB) before the integral divide: at the 100 TB
+    posture (budget ~1e13 tokens, w_milli up to ~3e9, w_total ~1e13)
+    the products reach ~1e26 — past int64, well inside 128-bit — so
+    the plan stays exact at any realistic corpus size instead of
+    silently wrapping (r8 ADVICE).
 
     Scale shape: one map-side-combinable aggregate over the corpus to
     per-source totals, then every window runs on the SOURCE-cardinality
@@ -206,10 +212,16 @@ def mixture_plan_capped(
         F.floor(
             F.col("n_tokens") * F.lit(int(epoch_cap_milli)).cast("long") / 1000
         ).cast("long").alias("cap_tokens"),
+        b.alias("budget"),
     )
+    # budget * w_milli overflows int64 beyond ~TB-scale corpora: widen
+    # to DECIMAL(38,0) and use the integral divide (`div`), which is
+    # exact on decimals — no rounded-then-floored 6-scale quotient
     ideal = base.withColumn(
+        "w_total", F.sum("w_milli").over(win).cast("long")
+    ).withColumn(
         "ideal_alloc",
-        F.floor(b * F.col("w_milli") / F.sum("w_milli").over(win)).cast("long"),
+        F.expr("CAST(CAST(budget AS DECIMAL(38,0)) * w_milli div w_total AS BIGINT)"),
     ).withColumn("capped", F.col("ideal_alloc") > F.col("cap_tokens"))
     spread = ideal.withColumn(
         "surplus",
@@ -233,9 +245,12 @@ def mixture_plan_capped(
                 F.col("ideal_alloc")
                 + F.when(
                     F.col("w_uncapped") > 0,
-                    F.floor(
-                        F.col("surplus") * F.col("w_milli") / F.col("w_uncapped")
-                    ).cast("long"),
+                    # same widening as ideal_alloc: surplus can be
+                    # budget-sized, so surplus*w_milli needs 128 bits
+                    F.expr(
+                        "CAST(CAST(surplus AS DECIMAL(38,0)) * w_milli "
+                        "div w_uncapped AS BIGINT)"
+                    ),
                 ).otherwise(F.lit(0).cast("long"))
             ),
         )
@@ -252,7 +267,9 @@ def mixture_plan_capped(
         F.floor(F.col("final_alloc") * 1000 / F.col("n_tokens"))
         .cast("long")
         .alias("epochs_milli"),
-        (b - F.sum("final_alloc").over(win)).cast("long").alias("unalloc_tokens"),
+        (F.col("budget") - F.sum("final_alloc").over(win))
+        .cast("long")
+        .alias("unalloc_tokens"),
     ).orderBy("source")
 
 
@@ -288,9 +305,12 @@ def mixture_plan_capped_oracle_sql(
       FROM per_src
     ),
     ideal AS (
+      -- HUGEINT widening before the integral divide: mirrors the
+      -- Spark side's DECIMAL(38,0) `div` (int64 would wrap at the
+      -- 100 TB posture's ~1e26 product)
       SELECT *,
-        CAST(floor(budget * w_milli
-                   / sum(w_milli) OVER ()) AS BIGINT) AS ideal_alloc
+        CAST(CAST(budget AS HUGEINT) * w_milli
+             // sum(w_milli) OVER () AS BIGINT) AS ideal_alloc
       FROM base
     ),
     flags AS (
@@ -309,7 +329,8 @@ def mixture_plan_capped_oracle_sql(
         CAST(CASE WHEN capped THEN cap_tokens
              ELSE least(cap_tokens,
                ideal_alloc + CASE WHEN w_uncapped > 0
-                 THEN CAST(floor(surplus * w_milli / w_uncapped) AS BIGINT)
+                 THEN CAST(CAST(surplus AS HUGEINT) * w_milli
+                           // w_uncapped AS BIGINT)
                  ELSE 0 END)
              END AS BIGINT) AS final_alloc
       FROM spread

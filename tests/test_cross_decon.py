@@ -30,7 +30,7 @@ class TestMinhashCrossDecontaminate:
         assert out[2].contaminated is False
         assert out[2].best_eval_id == -1
         assert out[2].best_agree_milli == -1
-        assert out[2].n_eval_matches == 0
+        assert out[2].n_eval_candidates == 0
 
     def test_every_train_doc_gets_a_row(self, spark):
         train = _df(spark, [(i, f"unique text number {i} with padding") for i in range(5)])
@@ -45,7 +45,7 @@ class TestMinhashCrossDecontaminate:
         train = _df(spark, [(1, near)])
         ev = _df(spark, [(100, LONG_A)])
         r = dedup.minhash_cross_decontaminate(train, ev).collect()[0]
-        assert r.n_eval_matches >= 1          # still band-collides
+        assert r.n_eval_candidates >= 1          # still band-collides
         assert 0 <= r.best_agree_milli <= 1000
 
     def test_threshold_milli_gates_the_flag(self, spark):

@@ -314,15 +314,27 @@ def test_r8_extension_graph_decon_plan_shapes(plans):
     p = plans("ns_label_prop")
     assert "Python" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
-    # an unpartitioned window spec renders as "windowspecdefinition("
-    # with no partition columns before the frame — assert every Window
-    # node names a partition (community or nid)
+    # windowspecdefinition renders PARTITION columns first (bare
+    # attribute refs), then ORDER columns (each tagged ASC/DESC), then
+    # specifiedwindowframe(...). The r8 guard only checked that the
+    # first comma token was non-empty — vacuously true for an
+    # unpartitioned-but-ordered window, whose first token is the order
+    # expression (r8 ADVICE). Real check: the first argument must be a
+    # bare partition column — not a sort-tagged expression and not the
+    # frame itself.
     import re
 
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
-        assert "specifiedwindowframe" in m.group(1) and m.group(1).split(",")[
-            0
-        ].strip() not in ("",), "global window in ns_label_prop"
+    specs = re.findall(r"windowspecdefinition\(([^(]*)", p)
+    assert specs, "ns_label_prop plan lost its Window nodes"
+    for spec in specs:
+        first = spec.split(",")[0].strip()
+        assert first and first != "specifiedwindowframe", (
+            "unpartitioned window in ns_label_prop"
+        )
+        assert " ASC" not in f" {first}" and " DESC" not in f" {first}", (
+            f"window partitions by nothing (first spec arg is a sort "
+            f"expression: {first!r})"
+        )
 
     p = plans("ns_minhash_decontamination")
     assert "Python" not in p
