@@ -42,11 +42,15 @@ HEADLINE = [
     "sliding_window_counts",
     "sessionize_30min",
     "asof_purchase_prev_click",
-    # north-star
+    # north-star. r9 (VERDICT-r8 #6): the ANN headline slots now carry
+    # the SEEDED plans — the bucketed shapes you'd run at scale — and
+    # both are oracle-paired; the brute-force numpy serving twin
+    # (ns_similarity_topk_np) and the xxhash64 raw paths remain
+    # correctness/pytest twins outside the headline set.
     "ns_dedup_exact",
     "ns_minhash_lsh_candidates",
-    "ns_similarity_topk_np",
-    "ns_lsh_ann_topk",
+    "ns_ivf_ann_topk_seeded",
+    "ns_lsh_ann_topk_md5",
     "ns_text_stats",
     "ns_lang_id",
     "ns_simhash_md5",

@@ -66,6 +66,14 @@ def main() -> None:
     jpegs = multimodal.with_synthetic_jpeg_payload(docs.limit(200))
     img_stats = multimodal.image_decode_stats(jpegs)
 
+    # 3b) perceptual dedup over the kept images (r9): dHash signatures
+    # -> Hamming-band LSH candidates -> exact bit_count verify; one
+    # decode pass, equi-joins only (operators/imagededup.py)
+    from flumedb_spark.operators import imagededup
+
+    images = imagededup.with_synthetic_neardup_payload(docs.limit(200))
+    dup_pairs = imagededup.image_neardup_candidates(images, max_hamming=8)
+
     counts = (
         kept.groupBy("kind", "format")
         .agg(F.count("*").alias("n"), F.sum("duration_ms").alias("total_ms"))
@@ -76,6 +84,8 @@ def main() -> None:
         print(f"  {r.kind}/{r.format}: n={r.n} total_ms={r.total_ms}")
     n_img = img_stats.count()
     print(f"decoded jpeg images: {n_img}")
+    n_dup = dup_pairs.count()
+    print(f"perceptual near-dup image pairs (hamming<=8): {n_dup}")
 
     # 4) durable manifest: append keeper doc_ids to an engine log and
     # export a real Delta transaction log for external readers

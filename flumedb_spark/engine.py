@@ -501,6 +501,15 @@ class Flume:
         return self.spark.sql(query)
 
     # ---- views (O8/O9) -------------------------------------------------
+    @property
+    def views(self) -> dict[str, "ViewHandle"]:
+        """Public registry of installed views: name -> gated handle
+        (README.md:175-179 — "an object with all the views with their
+        names as keys"). A COPY, so callers can't mutate the registry
+        around :meth:`use`; the values are the same handles mounted as
+        ``db.<name>``."""
+        return dict(self._handles)
+
     def use(self, name: str, view: FlumeView) -> "Flume":
         self._throw_if_closed()
         if name in self._views or hasattr(self, name):

@@ -184,6 +184,25 @@ def test_use_contract_violation_throws(spark, tmp_log_dir):
         db.use("bad", object())
 
 
+def test_views_registry_accessor(spark, tmp_log_dir):
+    # README.md:175-179: db.views is "an object with all the views with
+    # their names as keys" — same handles as the mounted db.<name>
+    db = make_db(tmp_log_dir, spark)
+    assert db.views == {}
+    db.use("sum", Reduce(1, sum_foo))
+    db.use("sum2", Reduce(1, sum_foo))
+    assert set(db.views) == {"sum", "sum2"}
+    assert db.views["sum"] is db.sum
+    db.append({"foo": 7})
+    assert db.views["sum"].get() == 7  # handles are the gated read path
+    # a COPY: mutating the returned dict never touches the registry
+    db.views.pop("sum")
+    assert set(db.views) == {"sum", "sum2"}
+    # and the name "views" itself is reserved (collision check covers it)
+    with pytest.raises(ValueError):
+        db.use("views", Reduce(1, sum_foo))
+
+
 def test_late_registration_backfills(spark, tmp_log_dir):
     # README.md:156-157: use() legal after data exists => backfill
     db = make_db(tmp_log_dir, spark)

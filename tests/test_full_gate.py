@@ -41,7 +41,9 @@ def test_every_catalog_entry_fresh_against_oracle(spark):
         else:
             n_checked += 1
     assert not failures, f"{len(failures)} stale/broken entries: {failures}"
-    # the catalog is overwhelmingly oracle-checked; rows-only entries
-    # are the deliberate engine-hash exceptions (simhash64, ANN raw)
-    assert n_rowsonly <= 3, n_rowsonly
-    assert n_checked >= 140, n_checked
+    # r9: EVERY catalog entry is oracle-checked — the three rows-only
+    # engine-hash entries (simhash64, ANN raw) were retired in favor of
+    # their oracle twins (VERDICT-r8 #3); a new rows-only entry needs a
+    # documented reason to raise this bound
+    assert n_rowsonly == 0, n_rowsonly
+    assert n_checked >= 190, n_checked
