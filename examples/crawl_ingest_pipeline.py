@@ -273,6 +273,24 @@ def main() -> None:
         ).alias("html"),
     )
 
+    # ---- stage 2b (r9): the PDF leg — real crawls carry
+    # application/pdf responses the HTML extractor can't read; route a
+    # deterministic subset through the stdlib PDF codec (body text ->
+    # real multi-page FlateDecode PDF bytes -> full xref/Tj/TJ parse
+    # back out, operators/pdf.py) so no response type silently drops
+    from flumedb_spark.operators import pdf as pdfops
+
+    pdf_docs = pages.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.col("html").alias("text")
+    )
+    pdf_pages = pdfops.pdf_text_pages(
+        pdfops.with_synthetic_pdf_payload(pdf_docs)
+    )
+    n_pdf_docs = pdf_docs.count()
+    ok_pages = pdf_pages.where("ok").count()
+    assert ok_pages >= n_pdf_docs > 0  # every PDF parsed, >=1 page each
+    print(f"pdf leg: {n_pdf_docs} pdf responses -> {ok_pages} pages")
+
     # ---- stages 3-9, pass 1: the shared curation chain (extraction,
     # blocklist, three quality gates, LSH components, canonical keeper,
     # URLs, host graph). 'src3tok1' plays the spam vocabulary: the
