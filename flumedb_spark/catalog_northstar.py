@@ -3876,6 +3876,51 @@ def ns_mixture_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mix_bpe_oracle() -> str:
+    from .operators import bpe as _bpe
+    from .operators import sampling as _s
+
+    return _s.mixture_plan_capped_oracle_sql(
+        None,
+        1500,
+        _MIX_SRC_DUCK,
+        budget_permille_of_corpus=1200,
+        n_tokens_sql=_bpe.bpe_token_count_sql(_bpe.PINNED_MERGES),
+    )
+
+
+@query("ns_mixture_capped_bpe", oracle=_mix_bpe_oracle())
+def ns_mixture_capped_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-complete mixture planning (NEW r9, VERDICT-r8 #7):
+    the same epoch-capped water-filling as ns_mixture_capped, but
+    budgets counted in REAL trained-BPE tokens (bpe.bpe_tokens_col
+    under PINNED_MERGES) instead of whitespace words — the form a
+    recipe needs when the training budget is denominated in tokenizer
+    tokens. The merges ride as expression literals (chained JVM
+    replaces, scan-speed); the oracle replays the merge fold per doc
+    and the full allocation arithmetic."""
+    from .operators import bpe as _bpe
+    from .operators import sampling as _samp
+
+    docs = spark.table("documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("g"),
+            F.floor(F.sqrt(F.col("doc_id") % 100)).cast("long").cast("string"),
+        ).alias("source"),
+    )
+    return _samp.mixture_plan_capped(
+        docs,
+        budget_tokens=None,
+        epoch_cap_milli=1500,
+        budget_permille_of_corpus=1200,
+        token_count=F.size(
+            _bpe.bpe_tokens_col(F.col("text"), _bpe.PINNED_MERGES)
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 # r8 extension: label-propagation communities — the graph family's
 # third leg (components = reachability, PageRank = centrality, LPA =

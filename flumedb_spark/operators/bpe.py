@@ -41,7 +41,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train", "bpe_tokens_col", "bpe_tokens", "PINNED_MERGES"]
+__all__ = [
+    "bpe_train", "bpe_tokens_col", "bpe_tokens", "bpe_token_count_sql",
+    "PINNED_MERGES",
+]
 
 
 _WORD_RE = "[^ ]+"  # corpus words are space-separated (text.py convention)
@@ -170,6 +173,22 @@ def bpe_tokens(
         "doc_id",
         F.size(toks).cast("long").alias("n_bpe_real_tokens"),
         F.concat_ws("|", F.slice(toks, 1, head)).alias("head_tokens"),
+    )
+
+
+def bpe_token_count_sql(
+    merges: list[tuple[str, str]], text_expr: str = "text"
+) -> str:
+    """DuckDB expression: REAL BPE token count of ``text_expr`` under
+    ``merges`` — the per-doc count :func:`bpe_tokens_col` + ``F.size``
+    produce, as a scalar SQL expression (used by the real-token budget
+    variant of ``sampling.mixture_plan_capped_oracle_sql``)."""
+    inner = rf"regexp_replace(w, '(?s)(.)', ' \1 ', 'g')"
+    for a, b in merges:
+        inner = f"replace({inner}, ' {a}  {b} ', ' {a}{b} ')"
+    return (
+        f"len(flatten(list_transform(regexp_extract_all({text_expr}, "
+        f"'[^ ]+'), w -> str_split(trim({inner}), '  '))))"
     )
 
 

@@ -153,6 +153,7 @@ def mixture_plan_capped(
     budget_tokens: int | None = 1_000_000,
     epoch_cap_milli: int = 2_000,
     budget_permille_of_corpus: int | None = None,
+    token_count=None,
 ) -> DataFrame:
     """Epoch-capped token-budget water-filling: :func:`source_mixture`'s
     sqrt-temperature allocation, plus the constraint every real data
@@ -184,6 +185,14 @@ def mixture_plan_capped(
     frame (tens of rows — metadata, not data; same documented posture
     as ``source_mixture``).
 
+    ``token_count`` (r9, VERDICT-r8 #7): optional per-doc token-count
+    Column replacing the default whitespace split, so budgets are in
+    REAL tokens — e.g. ``F.size(bpe.bpe_tokens_col(F.col("text"),
+    merges))`` for a trained BPE vocabulary. The merges ride along as
+    expression literals (kilobytes, chained JVM replaces — the
+    broadcast-weight-table posture of quality_clf), so the counting
+    pass stays scan-speed and shuffle-free.
+
     Columns: source, n_tokens, w_milli, ideal_alloc, cap_tokens,
     capped, final_alloc, epochs_milli, unalloc_tokens.
     """
@@ -193,8 +202,9 @@ def mixture_plan_capped(
             "budget_permille_of_corpus must be set"
         )
     t = F.col(text_col)
+    cnt = token_count if token_count is not None else F.size(F.split(t, " "))
     per_src = docs.groupBy(source_col).agg(
-        F.sum(F.size(F.split(t, " "))).cast("long").alias("n_tokens")
+        F.sum(cnt).cast("long").alias("n_tokens")
     )
     win = Window.partitionBy()
     if budget_permille_of_corpus is not None:
@@ -278,8 +288,13 @@ def mixture_plan_capped_oracle_sql(
     epoch_cap_milli: int = 2_000,
     from_clause: str = "documents",
     budget_permille_of_corpus: int | None = None,
+    n_tokens_sql: str = "len(str_split(text, ' '))",
 ) -> str:
-    """DuckDB replay of :func:`mixture_plan_capped`."""
+    """DuckDB replay of :func:`mixture_plan_capped`.
+
+    ``n_tokens_sql``: per-doc token-count expression mirroring the
+    Spark side's ``token_count`` (e.g. ``bpe.bpe_token_count_sql(...)``
+    for the real-BPE budget variant)."""
     if (budget_tokens is None) == (budget_permille_of_corpus is None):
         raise ValueError("exactly one budget form must be set")
     c = int(epoch_cap_milli)
@@ -293,7 +308,7 @@ def mixture_plan_capped_oracle_sql(
         b_expr = f"CAST({int(budget_tokens)} AS BIGINT)"
     return f"""
     WITH per_src AS (
-      SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+      SELECT source, CAST(sum({n_tokens_sql}) AS BIGINT) AS n_tokens
       FROM {from_clause} GROUP BY source
     ),
     base AS (

@@ -169,3 +169,40 @@ class TestMixtureCapped:
         assert {s: r.final_alloc for s, r in rel.items()} == {
             s: r.final_alloc for s, r in ab.items()
         }
+
+    def test_bpe_token_count_changes_the_denomination(self, spark):
+        # r9 (VERDICT-r8 #7): token_count swaps the budget currency.
+        # Under merges [('a','b')] the word "ab" is ONE bpe token but
+        # char-split gives 2; whitespace counting sees 1 word either
+        # way — so a corpus of "ab ab" has 2 whitespace tokens but
+        # 2 bpe tokens, while "cd" has 1 whitespace and 2 bpe tokens.
+        import pyspark.sql.functions as F
+
+        from flumedb_spark.operators import bpe
+
+        rows = [(1, "ab ab", "s1"), (2, "cd", "s2")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        merges = [("a", "b")]
+        out = {
+            r.source: r
+            for r in S.mixture_plan_capped(
+                df,
+                budget_tokens=4,
+                epoch_cap_milli=10_000,
+                token_count=F.size(
+                    bpe.bpe_tokens_col(F.col("text"), merges)
+                ),
+            ).collect()
+        }
+        # bpe counts: s1 = 2 ("ab" merged twice), s2 = 2 ("c","d")
+        assert out["s1"].n_tokens == 2 and out["s2"].n_tokens == 2
+        # whitespace counts would be 2 / 1 — assert the default differs
+        ws = {
+            r.source: r.n_tokens
+            for r in S.mixture_plan_capped(
+                df, budget_tokens=4, epoch_cap_milli=10_000
+            ).collect()
+        }
+        assert ws == {"s1": 2, "s2": 1}
