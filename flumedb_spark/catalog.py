@@ -80,360 +80,102 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 
 
 # The driver executes only the FIRST 50 entries of ``queries()`` (dict
-# order).  Round 1 burned that budget on redundant scalar/window variants
-# while every north-star op sat unrun at positions 50-80.  This list
-# pins the window explicitly: all 18 ns_* ops, the 4 round-1 red rows,
-# every entry whose SQL changed since round 1 (their round-1 attestation
-# is stale), the 13 relational entries the driver never ran, and one
-# representative per core-op / view family.  Everything else was
-# driver-green in a prior round; those entries follow after the window
-# in registration order.
+# order).  Round 1 burned that budget on redundant scalar/window
+# variants while every north-star op sat unrun at positions 50-80;
+# rounds 2-8 curated the window by hand with per-rotation comments.
 #
-# ROTATION FRESHNESS IS MECHANIZED (round 4): the per-rotation comments
-# below record WHY each entry left the window, but the claim that
-# out-of-window code paths still pass is no longer a comment — the full
-# catalog (in-window AND out) re-runs against its DuckDB oracles every
-# suite run in tests/test_full_gate.py, so a regression in a rotated-out
-# path fails CI immediately rather than shipping on a stale attestation.
-DRIVER_WINDOW: list[str] = [
-    # ROTATION POLICY (r5): entries rotate out of the 50-slot window only
-    # after a driver-green round, and the freshness claim is EXECUTABLE,
-    # not prose — tests/test_full_gate.py re-runs the ENTIRE catalog
-    # (in-window and rotated-out alike) against its DuckDB oracles at
-    # sf0.001 on every suite run, so any regression in a rotated-out path
-    # fails CI immediately. Per-entry history lives in git; the comments
-    # below only group the current window.
-    #
-    # core-O representatives (§2.A), rotated BACK IN for r5 (VERDICT r4
-    # #4: last driver-checked at sf0.01 in r1/r2; the sf0.001 live gate
-    # covered them since, but the driver's own sf0.01 record is the
-    # stronger attestation) — they take the slots of six r4-green ns_
-    # rows whose code is frozen this round (ns_image_decode_meta,
-    # ns_decontamination, ns_repetition_ratio, ns_semantic_dedup,
-    # ns_pii_redaction, ns_chunk_dedup)
-    # (r6: o1/o5/o7/o15 rotate back OUT — freshly driver-attested at
-    # sf0.01 in r5, still live-gated every suite run — freeing slots for
-    # the new r6 rows below; o2/o3/o4 keep the core-O family in-window)
-    # (o3_get_point / o4_stream_reverse_topk rotated out late r6 — the
-    # whole core-O family was freshly driver-attested at sf0.01 in r5,
-    # and this round's engine.py/log.py additions (delete_where /
-    # delete_seqs, maintain hooks) are NEW surface that does not touch
-    # the get/stream read paths, which stay covered by
-    # test_engine/test_properties + the live gate — slots go to the new
-    # ns_shortest_paths / ns_weighted_paths distance rows)
-    # (ns_shortest_paths rotated out r7 — r6-driver-green, the BFS path
-    # untouched this round; ns_weighted_paths keeps the distance family
-    # in-window and both re-run vs DuckDB every suite via the live gate
-    # — slot goes to the new personalized-PageRank row)
-    # (ns_weighted_paths and ns_ppr_topk rotated out r8 — both
-    # r7-driver-green, graph.py's BFS/PPR paths untouched this round
-    # (the late-r8 label_propagation addition is new surface with its
-    # own in-window row ns_label_prop); ns_pagerank +
-    # ns_triangle_count keep the graph family in-window — slots go to
-    # the new quality-classifier rows below)
-    # supervised quality classifiers (VERDICT-r7 #1) — NEW r8: NB
-    # closed-form log-odds + fixed-iteration logistic regression with
-    # the training trajectory unrolled in the oracle
-    "ns_quality_classifier",
-    "ns_quality_clf_lr",
-    # (o2_bulk_append rotated out late r6 — r5-driver-green at sf0.01;
-    # this round's log.py change (delete_seqs) is an addition that does
-    # not touch the bulk-append path, which stays covered by
-    # test_bulk_append.py + the live gate — slot goes to the new
-    # ns_quantile_clip winsorization row)
-    # (ns_quantile_clip rotated out r7 — r6-driver-green,
-    # timeseries.py's rank_quantile path untouched this round;
-    # ts_gapfill_locf/ts_mad_outliers keep the family in-window — slot
-    # goes to the new HTML-to-text extraction row)
-    # (ns_html_text rotated out late r8 — r7-driver-green, html.py
-    # frozen this round; ns_html_links + ns_host_graph keep the
-    # extraction family in-window, and the crawl-pipeline test chains
-    # html_text end-to-end every suite run — slot goes to the new
-    # LEFT-OUTER stream-stream interval join row)
-    # left-outer stream-stream interval join (null-extension of
-    # unmatched rows under the pinned wm-1ms eviction rule) — NEW r8
-    "stream_interval_join_left",
-    # (v1_reduce_stats rotated out late r6 — r5-driver-green,
-    # views/reduce.py untouched all round — for the new
-    # stream_locf_grid row; every V-family path re-runs vs DuckDB each
-    # suite run via the live gate)
-    # TPC-H-shaped relational sweep (catalog_tpch.py; q20/q22 rotated
-    # out late r6 — r5-driver-green, catalog_tpch.py frozen this
-    # round — freeing slots for the two new src_* loop rows below;
-    # q11/q16/q17 rotated out later still — same r5-green + frozen
-    # basis — freeing slots for three of the four new scoring/sketch
-    # rows below; q2/q15/q21 keep the family's join/agg/anti-join
-    # shapes in-window)
-    # (q2/q15/q21 rotated out late r6 — all r5-driver-green with
-    # catalog_tpch.py frozen this round — for the new ts_mad_outliers /
-    # ns_triangle_count / scd2_point_in_time rows; the TPC-H family's
-    # 22 entries re-run vs DuckDB every suite run via the live gate,
-    # and the window's slots go to this round's NEW code paths)
-    # (scd2_point_in_time rotated out late r7 — r6-driver-green, cdc.py
-    # frozen this round; cdc_snapshot_diff keeps the CDC family
-    # in-window — slot goes to the new curriculum row)
-    # (ns_curriculum_deciles rotated out late r8 — r7-driver-green,
-    # selection.py frozen this round; ns_dsir_weights keeps the
-    # global_ntile rank path in-window, and the crawl-pipeline test
-    # chains global_ntile terciles every suite run — slot goes to the
-    # new stream-static enrichment row)
-    # stream-static broadcast enrichment (the dimension-lookup stage of
-    # a live ingest; stateless, plain-join oracle) — NEW r8
-    "stream_static_enrich",
-    # time-series regularization + robust anomaly family — NEW late r6
-    # (ts_gapfill_locf rotated out late r7 — r6-driver-green,
-    # timeseries.py frozen this round; ts_mad_outliers +
-    # stream_mad_outliers keep the family — slot goes to the new
-    # event-transition row)
-    # (event_type_transitions and ts_mad_outliers rotated out r8 — both
-    # r7-driver-green, their shared-SQL/timeseries.py paths frozen this
-    # round; stream_mad_outliers keeps the anomaly family in-window —
-    # slots go to the new URL rows below. NOTE stream_mad_outliers
-    # itself STAYS: streaming/stateful.py changed this round (drained-
-    # state removal), so its attestation must be fresh)
-    # URL canonical key with sorted params + RFC-lite reference
-    # resolution (VERDICT-r7 #4) — NEW r8
-    "ns_url_canonical",
-    "ns_url_resolve",
-    # pre-training scoring/sketching family — NEW late r6: Gopher
-    # quality rules, CCNet unigram-LM terciles, sqrt-temperature source
-    # mixing, KMV set-operation sketch (theta-style distinct algebra)
-    # (ns_gopher_quality rotated out r8 — r7-driver-green, text.py
-    # frozen this round; ns_lm_perplexity + the two classifier rows
-    # keep the scoring family in-window — slot goes to the new
-    # host-graph rollup row)
-    "ns_host_graph",
-    # (ns_lm_perplexity rotated out late r8 — r7-driver-green, text.py
-    # frozen this round; the scoring family keeps four in-window rows
-    # via the two classifier rows + dsir + bm25 — slot goes to the new
-    # matryoshka-truncation recall row)
-    # MRL dimension-truncation recall@10 (exact-vs-exact, ground-truth
-    # oracle device) — NEW r8
-    "ns_matryoshka_recall10",
-    # (ns_source_mixture rotated out late r7 — r6-driver-green,
-    # sampling.py frozen this round; the sampling family stays
-    # live-gated every suite run — slot goes to the new crawl-graph
-    # link-extraction row)
-    # (ns_html_links rotated out late r8 — r7-driver-green, html.py
-    # frozen this round, and the NEW ns_host_graph row chains the SAME
-    # html_links kernel through the host rollup at driver level — slot
-    # goes to the new robots politeness-gate row)
-    # robots.txt parse + RFC 9309 longest-match crawl permission — NEW
-    # r8: the crawl stack's MAY-I-FETCH stage
-    "ns_robots_decisions",
-    # (ns_kmv_set_ops rotated out r7 — r6-driver-green, sketches.py
-    # frozen this round; stream_hll_window keeps the sketch family
-    # in-window — slot goes to the new streaming-anomaly row)
-    # streaming MAD outliers (per-window exact medians over watermark-
-    # closed buckets, the streaming twin of ts_mad_outliers) — NEW r7
-    # (VERDICT-r6 #4)
-    "stream_mad_outliers",
-    # Avro sink+source loop / Delta+Iceberg export+reader loop — NEW
-    # late r6
-    "src_avro_roundtrip",
-    "src_lakehouse_roundtrip",
-    # streaming surface: real Structured Streaming runs, oracle-checked
-    # (interval_join_events rotated out late r5 for ns_warc_listing)
-    # (stream_windowed_counts rotated out late r7 — r6-driver-green,
-    # streaming/live.py's windowed path frozen this round; the family
-    # keeps six in-window rows incl. the new stream_mad_outliers —
-    # slot goes to the new multilingual script-profile row)
-    # (ns_script_profile rotated out r8 — r7-driver-green, text.py's
-    # script ranges frozen this round — slot goes to the new
-    # stream-stream interval join row)
-    # stream-stream watermarked interval join (VERDICT-r7 #2) — NEW r8:
-    # the one major Structured Streaming capability the family lacked
-    "stream_interval_join",
-    "stream_stateful_key_stats",
-    # streaming dedup-within-watermark — NEW r6 (VERDICT-r5 #8); takes
-    # the slot of r5-green frozen ns_zorder_morton (scd2 keeps the
-    # storage-layout family in-window)
-    "stream_dedup_watermark",
-    # streaming SESSION windows (probe-pinned merge/emission/late
-    # semantics) — NEW late r6; takes the slot of r5-green frozen
-    # ns_doc_chunks (ns_sequence_packing keeps the packing family)
-    "stream_session_counts",
-    # streaming gap-fill/LOCF via applyInPandasWithState + event-time
-    # timeouts — NEW late r6 (the op windowed aggregates cannot express)
-    "stream_locf_grid",
-    # dedup / similarity / ANN family (ns_url_dedup rotated out late r5
-    # for the new ns_archive_listing row; ns_ngram_jaccard_pairs
-    # rotated out late r6 — r5-driver-green, path untouched — for its
-    # full-corpus successor below, whose ground-truth oracle subsumes
-    # the subset row's semantics)
-    # (ns_setsim_join_prefix rotated out late r8 — r7-driver-green,
-    # dedup.py's existing paths untouched this round (the late-r8
-    # minhash_cross_decontaminate addition is new surface with its own
-    # in-window row); minhash/substring/neardup rows keep
-    # the dedup family in-window — its slot goes to the NEW
-    # line-dedup row, which extends the same family from reporting
-    # duplicates to REMOVING them)
-    # CCNet-style boilerplate removal with reassembly — NEW late r8
-    "ns_line_dedup",
-    # cross-corpus Bloom decontamination — NEW late r6 (family #2):
-    # takes the slot of r5-green ns_salted_join (skew.py frozen this
-    # round; skew coverage stays live-gated every suite run)
-    "ns_bloom_cross_dedup",
-    # TRUE connected components via alternating star contraction — NEW
-    # late r6: the any-diameter exact twin of ns_neardup_clusters;
-    # takes the slot of r5-green ns_scd2_history (cdc.py frozen this
-    # round; the storage-layout family stays live-gated)
-    "ns_neardup_components",
-    # exact-substring dedup (shared-span family) — NEW r6 (VERDICT-r5 #5)
-    "ns_substring_dedup",
-    "ns_minhash_lsh_candidates",
-    "ns_neardup_clusters",
-    # (ns_simhash_md5 rotated out late r6 — r5-driver-green; this
-    # round's dedup.py changes are all NEW functions, the SimHash path
-    # is untouched and live-gated — slot goes to the new change-feed
-    # derivation row)
-    # (cdc_snapshot_diff rotated out late r8 — r7-driver-green, cdc.py
-    # frozen this round; the CDC family stays live-gated every suite
-    # run — slot goes to the new sitemap URL-discovery row)
-    # sitemap XML parsing via built-in from_xml (urlset + sitemapindex,
-    # closed-form oracle) — NEW r8
-    "ns_sitemap_urls",
-    # (ns_similarity_topk and ns_embedding_neardup rotated out late r6
-    # — both r5-driver-green; the JVM-expression path stays covered by
-    # ns_similarity_topk_np's plan twin + the live gate, and the dedup
-    # family keeps five in-window rows — freeing slots for the new
-    # scoring/sketch family above and the PQ-ADC row below)
-    # (ns_similarity_topk_np rotated out late r6 — r5-driver-green,
-    # similarity.py frozen this round; the np serving twin's machinery
-    # stays covered by the in-window ANN rows + the live gate — its
-    # slot goes to the new ns_profile_columns row)
-    # (ns_profile_columns rotated out late r8 — r7-driver-green,
-    # profile.py frozen this round and live-gated every suite run —
-    # its slot goes to the NEW C4 blocklist-gate row)
-    # C4 bad-words blocklist gate (scan-speed, no shuffle) — NEW late r8
-    "ns_blocklist_filter",
-    # product-quantization ADC ANN (Jégou et al. 2011) — NEW late r6:
-    # seeded codebooks, exact-BIGINT ranking key, recall-vs-exact-L2
-    # twin ns_pq_ann_recall10 (also new, in the slot freed by
-    # ns_audio_decode_meta: r5-driver-green; wav decode stays covered
-    # by ns_media_meta + the live gate)
-    "ns_pq_ann_topk_seeded",
-    "ns_pq_ann_recall10",
-    # (ns_lsh_ann_recall10 / ns_ivf_ann_recall10 rotated out late r6 —
-    # both r5-driver-green, similarity.py frozen this round; the topk
-    # rows keep each ANN leg in-window and the recall twins re-run vs
-    # DuckDB every suite — slots go to the new iterative-graph
-    # ns_pagerank row and the ts_gapfill_locf time-series row)
-    "ns_lsh_ann_topk_md5",
-    "ns_ivf_ann_topk_seeded",
-    # damped PageRank, exact-integer power iteration — NEW late r6:
-    # the centrality twin of ns_neardup_components' components
-    "ns_pagerank",
-    # co-purchase projection + degree-oriented triangle counting — NEW
-    # late r6 (the last-reducer fix as a first-class operator)
-    "ns_triangle_count",
-    # text analysis family (ns_tfidf_topterms rotated out late r6 —
-    # r5-driver-green, text.py frozen this round — freeing the slot for
-    # the new src_orc_roundtrip source-format row; ns_lang_id rotated
-    # out later still — r5-green, its path untouched — for the new
-    # ns_neardup_canonical row: the family stays in-window via
-    # rare_token/bpe plus the new gopher/LM rows)
-    # (ns_rare_token_share rotated out late r6 — r5-driver-green, its
-    # text.py path untouched this round — for the new ns_bm25_topk row;
-    # the text/scoring family keeps gopher/LM/bm25/dsir in-window)
-    # BM25 ranked retrieval — NEW late r6 (family #2)
-    "ns_bm25_topk",
-    # DSIR hashed-ngram importance weights — NEW late r6 (family #2);
-    # takes the slot of r5-green ns_bpe_tokens (bpe.py frozen this
-    # round; BPE stays live-gated every suite run)
-    "ns_dsir_weights",
-    # quality-aware keeper selection within near-dup clusters — NEW
-    # late r6 (the FineWeb-style decision rule: keep the best copy,
-    # not the lowest-id one)
-    "ns_neardup_canonical",
-    # (ns_bpe_tokens rotated out late r6 — r5-driver-green, bpe.py
-    # frozen this round — for the new ns_dsir_weights row above)
-    # source-format surface: ORC round-trip through read_any — NEW r6
-    "src_orc_roundtrip",
-    # pipeline / packing / sampling / sketches (ns_doc_chunks rotated
-    # out late r6 for stream_session_counts — r5-driver-green, frozen)
-    # (ns_sequence_packing and ns_pipeline_filter_dedup_join rotated
-    # out late r6 — both r5-driver-green with their computation paths
-    # untouched this round — for the two new event-analytics rows
-    # below; ns_weighted_sample rotated out late r6 — same basis — for
-    # the new src_tar_roundtrip row; ns_source_mixture keeps the
-    # sampling family in-window, and the full gate re-runs all three
-    # every suite run)
-    # WebDataset-style tar-shard sink loop — NEW late r6: the training
-    # delivery stage, attested sink -> own-extraction -> aggregates
-    "src_tar_roundtrip",
-    # event-analytics shapes every product-analytics engine serves —
-    # NEW late r6: ordered 3-step funnel + weekly retention cohorts
-    # (funnel_view_click_purchase rotated out late r8 — r7-driver-green,
-    # its shared-SQL text frozen this round; retention_weekly_cohorts
-    # keeps the event-analytics family in-window — its slot goes to the
-    # NEW epoch-capped mixture planner row)
-    # epoch-capped token-budget water-filling — NEW late r8
-    "ns_mixture_capped",
-    "retention_weekly_cohorts",
-    # (ns_hll_user_estimate rotated out late r6 — r5-driver-green,
-    # sketches.py frozen this round — freeing the slot for the new
-    # ns_parquet_records row; ns_countmin_event_counts rotated out
-    # later still — same basis — for the new stream_hll_window row:
-    # the sketch family stays in-window via ns_kmv_set_ops and the
-    # streaming HLL itself)
-    "stream_hll_window",
-    # parquet payload record decoding (embedded-bytes load stage) —
-    # NEW r6
-    "ns_parquet_records",
-    # skew tooling / storage-layout ops (ns_salted_distinct_count
-    # rotated out r6 — r5-driver-green, skew.py frozen this round —
-    # freeing the slot for the new ns_avro_records row; ns_salted_join
-    # and ns_scd2_history rotated out late r6 — r5-driver-green,
-    # skew.py/cdc.py frozen this round — for the new
-    # ns_bloom_cross_dedup / ns_neardup_components rows; both families
-    # stay live-gated every suite run via tests/test_full_gate.py)
-    # Avro OCF record decoding (load stage after ns_datafile_meta
-    # triage) — NEW r6
-    "ns_avro_records",
-    # multimodal (real-codec meta paths; ns_video_meta and
-    # ns_jpeg_decode are NEW in r5 — new entries must take a window
-    # slot, so they replace the r4-green frozen fuzzy_match_names and
-    # window_distribution)
-    # (ns_image_resize_meta rotated out r6 — r5-driver-green, frozen —
-    # for the new ns_avi_frames row: pure MJPEG-AVI frame decode;
-    # ns_audio_decode_meta rotated out late r6 — r5-driver-green — for
-    # the new ns_pq_ann_recall10 row; wav decode stays covered by
-    # ns_media_meta + the live gate)
-    # (ns_video_meta rotated out late r8 — r7-driver-green,
-    # multimodal.py frozen this round; ns_media_meta + ns_avi_frames
-    # keep the container/codec family in-window — its slot goes to the
-    # NEW MinHash cross-corpus decontamination row)
-    # MinHash-LSH near-dup eval decontamination — NEW late r8
-    "ns_minhash_decontamination",
-    "ns_jpeg_decode",
-    "ns_avi_frames",
-    # unified mixed-format media triage (mp4/webm/avi/flac/mp3/webp/ogg)
-    # — NEW r5; takes the slot of the r4-green frozen
-    # ns_histogram_quantiles (hll + countmin keep the sketch family
-    # in-window)
-    "ns_media_meta",
-    # archive triage (zip central-directory listing, exploded) — NEW r5
-    # (ns_archive_listing rotated out late r8 — r7-driver-green,
-    # archives.py frozen this round; ns_archive_extract chains the
-    # same central-directory listing path at driver level — its slot
-    # goes to the NEW anchor-text index row)
-    # anchor-text aggregation per canonical target — NEW late r8
-    "ns_anchor_text_index",
-    # (ns_warc_listing rotated out late r8 — r7-driver-green,
-    # archives.py frozen this round; ns_warc_bodies subsumes the
-    # listing path at driver level and ns_archive_listing keeps the
-    # triage family — its slot goes to the NEW label-propagation row)
-    # deterministic label-propagation communities — NEW late r8
-    "ns_label_prop",
-    # extraction stage (listing -> member/body CONTENT rows) — NEW r6
-    # (VERDICT-r5 #2): WARC response bodies + zip member extraction
-    "ns_warc_bodies",
-    "ns_archive_extract",
-    # data-file registry triage (parquet footers + avro OCF headers) —
-    # promoted to oracle attestation in r6 (VERDICT-r5 #1)
-    "ns_datafile_meta",
+# r9 REBUILDS THE WINDOW MECHANIZED, STALE-FIRST (VERDICT-r8 #1):
+#
+#   DRIVER_WINDOW = WINDOW_NEW        (rows added this round — no
+#                                      driver record exists yet)
+#                 + WINDOW_CHANGED    (rows whose implementation or
+#                                      oracle text changed this round —
+#                                      their old attestation is stale)
+#                 + stale-first backfill: every remaining slot goes to
+#                   the entry whose most recent DRIVER-green round
+#                   (computed from the committed CORRECTNESS_r*.json
+#                   artifacts) is oldest, ties broken by registry
+#                   order.
+#
+# The policy is EXECUTABLE, not prose: tests/test_driver_window.py
+# re-derives the backfill from the artifacts and fails if any window
+# slot is spent on a fresher entry while a staler one waits outside —
+# so the catalog-wide minimum driver-green age rises every round (r9:
+# the 29 r01-frozen entries and the 14 oldest r02 entries cycle back
+# through; minimum age rises r01 -> r02). Correctness freshness of
+# rotated-OUT entries stays covered by tests/test_full_gate.py, which
+# re-runs the ENTIRE catalog against DuckDB at sf0.001 every suite
+# run.
+
+# rows added in r9 (perceptual image dedup, PDF extraction, BPE-token
+# mixture planning)
+WINDOW_NEW: list[str] = [
+    "ns_image_dhash",
+    "ns_image_neardup",
+    "ns_pdf_text",
+    "ns_mixture_capped_bpe",
 ]
+
+# rows whose code or oracle text changed in r9 and must re-attest:
+# sampling.py's DECIMAL(38,0) widening (ns_mixture_capped), the
+# n_eval_candidates rename (ns_minhash_decontamination), the
+# map-literal blocklist lookup (ns_blocklist_filter)
+WINDOW_CHANGED: list[str] = [
+    "ns_mixture_capped",
+    "ns_minhash_decontamination",
+    "ns_blocklist_filter",
+]
+
+# oldest-driver-green first (r01 entries, then r02 in registry order) —
+# regenerate with tools/window_rotation.py; verified by
+# tests/test_driver_window.py against the CORRECTNESS artifacts
+_WINDOW_BACKFILL: list[str] = [
+    "v2_index_point_get",
+    "v4_search_single_term",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "topk_orders",
+    "window_running_total",
+    "window_order_gap_days",
+    "set_except",
+    "set_intersect",
+    "agg_count_distinct",
+    "join_anti_customers_without_orders",
+    "join_semi_exists",
+    "pivot_filtered_counts",
+    "rollup_aggregate",
+    "tumbling_hour_counts",
+    "sessionize_30min",
+    "asof_purchase_prev_click",
+    "json_extraction",
+    "percentiles_exact",
+    "string_agg_ordered",
+    "grouping_sets",
+    "interval_arithmetic",
+    "window_first_last",
+    "except_all_union_all",
+    "correlated_scalar_subquery",
+    "cross_join_dims",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "o4_stream_range",
+    "v1_reduce_grouped",
+    "v2_index_key_range",
+    "v3_query_dsl",
+    "v5_hashtable_latest",
+    "v6_membership_exact",
+    "v4_search_and_terms",
+    "window_top3_per_customer",
+    "scalar_functions",
+    "date_functions",
+    "array_agg_sorted",
+    "scalar_functions_2",
+    "math_functions",
+    "window_rank_dense",
+]
+
+DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL
 
 
 def driver_ordered(registry: dict) -> dict:
