@@ -111,6 +111,10 @@ EXTRAS = [
     "ns_line_dedup", "ns_blocklist_filter", "ns_mixture_capped",
     "ns_label_prop", "ns_minhash_decontamination",
     "ns_anchor_text_index",
+    # r9 family: perceptual image near-dup (decode kernel + band LSH),
+    # stdlib PDF extraction, BPE-token mixture budgets (the DuckDB
+    # sides replay decode/parse arithmetic closed-form — scan-shaped)
+    "ns_image_neardup", "ns_pdf_text", "ns_mixture_capped_bpe",
 ]
 
 
