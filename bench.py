@@ -114,7 +114,8 @@ EXTRAS = [
     # r9 family: perceptual image near-dup (decode kernel + band LSH),
     # stdlib PDF extraction, BPE-token mixture budgets (the DuckDB
     # sides replay decode/parse arithmetic closed-form — scan-shaped)
-    "ns_image_neardup", "ns_pdf_text", "ns_mixture_capped_bpe",
+    "ns_image_neardup", "ns_pdf_text", "ns_docx_text",
+    "ns_mixture_capped_bpe",
 ]
 
 

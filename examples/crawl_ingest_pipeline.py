@@ -291,6 +291,20 @@ def main() -> None:
     assert ok_pages >= n_pdf_docs > 0  # every PDF parsed, >=1 page each
     print(f"pdf leg: {n_pdf_docs} pdf responses -> {ok_pages} pages")
 
+    # the office leg (same contract, OPC zip + WordprocessingML)
+    from flumedb_spark.operators import docx as docxops
+
+    docx_docs = pages.where(F.col("doc_id") % 7 == 1).select(
+        "doc_id", F.col("html").alias("text")
+    )
+    docx_paras = docxops.docx_text_paragraphs(
+        docxops.with_synthetic_docx_payload(docx_docs)
+    )
+    n_docx = docx_docs.count()
+    ok_paras = docx_paras.where("ok").count()
+    assert ok_paras >= n_docx > 0
+    print(f"docx leg: {n_docx} docx responses -> {ok_paras} paragraphs")
+
     # ---- stages 3-9, pass 1: the shared curation chain (extraction,
     # blocklist, three quality gates, LSH components, canonical keeper,
     # URLs, host graph). 'src3tok1' plays the spam vocabulary: the

@@ -113,6 +113,7 @@ WINDOW_NEW: list[str] = [
     "ns_image_dhash",
     "ns_image_neardup",
     "ns_pdf_text",
+    "ns_docx_text",
     "ns_mixture_capped_bpe",
 ]
 
@@ -172,7 +173,6 @@ _WINDOW_BACKFILL: list[str] = [
     "array_agg_sorted",
     "scalar_functions_2",
     "math_functions",
-    "window_rank_dense",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

@@ -13,7 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import query, shared_sql
-from .operators import dedup, imagededup, multimodal, pdf, similarity, text
+from .operators import (
+    dedup,
+    docx,
+    imagededup,
+    multimodal,
+    pdf,
+    similarity,
+    text,
+)
 
 # ---------------------------------------------------------------------
 # dedup family
@@ -549,6 +557,20 @@ def ns_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere (ISO 32000-1 as the public spec)."""
     payloads = pdf.with_synthetic_pdf_payload(spark.table("documents"))
     return pdf.pdf_text_pages(payloads).orderBy("doc_id", "page_idx")
+
+
+@query("ns_docx_text", oracle=docx.docx_text_oracle_sql())
+def ns_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX text extraction (NEW r9, office-document ingest leg):
+    worker-side synthesis of REAL minimal .docx packages (OPC zip +
+    namespaced WordprocessingML, operators/docx.py), then the real
+    parse back out — zip -> size-capped document.xml -> ElementTree
+    walk concatenating each paragraph's runs (formatting nodes
+    skipped). Paragraph p of doc d carries chars [40p, 40p+40) of the
+    document text, so the oracle replays extraction as substr
+    arithmetic."""
+    payloads = docx.with_synthetic_docx_payload(spark.table("documents"))
+    return docx.docx_text_paragraphs(payloads).orderBy("doc_id", "para_idx")
 
 
 @query(
