@@ -107,72 +107,77 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 # re-runs the ENTIRE catalog against DuckDB at sf0.001 every suite
 # run.
 
-# rows added in r9 (perceptual image dedup, PDF extraction, BPE-token
-# mixture planning)
+# The round this window was BUILT FOR (ADVICE r9, artifact-cutoff
+# awareness): the stale-first backfill below is derived from the
+# committed CORRECTNESS_r*.json artifacts with round < this value, so
+# the driver dropping CORRECTNESS_r{N}.json mid/post-round no longer
+# invalidates the window tests. Bump this (and regenerate the backfill
+# with tools/window_rotation.py) at the start of every round.
+WINDOW_BUILT_FOR_ROUND: int = 10
+
+# rows added in r10 (video/audio perceptual dedup, XLSX extraction,
+# image-neardup recall gate, streaming PDF ingest leg)
 WINDOW_NEW: list[str] = [
-    "ns_image_dhash",
-    "ns_image_neardup",
-    "ns_pdf_text",
-    "ns_docx_text",
-    "ns_mixture_capped_bpe",
 ]
 
-# rows whose code or oracle text changed in r9 and must re-attest:
-# sampling.py's DECIMAL(38,0) widening (ns_mixture_capped), the
-# n_eval_candidates rename (ns_minhash_decontamination), the
-# map-literal blocklist lookup (ns_blocklist_filter)
+# rows whose code or oracle text changed in r10 and must re-attest
 WINDOW_CHANGED: list[str] = [
-    "ns_mixture_capped",
-    "ns_minhash_decontamination",
-    "ns_blocklist_filter",
 ]
 
 # oldest-driver-green first (r01 entries, then r02 in registry order) —
 # regenerate with tools/window_rotation.py; verified by
 # tests/test_driver_window.py against the CORRECTNESS artifacts
 _WINDOW_BACKFILL: list[str] = [
-    "v2_index_point_get",
-    "v4_search_single_term",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "topk_orders",
-    "window_running_total",
-    "window_order_gap_days",
-    "set_except",
-    "set_intersect",
-    "agg_count_distinct",
-    "join_anti_customers_without_orders",
-    "join_semi_exists",
-    "pivot_filtered_counts",
-    "rollup_aggregate",
-    "tumbling_hour_counts",
-    "sessionize_30min",
-    "asof_purchase_prev_click",
-    "json_extraction",
-    "percentiles_exact",
-    "string_agg_ordered",
-    "grouping_sets",
-    "interval_arithmetic",
-    "window_first_last",
-    "except_all_union_all",
-    "correlated_scalar_subquery",
-    "cross_join_dims",
-    "q6_forecast_revenue",
-    "q18_large_volume_customers",
-    "o4_stream_range",
-    "v1_reduce_grouped",
-    "v2_index_key_range",
-    "v3_query_dsl",
-    "v5_hashtable_latest",
-    "v6_membership_exact",
-    "v4_search_and_terms",
-    "window_top3_per_customer",
-    "scalar_functions",
-    "date_functions",
-    "array_agg_sorted",
-    "scalar_functions_2",
-    "math_functions",
+    "window_rank_dense",
+    "sliding_window_counts",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "array_functions",
+    "join_left_outer",
+    "join_full_outer",
+    "union_dedup_vs_all",
+    "regexp_functions",
+    "argmin_argmax",
+    "value_histogram",
+    "session_windows_native",
+    "unpivot_stack",
+    "ns_dedup_exact",
+    "ns_text_stats",
+    "ns_text_quality",
+    "ns_fingerprint",
+    "ns_multimodal_meta",
+    "ns_deterministic_sample",
+    "ns_dataset_split_counts",
+    "ns_stratified_sample",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "interval_join_events",
+    "ns_image_decode_meta",
+    "ns_histogram_quantiles",
+    "ns_decontamination",
+    "ns_repetition_ratio",
+    "ns_semantic_dedup",
+    "ns_pii_redaction",
+    "ns_chunk_dedup",
+    "ns_url_dedup",
+    "window_distribution",
+    "fuzzy_match_names",
+    "o1_append_visibility",
+    "o3_get_point",
+    "o2_bulk_append",
+    "o4_stream_reverse_topk",
+    "o5_stream_seqs_only",
+    "o7_since",
+    "o15_mapper_read",
+    "v1_reduce_stats",
+    "ns_ngram_jaccard_pairs",
+    "ns_lang_id",
+    "ns_similarity_topk",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

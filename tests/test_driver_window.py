@@ -11,12 +11,15 @@ stay correctness-covered by tests/test_full_gate.py (the whole catalog
 re-runs vs DuckDB at sf0.001 every suite run).
 """
 
+import os
 import sys
 
 import __spark_entry__ as entry
 from flumedb_spark import catalog
 
-sys.path.insert(0, "tools")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools")
+)
 from window_rotation import WINDOW, compute_backfill, latest_green_rounds
 
 

@@ -27,13 +27,29 @@ sys.path.insert(0, REPO)
 WINDOW = 50
 
 
-def latest_green_rounds(registered: set[str]) -> dict[str, int]:
+def latest_green_rounds(
+    registered: set[str], cutoff: int | None = None
+) -> dict[str, int]:
     """name -> most recent driver round whose CORRECTNESS artifact
     records the entry green (hash-matched, or rows-matched for the
-    historical no-oracle rows)."""
+    historical no-oracle rows).
+
+    ``cutoff`` (default ``catalog.WINDOW_BUILT_FOR_ROUND``) makes the
+    computation artifact-cutoff aware (ADVICE r9): artifacts from round
+    >= cutoff are ignored, so the window built at the START of round N
+    stays valid after the driver drops ``CORRECTNESS_rN.json`` mid/
+    post-round — previously that landing instantly invalidated the
+    stale-first assertions (the r9 suite was deliberately red at round
+    start for exactly this reason)."""
+    if cutoff is None:
+        from flumedb_spark import catalog
+
+        cutoff = catalog.WINDOW_BUILT_FOR_ROUND
     green: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        if rnd >= cutoff:
+            continue
         for name, v in json.load(open(f)).items():
             if name not in registered or not isinstance(v, dict):
                 continue
