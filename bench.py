@@ -149,8 +149,26 @@ def _median(xs: list[float]) -> float | None:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+#: wall-clock budget (seconds) for the whole bench run. r10
+#: (VERDICT-r9 #1): the r9 driver run spent its window on the optional
+#: extras section and hit the old hard-coded 1500 s guard before sf10 —
+#: the round's best scale-trend number went driver-unverified. Now the
+#: budget is explicit (env-overridable), the scale sections run BEFORE
+#: the extras, and pass counts trim as elapsed time approaches it.
+BENCH_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
+
+
 def main() -> None:
     bench_start = time.monotonic()
+
+    def _elapsed() -> float:
+        return time.monotonic() - bench_start
+
+    def _trim(full: int, trimmed: int, frac: float) -> int:
+        """Budget-aware pass count: the full count while elapsed time is
+        under ``frac`` of the budget, the trimmed count after."""
+        return trimmed if _elapsed() > frac * BENCH_BUDGET else full
+
     calib: dict[str, object] = {"ref": CALIB_REF, "start": round(_calib(), 4)}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -323,7 +341,8 @@ def main() -> None:
     if seq_width:
         spark.conf.set("spark.sql.shuffle.partitions", "1")
     b = _batched_interleaved(
-        lambda name: qs[name](spark, sf_dir), paired, con
+        lambda name: qs[name](spark, sf_dir), paired, con,
+        passes=_trim(7, 3, 0.2),
     )
 
     out = {
@@ -379,7 +398,8 @@ def main() -> None:
         tp = [n for n in TPCH if n in tduck]
         ts_, td_ = round(sum(tq[n] for n in tp), 4), round(sum(tduck[n] for n in tp), 4)
         tb = _batched_interleaved(
-            lambda name: qs[name](spark, sf_dir), tp, con, passes=3
+            lambda name: qs[name](spark, sf_dir), tp, con,
+            passes=_trim(3, 2, 0.35),
         )
         out["tpch"] = {
             "queries": tq,
@@ -394,50 +414,10 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - best-effort section
         out["tpch"] = {"error": str(exc)}
 
-    # round-3-continuation north-star section: the training-pipeline ops
-    # added after the headline set froze (BPE apply, corpus-rarity,
-    # real-codec multimodal decode, SemDeDup, near-dup clustering,
-    # decontamination, chunk dedup), paired with DuckDB under the same
-    # methodology. Separate section so the round-over-round primary
-    # metric stays comparable (the TPC-H precedent).
-    try:
-        xq: dict[str, float] = {}
-        xduck_best: dict[str, float] = {}
-        xducks = [n for n in EXTRAS if n in _oracle_names()] if con else []
-        if con is not None:  # warm the extras oracles on the shared con
-            for name in list(xducks):
-                try:
-                    _duck_once(con, name)
-                except Exception:
-                    xducks.remove(name)
-        # interleaved per-query (r7); warmed in the load phase, BEFORE
-        # the benched SF registered; constructed inside the timer each
-        # pass (r6 honesty note: several extras materialize eagerly
-        # during construction)
-        for _ in range(2):
-            for name in EXTRAS:
-                t0 = time.perf_counter()
-                qs[name](spark, sf_dir).count()
-                xq[name] = min(xq.get(name, float("inf")), time.perf_counter() - t0)
-                if con is not None and name in xducks:
-                    dt = _duck_once(con, name)
-                    xduck_best[name] = min(
-                        xduck_best.get(name, float("inf")), dt
-                    )
-        xq = {n: round(v, 4) for n, v in xq.items()}
-        primary.update(xq)
-        xduck = {n: round(v, 4) for n, v in xduck_best.items()}
-        xp = [n for n in EXTRAS if n in xduck]
-        xs_, xd_ = round(sum(xq[n] for n in xp), 4), round(sum(xduck[n] for n in xp), 4)
-        out["northstar_extras"] = {
-            "queries": xq,
-            "total_sec": round(sum(xq.values()), 4),
-            "duckdb_queries": xduck,
-            "paired_subset_sec": {"spark": xs_, "duckdb": xd_},
-            "spark_vs_duckdb_ratio": round(xs_ / xd_, 3) if xd_ else None,
-        }
-    except Exception as exc:  # pragma: no cover - best-effort section
-        out["northstar_extras"] = {"error": str(exc)}
+    # the extras section now runs AFTER the scale sections (r10,
+    # VERDICT-r9 #1: sf1/sf10 are the scale-trend evidence the round
+    # leans on; the extras are the optional tail) — see below.
+    scale_recached = False
 
     # scale-up section: if the synthesized sf1 dataset exists (built by
     # tools/make_scale_data.py — 10x key-shifted replication of sf0.1),
@@ -476,6 +456,7 @@ def main() -> None:
             # benched-SF "1" would serialize sf1/sf10 shuffles): 8
             # matches the width the r4 parity numbers were taken at.
             spark.conf.set("spark.sql.shuffle.partitions", "8")
+            scale_recached = True
             for t in _tables:
                 spark.catalog.uncacheTable(t)
             qs["o7_since"](spark, sf1_dir).collect()
@@ -551,8 +532,10 @@ def main() -> None:
             "skipped": f"no sf10 data at {sf10_dir} (synthesize with "
             "tools/make_scale_data.py <dir> 10, SPARK_GRAFT_SCALE_SRC=<sf1 dir>)"
         }
-    elif time.monotonic() - bench_start > 1500:
-        out["sf10"] = {"skipped": "time budget: >1500s elapsed before sf10 section"}
+    elif _elapsed() > BENCH_BUDGET:
+        out["sf10"] = {
+            "skipped": f"time budget: >{BENCH_BUDGET:.0f}s elapsed before sf10 section"
+        }
     else:
         try:
             from flumedb_spark.catalog import TABLES as _tables
@@ -562,6 +545,7 @@ def main() -> None:
             # width here, and the interleaved A/B agrees (q21 10.7->5.9s,
             # q9 -24%, q3/q5 -10% at 32 vs 8; 64 regresses on overhead)
             spark.conf.set("spark.sql.shuffle.partitions", str(min(cpus, 32)))
+            scale_recached = True
             for t in _tables:
                 spark.catalog.uncacheTable(t)
             qs["o7_since"](spark, sf10_dir).collect()
@@ -590,6 +574,77 @@ def main() -> None:
             }
         except Exception as exc:  # pragma: no cover - best-effort section
             out["sf10"] = {"error": str(exc)}
+
+    # round-3-continuation north-star section: the training-pipeline ops
+    # added after the headline set froze (BPE apply, corpus-rarity,
+    # real-codec multimodal decode, SemDeDup, near-dup clustering,
+    # decontamination, chunk dedup), paired with DuckDB under the same
+    # methodology. Separate section so the round-over-round primary
+    # metric stays comparable (the TPC-H precedent). r10: runs LAST —
+    # after the sf1/sf10 scale sections — so a slow host starves this
+    # optional tail instead of the scale-trend evidence (VERDICT-r9 #1);
+    # pass count trims 2→1 near the budget and the section is skipped
+    # (recorded, not silent) once the budget is spent.
+    if _elapsed() > 1.2 * BENCH_BUDGET:
+        out["northstar_extras"] = {
+            "skipped": f"time budget: >{1.2 * BENCH_BUDGET:.0f}s elapsed"
+        }
+    else:
+      try:
+        if scale_recached:
+            # restore the benched-SF serving state the earlier sections
+            # measured under: sf_dir tables cached, benched-SF AQE
+            # policy, batched width 1
+            from flumedb_spark.catalog import TABLES as _tables
+
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_for_sf)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                "1" if seq_width else os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"],
+            )
+            for t in _tables:
+                spark.catalog.uncacheTable(t)
+            qs["o7_since"](spark, sf_dir).collect()
+            _narrow_dims(spark)
+            for t in _tables:
+                spark.catalog.cacheTable(t)
+                spark.table(t).count()
+        xq: dict[str, float] = {}
+        xduck_best: dict[str, float] = {}
+        xducks = [n for n in EXTRAS if n in _oracle_names()] if con else []
+        if con is not None:  # warm the extras oracles on the shared con
+            for name in list(xducks):
+                try:
+                    _duck_once(con, name)
+                except Exception:
+                    xducks.remove(name)
+        # interleaved per-query (r7); warmed in the load phase, BEFORE
+        # the benched SF registered; constructed inside the timer each
+        # pass (r6 honesty note: several extras materialize eagerly
+        # during construction)
+        for _ in range(_trim(2, 1, 0.8)):
+            for name in EXTRAS:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                xq[name] = min(xq.get(name, float("inf")), time.perf_counter() - t0)
+                if con is not None and name in xducks:
+                    dt = _duck_once(con, name)
+                    xduck_best[name] = min(
+                        xduck_best.get(name, float("inf")), dt
+                    )
+        xq = {n: round(v, 4) for n, v in xq.items()}
+        xduck = {n: round(v, 4) for n, v in xduck_best.items()}
+        xp = [n for n in EXTRAS if n in xduck]
+        xs_, xd_ = round(sum(xq[n] for n in xp), 4), round(sum(xduck[n] for n in xp), 4)
+        out["northstar_extras"] = {
+            "queries": xq,
+            "total_sec": round(sum(xq.values()), 4),
+            "duckdb_queries": xduck,
+            "paired_subset_sec": {"spark": xs_, "duckdb": xd_},
+            "spark_vs_duckdb_ratio": round(xs_ / xd_, 3) if xd_ else None,
+        }
+      except Exception as exc:  # pragma: no cover - best-effort section
+        out["northstar_extras"] = {"error": str(exc)}
 
     # Emission contract (VERDICT r3 #1): the driver tail-captures stdout
     # and parses the LAST line as JSON — round 3's single giant line
