@@ -116,6 +116,14 @@ EXTRAS = [
     # sides replay decode/parse arithmetic closed-form — scan-shaped)
     "ns_image_neardup", "ns_pdf_text", "ns_docx_text",
     "ns_mixture_capped_bpe",
+    # r10 family: XLSX cell extraction (zip+XML kernel, scan-shaped)
+    # and audio fingerprint near-dup (WAV decode + band LSH; 544
+    # samples/clip keeps both sides inside the section budget). VIDEO
+    # near-dup (ns_video_neardup) stays OUT of the timed extras: its
+    # per-doc cost is 3 full JPEG decodes (~45 ms/clip single-core,
+    # ~7-15 s at sf0.1) — benched ad hoc, correctness-gated at sf0.01
+    # by the driver window instead.
+    "ns_xlsx_cells", "ns_audio_neardup",
 ]
 
 

@@ -74,6 +74,21 @@ def main() -> None:
     images = imagededup.with_synthetic_neardup_payload(docs.limit(200))
     dup_pairs = imagededup.image_neardup_candidates(images, max_hamming=8)
 
+    # 3c) VIDEO near-dup over kept clips (r10): per-keyframe dHash ->
+    # band LSH frame pairs -> temporal-offset alignment — catches
+    # re-encodes AND trimmed/shifted copies (operators/videodedup.py)
+    from flumedb_spark.operators import audiodedup, videodedup
+
+    clips = videodedup.with_synthetic_neardup_video_payload(docs.limit(120))
+    video_dups = videodedup.video_neardup_candidates(
+        clips, max_hamming=8, min_aligned=2
+    )
+
+    # 3d) AUDIO near-dup (r10): energy-delta fingerprints -> band LSH
+    # -> exact Hamming verify (operators/audiodedup.py)
+    tracks = audiodedup.with_synthetic_neardup_audio_payload(docs.limit(200))
+    audio_dups = audiodedup.audio_neardup_candidates(tracks, max_hamming=8)
+
     counts = (
         kept.groupBy("kind", "format")
         .agg(F.count("*").alias("n"), F.sum("duration_ms").alias("total_ms"))
@@ -86,6 +101,10 @@ def main() -> None:
     print(f"decoded jpeg images: {n_img}")
     n_dup = dup_pairs.count()
     print(f"perceptual near-dup image pairs (hamming<=8): {n_dup}")
+    n_vdup = video_dups.count()
+    print(f"video near-dup pairs (>=2 aligned keyframes): {n_vdup}")
+    n_adup = audio_dups.count()
+    print(f"audio near-dup pairs (fingerprint hamming<=8): {n_adup}")
 
     # 4) durable manifest: append keeper doc_ids to an engine log and
     # export a real Delta transaction log for external readers

@@ -118,10 +118,22 @@ WINDOW_BUILT_FOR_ROUND: int = 10
 # rows added in r10 (video/audio perceptual dedup, XLSX extraction,
 # image-neardup recall gate, streaming PDF ingest leg)
 WINDOW_NEW: list[str] = [
+    "ns_video_keyframe_sig",
+    "ns_video_neardup",
+    "ns_audio_fingerprint",
+    "ns_audio_neardup",
+    "ns_xlsx_cells",
+    "ns_image_neardup_recall",
+    "stream_pdf_text",
 ]
 
-# rows whose code or oracle text changed in r10 and must re-attest
+# rows whose code or oracle text changed in r10 and must re-attest:
+# pdf.py's /Length-bounded stream objects (ADVICE r10 — _obj_body no
+# longer scans for "endobj" inside stream data), docx.py's DTD
+# rejection before parse
 WINDOW_CHANGED: list[str] = [
+    "ns_pdf_text",
+    "ns_docx_text",
 ]
 
 # oldest-driver-green first (r01 entries, then r02 in registry order) —
@@ -169,15 +181,6 @@ _WINDOW_BACKFILL: list[str] = [
     "fuzzy_match_names",
     "o1_append_visibility",
     "o3_get_point",
-    "o2_bulk_append",
-    "o4_stream_reverse_topk",
-    "o5_stream_seqs_only",
-    "o7_since",
-    "o15_mapper_read",
-    "v1_reduce_stats",
-    "ns_ngram_jaccard_pairs",
-    "ns_lang_id",
-    "ns_similarity_topk",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL
@@ -2606,6 +2609,47 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = sink.orderBy("event_id").collect()
         return spark.createDataFrame(
             rows, "event_id long, user_id long, segment string, nationkey long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_pdf_text",
+    # Streaming INGEST-KERNEL leg (NEW r10, VERDICT-r9 #6): the office/
+    # PDF batch extractors must compose with Structured Streaming —
+    # this row runs synth -> REAL PDF parse (both Arrow mapInPandas
+    # kernels, operators/pdf.py) INSIDE a streaming query over the
+    # 3-batch staged harness. Stateless: no watermark, no state —
+    # every document passes through exactly once, so the oracle is the
+    # batch extraction replay (substr arithmetic). A kernel that
+    # secretly depended on batch-only planning (e.g. a collect or a
+    # non-incremental shuffle) would fail to run at all; a per-batch
+    # decode divergence breaks the hash.
+    oracle="""
+    SELECT d.doc_id, CAST(s.p AS INT) AS page_idx,
+      coalesce(substr(d.text, 60 * s.p + 1, 60), '') AS page_text,
+      true AS ok
+    FROM documents d, generate_series(0, 2) s(p)
+    WHERE s.p < 1 + d.doc_id % 3
+    ORDER BY d.doc_id, page_idx
+    """,
+)
+def stream_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators import pdf as _pdf
+
+    docs = spark.table("documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_pdf_")
+    try:
+        src = _staged_stream_source(spark, docs, work, seq_col="doc_id")
+        out = _pdf.pdf_text_pages(_pdf.with_synthetic_pdf_payload(src))
+        sink = _run_stream_to_memory(spark, out, work, output_mode="append")
+        rows = sink.orderBy("doc_id", "page_idx").collect()
+        return spark.createDataFrame(
+            rows, "doc_id long, page_idx int, page_text string, ok boolean"
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

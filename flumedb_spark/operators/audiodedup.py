@@ -1,0 +1,305 @@
+"""AUDIO fingerprint near-duplicate detection: banded energy-delta
+fingerprints + Hamming-band LSH (VERDICT-r9 #3 — the last multimodal
+dedup gap after images (r9) and video (r10)).
+
+Shape — a Haitsma–Kalker-style fingerprint in EXACT integer
+arithmetic:
+
+1. **Fingerprint** (:func:`audio_fingerprint_bands`): REAL WAV decode
+   (``mmcodec.decode_wav``, RIFF PCM) -> 16-bit samples framed 32
+   samples wide, each frame split into 4 sub-blocks of 8 -> integer
+   energy ``E(frame, block) = sum(x_i^2)`` -> the classic delta bit
+   ``bit(t, b) = E(t+1, b) > E(t, b)`` over 16 frame transitions ->
+   four 16-bit bands (one per sub-block, bit t at position t). The
+   real Haitsma–Kalker fingerprint uses FFT sub-bands; time-domain
+   sub-block energies keep every step integer-exact so a DuckDB
+   oracle replays sample -> energy -> bit -> band bit-for-bit, while
+   the robustness property that matters for dedup is identical: a
+   local perturbation flips only the transition bits it touches.
+2. **Banding + verify** (:func:`audio_neardup_candidates`): the
+   imagededup device verbatim — a self-equi-join on (band, value)
+   yields candidates without all-pairs; exact Hamming over the four
+   stored bands (``bit_count(xor)``, pure JVM math) keeps pairs at
+   ``<= max_hamming``.
+
+Scale shape (100 TB of audio): decode+fingerprint is one Arrow-batched
+``mapInPandas`` pass, linear, no shuffle; the signature table is 4
+longs per clip; the band join shuffles on uniform 16-bit keys. Nothing
+all-pairs, nothing through the driver. Real-corpus caveat shared with
+the image/video operators: silence (all-zero energy -> band 0) skews
+those buckets — drop degenerate bands before the join at scale.
+
+Synthetic fixtures: 544-sample (17 frames) md5-derived PCM clips;
+``group = doc_id // 4`` picks the waveform, variants 1-3 REPLACE one
+md5-chosen 8-sample sub-block of frame ``variant`` with an independent
+md5 stream — flipping at most the 2 transition bits of ONE band
+(Hamming <= 2; cross-variant pairs <= 4), while unrelated groups sit
+~32 bits apart. The DuckDB oracle replays the full chain including
+the band join and the verify filter.
+
+Reference scope: north-star dedup family per BASELINE.json (the
+reference engine has no audio operators; this extends SURVEY.md §2.C
+dedup semantics to audio columns).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .imagededup import _md5_byte_sql
+
+__all__ = [
+    "synth_neardup_audio",
+    "with_synthetic_neardup_audio_payload",
+    "audio_fingerprint_bands",
+    "audio_neardup_candidates",
+    "audio_fingerprint_oracle_sql",
+    "audio_neardup_oracle_sql",
+]
+
+FRAME = 32  # samples per frame
+SUB = 8  # samples per energy sub-block
+N_BANDS = FRAME // SUB  # 4 sub-blocks -> 4 fingerprint bands
+N_TRANSITIONS = 16  # bits per band
+N_FRAMES = N_TRANSITIONS + 1  # 17 frames
+N_SAMPLES = FRAME * N_FRAMES  # 544 samples per clip
+SAMPLE_RATE = 8000
+
+
+def _h8(key: str) -> int:
+    return hashlib.md5(key.encode()).digest()[0]
+
+
+def synth_neardup_audio(doc_id: int) -> np.ndarray:
+    """Deterministic 544-sample int16 PCM clip for ``doc_id``: sample i
+    of group g is ``md5("a{g}|{i}")[0] - 128``; variants v in 1..3
+    replace sub-block ``md5("ab{doc_id}")[0] % 4`` of frame v with the
+    independent stream ``md5("ap{doc_id}|{i}")[0] - 128``."""
+    d = int(doc_id)
+    group, variant = d // 4, d % 4
+    x = np.array(
+        [_h8(f"a{group}|{i}") - 128 for i in range(N_SAMPLES)],
+        dtype=np.int16,
+    )
+    if variant:
+        sb = _h8(f"ab{d}") % N_BANDS
+        start = FRAME * variant + SUB * sb
+        for i in range(start, start + SUB):
+            x[i] = _h8(f"ap{d}|{i}") - 128
+    return x
+
+
+def with_synthetic_neardup_audio_payload(docs: DataFrame) -> DataFrame:
+    """doc_id -> real RIFF/WAVE PCM bytes of :func:`synth_neardup_audio`
+    (worker-side, Arrow batches)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flumedb_spark.operators import mmcodec
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        mmcodec.encode_wav(
+                            synth_neardup_audio(int(d)), SAMPLE_RATE
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def _fingerprint_bands_of(samples: np.ndarray) -> list[int] | None:
+    """int16 PCM -> four 16-bit energy-delta bands; None if the clip is
+    shorter than the fingerprint window."""
+    if samples.ndim > 1:  # stereo: fingerprint the first channel
+        samples = samples[:, 0]
+    if samples.shape[0] < N_SAMPLES:
+        return None
+    x = samples[:N_SAMPLES].astype(np.int64)
+    e = (x.reshape(N_FRAMES, N_BANDS, SUB) ** 2).sum(axis=2)
+    bits = (e[1:] > e[:-1]).astype(np.int64)  # (16, 4)
+    return [
+        int(sum(int(bits[t, b]) << t for t in range(N_TRANSITIONS)))
+        for b in range(N_BANDS)
+    ]
+
+
+def audio_fingerprint_bands(payloads: DataFrame) -> DataFrame:
+    """REAL WAV decode -> per-clip fingerprint: (doc_id, b0..b3,
+    fp_hex). Corrupt or too-short clips drop their row, never the
+    partition; one Arrow-batched pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flumedb_spark.operators import mmcodec
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "b0": [], "b1": [], "b2": [], "b3": [],
+                "fp_hex": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    samples, _rate = mmcodec.decode_wav(bytes(p))
+                except ValueError:
+                    continue
+                bands = _fingerprint_bands_of(samples)
+                if bands is None:
+                    continue
+                out["doc_id"].append(doc_id)
+                for k in range(N_BANDS):
+                    out[f"b{k}"].append(bands[k])
+                out["fp_hex"].append("".join(f"{b:04x}" for b in bands))
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        run,
+        "doc_id long, b0 long, b1 long, b2 long, b3 long, fp_hex string",
+    )
+
+
+def audio_neardup_candidates(
+    payloads: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """Full audio near-dup pipeline: fingerprints -> Hamming-band LSH
+    candidates -> exact Hamming verify. Output (doc_a, doc_b, hamming)
+    with doc_a < doc_b, ordered — the image_neardup_candidates device
+    over audio fingerprints (signature table materialized once; band
+    equi-join, never all-pairs; verify is stored-band xor math)."""
+    sig = audio_fingerprint_bands(payloads).localCheckpoint(eager=True)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"), F.col(f"b{k}").alias("bval")
+                )
+                for k in range(N_BANDS)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bval")
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bval")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bval")
+    cand = (
+        left.join(right, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(N_BANDS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"b_{k}") for k in range(N_BANDS)],
+    )
+    ham = F.expr(
+        " + ".join(f"bit_count(a{k} ^ b_{k})" for k in range(N_BANDS))
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= int(max_hamming))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------
+# DuckDB oracle replay — sample -> energy -> bit -> band -> join ->
+# Hamming, all closed-form over the synthetic md5 formulas
+# ---------------------------------------------------------------------
+
+
+def _sig_cte(table: str = "documents") -> str:
+    """CTE chain ending in ``bands(doc_id, band, bval)`` +
+    ``sig(doc_id, b0..b3)`` replaying the synthetic fingerprint."""
+    base = _md5_byte_sql(
+        "concat('a', CAST(d.doc_id // 4 AS VARCHAR), '|', "
+        "CAST(s.i AS VARCHAR))"
+    )
+    pert = _md5_byte_sql(
+        "concat('ap', CAST(d.doc_id AS VARCHAR), '|', CAST(s.i AS VARCHAR))"
+    )
+    sb = _md5_byte_sql("concat('ab', CAST(d.doc_id AS VARCHAR))")
+    return f"""
+    samples AS (
+      SELECT d.doc_id, s.i,
+        CASE WHEN d.doc_id % 4 > 0
+              AND s.i // {FRAME} = d.doc_id % 4
+              AND (s.i % {FRAME}) // {SUB} = ({sb}) % {N_BANDS}
+             THEN {pert} - 128 ELSE {base} - 128 END AS x
+      FROM {table} d, generate_series(0, {N_SAMPLES - 1}) s(i)
+    ),
+    energies AS (
+      SELECT doc_id, s.i // {FRAME} AS f, (s.i % {FRAME}) // {SUB} AS b,
+             sum(x * x) AS e
+      FROM samples s GROUP BY doc_id, s.i // {FRAME}, (s.i % {FRAME}) // {SUB}
+    ),
+    bits AS (
+      SELECT a.doc_id, a.f AS t, a.b,
+        CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM energies a JOIN energies n
+        ON n.doc_id = a.doc_id AND n.f = a.f + 1 AND n.b = a.b
+      WHERE a.f < {N_TRANSITIONS}
+    ),
+    bands AS (
+      SELECT doc_id, b AS band,
+        CAST(sum(bit * (1 << t)) AS BIGINT) AS bval
+      FROM bits GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+        max(CASE WHEN band = 0 THEN bval END) AS b0,
+        max(CASE WHEN band = 1 THEN bval END) AS b1,
+        max(CASE WHEN band = 2 THEN bval END) AS b2,
+        max(CASE WHEN band = 3 THEN bval END) AS b3
+      FROM bands GROUP BY doc_id
+    )"""
+
+
+def audio_fingerprint_oracle_sql(table: str = "documents") -> str:
+    """Replay of synth -> WAV decode -> :func:`audio_fingerprint_bands`."""
+    return f"""
+    WITH {_sig_cte(table)}
+    SELECT doc_id, b0, b1, b2, b3,
+      concat(printf('%04x', b0), printf('%04x', b1),
+             printf('%04x', b2), printf('%04x', b3)) AS fp_hex
+    FROM sig ORDER BY doc_id
+    """
+
+
+def audio_neardup_oracle_sql(
+    table: str = "documents", max_hamming: int = 8
+) -> str:
+    """Replay of the full :func:`audio_neardup_candidates` chain."""
+    return f"""
+    WITH {_sig_cte(table)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+        CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+           + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+           AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM scored
+    WHERE hamming <= {int(max_hamming)}
+    ORDER BY doc_a, doc_b
+    """

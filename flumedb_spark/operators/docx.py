@@ -119,8 +119,16 @@ def decode_docx_text(payload: bytes) -> list[str]:
         raise ValueError(
             f"docx: document.xml {info.file_size} bytes exceeds cap"
         )
+    data = z.read(info)
+    # reject DTDs before expat sees them: the size cap bounds zip
+    # inflation but NOT entity expansion — a sub-cap document.xml with
+    # nested entities (billion laughs) can expand far beyond it on
+    # hosts with expat < 2.4 (ADVICE r9). WordprocessingML never
+    # carries a DTD, so this rejects no legitimate document.
+    if b"<!DOCTYPE" in data[:4096] or b"<!ENTITY" in data[:4096]:
+        raise ValueError("docx: document.xml declares a DTD (rejected)")
     try:
-        root = ET.fromstring(z.read(info))
+        root = ET.fromstring(data)
     except ET.ParseError as e:
         raise ValueError(f"docx: bad document.xml: {e}") from e
     if root.tag != f"{{{_W}}}document":

@@ -168,6 +168,17 @@ def _obj_body(buf: bytes, off: int, num: int) -> bytes:
     end = buf.find(b"endobj", start)
     if end < 0:
         raise ValueError(f"pdf: object {num} unterminated")
+    sm = re.compile(rb"stream\r?\n").search(buf, start, end)
+    if sm is not None:
+        # stream object: bound the data by the declared /Length, never
+        # by a byte scan — FlateDecode bytes are arbitrary and can
+        # contain "endobj" by chance (ADVICE r9), which would truncate
+        # the stream short and fail an otherwise-valid page
+        lm = re.search(rb"/Length\s+(\d+)", buf[start : sm.start()])
+        if lm:
+            end = buf.find(b"endobj", sm.end() + int(lm.group(1)))
+            if end < 0:
+                raise ValueError(f"pdf: object {num} unterminated")
     return buf[start:end]
 
 

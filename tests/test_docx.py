@@ -84,6 +84,19 @@ class TestStructure:
         with pytest.raises(ValueError, match="bad document.xml"):
             docx.decode_docx_text(buf.getvalue())
 
+    def test_doctype_rejected_before_parse(self):
+        # ADVICE r10: the size cap bounds zip inflation, not entity
+        # expansion — a DTD in document.xml is rejected outright
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr(
+                "word/document.xml",
+                '<!DOCTYPE x [<!ENTITY a "aaaa"><!ENTITY b "&a;&a;&a;">]>'
+                "<w:document>&b;</w:document>",
+            )
+        with pytest.raises(ValueError, match="DTD"):
+            docx.decode_docx_text(buf.getvalue())
+
 
 class TestOperator:
     def test_per_paragraph_rows_and_corrupt_policy(self, spark):

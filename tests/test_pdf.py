@@ -72,6 +72,33 @@ class TestStructure:
         with pytest.raises(ValueError):
             pdf.decode_pdf_text(mutate(blob))
 
+    def test_stream_bytes_containing_endobj_do_not_truncate(self):
+        # ADVICE r10: FlateDecode bytes are arbitrary and can contain
+        # the 6-byte sequence "endobj" — the object body must be
+        # bounded by the declared /Length, not a byte scan
+        raw = b"XXX" + b"endobj" + b"YYY"
+        comp = zlib.compress(raw, 0)  # level 0: stored literals
+        assert b"endobj" in comp
+        buf = (
+            b"7 0 obj\n"
+            + f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+            + comp
+            + b"\nendstream\nendobj\n"
+        )
+        body = pdf._obj_body(buf, 0, 7)
+        assert pdf._stream_data(body, pdf._dict_of(body)) == raw
+
+    def test_uncompressed_stream_with_endobj_in_data(self):
+        data = b"BT (endobj) Tj ET" + b" endobj padding"
+        buf = (
+            b"3 0 obj\n"
+            + f"<< /Length {len(data)} >>\nstream\n".encode()
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+        body = pdf._obj_body(buf, 0, 3)
+        assert pdf._stream_data(body, pdf._dict_of(body)) == data
+
 
 class TestOperator:
     def test_per_page_rows_and_corrupt_policy(self, spark):

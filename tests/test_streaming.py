@@ -1355,3 +1355,56 @@ def test_locf_ttl_bounds_abandoned_keys():
     )]), st3)))
     assert list(out3["bucket"]) == list(range(0, 10))
     assert st3.exists and not st3.removed
+
+
+def test_live_view_pdf_ingest_kernel(spark, tmp_log_dir):
+    """VERDICT-r9 #6: the office/PDF ingest kernels compose with O6/O9
+    stream-driven maintenance — a Level view whose fold runs the REAL
+    PDF parse (operators/pdf.py) over appended blobs, maintained by
+    LiveViewRunner instead of the read gate."""
+    import base64
+
+    from flumedb_spark.operators import pdf as _pdf
+    from flumedb_spark.views.level import Level
+
+    def page_keys(v):
+        return _pdf.decode_pdf_text(base64.b64decode(v["pdf_b64"]))
+
+    db = Flume(tmp_log_dir, spark=spark)
+    db.use("pages", Level(1, key_fn=page_keys))
+    texts = {d: f"doc {d} | " + "lorem ipsum " * 12 for d in range(6)}
+    db.append(
+        [
+            {
+                "doc_id": d,
+                "pdf_b64": base64.b64encode(
+                    _pdf.synth_pdf([t[:60], t[60:120]])
+                ).decode(),
+            }
+            for d, t in texts.items()
+        ]
+    )
+    runner = LiveViewRunner(db, "pages")
+    runner.start()
+    try:
+        runner.process_all_available()
+        # read WITHOUT the gate: the stream already folded everything,
+        # and the index keys are the REAL extracted page texts
+        hits = db.pages.get(texts[3][:60], since=-1)
+        assert len(hits) == 1 and hits[0]["value"]["doc_id"] == 3
+        # live append keeps flowing through the same parse path
+        extra = "fresh appended document " * 3
+        db.append(
+            {
+                "doc_id": 99,
+                "pdf_b64": base64.b64encode(
+                    _pdf.synth_pdf([extra[:60]])
+                ).decode(),
+            }
+        )
+        runner.process_all_available()
+        hits = db.pages.get(extra[:60], since=-1)
+        assert len(hits) == 1 and hits[0]["value"]["doc_id"] == 99
+    finally:
+        runner.stop()
+    db.close()
