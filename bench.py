@@ -123,7 +123,7 @@ EXTRAS = [
     # per-doc cost is 3 full JPEG decodes (~45 ms/clip single-core,
     # ~7-15 s at sf0.1) — benched ad hoc, correctness-gated at sf0.01
     # by the driver window instead.
-    "ns_xlsx_cells", "ns_audio_neardup",
+    "ns_xlsx_cells", "ns_audio_neardup", "ns_pptx_text",
 ]
 
 

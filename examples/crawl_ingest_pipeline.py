@@ -305,6 +305,22 @@ def main() -> None:
     assert ok_paras >= n_docx > 0
     print(f"docx leg: {n_docx} docx responses -> {ok_paras} paragraphs")
 
+    # the spreadsheet leg (r10: SpreadsheetML — sharedStrings, typed
+    # cells, cached formula values; operators/xlsx.py): tabular data a
+    # crawl would otherwise lose to the HTML path
+    from flumedb_spark.operators import xlsx as xlsxops
+
+    xlsx_docs = pages.where(F.col("doc_id") % 7 == 2).select(
+        "doc_id", F.col("html").alias("text")
+    )
+    xlsx_rows = xlsxops.xlsx_cells(
+        xlsxops.with_synthetic_xlsx_payload(xlsx_docs)
+    )
+    n_xlsx = xlsx_docs.count()
+    ok_cells = xlsx_rows.where("ok").count()
+    assert ok_cells >= 4 * n_xlsx > 0  # 4 typed cells per sheet row
+    print(f"xlsx leg: {n_xlsx} xlsx responses -> {ok_cells} cells")
+
     # ---- stages 3-9, pass 1: the shared curation chain (extraction,
     # blocklist, three quality gates, LSH components, canonical keeper,
     # URLs, host graph). 'src3tok1' plays the spam vocabulary: the

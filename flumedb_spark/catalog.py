@@ -125,6 +125,9 @@ WINDOW_NEW: list[str] = [
     "ns_xlsx_cells",
     "ns_image_neardup_recall",
     "stream_pdf_text",
+    "ns_video_image_match",
+    "ns_pptx_text",
+    "ns_audio_clip_search",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -178,9 +181,6 @@ _WINDOW_BACKFILL: list[str] = [
     "ns_chunk_dedup",
     "ns_url_dedup",
     "window_distribution",
-    "fuzzy_match_names",
-    "o1_append_visibility",
-    "o3_get_point",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

@@ -20,6 +20,7 @@ from .operators import (
     imagededup,
     multimodal,
     pdf,
+    pptx,
     similarity,
     text,
     videodedup,
@@ -362,6 +363,63 @@ def ns_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents")
     )
     return audiodedup.audio_neardup_candidates(payloads)
+
+
+@query(
+    "ns_video_image_match",
+    oracle=videodedup.video_image_matches_oracle_sql(),
+)
+def ns_video_image_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL containment search (NEW r10): which videos contain
+    which known still images. A registry of real BMP stills (the
+    unperturbed content frames) probes the video keyframe signature
+    table via a band equi-join — both modalities hash through the same
+    dHash kernel, so the probe is signature-table-to-signature-table,
+    never a re-decode of either corpus. Exact bit_count(xor) verify at
+    Hamming <= 8. Image d%4=3 stills must match ONLY the shifted
+    variant-3 clips at their final keyframe — the oracle replays both
+    modalities' chains closed-form."""
+    videos = videodedup.with_synthetic_neardup_video_payload(
+        spark.table("documents")
+    )
+    images = videodedup.with_synthetic_frame_image_payload(
+        spark.table("documents")
+    )
+    return videodedup.video_image_matches(videos, images)
+
+
+@query("ns_pptx_text", oracle=pptx.pptx_text_oracle_sql())
+def ns_pptx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX text extraction (NEW r10 — completes the office quartet
+    beside PDF, DOCX, and XLSX): worker-side synthesis of REAL minimal
+    .pptx decks (OPC zip + PresentationML slides with DrawingML runs,
+    operators/pptx.py; slide parts deliberately zip-stored in REVERSE
+    so deck order must come from sldIdLst), then the real parse back
+    out — presentation.xml slide list -> rels -> per-slide shape walk
+    concatenating a:t runs. Slide s of doc d carries chars [50s,
+    50s+25) as its title shape and [50s+25, 50s+50) as its body, so
+    the oracle replays extraction as substr arithmetic."""
+    payloads = pptx.with_synthetic_pptx_payload(spark.table("documents"))
+    return pptx.pptx_slide_texts(payloads).orderBy(
+        "doc_id", "slide_idx", "shape_idx"
+    )
+
+
+@query("ns_audio_clip_search", oracle=audiodedup.clip_search_oracle_sql())
+def ns_audio_clip_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-in-track audio search (NEW r10 — the Shazam-style lookup):
+    long tracks are indexed ONCE as hop-aligned windowed fingerprints
+    (per-frame energies computed once, windows pack transition-bit
+    slices); query clips probe the index via the band equi-join and
+    exact-Hamming verify. Synthetic clips excerpt their track at
+    offsets {0, 8, 4}: the hop-aligned offsets must surface at the
+    right window_start (re-encode noise tolerated at Hamming <= 2),
+    the off-grid offset 4 must surface NOWHERE — the oracle replays
+    the full chain including the window packing, so hop or offset
+    arithmetic bugs break the hash."""
+    tracks = audiodedup.with_synthetic_track_payload(spark.table("documents"))
+    clips = audiodedup.with_synthetic_clip_payload(spark.table("documents"))
+    return audiodedup.audio_clip_search(tracks, clips)
 
 
 @query("ns_xlsx_cells", oracle=xlsx.xlsx_cells_oracle_sql())

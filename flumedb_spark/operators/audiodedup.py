@@ -61,6 +61,13 @@ __all__ = [
     "audio_neardup_candidates",
     "audio_fingerprint_oracle_sql",
     "audio_neardup_oracle_sql",
+    "synth_track_audio",
+    "synth_clip_audio",
+    "with_synthetic_track_payload",
+    "with_synthetic_clip_payload",
+    "track_window_signatures",
+    "audio_clip_search",
+    "clip_search_oracle_sql",
 ]
 
 FRAME = 32  # samples per frame
@@ -216,6 +223,226 @@ def audio_neardup_candidates(
 
 
 # ---------------------------------------------------------------------
+# Clip-in-track search (Shazam-style lookup): windowed fingerprints of
+# long tracks, probed by whole-clip fingerprints via the same band LSH
+# ---------------------------------------------------------------------
+
+N_TRACK_FRAMES = 41  # 40 transitions -> windows at 0, 8, 16, 24
+WINDOW_HOP = 8  # fingerprint windows every 8 frame-transitions
+CLIP_PERTURB_FRAME = 3  # clip-local frame variants overwrite
+
+
+def synth_track_audio(doc_id: int) -> np.ndarray:
+    """Deterministic 41-frame (1312-sample) int16 PCM track: sample i
+    is ``md5("t{doc_id}|{i}")[0] - 128``."""
+    d = int(doc_id)
+    return np.array(
+        [_h8(f"t{d}|{i}") - 128 for i in range(FRAME * N_TRACK_FRAMES)],
+        dtype=np.int16,
+    )
+
+
+def clip_offset_frames(doc_id: int) -> int:
+    """Clip ``d`` excerpts its track starting at frame (0, 8, 4)[d%3]:
+    offsets 0 and 8 land on the window hop grid and must match;
+    offset 4 straddles windows and must NOT (attests hop semantics)."""
+    return (0, WINDOW_HOP, WINDOW_HOP // 2)[int(doc_id) % 3]
+
+
+def synth_clip_audio(doc_id: int) -> np.ndarray:
+    """A 17-frame excerpt of track ``doc_id`` starting at
+    :func:`clip_offset_frames`; docs with ``d % 5 == 0`` overwrite one
+    md5-chosen sub-block of clip-local frame 3 with an independent
+    stream (noise a re-encode would add — flips <= 2 bits of one
+    band, so the match must still surface)."""
+    d = int(doc_id)
+    start = FRAME * clip_offset_frames(d)
+    x = np.array(
+        [_h8(f"t{d}|{start + i}") - 128 for i in range(N_SAMPLES)],
+        dtype=np.int16,
+    )
+    if d % 5 == 0:
+        sb = _h8(f"cb{d}") % N_BANDS
+        base = FRAME * CLIP_PERTURB_FRAME + SUB * sb
+        for i in range(base, base + SUB):
+            x[i] = _h8(f"cp{d}|{i}") - 128
+    return x
+
+
+def with_synthetic_track_payload(docs: DataFrame) -> DataFrame:
+    """doc_id -> real WAV bytes of :func:`synth_track_audio`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flumedb_spark.operators import mmcodec
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        mmcodec.encode_wav(synth_track_audio(int(d)), SAMPLE_RATE)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def with_synthetic_clip_payload(docs: DataFrame) -> DataFrame:
+    """doc_id -> real WAV bytes of :func:`synth_clip_audio`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flumedb_spark.operators import mmcodec
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        mmcodec.encode_wav(synth_clip_audio(int(d)), SAMPLE_RATE)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def _window_bands_of(
+    samples: np.ndarray, hop: int = WINDOW_HOP
+) -> list[tuple[int, list[int]]]:
+    """int16 PCM -> [(window_start_transition, four 16-bit bands)]:
+    energies and transition bits computed ONCE over the whole track,
+    then each hop-aligned window packs its 16-transition slice."""
+    if samples.ndim > 1:
+        samples = samples[:, 0]
+    n_frames = samples.shape[0] // FRAME
+    if n_frames < N_FRAMES:
+        return []
+    x = samples[: n_frames * FRAME].astype(np.int64)
+    e = (x.reshape(n_frames, N_BANDS, SUB) ** 2).sum(axis=2)
+    bits = (e[1:] > e[:-1]).astype(np.int64)  # (n_frames-1, 4)
+    out = []
+    for w in range(0, bits.shape[0] - N_TRANSITIONS + 1, hop):
+        out.append(
+            (
+                w,
+                [
+                    int(
+                        sum(
+                            int(bits[w + t, b]) << t
+                            for t in range(N_TRANSITIONS)
+                        )
+                    )
+                    for b in range(N_BANDS)
+                ],
+            )
+        )
+    return out
+
+
+def track_window_signatures(
+    payloads: DataFrame, hop: int = WINDOW_HOP
+) -> DataFrame:
+    """REAL WAV decode -> one fingerprint row per hop-aligned window:
+    (doc_id, window_start, b0..b3). One Arrow-batched pass; the
+    per-frame energy table is computed once per track, windows reuse
+    it (no per-window re-decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flumedb_spark.operators import mmcodec
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "window_start": [],
+                "b0": [], "b1": [], "b2": [], "b3": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    samples, _ = mmcodec.decode_wav(bytes(p))
+                except ValueError:
+                    continue
+                for w, bands in _window_bands_of(samples, hop):
+                    out["doc_id"].append(doc_id)
+                    out["window_start"].append(w)
+                    for k in range(N_BANDS):
+                        out[f"b{k}"].append(bands[k])
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        run,
+        "doc_id long, window_start int, b0 long, b1 long, b2 long, b3 long",
+    )
+
+
+def audio_clip_search(
+    track_payloads: DataFrame,
+    clip_payloads: DataFrame,
+    max_hamming: int = 8,
+    hop: int = WINDOW_HOP,
+) -> DataFrame:
+    """Find which tracks contain which query clips, and where: clip
+    fingerprints probe the hop-aligned track window signatures via the
+    band equi-join, then exact Hamming verify. Output (clip_doc,
+    track_doc, window_start, hamming), ordered.
+
+    Scale shape: the track index is built ONCE (a few signature rows
+    per track-minute) and reused across query batches; a probe is a
+    join between a small clip table and the index — the Shazam lookup
+    as two DataFrame joins, nothing all-pairs, no re-decode."""
+    tsig = track_window_signatures(track_payloads, hop).localCheckpoint(
+        eager=True
+    )
+    csig = audio_fingerprint_bands(clip_payloads).localCheckpoint(eager=True)
+    tbands = tsig.select(
+        F.col("doc_id").alias("track_doc"), "window_start",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"), F.col(f"b{k}").alias("bval")
+                )
+                for k in range(N_BANDS)
+            ])
+        ).alias("e"),
+    ).select("track_doc", "window_start", "e.band", "e.bval")
+    cbands = csig.select(
+        F.col("doc_id").alias("clip_doc"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"), F.col(f"b{k}").alias("bval")
+                )
+                for k in range(N_BANDS)
+            ])
+        ).alias("e"),
+    ).select("clip_doc", "e.band", "e.bval")
+    cand = (
+        cbands.join(tbands, ["band", "bval"])
+        .select("clip_doc", "track_doc", "window_start")
+        .distinct()
+    )
+    sc = csig.select(
+        F.col("doc_id").alias("clip_doc"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(N_BANDS)],
+    )
+    st = tsig.select(
+        F.col("doc_id").alias("track_doc"), "window_start",
+        *[F.col(f"b{k}").alias(f"b_{k}") for k in range(N_BANDS)],
+    )
+    ham = F.expr(
+        " + ".join(f"bit_count(a{k} ^ b_{k})" for k in range(N_BANDS))
+    ).cast("long")
+    return (
+        cand.join(sc, "clip_doc")
+        .join(st, ["track_doc", "window_start"])
+        .select("clip_doc", "track_doc", "window_start", ham.alias("hamming"))
+        .where(F.col("hamming") <= int(max_hamming))
+        .orderBy("clip_doc", "track_doc", "window_start")
+    )
+
+
+# ---------------------------------------------------------------------
 # DuckDB oracle replay — sample -> energy -> bit -> band -> join ->
 # Hamming, all closed-form over the synthetic md5 formulas
 # ---------------------------------------------------------------------
@@ -276,6 +503,116 @@ def audio_fingerprint_oracle_sql(table: str = "documents") -> str:
       concat(printf('%04x', b0), printf('%04x', b1),
              printf('%04x', b2), printf('%04x', b3)) AS fp_hex
     FROM sig ORDER BY doc_id
+    """
+
+
+def clip_search_oracle_sql(
+    table: str = "documents", max_hamming: int = 8, hop: int = WINDOW_HOP
+) -> str:
+    """Replay of the full :func:`audio_clip_search` chain: track
+    energies/bits/windows and clip fingerprints from the synthetic md5
+    formulas, band join, Hamming verify."""
+    tval = _md5_byte_sql(
+        "concat('t', CAST(d.doc_id AS VARCHAR), '|', CAST(s.i AS VARCHAR))"
+    )
+    # clip sample i is track sample 32*offset + i, except the perturbed
+    # sub-block of clip-local frame 3 on d % 5 = 0 docs
+    off = f"(CASE d.doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN {hop} ELSE {hop // 2} END)"
+    cval = _md5_byte_sql(
+        f"concat('t', CAST(d.doc_id AS VARCHAR), '|', "
+        f"CAST({FRAME} * {off} + s.i AS VARCHAR))"
+    )
+    pval = _md5_byte_sql(
+        "concat('cp', CAST(d.doc_id AS VARCHAR), '|', CAST(s.i AS VARCHAR))"
+    )
+    sb = _md5_byte_sql("concat('cb', CAST(d.doc_id AS VARCHAR))")
+    max_w = (N_TRACK_FRAMES - 1) - N_TRANSITIONS  # last window start
+    return f"""
+    WITH tsamples AS (
+      SELECT d.doc_id, s.i, {tval} - 128 AS x
+      FROM {table} d,
+           generate_series(0, {FRAME * N_TRACK_FRAMES - 1}) s(i)
+    ),
+    te AS (
+      SELECT doc_id, s.i // {FRAME} AS f, (s.i % {FRAME}) // {SUB} AS b,
+             sum(x * x) AS e
+      FROM tsamples s GROUP BY doc_id, s.i // {FRAME}, (s.i % {FRAME}) // {SUB}
+    ),
+    tbit AS (
+      SELECT a.doc_id, a.f AS t, a.b,
+        CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM te a JOIN te n
+        ON n.doc_id = a.doc_id AND n.f = a.f + 1 AND n.b = a.b
+      WHERE a.f < {N_TRACK_FRAMES - 1}
+    ),
+    twin AS (
+      SELECT tb.doc_id, w.w AS window_start, tb.b AS band,
+        CAST(sum(tb.bit * (1 << (tb.t - w.w))) AS BIGINT) AS bval
+      FROM tbit tb, generate_series(0, {max_w}, {hop}) w(w)
+      WHERE tb.t >= w.w AND tb.t < w.w + {N_TRANSITIONS}
+      GROUP BY tb.doc_id, w.w, tb.b
+    ),
+    tsig AS (
+      SELECT doc_id, window_start,
+        max(CASE WHEN band = 0 THEN bval END) AS b0,
+        max(CASE WHEN band = 1 THEN bval END) AS b1,
+        max(CASE WHEN band = 2 THEN bval END) AS b2,
+        max(CASE WHEN band = 3 THEN bval END) AS b3
+      FROM twin GROUP BY doc_id, window_start
+    ),
+    csamples AS (
+      SELECT d.doc_id, s.i,
+        CASE WHEN d.doc_id % 5 = 0
+              AND s.i // {FRAME} = {CLIP_PERTURB_FRAME}
+              AND (s.i % {FRAME}) // {SUB} = ({sb}) % {N_BANDS}
+             THEN {pval} - 128 ELSE {cval} - 128 END AS x
+      FROM {table} d, generate_series(0, {N_SAMPLES - 1}) s(i)
+    ),
+    ce AS (
+      SELECT doc_id, s.i // {FRAME} AS f, (s.i % {FRAME}) // {SUB} AS b,
+             sum(x * x) AS e
+      FROM csamples s GROUP BY doc_id, s.i // {FRAME}, (s.i % {FRAME}) // {SUB}
+    ),
+    cbit AS (
+      SELECT a.doc_id, a.f AS t, a.b,
+        CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM ce a JOIN ce n
+        ON n.doc_id = a.doc_id AND n.f = a.f + 1 AND n.b = a.b
+      WHERE a.f < {N_TRANSITIONS}
+    ),
+    cbands AS (
+      SELECT doc_id, b AS band,
+        CAST(sum(bit * (1 << t)) AS BIGINT) AS bval
+      FROM cbit GROUP BY doc_id, b
+    ),
+    csig AS (
+      SELECT doc_id,
+        max(CASE WHEN band = 0 THEN bval END) AS b0,
+        max(CASE WHEN band = 1 THEN bval END) AS b1,
+        max(CASE WHEN band = 2 THEN bval END) AS b2,
+        max(CASE WHEN band = 3 THEN bval END) AS b3
+      FROM cbands GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS clip_doc, t.doc_id AS track_doc,
+                      t.window_start
+      FROM cbands c JOIN twin t
+        ON c.band = t.band AND c.bval = t.bval
+    ),
+    scored AS (
+      SELECT c.clip_doc, c.track_doc,
+        CAST(c.window_start AS INT) AS window_start,
+        CAST(bit_count(xor(sc.b0, st.b0)) + bit_count(xor(sc.b1, st.b1))
+           + bit_count(xor(sc.b2, st.b2)) + bit_count(xor(sc.b3, st.b3))
+           AS BIGINT) AS hamming
+      FROM cand c
+      JOIN csig sc ON sc.doc_id = c.clip_doc
+      JOIN tsig st ON st.doc_id = c.track_doc
+                  AND st.window_start = c.window_start
+    )
+    SELECT clip_doc, track_doc, window_start, hamming FROM scored
+    WHERE hamming <= {int(max_hamming)}
+    ORDER BY clip_doc, track_doc, window_start
     """
 
 

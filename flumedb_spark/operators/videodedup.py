@@ -67,10 +67,13 @@ from .imagededup import N_BANDS, _dhash_bands_of, _md5_byte_sql
 __all__ = [
     "synth_neardup_video_frames",
     "with_synthetic_neardup_video_payload",
+    "with_synthetic_frame_image_payload",
     "video_keyframe_signatures",
     "video_neardup_candidates",
+    "video_image_matches",
     "video_signatures_oracle_sql",
     "video_neardup_oracle_sql",
+    "video_image_matches_oracle_sql",
 ]
 
 # frame geometry: 8x9 grid of 8x8 constant blocks -> the dHash 9x8
@@ -273,6 +276,125 @@ def video_neardup_candidates(
     )
 
 
+def _base_frame_image(group: int, cf: int) -> np.ndarray:
+    """The UNPERTURBED (64, 72) grayscale content frame ``cf`` of video
+    ``group`` — the still a known-image registry would hold."""
+    arr = np.empty((_FRAME_H, _FRAME_W), dtype=np.uint8)
+    for y in range(_GRID_H):
+        for x in range(_GRID_W):
+            b = _h8(f"v{group}|{cf}|{y}|{x}")
+            arr[_BLK * y : _BLK * (y + 1), _BLK * x : _BLK * (x + 1)] = (
+                b - (b % 2)
+            )
+    return arr
+
+
+def with_synthetic_frame_image_payload(docs: DataFrame) -> DataFrame:
+    """doc_id -> real BMP bytes of the base content frame
+    ``doc_id % 4`` of video group ``doc_id // 4`` — a still-image
+    registry whose entries genuinely appear inside the synthetic video
+    corpus (pixel-identical: BMP is lossless and the video frames'
+    JPEG round-trip is exactly the identity)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flumedb_spark.operators import mmcodec
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        mmcodec.encode_bmp(
+                            np.repeat(
+                                _base_frame_image(
+                                    int(d) // 4, int(d) % 4
+                                )[:, :, None],
+                                3,
+                                axis=2,
+                            )
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def video_image_matches(
+    video_payloads: DataFrame,
+    image_payloads: DataFrame,
+    max_hamming: int = 8,
+    max_frames: int = 8,
+    every_n_frames: int = 1,
+) -> DataFrame:
+    """CROSS-MODAL containment search: which videos contain which known
+    still images (watermark / known-content registry scanning). Both
+    modalities hash through the SAME dHash kernel, so the probe is a
+    band equi-join between the image signature table and the keyframe
+    signature table — never all-pairs across the corpus — followed by
+    exact ``bit_count(xor)`` verify. Output (image_doc, video_doc,
+    frame_idx, hamming), ordered.
+
+    Scale shape: the image registry side is typically small (broadcast
+    its 4-band table); the video side is the keyframe signature table
+    already produced for near-dup — at 100 TB this probe is a join
+    between two signature tables, no re-decode of either corpus."""
+    from .imagededup import image_dhash_bands
+
+    vsig = video_keyframe_signatures(
+        video_payloads, max_frames=max_frames, every_n_frames=every_n_frames
+    ).localCheckpoint(eager=True)
+    isig = image_dhash_bands(image_payloads).localCheckpoint(eager=True)
+    vbands = vsig.select(
+        F.col("doc_id").alias("video_doc"),
+        F.col("frame_idx").alias("frame_idx"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"), F.col(f"b{k}").alias("bval")
+                )
+                for k in range(N_BANDS)
+            ])
+        ).alias("e"),
+    ).select("video_doc", "frame_idx", "e.band", "e.bval")
+    ibands = isig.select(
+        F.col("doc_id").alias("image_doc"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"), F.col(f"b{k}").alias("bval")
+                )
+                for k in range(N_BANDS)
+            ])
+        ).alias("e"),
+    ).select("image_doc", "e.band", "e.bval")
+    cand = (
+        ibands.join(vbands, ["band", "bval"])
+        .select("image_doc", "video_doc", "frame_idx")
+        .distinct()
+    )
+    si = isig.select(
+        F.col("doc_id").alias("image_doc"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(N_BANDS)],
+    )
+    sv = vsig.select(
+        F.col("doc_id").alias("video_doc"),
+        "frame_idx",
+        *[F.col(f"b{k}").alias(f"b_{k}") for k in range(N_BANDS)],
+    )
+    ham = F.expr(
+        " + ".join(f"bit_count(a{k} ^ b_{k})" for k in range(N_BANDS))
+    ).cast("long")
+    return (
+        cand.join(si, "image_doc")
+        .join(sv, ["video_doc", "frame_idx"])
+        .select("image_doc", "video_doc", "frame_idx", ham.alias("hamming"))
+        .where(F.col("hamming") <= int(max_hamming))
+        .orderBy("image_doc", "video_doc", "frame_idx")
+    )
+
+
 # ---------------------------------------------------------------------
 # DuckDB oracle replay — block value -> bit -> band -> join -> Hamming
 # -> offset histogram, all closed-form over the synthetic md5 formulas
@@ -332,6 +454,66 @@ def video_signatures_oracle_sql(table: str = "documents") -> str:
     WITH {_sig_cte(table)}
     SELECT doc_id, CAST(f AS INT) AS frame_idx, b0, b1, b2, b3
     FROM sig ORDER BY doc_id, frame_idx
+    """
+
+
+def video_image_matches_oracle_sql(
+    table: str = "documents", max_hamming: int = 8
+) -> str:
+    """Replay of :func:`video_image_matches` over the synthetic video
+    corpus and the frame-image registry (image doc d = base content
+    frame d%4 of group d//4, unperturbed)."""
+    ibase = _md5_byte_sql(
+        "concat('v', CAST(d.doc_id // 4 AS VARCHAR), '|', "
+        "CAST(d.doc_id % 4 AS VARCHAR), '|', "
+        "CAST(dy.y AS VARCHAR), '|', CAST(dx.x AS VARCHAR))"
+    )
+    return f"""
+    WITH {_sig_cte(table)},
+    ig AS (
+      SELECT d.doc_id, dy.y, dx.x,
+        ({ibase} - ({ibase}) % 2) AS v
+      FROM {table} d,
+           generate_series(0, {_GRID_H - 1}) dy(y),
+           generate_series(0, {_GRID_W - 1}) dx(x)
+    ),
+    ibits AS (
+      SELECT a.doc_id, a.y, a.x,
+        CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+      FROM ig a JOIN ig b ON b.doc_id = a.doc_id AND b.y = a.y
+                         AND b.x = a.x + 1
+    ),
+    ibands AS (
+      SELECT doc_id, y // 2 AS band,
+        CAST(sum(bit * (1 << ((y % 2) * 8 + x))) AS BIGINT) AS bval
+      FROM ibits GROUP BY doc_id, y // 2
+    ),
+    isig AS (
+      SELECT doc_id,
+        max(CASE WHEN band = 0 THEN bval END) AS b0,
+        max(CASE WHEN band = 1 THEN bval END) AS b1,
+        max(CASE WHEN band = 2 THEN bval END) AS b2,
+        max(CASE WHEN band = 3 THEN bval END) AS b3
+      FROM ibands GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS image_doc, v.doc_id AS video_doc,
+                      v.f AS frame_idx
+      FROM ibands i JOIN bands v
+        ON i.band = v.band AND i.bval = v.bval
+    ),
+    scored AS (
+      SELECT c.image_doc, c.video_doc, CAST(c.frame_idx AS INT) AS frame_idx,
+        CAST(bit_count(xor(si.b0, sv.b0)) + bit_count(xor(si.b1, sv.b1))
+           + bit_count(xor(si.b2, sv.b2)) + bit_count(xor(si.b3, sv.b3))
+           AS BIGINT) AS hamming
+      FROM cand c
+      JOIN isig si ON si.doc_id = c.image_doc
+      JOIN sig sv ON sv.doc_id = c.video_doc AND sv.f = c.frame_idx
+    )
+    SELECT image_doc, video_doc, frame_idx, hamming FROM scored
+    WHERE hamming <= {int(max_hamming)}
+    ORDER BY image_doc, video_doc, frame_idx
     """
 
 

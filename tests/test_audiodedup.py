@@ -92,6 +92,30 @@ class TestPipeline:
             f"{b:04x}" for b in (row.b0, row.b1, row.b2, row.b3)
         )
 
+    def test_clip_search_offsets_and_tolerance(self, spark, docs):
+        tracks = audiodedup.with_synthetic_track_payload(docs)
+        clips = audiodedup.with_synthetic_clip_payload(docs)
+        out = audiodedup.audio_clip_search(tracks, clips).collect()
+        hits = {r.clip_doc: r for r in out}
+        assert len(out) == len(hits)  # one window per matching clip
+        for d in range(24):
+            exp_off = (0, 8, 4)[d % 3]
+            if exp_off == 4:  # off the hop grid: must NOT match
+                assert d not in hits, hits.get(d)
+            else:
+                r = hits[d]
+                assert r.track_doc == d and r.window_start == exp_off
+                # perturbed clips (d%5==0) still match within tolerance
+                assert r.hamming <= (2 if d % 5 == 0 else 0)
+
+    def test_window_signatures_cover_hop_grid(self, spark, docs):
+        tracks = audiodedup.with_synthetic_track_payload(docs)
+        sig = audiodedup.track_window_signatures(tracks).collect()
+        per_doc = {}
+        for r in sig:
+            per_doc.setdefault(r.doc_id, []).append(r.window_start)
+        assert all(sorted(v) == [0, 8, 16, 24] for v in per_doc.values())
+
     def test_candidate_join_plan_no_cartesian_no_python(self, spark, docs):
         payloads = audiodedup.with_synthetic_neardup_audio_payload(docs)
         plan = (

@@ -121,6 +121,24 @@ class TestPipeline:
         assert {r.frame_idx for r in sig} == {0, 1}
         assert len(sig) == 24 * 2
 
+    def test_cross_modal_image_matches(self, spark, docs):
+        videos = videodedup.with_synthetic_neardup_video_payload(docs)
+        images = videodedup.with_synthetic_frame_image_payload(docs)
+        out = videodedup.video_image_matches(videos, images).collect()
+        assert out, "no cross-modal matches found"
+        for r in out:
+            # every match is intra-group (md5-random cross-group frames
+            # sit ~32 bits apart)
+            assert r.image_doc // 4 == r.video_doc // 4
+            # image content frame cf=3 exists ONLY in shifted variant-3
+            # clips, at their final keyframe
+            if r.image_doc % 4 == 3:
+                assert r.video_doc % 4 == 3 and r.frame_idx == 2
+        # the registry still of an UNPERTURBED base frame matches its
+        # own video exactly
+        exact = [r for r in out if r.hamming == 0]
+        assert exact
+
     def test_candidate_join_plan_no_cartesian_no_python(self, spark, docs):
         payloads = videodedup.with_synthetic_neardup_video_payload(docs)
         plan = (
