@@ -124,6 +124,7 @@ EXTRAS = [
     # ~7-15 s at sf0.1) — benched ad hoc, correctness-gated at sf0.01
     # by the driver window instead.
     "ns_xlsx_cells", "ns_audio_neardup", "ns_pptx_text",
+    "ns_odt_text", "ns_epub_text",
 ]
 
 

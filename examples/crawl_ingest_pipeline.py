@@ -321,6 +321,31 @@ def main() -> None:
     assert ok_cells >= 4 * n_xlsx > 0  # 4 typed cells per sheet row
     print(f"xlsx leg: {n_xlsx} xlsx responses -> {ok_cells} cells")
 
+    # the OpenDocument and e-book legs (r10: operators/odt.py,
+    # operators/epub.py — ODF content.xml walk; OCF container -> OPF
+    # spine -> XHTML chapters)
+    from flumedb_spark.operators import epub as epubops
+    from flumedb_spark.operators import odt as odtops
+
+    odt_docs = pages.where(F.col("doc_id") % 7 == 3).select(
+        "doc_id", F.col("html").alias("text")
+    )
+    ok_odt = (
+        odtops.odt_text_paragraphs(
+            odtops.with_synthetic_odt_payload(odt_docs)
+        ).where("ok").count()
+    )
+    epub_docs = pages.where(F.col("doc_id") % 7 == 4).select(
+        "doc_id", F.col("html").alias("text")
+    )
+    ok_epub = (
+        epubops.epub_chapter_texts(
+            epubops.with_synthetic_epub_payload(epub_docs)
+        ).where("ok").count()
+    )
+    assert ok_odt > 0 and ok_epub > 0
+    print(f"odt leg: {ok_odt} paragraphs; epub leg: {ok_epub} chapters")
+
     # ---- stages 3-9, pass 1: the shared curation chain (extraction,
     # blocklist, three quality gates, LSH components, canonical keeper,
     # URLs, host graph). 'src3tok1' plays the spam vocabulary: the

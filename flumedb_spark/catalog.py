@@ -128,6 +128,8 @@ WINDOW_NEW: list[str] = [
     "ns_video_image_match",
     "ns_pptx_text",
     "ns_audio_clip_search",
+    "ns_odt_text",
+    "ns_epub_text",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -179,8 +181,6 @@ _WINDOW_BACKFILL: list[str] = [
     "ns_semantic_dedup",
     "ns_pii_redaction",
     "ns_chunk_dedup",
-    "ns_url_dedup",
-    "window_distribution",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

@@ -17,8 +17,10 @@ from .operators import (
     audiodedup,
     dedup,
     docx,
+    epub,
     imagededup,
     multimodal,
+    odt,
     pdf,
     pptx,
     similarity,
@@ -403,6 +405,36 @@ def ns_pptx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pptx.pptx_slide_texts(payloads).orderBy(
         "doc_id", "slide_idx", "shape_idx"
     )
+
+
+@query("ns_odt_text", oracle=odt.odt_text_oracle_sql())
+def ns_odt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODT text extraction (NEW r10 — the OpenDocument/ISO 26300 leg
+    beside the ECMA-376 quartet): worker-side synthesis of REAL
+    minimal .odt packages (spec-mandated stored-first mimetype member,
+    manifest, namespaced content.xml; operators/odt.py), then the real
+    parse back out — office:text paragraph walk flattening nested
+    spans and applying the ODF whitespace model (text:tab/line-break/
+    text:s). Paragraph p of doc d carries chars [45p, 45p+45), so the
+    oracle replays extraction as substr arithmetic."""
+    payloads = odt.with_synthetic_odt_payload(spark.table("documents"))
+    return odt.odt_text_paragraphs(payloads).orderBy("doc_id", "para_idx")
+
+
+@query("ns_epub_text", oracle=epub.epub_text_oracle_sql())
+def ns_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB text extraction (NEW r10 — the e-book/OCF leg of the
+    ingest stack): worker-side synthesis of REAL minimal .epub books
+    (stored-first mimetype, container.xml, OPF manifest + spine, XHTML
+    chapters zip-stored in REVERSE so reading order must come from the
+    spine; operators/epub.py), then the real parse back out —
+    container -> rootfile -> manifest resolution -> spine-ordered
+    chapter body texts with script/style dropped and the
+    entity-subset DTD vector rejected. Chapter c of doc d carries
+    chars [55c, 55c+55), so the oracle replays extraction as substr
+    arithmetic."""
+    payloads = epub.with_synthetic_epub_payload(spark.table("documents"))
+    return epub.epub_chapter_texts(payloads).orderBy("doc_id", "chapter_idx")
 
 
 @query("ns_audio_clip_search", oracle=audiodedup.clip_search_oracle_sql())
