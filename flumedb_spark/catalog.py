@@ -130,6 +130,15 @@ WINDOW_NEW: list[str] = [
     "ns_audio_clip_search",
     "ns_odt_text",
     "ns_epub_text",
+    # second r10 batch: email/RTF/markup ingest legs + conversation/SFT
+    "ns_eml_text",
+    "ns_mbox_messages",
+    "ns_rtf_text",
+    "ns_markdown_strip",
+    "ns_latex_strip",
+    "ns_sft_turns",
+    "ns_chat_template",
+    "ns_turn_dedup",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -173,14 +182,6 @@ _WINDOW_BACKFILL: list[str] = [
     "q9_product_profit",
     "q12_priority_classes",
     "q13_customer_distribution",
-    "interval_join_events",
-    "ns_image_decode_meta",
-    "ns_histogram_quantiles",
-    "ns_decontamination",
-    "ns_repetition_ratio",
-    "ns_semantic_dedup",
-    "ns_pii_redaction",
-    "ns_chunk_dedup",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

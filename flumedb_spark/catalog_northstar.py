@@ -15,14 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 from .catalog import query, shared_sql
 from .operators import (
     audiodedup,
+    conversations,
     dedup,
     docx,
+    eml,
     epub,
     imagededup,
+    markup,
     multimodal,
     odt,
     pdf,
     pptx,
+    rtf,
     similarity,
     text,
     videodedup,
@@ -4475,3 +4479,126 @@ def ns_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _html.with_synthetic_linked_html(spark.table("documents"))
     links = _html.html_links(pages)
     return _urls.anchor_text_index(links)
+
+
+# ---------------------------------------------------------------------
+# r10 ingest legs: email (EML/MBOX), RTF, markdown/LaTeX strip,
+# conversation/SFT preparation
+# ---------------------------------------------------------------------
+
+
+@query("ns_eml_text", oracle=eml.eml_text_oracle_sql())
+def ns_eml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email text extraction (NEW r10 — the mail leg of the ingest
+    stack): worker-side synthesis of REAL RFC 5322 + MIME messages
+    (RFC 2047 base64 encoded-word Subject, multipart/alternative with
+    a quoted-printable text/plain part and a base64 text/html part
+    whose text splits across a <b> span; operators/eml.py), then the
+    real parse back out via the stdlib email package — header decode,
+    MIME walk, per-part transfer decode, HTML tag flattening. Subject
+    = text[0:20], plain = text[20:80], html = text[80:140], so the
+    oracle replays extraction as substr arithmetic — an encoded-word,
+    boundary, transfer-decode, or tag-strip bug breaks the hash."""
+    payloads = eml.with_synthetic_eml_payload(spark.table("documents"))
+    return eml.eml_part_texts(payloads).orderBy("doc_id", "part_idx")
+
+
+@query("ns_mbox_messages", oracle=eml.mbox_messages_oracle_sql())
+def ns_mbox_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mailbox-archive splitting (NEW r10): doc d becomes a REAL RFC
+    4155 mbox of 1 + d%2 full MIME messages; odd messages' bodies
+    START with 'From the corpus: ' so the reversible mboxrd
+    From-quoting is exercised by genuine separator-lookalikes. The
+    operator splits on unquoted 'From ' lines, unquotes, and parses
+    each message with the full EML kernel. Message m's subject is
+    text[10m:10m+20] and its body text[25m+20:25m+60] (+ the odd-m
+    prefix), so the oracle replays the framing as substr arithmetic —
+    a quoting or split bug changes message counts or bodies and breaks
+    the hash."""
+    payloads = eml.with_synthetic_mbox_payload(spark.table("documents"))
+    return eml.mbox_messages(payloads).orderBy("doc_id", "msg_idx")
+
+
+@query("ns_rtf_text", oracle=rtf.rtf_text_oracle_sql())
+def ns_rtf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF text extraction (NEW r10 — the legacy-office leg):
+    worker-side synthesis of REAL RTF 1.9 documents (font/color-table
+    skip destinations, an {\\*\\generator} ignorable destination,
+    paragraphs split across {\\b ...} groups with deterministic \\'xx
+    hex and \\uN? unicode escapes; operators/rtf.py), then the real
+    tokenizer back out — group stack, destination skipping, both
+    escape decoders, the \\uc fallback-skip rule. Paragraph p of doc d
+    carries text[40p:40p+40), so the oracle replays extraction as
+    substr arithmetic."""
+    payloads = rtf.with_synthetic_rtf_payload(spark.table("documents"))
+    return rtf.rtf_paragraphs(payloads).orderBy("doc_id", "para_idx")
+
+
+@query("ns_markdown_strip", oracle=markup.markdown_strip_oracle_sql())
+def ns_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> plain text (NEW r10): the corpus text is sliced
+    into a synthetic markdown document (header, bold/italic,
+    image-alt, link-text, blockquote, inline code, a dropped fence)
+    with pure SQL concat, then stripped by the pure-JVM
+    regexp_replace chain (operators/markup.py — whole-stage codegen,
+    zero Python, zero shuffle). The oracle rebuilds the markdown for
+    md_len (checking the synthesis) but states the expected PLAIN text
+    closed-form as substr concatenation, so a pattern-order or
+    capture-group bug breaks the hash."""
+    return markup.markdown_plain(spark.table("documents")).orderBy("doc_id")
+
+
+@query("ns_latex_strip", oracle=markup.latex_strip_oracle_sql())
+def ns_latex_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX -> plain text (NEW r10, the arXiv-corpus leg): synthetic
+    LaTeX (section, comment line, textbf/emph, inline math, itemize)
+    built from corpus slices with SQL concat, stripped by the
+    pure-JVM regexp chain: comments dropped, argument-keeping commands
+    keep their argument, math dropped, environments and bare commands
+    removed. Oracle device as ns_markdown_strip."""
+    return markup.latex_plain(spark.table("documents")).orderBy("doc_id")
+
+
+@query("ns_sft_turns", oracle=conversations.sft_turns_oracle_sql())
+def ns_sft_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation flatten (NEW r10 — the instruction-tuning leg):
+    doc d becomes a JSON conversation of 1 + d%4 alternating
+    user/assistant turns (turn t's content = text[30t:30t+30)) built
+    with to_json(transform(sequence(...))); the operator parses it
+    back with from_json + posexplode into per-turn rows with word
+    counts — pure JVM both directions, whole-stage codegen. The
+    oracle replays the turns as substr arithmetic WITHOUT trusting the
+    JSON round trip, so a schema, explode-order, or tokenize bug
+    breaks the hash."""
+    convs = conversations.with_synthetic_conversation(spark.table("documents"))
+    return conversations.conversation_turns(convs).orderBy("doc_id", "turn_idx")
+
+
+@query("ns_chat_template", oracle=conversations.chat_template_oracle_sql())
+def ns_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template render (NEW r10): one packed training string per
+    conversation — '<|role|>content' turns joined by newlines in turn
+    order, via array_sort(collect_list(struct)) inside a plain groupBy
+    (deterministic order with NO single-partition window). The oracle
+    replays with string_agg(... ORDER BY turn_idx) over the
+    substr-derived turns and cross-checks the rendered length
+    arithmetically."""
+    convs = conversations.with_synthetic_conversation(spark.table("documents"))
+    turns = conversations.conversation_turns(convs)
+    return conversations.chat_template_render(turns).orderBy("doc_id")
+
+
+@query("ns_turn_dedup", oracle=conversations.turn_dedup_oracle_sql())
+def ns_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level exact dedup (NEW r10): corpus-wide groupBy on
+    (role, md5(content)) keeping the lexicographically-first
+    (doc_id, turn_idx) occurrence — the cheap first pass that removes
+    boilerplate repeated turns from SFT sets before MinHash. One
+    hash-groupBy shuffle on a high-cardinality key. The oracle
+    replays the argmin as integer arithmetic (min(doc_id*8+turn_idx))
+    over the substr-derived turns."""
+    convs = conversations.with_synthetic_conversation(spark.table("documents"))
+    turns = conversations.conversation_turns(convs)
+    return conversations.turn_dedup(turns).orderBy(
+        "first_doc_id", "first_turn_idx", "role"
+    )

@@ -1,0 +1,149 @@
+"""Markdown/LaTeX strippers (operators/markup.py) and conversation/SFT
+preparation (operators/conversations.py)."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flumedb_spark.operators import conversations, markup
+
+
+class TestMarkdownStrip:
+    @pytest.mark.parametrize(
+        "md,plain",
+        [
+            ("# Header\nbody", "Header\nbody"),
+            ("###### deep header", "deep header"),
+            ("**bold** and *ital*", "bold and ital"),
+            ("a `code span` b", "a code span b"),
+            ("[text](https://corp.test/x)", "text"),
+            ("![alt words](https://corp.test/i.png)", "alt words"),
+            ("> quoted\n> lines", "quoted\nlines"),
+            ("pre\n```\ndropped\n```\npost", "pre\n\npost"),
+            ("", ""),
+            ("plain stays plain", "plain stays plain"),
+        ],
+    )
+    def test_rules(self, spark, md, plain):
+        df = spark.createDataFrame([Row(x=md)])
+        got = df.select(markup.strip_markdown(F.col("x")).alias("p")).first().p
+        assert got == plain
+
+    def test_image_before_link_order_matters(self, spark):
+        # an image inside a link: ![a](u) must resolve before [..](..)
+        df = spark.createDataFrame([Row(x="see ![icon](u1) then [go](u2)")])
+        got = df.select(markup.strip_markdown(F.col("x")).alias("p")).first().p
+        assert got == "see icon then go"
+
+
+class TestLatexStrip:
+    @pytest.mark.parametrize(
+        "tex,plain",
+        [
+            ("\\section{Intro}", "Intro"),
+            ("\\textbf{bold} and \\emph{em}", "bold and em"),
+            ("pre % comment\npost", "pre \npost"),
+            ("a $x^2 + y$ b", "a  b"),
+            ("\\begin{itemize}\\item one\\end{itemize}", " one"),
+            ("\\par\\noindent text", " text"),
+            ("", ""),
+        ],
+    )
+    def test_rules(self, spark, tex, plain):
+        df = spark.createDataFrame([Row(x=tex)])
+        got = df.select(markup.strip_latex(F.col("x")).alias("p")).first().p
+        assert got == plain
+
+    def test_synthesis_exercises_every_rule(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(4)
+        md = markup.with_synthetic_markdown(docs).first().markdown
+        for needle in ("# ", "**", "![", "](", "> ", "`", "```"):
+            assert needle in md
+        tex = markup.with_synthetic_latex(docs).first().latex
+        for needle in ("\\section{", "% ", "\\textbf{", "$", "\\begin{"):
+            assert needle in tex
+
+
+class TestConversations:
+    def _turns(self, spark, sf_dir, n=8):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(n)
+        convs = conversations.with_synthetic_conversation(docs)
+        return docs, conversations.conversation_turns(convs)
+
+    def test_json_is_valid_and_roles_alternate(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(6)
+        for r in conversations.with_synthetic_conversation(docs).collect():
+            turns = json.loads(r.conversation_json)
+            assert len(turns) == 1 + r.doc_id % 4
+            for t, turn in enumerate(turns):
+                assert turn["role"] == ("user" if t % 2 == 0 else "assistant")
+
+    def test_flatten_matches_slices(self, spark, sf_dir):
+        docs, turns = self._turns(spark, sf_dir)
+        texts = {r[0]: r[1] for r in docs.select("doc_id", "text").collect()}
+        for r in turns.collect():
+            assert r.content == texts[r.doc_id][30 * r.turn_idx : 30 * r.turn_idx + 30]
+
+    def test_malformed_json_yields_zero_rows_not_failure(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, conversation_json="{not json"),
+             Row(doc_id=2, conversation_json='[{"role":"user","content":"ok"}]')]
+        )
+        rows = conversations.conversation_turns(df).collect()
+        assert [r.doc_id for r in rows] == [2]
+
+    def test_validate_alternation_flags(self, spark):
+        rows = [
+            Row(doc_id=1, turn_idx=0, role="user", content="a"),
+            Row(doc_id=1, turn_idx=1, role="assistant", content="b"),
+            Row(doc_id=2, turn_idx=0, role="assistant", content="a"),
+            Row(doc_id=2, turn_idx=1, role="assistant", content="b"),
+        ]
+        got = {
+            r.doc_id: r
+            for r in conversations.validate_alternation(
+                spark.createDataFrame(rows)
+            ).collect()
+        }
+        assert got[1].starts_with_user and got[1].alternates
+        assert got[1].ends_with_assistant
+        assert not got[2].starts_with_user and not got[2].alternates
+
+    def test_template_render_order_and_len(self, spark, sf_dir):
+        docs, turns = self._turns(spark, sf_dir)
+        texts = {r[0]: r[1] for r in docs.select("doc_id", "text").collect()}
+        for r in conversations.chat_template_render(turns).collect():
+            expect_parts = []
+            for t in range(1 + r.doc_id % 4):
+                role = "user" if t % 2 == 0 else "assistant"
+                expect_parts.append(
+                    f"<|{role}|>" + texts[r.doc_id][30 * t : 30 * t + 30]
+                )
+            assert r.rendered == "\n".join(expect_parts)
+            assert r.rendered_len == len(r.rendered)
+            assert r.n_turns == 1 + r.doc_id % 4
+
+    def test_turn_dedup_counts_and_first_occurrence(self, spark):
+        rows = [
+            Row(doc_id=5, turn_idx=0, role="user", content="dup"),
+            Row(doc_id=3, turn_idx=1, role="user", content="dup"),
+            Row(doc_id=3, turn_idx=0, role="assistant", content="dup"),
+            Row(doc_id=9, turn_idx=0, role="user", content="uniq"),
+        ]
+        got = {
+            (r.role, r.n_copies): r
+            for r in conversations.turn_dedup(
+                spark.createDataFrame(rows)
+            ).collect()
+        }
+        u = got[("user", 2)]
+        assert (u.first_doc_id, u.first_turn_idx) == (3, 1)
+        assert ("assistant", 1) in got and ("user", 1) in got
+
+    def test_no_python_in_conversation_plan(self, spark, sf_dir):
+        # the whole chain is JVM-side: no BatchEvalPython / ArrowEval
+        docs, turns = self._turns(spark, sf_dir)
+        plan = turns._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, plan
