@@ -139,6 +139,8 @@ WINDOW_NEW: list[str] = [
     "ns_sft_turns",
     "ns_chat_template",
     "ns_turn_dedup",
+    "ns_tiff_decode",
+    "ns_html_tables",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -180,8 +182,6 @@ _WINDOW_BACKFILL: list[str] = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q12_priority_classes",
-    "q13_customer_distribution",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import query, shared_sql
+from .operators import html as _html_mod
 from .operators import (
     audiodedup,
     conversations,
@@ -29,6 +30,7 @@ from .operators import (
     rtf,
     similarity,
     text,
+    tiffcodec,
     videodedup,
     xlsx,
 )
@@ -4601,4 +4603,35 @@ def ns_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns = conversations.conversation_turns(convs)
     return conversations.turn_dedup(turns).orderBy(
         "first_doc_id", "first_turn_idx", "role"
+    )
+
+
+@query("ns_tiff_decode", oracle=tiffcodec.tiff_decode_oracle_sql())
+def ns_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF decode (NEW r10 — the scanned-document leg of the image
+    stack): worker-side synthesis of REAL TIFF 6.0 files
+    (operators/tiffcodec.py — strip-organized RGB, doc-parity
+    byte order so BOTH II and MM paths run, PackBits RLE every third
+    doc, multi-strip layout with the inline-vs-offset IFD value rule),
+    then the real reader back out — IFD walk, strip assembly, RLE
+    expansion — with dims/endianness/compression/strip-count/pixel-sum
+    replayed arithmetically by the oracle. An IFD-offset, endianness,
+    left-justified-inline-value, or PackBits bug breaks the hash."""
+    payloads = tiffcodec.with_synthetic_tiff_payload(spark.table("documents"))
+    return tiffcodec.tiff_decode_stats(payloads).orderBy("doc_id")
+
+
+@query("ns_html_tables", oracle=_html_mod.synthetic_tables_oracle_sql())
+def ns_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (NEW r10 — the tabular-data leg of the
+    crawl stack): synthetic pages each carry one table (a <th> header
+    row plus 1 + d%3 body rows x 2 cols, the first body cell split
+    across an inline <b> span) built with pure SQL concat; the REAL
+    html.parser cell collector walks table/tr/td-th attributing cells
+    to the innermost table, flattens inline tags, and collapses
+    whitespace. Body cell (r, c) carries text[20(2r+c) : +20), so the
+    oracle replays cells as substr arithmetic."""
+    pages = _html_mod.with_synthetic_table_html(spark.table("documents"))
+    return _html_mod.html_tables(pages).orderBy(
+        "doc_id", "table_idx", "row_idx", "col_idx"
     )

@@ -370,3 +370,185 @@ def synthetic_links_oracle_sql(n_docs_mod: int = 97) -> str:
     WHERE s.i <= d.doc_id % 3
     ORDER BY d.doc_id, href, anchor
     """
+
+
+# ---------------------------------------------------------------------
+# table extraction (r10)
+# ---------------------------------------------------------------------
+
+
+def _table_parser_class():
+    """<table>/<tr>/<td|th> cell collector (factory for the same
+    executor-pickling reason as _link_parser_class). Cells are
+    attributed to the INNERMOST open table; nested tables do not leak
+    cells into their parent. Cell text is flattened through inline
+    tags with entities decoded — the html_text semantics."""
+    from html.parser import HTMLParser
+
+    class _T(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            # one row per cell: (table_idx, row_idx, col_idx,
+            #                    is_header, chunks)
+            self.cells: list[tuple[int, int, int, bool, list]] = []
+            self._n_tables = 0
+            # stack of [table_idx, row_counter, col_counter]
+            self._tables: list[list[int]] = []
+            self._cell: list | None = None
+            self._cell_depth = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "table":
+                self._tables.append([self._n_tables, -1, -1])
+                self._n_tables += 1
+                self._cell = None
+            elif tag == "tr" and self._tables:
+                t = self._tables[-1]
+                t[1] += 1
+                t[2] = -1
+                self._cell = None
+            elif tag in ("td", "th") and self._tables:
+                t = self._tables[-1]
+                t[2] += 1
+                chunks: list = []
+                self.cells.append((t[0], t[1], t[2], tag == "th", chunks))
+                self._cell = chunks
+                self._cell_depth = len(self._tables)
+
+        def handle_endtag(self, tag):
+            if tag == "table" and self._tables:
+                self._tables.pop()
+                self._cell = None
+            elif tag in ("td", "th", "tr"):
+                self._cell = None
+
+        def handle_data(self, data):
+            if self._cell is not None and len(self._tables) == self._cell_depth:
+                self._cell.append(data)
+
+    return _T
+
+
+def html_tables(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    cap: int = MAX_PAGE_BYTES,
+) -> DataFrame:
+    """(id, html) -> one row per table CELL in document order:
+    (doc_id, table_idx, row_idx, col_idx, is_header, cell_text, ok) —
+    the stage that turns crawled pages into tabular training data
+    (relational QA, table-to-text). Whitespace inside a cell is
+    collapsed like :func:`html_text`; corrupt pages yield one
+    ok=False row. Same 100 TB shape as html_text: one Arrow-batched
+    kernel, linear, no shuffle."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(html_col).alias("page")
+    )
+    _T = _table_parser_class()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "table_idx", "row_idx", "col_idx",
+                    "is_header", "cell_text", "ok",
+                )
+            }
+
+            def emit(doc_id, ti, ri, ci, hdr, txt, ok):
+                out["doc_id"].append(doc_id)
+                out["table_idx"].append(ti)
+                out["row_idx"].append(ri)
+                out["col_idx"].append(ci)
+                out["is_header"].append(hdr)
+                out["cell_text"].append(txt)
+                out["ok"].append(ok)
+
+            for doc_id, page in zip(pdf["doc_id"], pdf["page"]):
+                try:
+                    if page is None:
+                        raise ValueError("null page")
+                    if isinstance(page, (bytes, bytearray, memoryview)):
+                        s = bytes(page)[:cap].decode("utf-8", errors="replace")
+                    else:
+                        s = str(page)[:cap]
+                    p = _T()
+                    p.feed(s)
+                    p.close()
+                    for ti, ri, ci, hdr, chunks in p.cells:
+                        txt = " ".join("".join(chunks).split())
+                        emit(doc_id, ti, ri, ci, hdr, txt, True)
+                except Exception:
+                    emit(doc_id, -1, -1, -1, False, "", False)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        run,
+        "doc_id long, table_idx int, row_idx int, col_idx int, "
+        "is_header boolean, cell_text string, ok boolean",
+    )
+
+
+TABLE_CELL_CHARS = 20
+TABLE_COLS = 2
+
+
+def with_synthetic_table_html(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, html) pages each holding ONE table of 1 + d%3 body
+    rows x 2 cols plus a <th> header row: header cell c is
+    'col <c>'; body cell (r, c) carries text[20*(2r+c) : +20) with
+    row 0's first cell split across a <b> span (inline-tag flattening
+    exercised). The oracle replays cells as substr arithmetic."""
+    t = F.col(text_col).cast("string")
+
+    def cell(r: int, c: int) -> F.Column:
+        s = F.substring(t, TABLE_CELL_CHARS * (TABLE_COLS * r + c) + 1,
+                        TABLE_CELL_CHARS)
+        if r == 0 and c == 0:
+            inner = F.concat(
+                F.lit("<b>"), F.substring(s, 1, 7), F.lit("</b>"),
+                F.substring(s, 8, TABLE_CELL_CHARS - 7),
+            )
+        else:
+            inner = s
+        return F.concat(F.lit("<td>"), inner, F.lit("</td>"))
+
+    def row(r: int) -> F.Column:
+        return F.when(
+            F.col("doc_id") % 3 >= r,
+            F.concat(F.lit("<tr>"), cell(r, 0), cell(r, 1), F.lit("</tr>\n")),
+        ).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><body><p>prose outside tables</p>\n<table>\n"
+              "<tr><th>col 0</th><th>col 1</th></tr>\n"),
+        row(0), row(1), row(2),
+        F.lit("</table>\n</body></html>\n"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def synthetic_tables_oracle_sql() -> str:
+    """DuckDB twin of ``html_tables(with_synthetic_table_html(...))``:
+    the header row plus 1 + d%3 body rows, cells by substr formula."""
+    n, k = TABLE_CELL_CHARS, TABLE_COLS
+    return f"""
+    WITH cells AS (
+      SELECT d.doc_id, 0 AS table_idx, CAST(r.r AS INT) AS row_idx,
+        CAST(c.c AS INT) AS col_idx,
+        (r.r = 0) AS is_header,
+        CASE WHEN r.r = 0 THEN 'col ' || CAST(c.c AS VARCHAR)
+          ELSE trim(regexp_replace(
+            coalesce(substr(d.text, {n} * ({k} * (r.r - 1) + c.c) + 1, {n}), ''),
+            ' +', ' ', 'g'))
+        END AS cell_text
+      FROM documents d,
+           generate_series(0, 3) r(r), generate_series(0, {k - 1}) c(c)
+      WHERE r.r <= 1 + d.doc_id % 3
+    )
+    SELECT doc_id, CAST(table_idx AS INT) AS table_idx, row_idx, col_idx,
+      is_header, cell_text, true AS ok
+    FROM cells ORDER BY doc_id, table_idx, row_idx, col_idx
+    """
