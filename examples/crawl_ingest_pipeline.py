@@ -346,6 +346,32 @@ def main() -> None:
     assert ok_odt > 0 and ok_epub > 0
     print(f"odt leg: {ok_odt} paragraphs; epub leg: {ok_epub} chapters")
 
+    # the mail and legacy-office legs (r10: operators/eml.py — RFC
+    # 5322/MIME with encoded-word headers and QP/base64 transfer
+    # decode; operators/rtf.py — the RTF 1.9 tokenizer): mailing-list
+    # archives and .rtf attachments are real crawl response types
+    from flumedb_spark.operators import eml as emlops
+    from flumedb_spark.operators import rtf as rtfops
+
+    eml_docs = pages.where(F.col("doc_id") % 7 == 5).select(
+        "doc_id", F.col("html").alias("text")
+    )
+    ok_eml = (
+        emlops.eml_part_texts(
+            emlops.with_synthetic_eml_payload(eml_docs)
+        ).where("ok").count()
+    )
+    rtf_docs = pages.where(F.col("doc_id") % 7 == 6).select(
+        "doc_id", F.col("html").alias("text")
+    )
+    ok_rtf = (
+        rtfops.rtf_paragraphs(
+            rtfops.with_synthetic_rtf_payload(rtf_docs)
+        ).where("ok").count()
+    )
+    assert ok_eml > 0 and ok_rtf > 0
+    print(f"eml leg: {ok_eml} parts; rtf leg: {ok_rtf} paragraphs")
+
     # ---- stages 3-9, pass 1: the shared curation chain (extraction,
     # blocklist, three quality gates, LSH components, canonical keeper,
     # URLs, host graph). 'src3tok1' plays the spam vocabulary: the

@@ -141,6 +141,7 @@ WINDOW_NEW: list[str] = [
     "ns_turn_dedup",
     "ns_tiff_decode",
     "ns_html_tables",
+    "ns_eml_attachment_decode",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -181,7 +182,6 @@ _WINDOW_BACKFILL: list[str] = [
     "q4_order_priority",
     "q7_nation_volume",
     "q8_market_share",
-    "q9_product_profit",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

@@ -4635,3 +4635,20 @@ def ns_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _html_mod.html_tables(pages).orderBy(
         "doc_id", "table_idx", "row_idx", "col_idx"
     )
+
+
+@query("ns_eml_attachment_decode", oracle=eml.eml_attachment_oracle_sql())
+def ns_eml_attachment_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email attachment -> image decode (NEW r10 — the cross-modal
+    composition of the mail leg with the media stack): doc d becomes a
+    REAL multipart/mixed message whose base64 image/bmp attachment is
+    a constant-color BMP with doc-arithmetic dims/colors; the operator
+    walks the MIME tree, transfer-decodes the binary part, and runs
+    the real BMP reader, emitting filename/size/dims/pixel-sum. The
+    oracle replays everything arithmetically (BMP size = 54 + h *
+    pad4(3w)), so a MIME-walk, base64, disposition, or BMP-stride bug
+    breaks the hash."""
+    payloads = eml.with_synthetic_eml_attachment_payload(
+        spark.table("documents")
+    )
+    return eml.eml_attachment_stats(payloads).orderBy("doc_id")

@@ -428,3 +428,188 @@ def mbox_messages_oracle_sql(table: str = "documents") -> str:
     WHERE s.m < 1 + d.doc_id % 2
     ORDER BY d.doc_id, msg_idx
     """
+
+
+# ---------------------------------------------------------------------
+# attachments (multipart/mixed -> binary parts -> media triage)
+# ---------------------------------------------------------------------
+
+ATT_FILENAME = "scan.bmp"
+
+
+def synth_eml_with_attachment(
+    subject: str, plain: str, attachment: bytes, msg_id: int = 0
+) -> bytes:
+    """Real multipart/mixed message: a quoted-printable text/plain
+    body plus a base64 ``image/bmp`` attachment with a
+    Content-Disposition filename — the shape mail archives actually
+    carry binary media in."""
+    boundary = f"=_m{int(msg_id)}_flume"
+    subj_b64 = base64.b64encode(subject.encode("utf-8")).decode("ascii")
+    lines = [
+        "From: sender@corp.test",
+        "To: archive@corp.test",
+        "Date: Mon, 01 Jan 2024 00:00:00 +0000",
+        f"Message-ID: <a{int(msg_id)}@corp.test>",
+        f"Subject: =?utf-8?B?{subj_b64}?=",
+        "MIME-Version: 1.0",
+        f'Content-Type: multipart/mixed; boundary="{boundary}"',
+        "",
+        f"--{boundary}",
+        'Content-Type: text/plain; charset="utf-8"',
+        "Content-Transfer-Encoding: quoted-printable",
+        "",
+        _qp(plain).replace("\n", _CRLF).rstrip(_CRLF),
+        f"--{boundary}",
+        "Content-Type: image/bmp",
+        "Content-Transfer-Encoding: base64",
+        f'Content-Disposition: attachment; filename="{ATT_FILENAME}"',
+        "",
+        _b64_lines(attachment),
+        f"--{boundary}--",
+        "",
+    ]
+    return _CRLF.join(lines).encode("utf-8")
+
+
+def decode_eml_attachments(payload: bytes) -> list[tuple[str, str, bytes]]:
+    """REAL parse -> [(filename, mime_type, raw bytes), ...] for every
+    non-text leaf part. Raises ValueError on a malformed message."""
+    payload = bytes(payload)
+    if not payload:
+        raise ValueError("eml: empty payload")
+    if len(payload) > MAX_MESSAGE:
+        raise ValueError(f"eml: message {len(payload)} bytes exceeds cap")
+    try:
+        msg = message_from_bytes(payload, policy=policy.default)
+    except Exception as e:
+        raise ValueError(f"eml: unparseable message: {e}") from e
+    if msg.defects:
+        names = ",".join(type(d).__name__ for d in msg.defects)
+        raise ValueError(f"eml: message has defects: {names}")
+    out: list[tuple[str, str, bytes]] = []
+    for part in msg.walk():
+        if part.is_multipart() or part.get_content_type().startswith("text/"):
+            continue
+        try:
+            blob = part.get_content()
+        except Exception as e:
+            raise ValueError(f"eml: undecodable attachment: {e}") from e
+        if not isinstance(blob, (bytes, bytearray)):
+            raise ValueError("eml: attachment decoded to non-bytes")
+        out.append(
+            (part.get_filename() or "", part.get_content_type(), bytes(blob))
+        )
+    return out
+
+
+def attachment_dims_for(doc_id: int) -> tuple[int, int, tuple[int, int, int]]:
+    """(width, height, rgb) of doc d's synthetic BMP attachment."""
+    d = int(doc_id)
+    w, h = 8 + d % 8, 4 + d % 4
+    rgb = ((2 * d + 1) % 256, (4 * d + 3) % 256, (6 * d + 5) % 256)
+    return w, h, rgb
+
+
+def with_synthetic_eml_attachment_payload(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """doc_id -> real multipart/mixed .eml bytes whose attachment is a
+    constant-color BMP with doc-arithmetic dims/color (encode via
+    mmcodec.encode_bmp — the real writer)."""
+    import numpy as np
+
+    from . import mmcodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_b in batches:
+            payloads = []
+            for d, t in zip(pdf_b["doc_id"], pdf_b[text_col]):
+                t = t or ""
+                w, h, rgb = attachment_dims_for(int(d))
+                arr = np.empty((h, w, 3), dtype=np.uint8)
+                arr[:, :] = rgb
+                payloads.append(
+                    synth_eml_with_attachment(
+                        t[:SUBJECT_CHARS],
+                        t[SUBJECT_CHARS : SUBJECT_CHARS + PLAIN_CHARS],
+                        mmcodec.encode_bmp(arr),
+                        msg_id=int(d),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf_b["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def eml_attachment_stats(payloads: DataFrame) -> DataFrame:
+    """REAL chain: MIME walk -> base64 attachment bytes -> BMP decode
+    -> (doc_id, filename, mime_type, n_bytes, width, height,
+    pixel_sum, ok). The email-archive form of the media-triage
+    contract: malformed message OR undecodable image -> ONE ok=False
+    row, never a failed partition."""
+    import numpy as np
+
+    from . import mmcodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_b in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "filename": [], "mime_type": [], "n_bytes": [],
+                "width": [], "height": [], "pixel_sum": [], "ok": [],
+            }
+
+            def emit(doc_id, fn, mt, nb, w, h, ps, ok):
+                out["doc_id"].append(doc_id)
+                out["filename"].append(fn)
+                out["mime_type"].append(mt)
+                out["n_bytes"].append(nb)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(ps)
+                out["ok"].append(ok)
+
+            for doc_id, p in zip(pdf_b["doc_id"], pdf_b["payload"]):
+                try:
+                    atts = decode_eml_attachments(p)
+                    if not atts:
+                        raise ValueError("eml: no attachments")
+                    for fn, mt, blob in atts:
+                        arr = mmcodec.decode_bmp(blob)
+                        emit(
+                            doc_id, fn, mt, len(blob),
+                            arr.shape[1], arr.shape[0],
+                            int(arr.sum(dtype=np.int64)), True,
+                        )
+                except ValueError:
+                    emit(doc_id, "", "", 0, 0, 0, 0, False)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        run,
+        "doc_id long, filename string, mime_type string, n_bytes long, "
+        "width int, height int, pixel_sum long, ok boolean",
+    )
+
+
+def eml_attachment_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay: dims/color are doc arithmetic; BMP size is
+    54 + h * pad4(3w); pixel_sum = w*h*(r+g+b)."""
+    return f"""
+    SELECT d.doc_id,
+      '{ATT_FILENAME}' AS filename,
+      'image/bmp' AS mime_type,
+      CAST(54 + (4 + d.doc_id % 4) *
+           ((3 * (8 + d.doc_id % 8) + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+      CAST(8 + d.doc_id % 8 AS INT) AS width,
+      CAST(4 + d.doc_id % 4 AS INT) AS height,
+      CAST((8 + d.doc_id % 8) * (4 + d.doc_id % 4) *
+           ((2*d.doc_id+1) % 256 + (4*d.doc_id+3) % 256 + (6*d.doc_id+5) % 256)
+           AS BIGINT) AS pixel_sum,
+      true AS ok
+    FROM {table} d ORDER BY d.doc_id
+    """

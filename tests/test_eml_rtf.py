@@ -193,3 +193,45 @@ class TestSparkOperators:
         assert len(bad) == 1 and bad[0].doc_id == 0 and bad[0].para_idx == -1
         good = [r for r in rows if r.ok]
         assert all(r.doc_id != 0 for r in good)
+
+
+class TestAttachments:
+    def test_round_trip(self):
+        import numpy as np
+
+        from flumedb_spark.operators import mmcodec
+
+        arr = np.full((5, 9, 3), (7, 8, 9), np.uint8)
+        raw = eml.synth_eml_with_attachment(
+            "subj", "body", mmcodec.encode_bmp(arr), 3
+        )
+        atts = eml.decode_eml_attachments(raw)
+        assert len(atts) == 1
+        fn, mt, blob = atts[0]
+        assert (fn, mt) == ("scan.bmp", "image/bmp")
+        assert np.array_equal(mmcodec.decode_bmp(blob), arr)
+        # the text part still decodes through the normal path
+        subj, parts = eml.decode_eml(raw)
+        assert subj == "subj" and parts == [("text/plain", "body")]
+
+    def test_text_only_message_has_no_attachments(self):
+        raw = eml.synth_eml("s", "p", "h")
+        assert eml.decode_eml_attachments(raw) == []
+
+    def test_operator_corrupt_degrades(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(6)
+        payloads = eml.with_synthetic_eml_attachment_payload(docs)
+        broken = payloads.withColumn(
+            "payload",
+            F.when(F.col("doc_id") == 1, F.lit(b"junk")).otherwise(
+                F.col("payload")
+            ),
+        )
+        rows = {r.doc_id: r for r in eml.eml_attachment_stats(broken).collect()}
+        assert not rows[1].ok
+        for d, r in rows.items():
+            if d == 1:
+                continue
+            w, h, rgb = eml.attachment_dims_for(d)
+            assert r.ok and (r.width, r.height) == (w, h)
+            assert r.pixel_sum == w * h * sum(rgb)
