@@ -142,6 +142,7 @@ WINDOW_NEW: list[str] = [
     "ns_tiff_decode",
     "ns_html_tables",
     "ns_eml_attachment_decode",
+    "stream_eml_text",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -181,7 +182,6 @@ _WINDOW_BACKFILL: list[str] = [
     "ns_stratified_sample",
     "q4_order_priority",
     "q7_nation_volume",
-    "q8_market_share",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL
@@ -2651,6 +2651,51 @@ def stream_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = sink.orderBy("doc_id", "page_idx").collect()
         return spark.createDataFrame(
             rows, "doc_id long, page_idx int, page_text string, ok boolean"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_eml_text",
+    # Streaming mail-ingest leg (r10 — the stream_pdf_text device over
+    # the EML kernel): synth -> REAL RFC 5322/MIME parse (both Arrow
+    # mapInPandas kernels, operators/eml.py) inside a streaming query
+    # over the 3-batch staged harness. Stateless pass-through, so the
+    # oracle is the batch extraction replay (substr arithmetic); a
+    # kernel that depended on batch-only planning would not run, and a
+    # per-batch decode divergence breaks the hash.
+    oracle="""
+    SELECT d.doc_id,
+      coalesce(substr(d.text, 1, 20), '') AS subject,
+      CAST(p.i AS INT) AS part_idx,
+      CASE p.i WHEN 0 THEN 'text/plain' ELSE 'text/html' END AS mime_type,
+      CASE p.i
+        WHEN 0 THEN coalesce(substr(d.text, 21, 60), '')
+        ELSE coalesce(substr(d.text, 81, 60), '')
+      END AS part_text,
+      true AS ok
+    FROM documents d, generate_series(0, 1) p(i)
+    ORDER BY d.doc_id, part_idx
+    """,
+)
+def stream_eml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators import eml as _eml
+
+    docs = spark.table("documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_eml_")
+    try:
+        src = _staged_stream_source(spark, docs, work, seq_col="doc_id")
+        out = _eml.eml_part_texts(_eml.with_synthetic_eml_payload(src))
+        sink = _run_stream_to_memory(spark, out, work, output_mode="append")
+        rows = sink.orderBy("doc_id", "part_idx").collect()
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, subject string, part_idx int, mime_type string, "
+            "part_text string, ok boolean",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
