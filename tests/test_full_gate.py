@@ -46,4 +46,4 @@ def test_every_catalog_entry_fresh_against_oracle(spark):
     # their oracle twins (VERDICT-r8 #3); a new rows-only entry needs a
     # documented reason to raise this bound
     assert n_rowsonly == 0, n_rowsonly
-    assert n_checked >= 190, n_checked
+    assert n_checked >= 220, n_checked  # r10: 223 registered
