@@ -262,6 +262,7 @@ def main() -> None:
         spark.catalog.cacheTable(t)
         spark.table(t).count()  # materialize the cache
     load_sec = round(time.perf_counter() - t0, 4)
+    print(f"# [t={_elapsed():.0f}s] load+warm done ({load_sec:.0f}s)", file=sys.stderr)
 
     # three timed passes per query, report the min (TPC-style power-run
     # methodology: measures the engine, not scheduler jitter on a shared
@@ -325,6 +326,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
     for name in duck_names:
         print(f"# duckdb {name}: {duck[name]:.3f}s", file=sys.stderr)
+    print(f"# [t={_elapsed():.0f}s] headline section done", file=sys.stderr)
     calib["mid"] = round(_calib(), 4)
 
     total = round(sum(timings.values()), 4)
@@ -353,6 +355,8 @@ def main() -> None:
         lambda name: qs[name](spark, sf_dir), paired, con,
         passes=_trim(7, 3, 0.2),
     )
+
+    print(f"# [t={_elapsed():.0f}s] batched section done", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -422,6 +426,7 @@ def main() -> None:
         }
     except Exception as exc:  # pragma: no cover - best-effort section
         out["tpch"] = {"error": str(exc)}
+    print(f"# [t={_elapsed():.0f}s] tpch section done", file=sys.stderr)
 
     # the extras section now runs AFTER the scale sections (r10,
     # VERDICT-r9 #1: sf1/sf10 are the scale-trend evidence the round
@@ -480,13 +485,17 @@ def main() -> None:
             # ratio measures execution.
             sf1_names = HEADLINE + TPCH
             t1: dict[str, float] = {}
-            for _ in range(2):
+            for _ in range(_trim(2, 1, 0.45)):
                 for name in sf1_names:
                     t0 = time.perf_counter()
                     qs[name](spark, sf1_dir).count()
                     dt = round(time.perf_counter() - t0, 4)
+                    if dt > 5:
+                        print(f"# [t={_elapsed():.0f}s] sf1 {name}: {dt:.1f}s", file=sys.stderr)
                     t1[name] = min(t1.get(name, float("inf")), dt)
-            duck1 = _duckdb_pass(sf1_dir, cpus, n_passes=2, names=sf1_names)
+            duck1 = _duckdb_pass(
+                sf1_dir, cpus, n_passes=_trim(2, 1, 0.55), names=sf1_names
+            )
             p1 = [n for n in sf1_names if n in duck1]
             s1 = round(sum(t1[n] for n in p1), 4)
             d1 = round(sum(duck1[n] for n in p1), 4)
@@ -511,6 +520,7 @@ def main() -> None:
             }
         except Exception as exc:  # pragma: no cover - best-effort section
             out["sf1"] = {"error": str(exc)}
+        print(f"# [t={_elapsed():.0f}s] sf1 section done", file=sys.stderr)
 
     # third decade (sf10): the crossover point where Spark overtakes
     # DuckDB overall (docs/SCALING.md addendum 4) — driver-visible
@@ -564,7 +574,11 @@ def main() -> None:
                 spark.table(t).count()
             t10: dict[str, float] = {}
             for name in sf10_names:  # warm pass (codegen/caches), not recorded
+                tw = time.perf_counter()
                 qs[name](spark, sf10_dir).count()
+                dtw = time.perf_counter() - tw
+                if dtw > 10:
+                    print(f"# [t={_elapsed():.0f}s] sf10 warm {name}: {dtw:.1f}s", file=sys.stderr)
             for name in sf10_names:  # single timed pass (time budget);
                 # constructed inside the timer (r6 honesty note)
                 t0 = time.perf_counter()
@@ -583,6 +597,7 @@ def main() -> None:
             }
         except Exception as exc:  # pragma: no cover - best-effort section
             out["sf10"] = {"error": str(exc)}
+        print(f"# [t={_elapsed():.0f}s] sf10 section done", file=sys.stderr)
 
     # round-3-continuation north-star section: the training-pipeline ops
     # added after the headline set froze (BPE apply, corpus-rarity,
@@ -654,6 +669,7 @@ def main() -> None:
         }
       except Exception as exc:  # pragma: no cover - best-effort section
         out["northstar_extras"] = {"error": str(exc)}
+    print(f"# [t={_elapsed():.0f}s] extras section done", file=sys.stderr)
 
     # Emission contract (VERDICT r3 #1): the driver tail-captures stdout
     # and parses the LAST line as JSON — round 3's single giant line
@@ -941,10 +957,19 @@ def _duck_connect(sf_dir: str, cpus: int, names: list[str]):
     """DuckDB connection with the tables registered and every usable
     oracle warmed once (OS page cache + duckdb's own buffers). Returns
     ``(con, usable_names)`` — ``(None, [])`` without duckdb."""
+    con, usable, _ = _duck_connect_timed(sf_dir, cpus, names)
+    return con, usable
+
+
+def _duck_connect_timed(sf_dir: str, cpus: int, names: list[str]):
+    """Like _duck_connect but also returns the warm-run timings as a
+    pass-0 dict — at sf1/sf10 the warm executions are seconds-to-
+    minutes each, so discarding them doubled the scale sections' DuckDB
+    cost for nothing (r10; the sf10 section used to pay q21/bpe twice)."""
     try:
         import duckdb
     except ImportError:
-        return None, []
+        return None, [], {}
     from flumedb_spark.catalog import ORACLES, TABLES
 
     con = duckdb.connect()
@@ -954,12 +979,15 @@ def _duck_connect(sf_dir: str, cpus: int, names: list[str]):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     usable = [n for n in names if n in ORACLES]
+    warm: dict[str, float] = {}
     for name in list(usable):
         try:
+            t0 = time.perf_counter()
             con.execute(ORACLES[name]).fetchall()
+            warm[name] = time.perf_counter() - t0
         except Exception:
             usable.remove(name)
-    return con, usable
+    return con, usable, warm
 
 
 def _duck_once(con, name: str) -> float:
@@ -974,14 +1002,15 @@ def _duck_once(con, name: str) -> float:
 def _duckdb_pass(
     sf_dir: str, cpus: int, n_passes: int = 3, names: list[str] | None = None
 ) -> dict[str, float]:
-    """Min-of-N DuckDB timings for every given query with an oracle."""
-    con, usable = _duck_connect(
+    """Min-of-N DuckDB timings for every given query with an oracle.
+    The connect-time warm run counts as pass 0 (r10): the scale
+    sections get min-of-N quality for N-1 re-executions."""
+    con, usable, best = _duck_connect_timed(
         sf_dir, cpus, names if names is not None else HEADLINE
     )
     if con is None:
         return {}
-    best: dict[str, float] = {}
-    for _ in range(n_passes):
+    for _ in range(max(n_passes - 1, 0)):
         for name in usable:
             dt = _duck_once(con, name)
             best[name] = min(best.get(name, float("inf")), dt)
