@@ -143,6 +143,7 @@ WINDOW_NEW: list[str] = [
     "ns_html_tables",
     "ns_eml_attachment_decode",
     "stream_eml_text",
+    "ns_sft_packing",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -181,7 +182,6 @@ _WINDOW_BACKFILL: list[str] = [
     "ns_dataset_split_counts",
     "ns_stratified_sample",
     "q4_order_priority",
-    "q7_nation_volume",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

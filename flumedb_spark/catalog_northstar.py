@@ -4652,3 +4652,18 @@ def ns_eml_attachment_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents")
     )
     return eml.eml_attachment_stats(payloads).orderBy("doc_id")
+
+
+@query("ns_sft_packing", oracle=conversations.sft_packing_oracle_sql())
+def ns_sft_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT batch packing (NEW r10): rendered conversations packed into
+    512-token training sequences with the concat-and-chunk discipline
+    (ns_sequence_packing's device over the conversation corpus) —
+    conversation cost = word count + 2 sentinels per turn, assignment
+    by cumsum floor division. The oracle replays turn synthesis,
+    costing, and packing as substr + integer arithmetic. The global
+    cumsum is the one ordered window (per-shard at 100 TB, same
+    expression, as documented for ns_sequence_packing)."""
+    convs = conversations.with_synthetic_conversation(spark.table("documents"))
+    turns = conversations.conversation_turns(convs)
+    return conversations.conversation_packing(turns).orderBy("pack_id")

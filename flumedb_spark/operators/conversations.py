@@ -239,3 +239,70 @@ def turn_dedup_oracle_sql() -> str:
     FROM turns t GROUP BY role, content
     ORDER BY first_doc_id, first_turn_idx, role
     """
+
+
+PACK_TOKENS = 512
+
+
+def conversation_packing(turns: DataFrame, pack_size: int = PACK_TOKENS) -> DataFrame:
+    """SFT batch assembly: pack rendered conversations into
+    ``pack_size``-token training sequences with the concat-and-chunk
+    discipline of ns_sequence_packing (a conversation belongs to the
+    pack its FIRST token lands in). A conversation's cost is
+    sum(n_words(content)) + 2 per turn (the role open/close
+    sentinels). One aggregate per conversation, one global-order
+    cumsum window (per-shard at 100 TB, same expression), one groupBy
+    — all JVM built-ins."""
+    per_conv = turns.groupBy("doc_id").agg(
+        (F.sum("n_words") + 2 * F.count(F.lit(1)))
+        .cast("long")
+        .alias("conv_tokens")
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = per_conv.select(
+        "doc_id",
+        "conv_tokens",
+        F.floor(
+            F.coalesce(F.sum("conv_tokens").over(w), F.lit(0)) / pack_size
+        ).alias("pack_id"),
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("conv_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select("pack_id", "n_convs", "pack_tokens", "first_doc", "last_doc")
+    )
+
+
+def sft_packing_oracle_sql(pack_size: int = PACK_TOKENS) -> str:
+    """DuckDB replay: turns from substr arithmetic -> per-conversation
+    token cost -> cumsum -> floor-division pack assignment."""
+    return f"""
+    WITH {_TURNS_CTE},
+    per_conv AS (
+      SELECT doc_id,
+        CAST(sum(len(regexp_split_to_array(content, ' +')) + 2) AS BIGINT)
+          AS conv_tokens
+      FROM turns GROUP BY doc_id
+    ),
+    c AS (
+      SELECT doc_id, conv_tokens,
+        CAST(coalesce(sum(conv_tokens) OVER (
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS tok_before
+      FROM per_conv
+    )
+    SELECT CAST(floor(tok_before / {pack_size}.0) AS BIGINT) AS pack_id,
+      CAST(count(*) AS BIGINT) AS n_convs,
+      CAST(sum(conv_tokens) AS BIGINT) AS pack_tokens,
+      CAST(min(doc_id) AS BIGINT) AS first_doc,
+      CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM c GROUP BY pack_id ORDER BY pack_id
+    """

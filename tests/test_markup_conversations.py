@@ -147,3 +147,44 @@ class TestConversations:
         docs, turns = self._turns(spark, sf_dir)
         plan = turns._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan, plan
+
+
+class TestConversationPacking:
+    def test_packing_closed_form(self, spark):
+        # conv costs: doc 1 = 3 words + 2 sentinels = 5; doc 2 = 1+2 = 3;
+        # doc 3 = 4+2+2 = 8 (two turns).  pack_size=8:
+        #   doc1 tok_before=0  -> pack 0
+        #   doc2 tok_before=5  -> pack 0
+        #   doc3 tok_before=8  -> pack 1
+        rows = [
+            Row(doc_id=1, turn_idx=0, role="user", content="a b c", n_words=3),
+            Row(doc_id=2, turn_idx=0, role="user", content="x", n_words=1),
+            Row(doc_id=3, turn_idx=0, role="user", content="p q", n_words=2),
+            Row(doc_id=3, turn_idx=1, role="assistant", content="r s", n_words=2),
+        ]
+        got = {
+            r.pack_id: r
+            for r in conversations.conversation_packing(
+                spark.createDataFrame(rows), pack_size=8
+            ).collect()
+        }
+        assert got[0].n_convs == 2 and got[0].pack_tokens == 8
+        assert (got[0].first_doc, got[0].last_doc) == (1, 2)
+        assert got[1].n_convs == 1 and got[1].pack_tokens == 8
+        assert (got[1].first_doc, got[1].last_doc) == (3, 3)
+
+    def test_every_conversation_assigned_once(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        convs = conversations.with_synthetic_conversation(docs)
+        turns = conversations.conversation_turns(convs)
+        n_convs = turns.select("doc_id").distinct().count()
+        packs = conversations.conversation_packing(turns)
+        agg = packs.agg(
+            F.sum("n_convs").alias("t"), F.sum("pack_tokens").alias("tok")
+        ).first()
+        assert agg.t == n_convs
+        # total tokens conserved: sum over packs == sum over conversations
+        total = turns.groupBy("doc_id").agg(
+            (F.sum("n_words") + 2 * F.count(F.lit(1))).alias("c")
+        ).agg(F.sum("c")).first()[0]
+        assert agg.tok == total
