@@ -144,6 +144,11 @@ WINDOW_NEW: list[str] = [
     "ns_eml_attachment_decode",
     "stream_eml_text",
     "ns_sft_packing",
+    # preference / RLHF data-prep family
+    "ns_preference_pairs",
+    "ns_winrate_matrix",
+    "ns_bt_scores",
+    "ns_fleiss_kappa",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -178,10 +183,6 @@ _WINDOW_BACKFILL: list[str] = [
     "ns_text_quality",
     "ns_fingerprint",
     "ns_multimodal_meta",
-    "ns_deterministic_sample",
-    "ns_dataset_split_counts",
-    "ns_stratified_sample",
-    "q4_order_priority",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

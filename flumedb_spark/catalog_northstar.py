@@ -27,6 +27,7 @@ from .operators import (
     odt,
     pdf,
     pptx,
+    preference,
     rtf,
     similarity,
     text,
@@ -4667,3 +4668,56 @@ def ns_sft_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     convs = conversations.with_synthetic_conversation(spark.table("documents"))
     turns = conversations.conversation_turns(convs)
     return conversations.conversation_packing(turns).orderBy("pack_id")
+
+
+# ---------------------------------------------------------------------
+# preference / RLHF data-prep family (NEW r10): reward-model pair
+# mining, win-rate matrices, Bradley-Terry strengths, annotator
+# agreement — operators/preference.py
+# ---------------------------------------------------------------------
+
+
+@query("ns_preference_pairs", oracle=preference.preference_pairs_oracle_sql())
+def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward-model pair mining (NEW r10): K deterministic generations
+    per prompt (closed-form integer scores over documents), then every
+    (chosen, rejected) pair with score margin >= 40. The heavy step is
+    a per-prompt self-equi-join with bounded K^2 fan-out — linear at
+    100 TB. Oracle replays score synthesis + join closed-form."""
+    gens = preference.with_synthetic_generations(spark.table("documents"))
+    return preference.preference_pairs(gens).orderBy(
+        "prompt_id", "chosen_model", "rejected_model"
+    )
+
+
+@query("ns_winrate_matrix", oracle=preference.winrate_matrix_oracle_sql())
+def ns_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-vs-model win-rate matrix from the mined pairs: one
+    groupBy to a K^2-row matrix with exact micro-unit win rates
+    (integral divide of two counts — engine-portable)."""
+    gens = preference.with_synthetic_generations(spark.table("documents"))
+    pairs = preference.preference_pairs(gens)
+    return preference.winrate_matrix(pairs).orderBy("model_a", "model_b")
+
+
+@query("ns_bt_scores", oracle=preference.bt_scores_oracle_sql())
+def ns_bt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths by 3 fixed MM iterations in micro-unit
+    integer arithmetic (the pagerank/LR trajectory device): the
+    comparison graph is aggregated once from the distributed pairs
+    table, then the iteration joins K_MODELS-row frames. The oracle
+    unrolls the identical trajectory as CTEs."""
+    gens = preference.with_synthetic_generations(spark.table("documents"))
+    pairs = preference.preference_pairs(gens)
+    return preference.bt_scores(pairs).orderBy("model_id")
+
+
+@query("ns_fleiss_kappa", oracle=preference.fleiss_kappa_oracle_sql())
+def ns_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Fleiss' kappa) over synthetic
+    5-rater categorical labels, exact micro-units: two groupBys over
+    the annotation table, DECIMAL(38,0)/HUGEINT widening before each
+    integral divide, sign factored out so Spark's truncating div and
+    DuckDB's flooring // agree on negative kappa."""
+    ann = preference.with_synthetic_annotations(spark.table("documents"))
+    return preference.fleiss_kappa(ann)
