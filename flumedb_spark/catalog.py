@@ -149,6 +149,8 @@ WINDOW_NEW: list[str] = [
     "ns_winrate_matrix",
     "ns_bt_scores",
     "ns_fleiss_kappa",
+    "ns_length_bias",
+    "ns_token_fertility",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -181,8 +183,6 @@ _WINDOW_BACKFILL: list[str] = [
     "ns_dedup_exact",
     "ns_text_stats",
     "ns_text_quality",
-    "ns_fingerprint",
-    "ns_multimodal_meta",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import query, shared_sql
+from .operators import bpe as bpe_mod
 from .operators import html as _html_mod
 from .operators import (
     audiodedup,
@@ -4721,3 +4722,29 @@ def ns_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's flooring // agree on negative kappa."""
     ann = preference.with_synthetic_annotations(spark.table("documents"))
     return preference.fleiss_kappa(ann)
+
+
+@query("ns_length_bias", oracle=preference.length_bias_oracle_sql())
+def ns_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbosity-bias QC for the mined preference pairs (NEW r10):
+    per model pair, how often the chosen response is the longer one
+    (count + micro-rate) and the exact micro-unit covariance between
+    score margin and signed length difference — the standard check
+    that a reward dataset isn't just teaching "longer is better".
+    Bounded self-equi-join + one groupBy; sums widened to
+    DECIMAL(38,0)/HUGEINT, sign factored out of the divide."""
+    gens = preference.with_synthetic_generations(spark.table("documents"))
+    return preference.length_bias(gens).orderBy("model_a", "model_b")
+
+
+@query("ns_token_fertility", oracle=bpe_mod.token_fertility_oracle_sql())
+def ns_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (NEW r10): chars-per-token and
+    tokens-per-word under the PINNED trained-BPE vocabulary, per
+    language — the multilingual vocabulary-coverage table a recipe
+    planner budgets from. One aggregation pass; the merge fold rides
+    as chained JVM replaces at scan speed; ratios are exact
+    micro-units."""
+    return bpe_mod.token_fertility_by_lang(spark.table("documents")).orderBy(
+        "lang"
+    )

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bpe_train", "bpe_tokens_col", "bpe_tokens", "bpe_token_count_sql",
+    "token_fertility_by_lang", "token_fertility_oracle_sql",
     "PINNED_MERGES",
 ]
 
@@ -225,3 +226,94 @@ PINNED_MERGES: list[tuple[str, str]] = [
     ("or", "t"), ("s", "ort"), ("par", "t"), ("u", "p"), ("a", "g"),
     ("ag", "g"), ("a", "lu"), ("alu", "e"), ("v", "alue"), ("in", "e"),
 ]
+
+
+def token_fertility_by_lang(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility per language — the standard multilingual
+    vocabulary-coverage diagnostic (a tokenizer trained on one
+    language pays 2-4x more tokens per word on unseen scripts; recipe
+    planners budget per-language token costs from exactly this table).
+
+    Per language: document count, total chars / whitespace words /
+    REAL trained-BPE tokens (:func:`bpe_tokens_col` under ``merges``,
+    default :data:`PINNED_MERGES`), and the two fertility ratios in
+    exact micro-units (DECIMAL(38,0) widening before the integral
+    divide — char counts pass int64 well below the 100 TB posture):
+
+        chars_per_token_micro  = chars  * 1e6 div bpe_tokens
+        tokens_per_word_micro  = tokens * 1e6 div words
+
+    One aggregation pass (map-side combinable; keys = languages), the
+    merge fold riding as chained JVM replaces at scan speed."""
+    if merges is None:
+        merges = PINNED_MERGES
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).cast("long").alias("chars"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[^ ]+"), 0))
+        .cast("long")
+        .alias("words"),
+        F.size(bpe_tokens_col(F.col(text_col), merges))
+        .cast("long")
+        .alias("toks"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("chars"),
+            F.sum("words").cast("long").alias("words"),
+            F.sum("toks").cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "chars",
+            "words",
+            "bpe_tokens",
+            F.expr(
+                "CAST(CAST(chars AS DECIMAL(38,0)) * 1000000 "
+                "div bpe_tokens AS BIGINT)"
+            ).alias("chars_per_token_micro"),
+            F.expr(
+                "CAST(CAST(bpe_tokens AS DECIMAL(38,0)) * 1000000 "
+                "div words AS BIGINT)"
+            ).alias("tokens_per_word_micro"),
+        )
+    )
+
+
+def token_fertility_oracle_sql(
+    merges: list[tuple[str, str]] | None = None,
+) -> str:
+    """DuckDB replay: per-language sums with the merge fold applied
+    per document via :func:`bpe_token_count_sql`."""
+    if merges is None:
+        merges = PINNED_MERGES
+    toks = bpe_token_count_sql(merges)
+    return f"""
+    WITH per_doc AS (
+      SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+        CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+        CAST({toks} AS BIGINT) AS toks
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(chars) AS BIGINT) AS chars,
+        CAST(sum(words) AS BIGINT) AS words,
+        CAST(sum(toks) AS BIGINT) AS bpe_tokens
+      FROM per_doc GROUP BY lang
+    )
+    SELECT lang, n_docs, chars, words, bpe_tokens,
+      CAST(CAST(chars AS HUGEINT) * 1000000 // bpe_tokens AS BIGINT)
+        AS chars_per_token_micro,
+      CAST(CAST(bpe_tokens AS HUGEINT) * 1000000 // words AS BIGINT)
+        AS tokens_per_word_micro
+    FROM agg ORDER BY lang
+    """

@@ -42,10 +42,12 @@ __all__ = [
     "winrate_matrix",
     "bt_scores",
     "fleiss_kappa",
+    "length_bias",
     "preference_pairs_oracle_sql",
     "winrate_matrix_oracle_sql",
     "bt_scores_oracle_sql",
     "fleiss_kappa_oracle_sql",
+    "length_bias_oracle_sql",
 ]
 
 K_MODELS = 4
@@ -78,18 +80,30 @@ def with_synthetic_generations(
         + g.prompt_id * (g.model_id + 3)
         + 13 * g.model_id * g.model_id
     ) % SCORE_MOD
+    # deterministic generation length proxy (for verbosity-bias QC):
+    # base length plus a per-model offset and a score-coupled term so
+    # longer-wins is neither 0 nor 1 by construction
+    gen_len = g["_len"] + 37 * g.model_id + score % 53
     return g.select(
-        "prompt_id", "model_id", score.cast("long").alias("score")
+        "prompt_id",
+        "model_id",
+        score.cast("long").alias("score"),
+        gen_len.cast("long").alias("gen_len"),
     )
 
 
 _GENS_CTE = f"""
     gens AS (
-      SELECT CAST(d.doc_id AS BIGINT) AS prompt_id,
-        CAST(m.m AS BIGINT) AS model_id,
-        CAST((length(d.text) * (m.m + 7) + d.doc_id * (m.m + 3)
-              + 13 * m.m * m.m) % {SCORE_MOD} AS BIGINT) AS score
-      FROM documents d CROSS JOIN range({K_MODELS}) m(m)
+      SELECT prompt_id, model_id, score,
+        CAST(base_len + 37 * model_id + score % 53 AS BIGINT) AS gen_len
+      FROM (
+        SELECT CAST(d.doc_id AS BIGINT) AS prompt_id,
+          CAST(m.m AS BIGINT) AS model_id,
+          CAST(length(d.text) AS BIGINT) AS base_len,
+          CAST((length(d.text) * (m.m + 7) + d.doc_id * (m.m + 3)
+                + 13 * m.m * m.m) % {SCORE_MOD} AS BIGINT) AS score
+        FROM documents d CROSS JOIN range({K_MODELS}) m(m)
+      )
     )
 """
 
@@ -473,4 +487,102 @@ def fleiss_kappa_oracle_sql() -> str:
              // ({MICRO} - p_e_micro)
         END AS BIGINT) AS kappa_micro
     FROM micro
+    """
+
+
+def length_bias(
+    gens_with_len: DataFrame, min_margin: int = MIN_MARGIN
+) -> DataFrame:
+    """Verbosity-bias diagnostics for mined preference pairs — the
+    standard reward-model QC check (does "longer" predict "chosen"?).
+    Per unordered model pair: pair count, how often the chosen
+    response is the longer one (count + micro-rate), and the exact
+    covariance between score margin and signed length difference in
+    micro-units:
+
+        cov = (n * sum(margin*dlen) - sum(margin)*sum(dlen)) / n^2
+
+    computed entirely from BIGINT sums with DECIMAL(38,0) widening
+    before the one integral divide (sign factored out — Spark `div`
+    truncates, DuckDB `//` floors). Same bounded self-equi-join shape
+    as :func:`preference_pairs`; one groupBy to a K^2-row result."""
+    a, b = gens_with_len.alias("a"), gens_with_len.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.prompt_id") == F.col("b.prompt_id"))
+        & (F.col("a.score") - F.col("b.score") >= min_margin),
+    ).select(
+        F.least("a.model_id", "b.model_id").alias("model_a"),
+        F.greatest("a.model_id", "b.model_id").alias("model_b"),
+        (F.col("a.score") - F.col("b.score")).cast("long").alias("margin"),
+        (F.col("a.gen_len") - F.col("b.gen_len")).cast("long").alias("dlen"),
+    )
+    agg = pairs.groupBy("model_a", "model_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dlen") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("chosen_longer"),
+        F.sum("margin").cast("long").alias("s_m"),
+        F.sum("dlen").cast("long").alias("s_d"),
+        F.sum(
+            F.expr("CAST(CAST(margin AS DECIMAL(38,0)) * dlen AS DECIMAL(38,0))")
+        ).alias("s_md"),
+    )
+    cov_num = F.expr(
+        "CAST(n_pairs AS DECIMAL(38,0)) * s_md "
+        "- CAST(s_m AS DECIMAL(38,0)) * s_d"
+    )
+    cov_mag = F.expr(
+        f"CAST(abs(CAST(n_pairs AS DECIMAL(38,0)) * s_md "
+        f"- CAST(s_m AS DECIMAL(38,0)) * s_d) * {MICRO} "
+        "div (CAST(n_pairs AS DECIMAL(38,0)) * n_pairs) AS BIGINT)"
+    )
+    return agg.select(
+        "model_a",
+        "model_b",
+        "n_pairs",
+        "chosen_longer",
+        F.expr(
+            f"CAST(CAST(chosen_longer AS DECIMAL(38,0)) * {MICRO} "
+            "div n_pairs AS BIGINT)"
+        ).alias("chosen_longer_micro"),
+        (F.when(cov_num < 0, -cov_mag).otherwise(cov_mag))
+        .cast("long")
+        .alias("cov_margin_dlen_micro"),
+    )
+
+
+def length_bias_oracle_sql(min_margin: int = MIN_MARGIN) -> str:
+    return f"""
+    WITH {_GENS_CTE},
+    pairs AS (
+      SELECT least(a.model_id, b.model_id) AS model_a,
+        greatest(a.model_id, b.model_id) AS model_b,
+        CAST(a.score - b.score AS BIGINT) AS margin,
+        CAST(a.gen_len - b.gen_len AS BIGINT) AS dlen
+      FROM gens a JOIN gens b
+        ON a.prompt_id = b.prompt_id AND a.score - b.score >= {min_margin}
+    ),
+    agg AS (
+      SELECT model_a, model_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(CASE WHEN dlen > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS chosen_longer,
+        CAST(sum(margin) AS BIGINT) AS s_m,
+        CAST(sum(dlen) AS BIGINT) AS s_d,
+        sum(CAST(margin AS HUGEINT) * dlen) AS s_md
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT model_a, model_b, n_pairs, chosen_longer,
+      CAST(CAST(chosen_longer AS HUGEINT) * {MICRO} // n_pairs AS BIGINT)
+        AS chosen_longer_micro,
+      CAST(CASE WHEN CAST(n_pairs AS HUGEINT) * s_md
+                     - CAST(s_m AS HUGEINT) * s_d < 0
+        THEN -((-(CAST(n_pairs AS HUGEINT) * s_md
+                  - CAST(s_m AS HUGEINT) * s_d)) * {MICRO}
+               // (CAST(n_pairs AS HUGEINT) * n_pairs))
+        ELSE (CAST(n_pairs AS HUGEINT) * s_md
+              - CAST(s_m AS HUGEINT) * s_d) * {MICRO}
+             // (CAST(n_pairs AS HUGEINT) * n_pairs)
+        END AS BIGINT) AS cov_margin_dlen_micro
+    FROM agg ORDER BY model_a, model_b
     """

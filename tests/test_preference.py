@@ -134,3 +134,71 @@ class TestPlanShape:
         # the self-join must be an equi-join on the prompt key, not a
         # cartesian product
         assert "CartesianProduct" not in plan, plan
+
+
+class TestLengthBias:
+    def test_closed_form(self, spark):
+        gens = spark.createDataFrame(
+            [
+                # prompt 1: m0 (score 100, len 50) beats m1 (0, 10)
+                # prompt 2: m0 (100, 10) beats m1 (0, 50)
+                # prompt 3: m0 (100, 30) beats m1 (0, 10)
+                (1, 0, 100, 50), (1, 1, 0, 10),
+                (2, 0, 100, 10), (2, 1, 0, 50),
+                (3, 0, 100, 30), (3, 1, 0, 10),
+            ],
+            "prompt_id long, model_id long, score long, gen_len long",
+        )
+        rows = preference.length_bias(gens, min_margin=40).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.model_a, r.model_b, r.n_pairs) == (0, 1, 3)
+        assert r.chosen_longer == 2
+        assert r.chosen_longer_micro == 2 * 1_000_000 // 3
+        # margins all 100; dlens 40, -40, 20 -> mean-centered cov:
+        # n*sxy - sx*sy = 3*(4000 - 4000 + 2000) - 300*20 = 0
+        assert r.cov_margin_dlen_micro == 0
+
+    def test_negative_cov_sign_matches_duckdb_floor_avoidance(self, spark):
+        gens = spark.createDataFrame(
+            [(1, 0, 100, 10), (1, 1, 0, 50), (2, 0, 50, 40), (2, 1, 0, 50)],
+            "prompt_id long, model_id long, score long, gen_len long",
+        )
+        r = preference.length_bias(gens, min_margin=40).first()
+        # margins 100, 50; dlens -40, -10
+        # n*sxy - sx*sy = 2*(-4000-500) - 150*(-50) = -9000+7500 = -1500
+        # micro: -(1500 * 1e6 // 4) = -375000000
+        assert r.cov_margin_dlen_micro == -375_000_000
+
+
+class TestTokenFertility:
+    def test_ratios_are_exact_micro(self, spark):
+        from flumedb_spark.operators import bpe
+
+        docs = spark.createDataFrame(
+            [(1, "part order", "en"), (2, "value window", "en"),
+             (3, "xyz", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        rows = {r.lang: r for r in bpe.token_fertility_by_lang(docs).collect()}
+        en, fr = rows["en"], rows["fr"]
+        assert en.n_docs == 2 and fr.n_docs == 1
+        assert en.chars == len("part order") + len("value window")
+        assert en.words == 4 and fr.words == 1
+        # 'xyz' has no pinned merges -> 3 single-char tokens
+        assert fr.bpe_tokens == 3
+        assert fr.chars_per_token_micro == 3 * 1_000_000 // 3
+        assert fr.tokens_per_word_micro == 3_000_000
+        assert en.chars_per_token_micro == en.chars * 1_000_000 // en.bpe_tokens
+
+    def test_jvm_only_plan(self, spark, sf_dir):
+        from flumedb_spark.operators import bpe
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            bpe.token_fertility_by_lang(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan, plan
