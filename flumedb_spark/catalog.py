@@ -151,6 +151,7 @@ WINDOW_NEW: list[str] = [
     "ns_fleiss_kappa",
     "ns_length_bias",
     "ns_token_fertility",
+    "stream_preference_pairs",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -182,7 +183,6 @@ _WINDOW_BACKFILL: list[str] = [
     "unpivot_stack",
     "ns_dedup_exact",
     "ns_text_stats",
-    "ns_text_quality",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL
@@ -2697,6 +2697,78 @@ def stream_eml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows,
             "doc_id long, subject string, part_idx int, mime_type string, "
             "part_text string, ok boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_preference_pairs",
+    # Streaming preference-pair mining (r10 third batch): new
+    # generations STREAM in (documents -> synthetic generations, a
+    # stateless explode) and are paired per micro-batch against the
+    # STATIC candidate pool (the day's generation snapshot) via the
+    # broadcast stream-static join — the production shape for online
+    # reward-data refresh. The static side always holds every
+    # candidate, so each streamed row emits exactly its margin-
+    # filtered pairs once and the oracle is the batch pair-mining
+    # replay (ns_preference_pairs' arithmetic).
+    oracle="""
+    WITH gens AS (
+      SELECT CAST(d.doc_id AS BIGINT) AS prompt_id,
+        CAST(m.m AS BIGINT) AS model_id,
+        CAST((length(d.text) * (m.m + 7) + d.doc_id * (m.m + 3)
+              + 13 * m.m * m.m) % 1001 AS BIGINT) AS score
+      FROM documents d CROSS JOIN range(4) m(m)
+    )
+    SELECT a.prompt_id AS prompt_id, a.model_id AS chosen_model,
+      b.model_id AS rejected_model,
+      CAST(a.score - b.score AS BIGINT) AS margin
+    FROM gens a JOIN gens b
+      ON a.prompt_id = b.prompt_id AND a.score - b.score >= 40
+    ORDER BY a.prompt_id, chosen_model, rejected_model
+    """,
+)
+def stream_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators import preference as _pref
+    from .streaming.live import enrich_stream_static
+
+    docs = spark.table("documents").select("doc_id", "text")
+    static_pool = (
+        _pref.with_synthetic_generations(spark.table("documents"))
+        .select(
+            F.col("prompt_id").alias("s_prompt_id"),
+            F.col("model_id").alias("s_model_id"),
+            F.col("score").alias("s_score"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="stream_pref_")
+    try:
+        src = _staged_stream_source(spark, docs, work, seq_col="doc_id")
+        live_gens = _pref.with_synthetic_generations(src)
+        out = enrich_stream_static(
+            live_gens,
+            static_pool,
+            on=(F.col("prompt_id") == F.col("s_prompt_id"))
+            & (F.col("score") - F.col("s_score") >= _pref.MIN_MARGIN),
+            how="inner",
+        ).select(
+            "prompt_id",
+            F.col("model_id").alias("chosen_model"),
+            F.col("s_model_id").alias("rejected_model"),
+            (F.col("score") - F.col("s_score")).cast("long").alias("margin"),
+        )
+        sink = _run_stream_to_memory(spark, out, work, output_mode="append")
+        rows = sink.orderBy(
+            "prompt_id", "chosen_model", "rejected_model"
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "prompt_id long, chosen_model long, rejected_model long, "
+            "margin long",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
