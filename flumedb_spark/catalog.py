@@ -152,6 +152,7 @@ WINDOW_NEW: list[str] = [
     "ns_length_bias",
     "ns_token_fertility",
     "stream_preference_pairs",
+    "ns_best_of_n",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -182,7 +183,6 @@ _WINDOW_BACKFILL: list[str] = [
     "session_windows_native",
     "unpivot_stack",
     "ns_dedup_exact",
-    "ns_text_stats",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

@@ -4748,3 +4748,13 @@ def ns_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_mod.token_fertility_by_lang(spark.table("documents")).orderBy(
         "lang"
     )
+
+
+@query("ns_best_of_n", oracle=preference.best_of_n_oracle_sql())
+def ns_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-N rejection sampling (NEW r10): top-scored generation
+    per prompt with a deterministic tiebreak, plus the margin over the
+    runner-up (the BoN confidence gate). One per-prompt window over K
+    bounded rows — partitioned by the prompt key, never global."""
+    gens = preference.with_synthetic_generations(spark.table("documents"))
+    return preference.best_of_n(gens).orderBy("prompt_id")

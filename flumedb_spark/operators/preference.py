@@ -43,11 +43,13 @@ __all__ = [
     "bt_scores",
     "fleiss_kappa",
     "length_bias",
+    "best_of_n",
     "preference_pairs_oracle_sql",
     "winrate_matrix_oracle_sql",
     "bt_scores_oracle_sql",
     "fleiss_kappa_oracle_sql",
     "length_bias_oracle_sql",
+    "best_of_n_oracle_sql",
 ]
 
 K_MODELS = 4
@@ -585,4 +587,59 @@ def length_bias_oracle_sql(min_margin: int = MIN_MARGIN) -> str:
              // (CAST(n_pairs AS HUGEINT) * n_pairs)
         END AS BIGINT) AS cov_margin_dlen_micro
     FROM agg ORDER BY model_a, model_b
+    """
+
+
+def best_of_n(gens: DataFrame) -> DataFrame:
+    """Best-of-N selection — the rejection-sampling primitive (pick
+    the top-scored generation per prompt; BoN distillation keeps it,
+    optionally gated on the margin over the runner-up as a confidence
+    filter). One per-prompt window over K bounded rows (the partition
+    key is the prompt — no unpartitioned window, no skew: every key
+    has exactly K rows), deterministic tiebreak (score DESC, model_id
+    ASC). Returns the winner with the runner-up score and the BoN
+    margin."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("prompt_id").orderBy(
+        F.desc("score"), F.asc("model_id")
+    )
+    ranked = gens.select(
+        "prompt_id",
+        "model_id",
+        "score",
+        F.row_number().over(w).alias("_rk"),
+        F.lead("score").over(w).alias("_runnerup"),
+    )
+    return ranked.where(F.col("_rk") == 1).select(
+        "prompt_id",
+        F.col("model_id").alias("best_model"),
+        F.col("score").alias("best_score"),
+        F.coalesce(F.col("_runnerup"), F.col("score"))
+        .cast("long")
+        .alias("runnerup_score"),
+        (
+            F.col("score")
+            - F.coalesce(F.col("_runnerup"), F.col("score"))
+        )
+        .cast("long")
+        .alias("bon_margin"),
+    )
+
+
+def best_of_n_oracle_sql() -> str:
+    return f"""
+    WITH {_GENS_CTE},
+    ranked AS (
+      SELECT prompt_id, model_id, score,
+        row_number() OVER w AS rk,
+        lead(score) OVER w AS runnerup
+      FROM gens
+      WINDOW w AS (PARTITION BY prompt_id
+                   ORDER BY score DESC, model_id ASC)
+    )
+    SELECT prompt_id, model_id AS best_model, score AS best_score,
+      CAST(coalesce(runnerup, score) AS BIGINT) AS runnerup_score,
+      CAST(score - coalesce(runnerup, score) AS BIGINT) AS bon_margin
+    FROM ranked WHERE rk = 1 ORDER BY prompt_id
     """

@@ -202,3 +202,24 @@ class TestTokenFertility:
             .toString()
         )
         assert "Python" not in plan, plan
+
+
+class TestBestOfN:
+    def test_winner_and_margin(self, spark):
+        gens = spark.createDataFrame(
+            [(1, 0, 90, 0), (1, 1, 90, 0), (1, 2, 10, 0), (2, 3, 5, 0)],
+            "prompt_id long, model_id long, score long, gen_len long",
+        )
+        rows = {r.prompt_id: r for r in preference.best_of_n(gens).collect()}
+        # tie on score 90 -> lowest model_id wins
+        assert rows[1].best_model == 0 and rows[1].best_score == 90
+        assert rows[1].runnerup_score == 90 and rows[1].bon_margin == 0
+        # single-candidate prompt: runner-up defaults to own score
+        assert rows[2].best_model == 3 and rows[2].bon_margin == 0
+
+    def test_one_winner_per_prompt(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        gens = preference.with_synthetic_generations(docs)
+        bon = preference.best_of_n(gens)
+        assert bon.count() == docs.count()
+        assert bon.select("prompt_id").distinct().count() == docs.count()
