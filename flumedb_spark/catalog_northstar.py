@@ -4758,3 +4758,13 @@ def ns_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded rows — partitioned by the prompt key, never global."""
     gens = preference.with_synthetic_generations(spark.table("documents"))
     return preference.best_of_n(gens).orderBy("prompt_id")
+
+
+@query("ns_group_advantage", oracle=preference.group_advantage_oracle_sql())
+def ns_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage (NEW r10, the GRPO-style signal):
+    each generation scored against its prompt group's mean in exact
+    micro-units, with the group range as the degenerate-group filter.
+    One map-side-combinable aggregate + one co-partitioned equi-join."""
+    gens = preference.with_synthetic_generations(spark.table("documents"))
+    return preference.group_advantage(gens).orderBy("prompt_id", "model_id")

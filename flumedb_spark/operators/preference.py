@@ -44,12 +44,14 @@ __all__ = [
     "fleiss_kappa",
     "length_bias",
     "best_of_n",
+    "group_advantage",
     "preference_pairs_oracle_sql",
     "winrate_matrix_oracle_sql",
     "bt_scores_oracle_sql",
     "fleiss_kappa_oracle_sql",
     "length_bias_oracle_sql",
     "best_of_n_oracle_sql",
+    "group_advantage_oracle_sql",
 ]
 
 K_MODELS = 4
@@ -642,4 +644,62 @@ def best_of_n_oracle_sql() -> str:
       CAST(coalesce(runnerup, score) AS BIGINT) AS runnerup_score,
       CAST(score - coalesce(runnerup, score) AS BIGINT) AS bon_margin
     FROM ranked WHERE rk = 1 ORDER BY prompt_id
+    """
+
+
+def group_advantage(gens: DataFrame) -> DataFrame:
+    """Group-relative advantage — the GRPO-style signal (each
+    generation scored against its own prompt group's mean instead of
+    a learned value baseline):
+
+        adv = score - mean(score over the prompt's K generations)
+
+    in exact micro-units: adv_micro = (K*score - sum_scores) * 1e6
+    div K with the sign factored out of the truncating divide. One
+    per-prompt aggregate joined back (bounded K rows per key — at
+    scale this is a map-side-combinable groupBy plus one co-
+    partitioned equi-join); the group min/max ride along as the
+    degenerate-group filter (a group with zero spread carries no
+    signal)."""
+    stats = gens.groupBy("prompt_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("score").cast("long").alias("s_sum"),
+        F.min("score").cast("long").alias("s_min"),
+        F.max("score").cast("long").alias("s_max"),
+    )
+    j = gens.join(stats, "prompt_id")
+    num = F.col("k") * F.col("score") - F.col("s_sum")
+    mag = F.expr(
+        f"CAST(CAST(abs(k * score - s_sum) AS DECIMAL(38,0)) * {MICRO} "
+        "div k AS BIGINT)"
+    )
+    return j.select(
+        "prompt_id",
+        "model_id",
+        "score",
+        (F.when(num < 0, -mag).otherwise(mag))
+        .cast("long")
+        .alias("adv_micro"),
+        (F.col("s_max") - F.col("s_min")).cast("long").alias("group_range"),
+    )
+
+
+def group_advantage_oracle_sql() -> str:
+    return f"""
+    WITH {_GENS_CTE},
+    stats AS (
+      SELECT prompt_id, CAST(count(*) AS BIGINT) AS k,
+        CAST(sum(score) AS BIGINT) AS s_sum,
+        CAST(min(score) AS BIGINT) AS s_min,
+        CAST(max(score) AS BIGINT) AS s_max
+      FROM gens GROUP BY 1
+    )
+    SELECT g.prompt_id AS prompt_id, g.model_id, g.score,
+      CAST(CASE WHEN s.k * g.score - s.s_sum < 0
+        THEN -(CAST(s.s_sum - s.k * g.score AS HUGEINT) * {MICRO} // s.k)
+        ELSE CAST(s.k * g.score - s.s_sum AS HUGEINT) * {MICRO} // s.k
+        END AS BIGINT) AS adv_micro,
+      CAST(s.s_max - s.s_min AS BIGINT) AS group_range
+    FROM gens g JOIN stats s ON s.prompt_id = g.prompt_id
+    ORDER BY g.prompt_id, g.model_id
     """

@@ -223,3 +223,35 @@ class TestBestOfN:
         bon = preference.best_of_n(gens)
         assert bon.count() == docs.count()
         assert bon.select("prompt_id").distinct().count() == docs.count()
+
+
+class TestGroupAdvantage:
+    def test_closed_form_and_zero_sum(self, spark):
+        gens = spark.createDataFrame(
+            [(1, 0, 10, 0), (1, 1, 20, 0), (1, 2, 60, 0), (2, 0, 5, 0)],
+            "prompt_id long, model_id long, score long, gen_len long",
+        )
+        rows = {
+            (r.prompt_id, r.model_id): r
+            for r in preference.group_advantage(gens).collect()
+        }
+        # group 1 mean = 30: advantages -20, -10, +30 (micro)
+        assert rows[(1, 0)].adv_micro == -20_000_000
+        assert rows[(1, 1)].adv_micro == -10_000_000
+        assert rows[(1, 2)].adv_micro == 30_000_000
+        assert rows[(1, 0)].group_range == 50
+        # singleton group: zero advantage, zero range
+        assert rows[(2, 0)].adv_micro == 0 and rows[(2, 0)].group_range == 0
+
+    def test_advantages_sum_near_zero_per_group(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        gens = preference.with_synthetic_generations(docs)
+        resid = (
+            preference.group_advantage(gens)
+            .groupBy("prompt_id")
+            .agg(F.sum("adv_micro").alias("s"))
+            .agg(F.max(F.abs(F.col("s"))))
+            .first()[0]
+        )
+        # truncation leaves < K micro-units of residue per group
+        assert resid < preference.K_MODELS
