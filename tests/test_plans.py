@@ -358,3 +358,43 @@ def test_anchor_index_plan_shape(plans):
         "anchor index re-runs the parser kernel per branch"
     )
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_preference_family_plan_shape(plans):
+    # r10 third batch: the preference/SFT rows must stay JVM-side and
+    # never degrade to a cartesian — the pair mining is an equi-join
+    # on the prompt key with the margin as a residual filter, and the
+    # aggregation rows are plain map-side-combinable groupBys
+    for q in (
+        "ns_preference_pairs",
+        "ns_winrate_matrix",
+        "ns_bt_scores",
+        "ns_fleiss_kappa",
+        "ns_length_bias",
+        "ns_best_of_n",
+        "ns_group_advantage",
+        "ns_sft_packing",
+        "ns_token_fertility",
+    ):
+        p = plans(q)
+        assert "BatchEvalPython" not in p, f"{q} fell into a Python UDF"
+        assert "ArrowEvalPython" not in p, f"{q} fell into a Pandas UDF"
+        assert "CartesianProduct" not in p, f"{q} degraded to a cartesian"
+        if q != "ns_fleiss_kappa":
+            # fleiss joins two ONE-ROW aggregate frames via the
+            # broadcast scalar-cross idiom (the audited crossJoin
+            # class) — a BroadcastNestedLoopJoin over 1x1 rows is the
+            # right plan there, not a scale risk
+            assert (
+                "BroadcastNestedLoopJoin" not in p
+            ), f"{q} lost its equi-join"
+
+
+def test_best_of_n_window_is_prompt_partitioned(spark, sf_dir):
+    # the BoN window must hash-partition by the prompt key — an
+    # unpartitioned window would serialize the corpus through one task
+    qs = entry.queries()
+    df = qs["ns_best_of_n"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan or "hashpartitioning(prompt_id" in plan
+    assert "SinglePartition" not in plan, plan
