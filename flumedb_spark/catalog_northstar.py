@@ -4768,3 +4768,18 @@ def ns_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     One map-side-combinable aggregate + one co-partitioned equi-join."""
     gens = preference.with_synthetic_generations(spark.table("documents"))
     return preference.group_advantage(gens).orderBy("prompt_id", "model_id")
+
+
+@query(
+    "ns_packing_efficiency",
+    oracle=conversations.packing_efficiency_oracle_sql(),
+)
+def ns_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report over the SFT packs (NEW r10): fill-decile
+    histogram with token extremes — the diagnostic a trainer reads
+    before fixing a sequence length. Composes the full packing chain;
+    the rollup is one groupBy over the packs frame."""
+    convs = conversations.with_synthetic_conversation(spark.table("documents"))
+    turns = conversations.conversation_turns(convs)
+    packs = conversations.conversation_packing(turns)
+    return conversations.packing_efficiency(packs).orderBy("fill_decile")

@@ -306,3 +306,62 @@ def sft_packing_oracle_sql(pack_size: int = PACK_TOKENS) -> str:
       CAST(max(doc_id) AS BIGINT) AS last_doc
     FROM c GROUP BY pack_id ORDER BY pack_id
     """
+
+
+def packing_efficiency(
+    packs: DataFrame, pack_size: int = PACK_TOKENS
+) -> DataFrame:
+    """Packing-efficiency report — the padding-waste diagnostic a
+    trainer reads before fixing a sequence length: packs bucketed by
+    fill decile (floor(pack_tokens * 10 / pack_size); overfull packs
+    from conversation spill land in buckets >= 10), with pack counts
+    and token extremes per bucket. One groupBy over the already-tiny
+    packs frame; all integer arithmetic."""
+    b = F.expr(f"CAST(pack_tokens * 10 div {pack_size} AS BIGINT)")
+    return (
+        packs.select(
+            b.alias("fill_decile"),
+            "pack_tokens",
+            "n_convs",
+        )
+        .groupBy("fill_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.min("pack_tokens").cast("long").alias("min_tokens"),
+            F.max("pack_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_convs").cast("long").alias("n_convs"),
+        )
+    )
+
+
+def packing_efficiency_oracle_sql(pack_size: int = PACK_TOKENS) -> str:
+    """DuckDB replay: the full packing CTE chain, then the decile
+    rollup."""
+    return f"""
+    WITH {_TURNS_CTE},
+    per_conv AS (
+      SELECT doc_id,
+        CAST(sum(len(regexp_split_to_array(content, ' +')) + 2) AS BIGINT)
+          AS conv_tokens
+      FROM turns GROUP BY doc_id
+    ),
+    c AS (
+      SELECT doc_id, conv_tokens,
+        CAST(coalesce(sum(conv_tokens) OVER (
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS tok_before
+      FROM per_conv
+    ),
+    packs AS (
+      SELECT CAST(floor(tok_before / {pack_size}.0) AS BIGINT) AS pack_id,
+        CAST(count(*) AS BIGINT) AS n_convs,
+        CAST(sum(conv_tokens) AS BIGINT) AS pack_tokens
+      FROM c GROUP BY pack_id
+    )
+    SELECT CAST(pack_tokens * 10 // {pack_size} AS BIGINT) AS fill_decile,
+      CAST(count(*) AS BIGINT) AS n_packs,
+      CAST(min(pack_tokens) AS BIGINT) AS min_tokens,
+      CAST(max(pack_tokens) AS BIGINT) AS max_tokens,
+      CAST(sum(n_convs) AS BIGINT) AS n_convs
+    FROM packs GROUP BY 1 ORDER BY fill_decile
+    """

@@ -188,3 +188,35 @@ class TestConversationPacking:
             (F.sum("n_words") + 2 * F.count(F.lit(1))).alias("c")
         ).agg(F.sum("c")).first()[0]
         assert agg.tok == total
+
+
+class TestPackingEfficiency:
+    def test_decile_rollup_closed_form(self, spark):
+        packs = spark.createDataFrame(
+            [(0, 2, 500, 1, 2), (1, 1, 256, 3, 3), (2, 1, 600, 4, 4)],
+            "pack_id long, n_convs long, pack_tokens long, "
+            "first_doc long, last_doc long",
+        )
+        rows = {
+            r.fill_decile: r
+            for r in conversations.packing_efficiency(
+                packs, pack_size=512
+            ).collect()
+        }
+        # 500*10//512 = 9 (90% bucket); 256 -> 5; 600 -> 11 (overfull)
+        assert set(rows) == {9, 5, 11}
+        assert rows[9].n_packs == 1 and rows[9].min_tokens == 500
+        assert rows[11].max_tokens == 600 and rows[11].n_convs == 1
+
+    def test_conserves_packs_and_convs(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        turns = conversations.conversation_turns(
+            conversations.with_synthetic_conversation(docs)
+        )
+        packs = conversations.conversation_packing(turns)
+        eff = conversations.packing_efficiency(packs)
+        agg = eff.agg(
+            F.sum("n_packs").alias("p"), F.sum("n_convs").alias("c")
+        ).first()
+        assert agg.p == packs.count()
+        assert agg.c == turns.select("doc_id").distinct().count()
