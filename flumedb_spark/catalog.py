@@ -155,6 +155,7 @@ WINDOW_NEW: list[str] = [
     "ns_best_of_n",
     "ns_group_advantage",
     "ns_packing_efficiency",
+    "ns_kn_bigram_lm",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -182,7 +183,6 @@ _WINDOW_BACKFILL: list[str] = [
     "regexp_functions",
     "argmin_argmax",
     "value_histogram",
-    "session_windows_native",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

@@ -4783,3 +4783,13 @@ def ns_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns = conversations.conversation_turns(convs)
     packs = conversations.conversation_packing(turns)
     return conversations.packing_efficiency(packs).orderBy("fill_decile")
+
+
+@query("ns_kn_bigram_lm", oracle=text.kn_bigram_oracle_sql())
+def ns_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (NEW r10): per-doc
+    average NLL under the corpus-trained KN bigram model — one order
+    above the CCNet-style unigram scorer, exact integer micro-unit
+    smoothing with the proven micro-nat ln quantization. Type-table
+    groupBys + one co-partitioned (w1, w2) equi-join."""
+    return text.kn_bigram_logprob(spark.table("documents")).orderBy("doc_id")

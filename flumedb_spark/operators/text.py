@@ -490,3 +490,169 @@ def script_profile_oracle_sql(from_clause: str = "documents") -> str:
       {dom} AS dominant_script
     FROM base ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+# 1999 "An empirical study of smoothing techniques for language
+# modeling"): the standard n-gram quality scorer one order above
+# unigram_logprob's CCNet-style model. Absolute discount d = 0.75:
+#
+#   P(w2|w1) = max(c(w1w2) - d, 0)/c(w1)
+#            + (d * N1+(w1,.)/c(w1)) * N1+(.,w2)/T
+#
+# with N1+ the continuation-type counts and T the bigram-type total.
+# All probabilities are assembled as exact integer micro-units
+# (d as 750 milli; DECIMAL(38,0)/HUGEINT widening before each integral
+# divide), so the only cross-engine float surface is the same
+# round(ln(integer)*1e6) micro-nat quantization unigram_logprob
+# already relies on, plus the one final rounded division.
+# ---------------------------------------------------------------------
+
+KN_DISCOUNT_MILLI = 750
+_LN_MICRO_OF_MICRO = 13_815_511  # round(ln(1e6) * 1e6)
+
+
+def kn_bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc average negative log-likelihood under the interpolated
+    Kneser-Ney bigram model trained on the corpus itself.
+
+    Shape at 100 TB: the bigram-type table is built by one groupBy
+    over the exploded bigrams (map-side combinable; types <<
+    occurrences), the three smoothing statistics are groupBys over
+    THAT table, and scoring is one equi-join of per-doc bigram counts
+    against the type table on (w1, w2) — co-partitioned shuffle,
+    nothing driver-side, no window. Documents with fewer than two
+    words carry no bigrams and drop out (the oracle replays the same
+    rule)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(words, 1, n - 1).alias("w1"),
+                F.slice(words, 2, n - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    per_doc_big = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    types = per_doc_big.groupBy("w1", "w2").agg(
+        F.sum("c").cast("long").alias("c12")
+    )
+    left = types.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    right = types.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1b")
+    )
+    tot = types.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+
+    d = KN_DISCOUNT_MILLI
+    scored_types = (
+        types.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"CAST(CAST(greatest(c12 * 1000 - {d}, 0) AS DECIMAL(38,0))"
+                    " * 1000000 div (CAST(c1 AS DECIMAL(38,0)) * 1000)"
+                    " AS BIGINT)"
+                )
+                + F.expr(
+                    f"CAST(CAST({d} AS DECIMAL(38,0)) * n1f * "
+                    "(CAST(n1b AS DECIMAL(38,0)) * 1000000 div t_types) "
+                    "div (CAST(c1 AS DECIMAL(38,0)) * 1000) AS BIGINT)"
+                ),
+            ).alias("p_micro"),
+        )
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log(F.col("p_micro")) * 1_000_000)
+            .cast("long")
+            .alias("lnp_micro"),
+        )
+    )
+    return (
+        per_doc_big.join(scored_types, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lnp_micro")).cast("long").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                (
+                    F.col("n_bigrams") * F.lit(_LN_MICRO_OF_MICRO)
+                    - F.col("s")
+                ).cast("double")
+                / F.col("n_bigrams")
+                / 1_000_000.0,
+                6,
+            ).alias("kn_avg_nll"),
+        )
+    )
+
+
+def kn_bigram_oracle_sql(from_clause: str = "documents") -> str:
+    d = KN_DISCOUNT_MILLI
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM {from_clause}
+    ),
+    big AS (
+      SELECT doc_id, words[gs.i] AS w1, words[gs.i + 1] AS w2
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(words) - 1)) AS i
+      ) gs
+      WHERE len(words) >= 2
+    ),
+    per_doc_big AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM big GROUP BY 1, 2, 3
+    ),
+    types AS (
+      SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c12
+      FROM per_doc_big GROUP BY 1, 2
+    ),
+    lft AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        CAST(count(*) AS BIGINT) AS n1f
+      FROM types GROUP BY 1
+    ),
+    rgt AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM types GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM types),
+    scored AS (
+      SELECT t.w1, t.w2,
+        CAST(round(ln(greatest(CAST(1 AS BIGINT),
+          CAST(CAST(greatest(t.c12 * 1000 - {d}, 0) AS HUGEINT)
+               * 1000000 // (CAST(l.c1 AS HUGEINT) * 1000) AS BIGINT)
+          + CAST(CAST({d} AS HUGEINT) * l.n1f *
+                 (CAST(r.n1b AS HUGEINT) * 1000000 // o.t_types)
+                 // (CAST(l.c1 AS HUGEINT) * 1000) AS BIGINT)
+        )) * 1000000) AS BIGINT) AS lnp_micro
+      FROM types t
+      JOIN lft l ON l.w1 = t.w1
+      JOIN rgt r ON r.w2 = t.w2
+      CROSS JOIN tot o
+    )
+    SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+      round((sum(p.c) * {_LN_MICRO_OF_MICRO}
+             - sum(p.c * s.lnp_micro)) / sum(p.c) / 1000000.0, 6)
+        AS kn_avg_nll
+    FROM per_doc_big p JOIN scored s ON s.w1 = p.w1 AND s.w2 = p.w2
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """

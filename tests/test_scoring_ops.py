@@ -313,3 +313,47 @@ def test_quality_classifier_corpus_separation(spark, docs):
     pos_l = jl.where("source = 'src0'").agg(F.avg(F.col("keep").cast("int"))).collect()[0][0]
     neg_l = jl.where("source = 'src3'").agg(F.avg((~F.col("keep")).cast("int"))).collect()[0][0]
     assert pos_l >= 0.9 and neg_l >= 0.9, (pos_l, neg_l)
+
+
+class TestKNBigram:
+    def test_known_tiny_corpus(self, spark):
+        from flumedb_spark.operators import text as text_ops
+
+        # corpus: "a b" and "a b c" -> bigram types: (a,b) c12=2,
+        # (b,c) c12=1.  c1(a)=2, n1f(a)=1; c1(b)=1, n1f(b)=1;
+        # n1b(b)=1, n1b(c)=1; T=2.
+        # p(a,b): term1 = (2000-750)*1e6 // 2000 = 625000
+        #         pcont(b) = 1e6 // 2 = 500000
+        #         term2 = 750*1*500000 // 2000 = 187500 -> 812500
+        # p(b,c): term1 = (1000-750)*1e6 // 1000 = 250000
+        #         term2 = 750*1*500000 // 1000 = 375000 -> 625000
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b c")], "doc_id long, text string"
+        )
+        rows = {
+            r.doc_id: r
+            for r in text_ops.kn_bigram_logprob(docs).collect()
+        }
+        import math
+
+        ln = lambda x: round(math.log(x) * 1e6)  # noqa: E731
+        l6 = 13_815_511
+        # doc 1: one bigram (a,b)
+        exp1 = round((1 * l6 - ln(812500)) / 1 / 1e6, 6)
+        assert rows[1].n_bigrams == 1 and rows[1].kn_avg_nll == exp1
+        # doc 2: (a,b) and (b,c)
+        exp2 = round((2 * l6 - ln(812500) - ln(625000)) / 2 / 1e6, 6)
+        assert rows[2].n_bigrams == 2 and rows[2].kn_avg_nll == exp2
+
+    def test_short_docs_drop_and_probs_valid(self, spark, sf_dir):
+        from flumedb_spark.operators import text as text_ops
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = text_ops.kn_bigram_logprob(docs)
+        # every scored doc has >= 1 bigram and a positive finite NLL
+        bad = scored.where(
+            (F.col("n_bigrams") < 1) | (F.col("kn_avg_nll") <= 0)
+        ).count()
+        assert bad == 0
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
