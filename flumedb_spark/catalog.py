@@ -156,6 +156,7 @@ WINDOW_NEW: list[str] = [
     "ns_group_advantage",
     "ns_packing_efficiency",
     "ns_kn_bigram_lm",
+    "ns_char_entropy",
 ]
 
 # rows whose code or oracle text changed in r10 and must re-attest:
@@ -182,7 +183,6 @@ _WINDOW_BACKFILL: list[str] = [
     "union_dedup_vs_all",
     "regexp_functions",
     "argmin_argmax",
-    "value_histogram",
 ]
 
 DRIVER_WINDOW: list[str] = WINDOW_NEW + WINDOW_CHANGED + _WINDOW_BACKFILL

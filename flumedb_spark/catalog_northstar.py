@@ -4793,3 +4793,12 @@ def ns_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing with the proven micro-nat ln quantization. Type-table
     groupBys + one co-partitioned (w1, w2) equi-join."""
     return text.kn_bigram_logprob(spark.table("documents")).orderBy("doc_id")
+
+
+@query("ns_char_entropy", oracle=text.char_entropy_oracle_sql())
+def ns_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (NEW r10): the
+    gibberish / encoding-noise band filter, engine-exact via integer
+    character counts + micro-nat ln quantization. Explode + two
+    groupBys — linear, no window."""
+    return text.char_entropy(spark.table("documents")).orderBy("doc_id")

@@ -656,3 +656,74 @@ def kn_bigram_oracle_sql(from_clause: str = "documents") -> str:
     FROM per_doc_big p JOIN scored s ON s.w1 = p.w1 AND s.w2 = p.w2
     GROUP BY p.doc_id ORDER BY p.doc_id
     """
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy in nats — the
+    gibberish / encoding-noise detector (natural prose sits in a
+    narrow entropy band; base64 blobs and key-mash sit far above,
+    repeated-character spam far below):
+
+        H = ln(n) - (1/n) * sum_c count(c) * ln(count(c))
+
+    assembled from integer character counts with the micro-nat ln
+    quantization (round(ln(k)*1e6) — the unigram_logprob device) and
+    ONE final rounded division, so the result is engine-exact. Shape:
+    explode to (doc, char) pairs, two groupBys — linear, no window."""
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit("(?s)."), 0)
+        ).alias("ch"),
+    )
+    counts = ch.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.sum(
+            F.col("c") * F.round(F.log("c") * 1_000_000).cast("long")
+        )
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct",
+        F.round(
+            (
+                F.col("n_chars")
+                * F.round(F.log("n_chars") * 1_000_000).cast("long")
+                - F.col("s")
+            ).cast("double")
+            / F.col("n_chars")
+            / 1_000_000.0,
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+def char_entropy_oracle_sql(from_clause: str = "documents") -> str:
+    return f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+      FROM {from_clause}
+    ),
+    counts AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM ch GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+          AS s,
+        CAST(count(*) AS BIGINT) AS n_distinct
+      FROM counts GROUP BY 1
+    )
+    SELECT doc_id, n_chars, n_distinct,
+      round((n_chars * CAST(round(ln(n_chars) * 1000000) AS BIGINT) - s)
+            / n_chars / 1000000.0, 6) AS entropy_nats
+    FROM per_doc ORDER BY doc_id
+    """

@@ -357,3 +357,42 @@ class TestKNBigram:
         assert bad == 0
         plan = scored._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+class TestCharEntropy:
+    def test_closed_forms(self, spark):
+        from flumedb_spark.operators import text as text_ops
+        import math
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa"), (2, "abab"), (3, "abcd")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r for r in text_ops.char_entropy(docs).collect()
+        }
+        # uniform single char: H = 0
+        assert rows[1].entropy_nats == 0.0 and rows[1].n_distinct == 1
+        # two chars equiprobable over 4: H = ln 2 (via the micro device)
+        ln = lambda k: round(math.log(k) * 1e6)  # noqa: E731
+        exp2 = round((4 * ln(4) - 2 * (2 * ln(2))) / 4 / 1e6, 6)
+        assert rows[2].entropy_nats == exp2
+        # four distinct chars: H = ln 4
+        exp3 = round((4 * ln(4) - 4 * (1 * ln(1))) / 4 / 1e6, 6)
+        assert rows[3].entropy_nats == exp3
+        assert abs(rows[3].entropy_nats - math.log(4)) < 1e-5
+
+    def test_prose_band_on_corpus(self, spark, sf_dir):
+        from flumedb_spark.operators import text as text_ops
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = text_ops.char_entropy(docs)
+        stats = scored.agg(
+            F.min("entropy_nats").alias("lo"),
+            F.max("entropy_nats").alias("hi"),
+        ).first()
+        # natural-text corpus sits in the prose band, not at the
+        # degenerate extremes
+        assert 1.0 < stats.lo and stats.hi < 5.0
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
