@@ -1603,24 +1603,244 @@ def _recall_sql(approx_sql: str) -> str:
     """
 
 
+# ---------------------------------------------------------------------
+# r10 OPTIMIZATION (guide §2.4 "remove shuffles outright", §7.2): the
+# single-text ANN SQL above stays as the ORACLE (and as the reference
+# statement of the arithmetic), but Spark re-EXECUTES a WITH-CTE once
+# per reference where DuckDB materializes it — `flat` feeds norms,
+# sums, both dots sides and the exact core, so the one query planned to
+# 34-52 Exchange nodes and re-exploded the embeddings table up to six
+# times (plans/r10/ns_*_before.txt). The Spark sides below run the
+# IDENTICAL arithmetic with the shared frames materialized ONCE per
+# construction (localCheckpoint — paid inside the timed region each
+# bench pass, the r6 honesty rule), exactly the standard production
+# shape: signature/assignment tables are built once and probed.
+# The md5-parity plane-sign table is additionally precomputed per
+# (table, plane, dim) — 8x6x64 rows — instead of being re-derived per
+# (vector, table, plane, dim) row (n_vecs x 48 md5 calls -> 3072).
+# Oracles are byte-identical to before; equivalence is hash-gated by
+# tools/check_correctness.py at sf0.01 + sf0.1.
+# ---------------------------------------------------------------------
+
+
+def _ann_flat_ckpt(spark: SparkSession):
+    """The exploded exact-int embedding table (the `flat` CTE of
+    _ANN_SPARK), materialized once per query construction."""
+    return spark.sql(
+        """SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS e,
+             i0 + 1 AS i
+           FROM embeddings LATERAL VIEW posexplode(embedding) pe AS i0, x"""
+    ).localCheckpoint(eager=True)
+
+
+#: norms + dots/scored/ranked tail over a materialized {flat} — the
+#: same text as _ANN_SCORE_TAIL with CTE references replaced by the
+#: checkpointed frame (plus cand supplied as a frame).
+_ANN_SCORE_TAIL_CKPT = """
+    norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM {flat} GROUP BY vec_id),
+    dots AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+        CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
+      FROM cand
+      JOIN {flat} a ON a.vec_id = cand.query_id
+      JOIN {flat} b ON b.vec_id = cand.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_raw
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+      FROM scored
+    )
+"""
+
+#: exact-cosine recall core over a materialized {flat} + an {approx}
+#: frame — same text as _EXACT_TOPK_CORE / _recall_sql's tail.
+_ANN_RECALL_CKPT = """
+    WITH norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM {flat} GROUP BY vec_id),
+    dots_x AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
+      FROM {flat} a JOIN {flat} b ON a.i = b.i AND b.vec_id != a.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC,
+            neighbor_id) AS rn
+        FROM dots_x
+        JOIN norms na ON na.vec_id = query_id
+        JOIN norms nb ON nb.vec_id = neighbor_id
+      ) ex WHERE rn <= 10
+    )
+    SELECT e.query_id,
+      CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        AS hits
+    FROM exact e
+    LEFT JOIN {approx} a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+def _lsh_ranked_spark(
+    spark: SparkSession, flat, n_planes: int = 6, n_tables: int = 8
+):
+    """LSH candidate ranking over a materialized flat table: the
+    md5-parity sign table is (tbl, plane, i)-sized (3072 rows, one md5
+    each) and the bucket table is checkpointed before its self-join
+    (the minhash_lsh_candidates lesson: a lazy self-join computes the
+    signature pipeline twice). Arithmetic identical to _lsh_md5_sql."""
+    signs = spark.sql(
+        f"""
+        SELECT t.tbl, p.plane, d.i,
+          CASE WHEN (position(substr(md5(concat(
+                CAST(t.tbl AS STRING), '|', CAST(p.plane AS STRING), '|', CAST(d.i AS STRING)
+              )), 1, 1) IN '0123456789abcdef') - 1) % 2 = 1
+            THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT explode(sequence(0, {n_tables - 1})) AS tbl) t
+        CROSS JOIN (SELECT explode(sequence(0, {n_planes - 1})) AS plane) p
+        CROSS JOIN (SELECT DISTINCT i FROM {{flat}}) d
+        """,
+        flat=flat,
+    )
+    buckets = spark.sql(
+        """
+        SELECT vec_id, tbl,
+          CAST(sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, plane) AS BIGINT)) AS BIGINT) AS bucket
+        FROM (
+          SELECT f.vec_id, g.tbl, g.plane,
+            sum(CASE WHEN g.sgn = 1 THEN f.e ELSE -f.e END) AS s
+          FROM {flat} f JOIN {signs} g ON g.i = f.i
+          GROUP BY f.vec_id, g.tbl, g.plane
+        ) sums GROUP BY vec_id, tbl
+        """,
+        flat=flat,
+        signs=signs,
+    ).localCheckpoint(eager=True)
+    return spark.sql(
+        """
+        WITH cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+          FROM {bk} q
+          JOIN {bk} c ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.vec_id
+          WHERE q.vec_id < 5
+        ),
+        """
+        + _ANN_SCORE_TAIL_CKPT.lstrip()
+        + "SELECT query_id, neighbor_id, cos_raw, rn FROM ranked",
+        bk=buckets,
+        flat=flat,
+    )
+
+
+def _ivf_vcs_ckpt(spark: SparkSession, flat, n_centroids: int = 16):
+    """Voronoi cosine table (the `vcs` CTE of _ivf_assign_ctes) over a
+    materialized flat table, checkpointed: it feeds both the assignment
+    and the probe ranking."""
+    return spark.sql(
+        f"""
+        WITH cents AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+        cflat AS (SELECT c.cent_id, f.i, f.e FROM cents c JOIN {{flat}} f ON f.vec_id = c.cent_id),
+        cnorm AS (SELECT cent_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM cflat GROUP BY cent_id),
+        norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM {{flat}} GROUP BY vec_id),
+        vc AS (
+          SELECT f.vec_id, c.cent_id, CAST(sum(f.e * c.e) AS BIGINT) AS dot_i
+          FROM {{flat}} f JOIN cflat c ON c.i = f.i
+          GROUP BY 1, 2
+        )
+        SELECT vc.vec_id, vc.cent_id,
+          CAST(dot_i AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS cos_c
+        FROM vc
+        JOIN norms n ON n.vec_id = vc.vec_id
+        JOIN cnorm cn ON cn.cent_id = vc.cent_id
+        """,
+        flat=flat,
+    ).localCheckpoint(eager=True)
+
+
+def _ivf_ranked_spark(spark: SparkSession, flat, vcs, n_probe: int = 4):
+    """Seeded-IVF candidate ranking over materialized flat + vcs —
+    arithmetic identical to _ivf_seeded_sql."""
+    return spark.sql(
+        f"""
+        WITH assign AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+            FROM {{vcs}}
+          ) ar WHERE rn = 1
+        ),
+        probe AS (
+          SELECT vec_id AS query_id, cent_id FROM (
+            SELECT vec_id, cent_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+            FROM {{vcs}} WHERE vec_id < 5
+          ) pr WHERE rn <= {n_probe}
+        ),
+        cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id
+          FROM probe p JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
+        ),
+        """
+        + _ANN_SCORE_TAIL_CKPT.lstrip()
+        + "SELECT query_id, neighbor_id, cos_raw, rn FROM ranked",
+        vcs=vcs,
+        flat=flat,
+    )
+
+
 @query("ns_lsh_ann_topk_md5", oracle=_lsh_md5_sql(_ANN_DUCK))
 def ns_lsh_ann_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_lsh_md5_sql(_ANN_SPARK))
+    flat = _ann_flat_ckpt(spark)
+    ranked = _lsh_ranked_spark(spark, flat)
+    return spark.sql(
+        "SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "
+        "CAST(rn AS INT) AS rank FROM {r} WHERE rn <= 10 ORDER BY query_id, rank",
+        r=ranked,
+    )
 
 
 @query("ns_lsh_ann_recall10", oracle=_recall_sql(_lsh_md5_sql(_ANN_DUCK)))
 def ns_lsh_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_recall_sql(_lsh_md5_sql(_ANN_SPARK)))
+    flat = _ann_flat_ckpt(spark)
+    approx = (
+        _lsh_ranked_spark(spark, flat)
+        .where("rn <= 10")
+        .select("query_id", "neighbor_id")
+    )
+    return spark.sql(_ANN_RECALL_CKPT, flat=flat, approx=approx)
 
 
 @query("ns_ivf_ann_topk_seeded", oracle=_ivf_seeded_sql(_ANN_DUCK))
 def ns_ivf_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_ivf_seeded_sql(_ANN_SPARK))
+    flat = _ann_flat_ckpt(spark)
+    ranked = _ivf_ranked_spark(spark, flat, _ivf_vcs_ckpt(spark, flat))
+    return spark.sql(
+        "SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "
+        "CAST(rn AS INT) AS rank FROM {r} WHERE rn <= 10 ORDER BY query_id, rank",
+        r=ranked,
+    )
 
 
 @query("ns_ivf_ann_recall10", oracle=_recall_sql(_ivf_seeded_sql(_ANN_DUCK)))
 def ns_ivf_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_recall_sql(_ivf_seeded_sql(_ANN_SPARK)))
+    flat = _ann_flat_ckpt(spark)
+    approx = (
+        _ivf_ranked_spark(spark, flat, _ivf_vcs_ckpt(spark, flat))
+        .where("rn <= 10")
+        .select("query_id", "neighbor_id")
+    )
+    return spark.sql(_ANN_RECALL_CKPT, flat=flat, approx=approx)
 
 
 from .operators.sampling import _bucket_expr as _sampling_bucket_expr  # noqa: E402
@@ -2233,8 +2453,58 @@ def _semdedup_sql(d: dict, n_centroids: int = 16, tau: float = 0.35) -> str:
 @query("ns_semantic_dedup", oracle=_semdedup_sql(_ANN_DUCK))
 def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep/drop decisions over seeded clusters (see
-    _semdedup_sql)."""
-    return spark.sql(_semdedup_sql(_ANN_SPARK))
+    _semdedup_sql). r10 OPTIMIZATION: flat / vcs / assign materialized
+    once per construction (the ANN-family CTE-recompute fix — see the
+    comment block above ns_lsh_ann_topk_md5); arithmetic and oracle
+    unchanged."""
+    flat = _ann_flat_ckpt(spark)
+    vcs = _ivf_vcs_ckpt(spark, flat)
+    assign = spark.sql(
+        """
+        SELECT vec_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+          FROM {vcs}
+        ) ar WHERE rn = 1
+        """,
+        vcs=vcs,
+    ).localCheckpoint(eager=True)
+    return spark.sql(
+        """
+        WITH pairs AS (
+          SELECT aa.vec_id AS va, ab.vec_id AS vb
+          FROM {a} aa JOIN {a} ab
+            ON ab.cent_id = aa.cent_id AND ab.vec_id < aa.vec_id
+        ),
+        norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM {flat} GROUP BY vec_id),
+        pdots AS (
+          SELECT p.va, p.vb, CAST(sum(fa.e * fb.e) AS BIGINT) AS dot_i
+          FROM pairs p
+          JOIN {flat} fa ON fa.vec_id = p.va
+          JOIN {flat} fb ON fb.vec_id = p.vb AND fb.i = fa.i
+          GROUP BY 1, 2
+        ),
+        pcos AS (
+          SELECT va, vb,
+            CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS c
+          FROM pdots
+          JOIN norms na ON na.vec_id = va
+          JOIN norms nb ON nb.vec_id = vb
+        ),
+        mx AS (
+          SELECT va AS vec_id, max(c) AS max_sim,
+            CAST(max(CASE WHEN c >= 0.35 THEN 1 ELSE 0 END) AS INT) AS has_dup
+          FROM pcos GROUP BY va
+        )
+        SELECT a.vec_id, a.cent_id,
+          round(coalesce(m.max_sim, CAST(-1.0 AS DOUBLE)), 6) AS max_sim_lower,
+          CAST(CASE WHEN coalesce(m.has_dup, 0) = 1 THEN 0 ELSE 1 END AS INT) AS keep
+        FROM {a} a LEFT JOIN mx m ON m.vec_id = a.vec_id
+        ORDER BY a.vec_id
+        """,
+        a=assign,
+        flat=flat,
+    )
 
 
 # ---------------------------------------------------------------------
@@ -2914,8 +3184,92 @@ def ns_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketches over the click/purchase value-cents sets
     with union + intersection estimates next to the exact answers —
     the theta-sketch counterpart of ns_hll_user_estimate (see
-    _kmv_sql for the estimator + 100 TB notes)."""
-    return spark.sql(_KMV_SPARK)
+    _kmv_sql for the estimator + 100 TB notes).
+
+    r10 OPTIMIZATION (guide §2.4/§7.2): the single-text _KMV_SPARK
+    planned to 58 Exchange nodes — `els` is referenced four times
+    (sketch build + all three exact counts) and `sk`/`usk` three times
+    each, and Spark re-executes a CTE per reference. The distinct
+    element set and the per-key sketch are materialized once
+    (localCheckpoint, inside the timed region), exactly how a sketch
+    table is served in production; arithmetic and oracle unchanged."""
+    k = 256
+    kth = float(k - 1)
+    els = spark.sql(
+        """
+        SELECT DISTINCT event_type AS et, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+        """
+    ).localCheckpoint(eager=True)
+    hv = "CAST(conv(substring(md5(CAST(v AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    sk = spark.sql(
+        f"""
+        WITH h AS (SELECT et, v, {hv} AS hv FROM {{els}}),
+        rk1 AS (
+          SELECT et, hv, v,
+            row_number() OVER (PARTITION BY et, hv % 64 ORDER BY hv, v) AS r1
+          FROM h
+        ),
+        rk AS (
+          SELECT et, hv,
+            row_number() OVER (PARTITION BY et ORDER BY hv, v) AS r
+          FROM rk1 WHERE r1 <= {k}
+        )
+        SELECT et, hv FROM rk WHERE r <= {k}
+        """,
+        els=els,
+    ).localCheckpoint(eager=True)
+    return spark.sql(
+        f"""
+        WITH per AS (
+          SELECT et AS measure, CAST(count(*) AS BIGINT) AS n_sketch,
+            CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                 ELSE {kth} * 1152921504606846976.0 / CAST(max(hv) AS DOUBLE) END
+              AS est
+          FROM {{sk}} GROUP BY et
+        ),
+        uh AS (SELECT DISTINCT hv FROM {{sk}}),
+        urk AS (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM uh),
+        usk AS (SELECT hv FROM urk WHERE r <= {k}),
+        uper AS (
+          SELECT 'union' AS measure, CAST(count(*) AS BIGINT) AS n_sketch,
+            CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                 ELSE {kth} * 1152921504606846976.0 / CAST(max(hv) AS DOUBLE) END
+              AS est
+          FROM usk
+        ),
+        comm AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_common,
+                 (SELECT CAST(count(*) AS BIGINT) FROM usk) AS ku
+          FROM usk u
+          WHERE EXISTS (SELECT 1 FROM {{sk}} a WHERE a.et = 'click' AND a.hv = u.hv)
+            AND EXISTS (SELECT 1 FROM {{sk}} b WHERE b.et = 'purchase' AND b.hv = u.hv)
+        ),
+        iper AS (
+          SELECT 'intersection' AS measure, c.n_common AS n_sketch,
+            CAST(c.n_common AS DOUBLE) / c.ku * u.est AS est
+          FROM comm c, uper u
+        ),
+        ex AS (
+          SELECT et AS measure, CAST(count(*) AS BIGINT) AS n_exact
+          FROM {{els}} GROUP BY et
+          UNION ALL
+          SELECT 'union' AS measure, CAST(count(DISTINCT v) AS BIGINT) FROM {{els}}
+          UNION ALL
+          SELECT 'intersection' AS measure, CAST(count(*) AS BIGINT) FROM
+            (SELECT v FROM {{els}} WHERE et = 'click'
+             INTERSECT
+             SELECT v FROM {{els}} WHERE et = 'purchase') i
+        )
+        SELECT s.measure, e.n_exact, s.n_sketch, round(s.est, 4) AS est
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM uper
+              UNION ALL SELECT * FROM iper) s
+        JOIN ex e ON e.measure = s.measure
+        ORDER BY s.measure
+        """,
+        sk=sk,
+        els=els,
+    )
 
 
 # ---------------------------------------------------------------------
@@ -3027,18 +3381,112 @@ def _pq_recall_sql(d: dict, dv: str, m: int = 4, n_codes: int = 16) -> str:
     """
 
 
+def _pq_dtab_ckpt(spark: SparkSession, flat, m: int = 4, n_codes: int = 16):
+    """PQ subdistance table (the `dtab` CTE of _pq_ctes) over a
+    materialized flat table, checkpointed: it feeds both the encoding
+    argmin and the query distance tables (the ANN-family CTE-recompute
+    fix — see the comment block above ns_lsh_ann_topk_md5)."""
+    return spark.sql(
+        f"""
+        WITH dim AS (SELECT CAST(max(i) AS BIGINT) AS nd FROM {{flat}}),
+        sub AS (
+          SELECT f.vec_id,
+            CAST(((f.i - 1) * {m}) DIV dim.nd AS BIGINT) AS s, f.i, f.e
+          FROM {{flat}} f, dim
+        ),
+        cents AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT {n_codes}),
+        cflat AS (SELECT c.cent_id, f.s, f.i, f.e FROM cents c JOIN sub f ON f.vec_id = c.cent_id)
+        SELECT f.vec_id, f.s, c.cent_id,
+          CAST(sum((f.e - c.e) * (f.e - c.e)) AS BIGINT) AS d2
+        FROM sub f JOIN cflat c ON c.i = f.i AND c.s = f.s
+        GROUP BY 1, 2, 3
+        """,
+        flat=flat,
+    ).localCheckpoint(eager=True)
+
+
+def _pq_ranked_spark(spark: SparkSession, dtab):
+    """ADC ranking over a materialized dtab — arithmetic identical to
+    _pq_ctes' codes/qt/adc/rankedpq chain."""
+    return spark.sql(
+        """
+        WITH codes AS (
+          SELECT vec_id, s, cent_id AS code FROM (
+            SELECT vec_id, s, cent_id,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+            FROM {dtab}
+          ) cr WHERE rn = 1
+        ),
+        qt AS (SELECT vec_id AS query_id, s, cent_id, d2 FROM {dtab} WHERE vec_id < 5),
+        adc AS (
+          SELECT qt.query_id, v.vec_id AS neighbor_id,
+            CAST(sum(qt.d2) AS BIGINT) AS adc_d2
+          FROM codes v JOIN qt ON qt.s = v.s AND qt.cent_id = v.code
+          WHERE v.vec_id != qt.query_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, adc_d2,
+          row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
+        FROM adc
+        """,
+        dtab=dtab,
+    )
+
+
 @query("ns_pq_ann_topk_seeded", oracle=_pq_seeded_sql(_ANN_DUCK, "//"))
 def ns_pq_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC top-10 with seeded codebooks; the ranking key is an
     exact BIGINT — zero floats in the ordering (see _pq_ctes)."""
-    return spark.sql(_pq_seeded_sql(_ANN_SPARK, "DIV"))
+    flat = _ann_flat_ckpt(spark)
+    ranked = _pq_ranked_spark(spark, _pq_dtab_ckpt(spark, flat))
+    return spark.sql(
+        "SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INT) AS rank "
+        "FROM {r} WHERE rn <= 10 ORDER BY query_id, rank",
+        r=ranked,
+    )
 
 
 @query("ns_pq_ann_recall10", oracle=_pq_recall_sql(_ANN_DUCK, "//"))
 def ns_pq_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of PQ-ADC vs exact squared-L2 — quantization loss
     measured, not assumed (see _pq_recall_sql)."""
-    return spark.sql(_pq_recall_sql(_ANN_SPARK, "DIV"))
+    flat = _ann_flat_ckpt(spark)
+    approx = (
+        _pq_ranked_spark(spark, _pq_dtab_ckpt(spark, flat))
+        .where("rn <= 10")
+        .select("query_id", "neighbor_id")
+    )
+    return spark.sql(
+        """
+        WITH norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM {flat} GROUP BY vec_id),
+        dots_x AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
+          FROM {flat} a JOIN {flat} b ON a.i = b.i AND b.vec_id != a.vec_id
+          WHERE a.vec_id < 5
+          GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT dx.query_id, dx.neighbor_id,
+              row_number() OVER (PARTITION BY dx.query_id ORDER BY
+                (na.n2 + nb.n2 - 2 * dx.dot_i), dx.neighbor_id) AS rn
+            FROM dots_x dx
+            JOIN norms na ON na.vec_id = dx.query_id
+            JOIN norms nb ON nb.vec_id = dx.neighbor_id
+          ) ex WHERE rn <= 10
+        )
+        SELECT e.query_id,
+          CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+            AS hits
+        FROM exact e
+        LEFT JOIN {approx} a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id ORDER BY e.query_id
+        """,
+        flat=flat,
+        approx=approx,
+    )
 
 
 _CANONICAL_TAIL = """,
@@ -3313,16 +3761,27 @@ def ns_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = c.unionAll(s)
     o = spark.table("orders")
     li = spark.table("lineitem")
-    e0 = (
+    # r10 OPTIMIZATION (guide §2.3/§2.4): ONE orders x lineitem join
+    # pass exploding both edge directions, instead of union-ing two
+    # references to a lazy joined-and-distinct subtree (Spark executed
+    # the join AND its dedup once per union branch; the graph operator
+    # dedups internally anyway, so the catalog-level distinct was a
+    # third dedup of the same rows).
+    edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
-        .distinct()
-    )
-    edges = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
     )
     ranks = _graph.pagerank(edges, nodes, iterations=5)
     return (
@@ -3434,16 +3893,27 @@ def ns_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = spark.table("orders")
     li = spark.table("lineitem")
-    e0 = (
+    # r10 OPTIMIZATION (guide §2.3/§2.4): ONE orders x lineitem join
+    # pass exploding both edge directions, instead of union-ing two
+    # references to a lazy joined-and-distinct subtree (Spark executed
+    # the join AND its dedup once per union branch; the graph operator
+    # dedups internally anyway, so the catalog-level distinct was a
+    # third dedup of the same rows).
+    edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
-        .distinct()
-    )
-    edges = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
     )
     ranks = _graph.pagerank(edges, nodes, iterations=5, reset_nodes=seeds)
     return (
@@ -3685,16 +4155,27 @@ def ns_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = spark.table("orders")
     li = spark.table("lineitem")
-    e0 = (
+    # r10 OPTIMIZATION (guide §2.3/§2.4): ONE orders x lineitem join
+    # pass exploding both edge directions, instead of union-ing two
+    # references to a lazy joined-and-distinct subtree (Spark executed
+    # the join AND its dedup once per union branch; the graph operator
+    # dedups internally anyway, so the catalog-level distinct was a
+    # third dedup of the same rows).
+    edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
-        .distinct()
-    )
-    edges = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
     )
     srcs = spark.createDataFrame([(3,), (7,)], "node_id long")
     d = _graph.shortest_paths(edges, srcs)
@@ -3888,20 +4369,23 @@ def ns_url_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form from the formulas, so a base-dir, dot-segment, scheme-
     inherit, or canonicalization bug breaks the hash. Cross-checked
     against urllib.parse.urljoin ground truth in tests/test_urls.py."""
-    from functools import reduce as _reduce
-
+    # r10 OPTIMIZATION (guide §2.3): ONE scan exploding the four
+    # resolved hrefs per document, instead of a 4-branch union that
+    # scanned documents (and evaluated the shared page-URL expression)
+    # once per href class. Identical rows, identical order.
     docs = spark.table("documents")
-    parts = [
-        docs.select(
-            "doc_id",
-            F.lit(i).alias("link_i"),
+    resolved = F.array(
+        *[
             _urls.canonicalize_url(
                 _urls.resolve_url(_urls.page_url_expr(), _urls.link_href_expr(i))
-            ).alias("resolved_url"),
-        )
-        for i in range(4)
-    ]
-    return _reduce(lambda a, b: a.unionByName(b), parts).orderBy("doc_id", "link_i")
+            )
+            for i in range(4)
+        ]
+    )
+    return (
+        docs.select("doc_id", F.posexplode(resolved).alias("link_i", "resolved_url"))
+        .orderBy("doc_id", "link_i")
+    )
 
 
 @query("ns_host_graph", oracle=_urls.host_graph_oracle_sql())
@@ -4308,15 +4792,24 @@ def ns_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = c.unionAll(s)
     o = spark.table("orders")
     li = spark.table("lineitem")
-    e0 = (
+    # r10 OPTIMIZATION: one join pass exploding both edge directions
+    # (see ns_pagerank) — label_propagation dedups internally.
+    edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
-        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
     )
-    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     lab = _graph.label_propagation(edges, nodes, rounds=3)
     return lab.select(
         "node_id",

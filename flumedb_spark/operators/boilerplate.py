@@ -98,11 +98,20 @@ def line_dedup_clean(
 
     Output: doc_id, clean_text, n_segs, kept_segs, removed_frac
     (exact-count ratio rounded to 6dp)."""
-    segs = segment_docs(docs, seg_words=seg_words, text_col=text_col, id_col=id_col)
-    freq = segment_doc_freq(segs)
-    tagged = segs.join(
-        freq, F.md5(segs["seg_text"]) == freq["seg_hash"], "inner"
-    ).select(
+    # r10 OPTIMIZATION (guide §2.4, the minhash band-table lesson): the
+    # segment table feeds BOTH the frequency aggregate and the join
+    # back — on a lazy plan each reference re-ran the split/explode/
+    # slice segmentation. Materialize it once, with the md5 segment
+    # hash computed once per row instead of once per reference side.
+    segs = (
+        segment_docs(docs, seg_words=seg_words, text_col=text_col, id_col=id_col)
+        .withColumn("seg_hash", F.md5(F.col("seg_text")))
+        .localCheckpoint(eager=True)
+    )
+    freq = segs.groupBy("seg_hash").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs_with")
+    )
+    tagged = segs.join(freq, "seg_hash", "inner").select(
         "doc_id",
         "seg_id",
         "seg_text",

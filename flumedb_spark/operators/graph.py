@@ -134,32 +134,41 @@ def pagerank(
             .cast("long")
             .alias("_alloc"),
         )
-    # the static per-node teleport allocation, reused every iteration
-    alloc = alloc.localCheckpoint(eager=True)
+    # the static per-node teleport allocation, reused every iteration.
+    # r10 OPTIMIZATION (guide §2.4/§2.6): outdeg is attached HERE, once
+    # — it is static, so carrying it on the rank frame removes the
+    # per-iteration ranks-x-outdeg join (and the join that fed the
+    # dangling filter).
+    alloc = (
+        alloc.join(outdeg, alloc["node_id"] == outdeg["src"], "left")
+        .select("node_id", "_alloc", "outdeg")
+        .localCheckpoint(eager=True)
+    )
 
     # internal column is `rk` (never `rank`: that parses as the window
     # function inside F.expr's `div` arithmetic)
-    ranks = alloc.select("node_id", F.col("_alloc").alias("rk"))
+    ranks = alloc.select("node_id", F.col("_alloc").alias("rk"), "outdeg")
     for _ in range(iterations):
         ranks = ranks.localCheckpoint(eager=True)  # cut lineage per iter
-        with_deg = ranks.join(
-            outdeg, ranks["node_id"] == outdeg["src"], "left"
-        ).select("node_id", "rk", "outdeg")
-        # dangling mass: one-row aggregate (bounded driver probe)
-        dangling = (
-            with_deg.where(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rk"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
+        # dangling mass: r10 OPTIMIZATION — a broadcast 1-row aggregate
+        # joined into the plan (the repo's scalar-join idiom) instead of
+        # a driver collect(): halves the blocking jobs per iteration
+        # (the old collect forced a full extra driver round-trip between
+        # every pair of checkpoints). `div` on non-negative BIGINTs is
+        # identical to the old Python `//` fold.
+        dang = ranks.where(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rk"), F.lit(0)).cast("long").alias("_dang")
         )
         inflow = (
-            with_deg.where(F.col("outdeg").isNotNull())
+            ranks.where(F.col("outdeg").isNotNull())
             .withColumn("share", F.expr("rk div outdeg"))
-            .join(e, with_deg["node_id"] == e["src"])
+            .join(e, ranks["node_id"] == e["src"])
             .groupBy("dst")
             .agg(F.sum("share").alias("inflow"))
         )
         ranks = (
             alloc.join(inflow, alloc["node_id"] == inflow["dst"], "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node_id",
                 (
@@ -168,12 +177,17 @@ def pagerank(
                     * (
                         F.coalesce(F.col("inflow"), F.lit(0))
                         + F.when(
-                            F.col("_alloc") > 0, F.lit(int(dangling) // m)
-                        ).otherwise(F.lit(0))
+                            F.col("_alloc") > 0, F.expr(f"_dang div {m}")
+                        ).otherwise(F.lit(0).cast("long"))
                     )
                 ).alias("_num"),
+                "outdeg",
             )
-            .select("node_id", F.expr("_num div 100").cast("long").alias("rk"))
+            .select(
+                "node_id",
+                F.expr("_num div 100").cast("long").alias("rk"),
+                "outdeg",
+            )
         )
     return ranks.select("node_id", F.col("rk").alias("rank"))
 

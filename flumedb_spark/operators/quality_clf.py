@@ -146,7 +146,14 @@ def train_quality_classifier(
             .alias("floor_q"),
         )
     )
-    return weights, bias
+    # r10 OPTIMIZATION (guide §2.4/§7.2): weights (<= 2*N_BUCKETS rows)
+    # and bias (1 row) are referenced lazily by every scoring pass —
+    # score_quality broadcasts weights once and bias twice — and Spark
+    # re-executes the whole two-class training subtree per reference
+    # (the ns_quality_classifier plan reached 104 Exchange nodes).
+    # Materializing the kilobyte model once collapses scoring to the
+    # one corpus aggregate + broadcast joins the docstring promises.
+    return weights.localCheckpoint(eager=True), bias.localCheckpoint(eager=True)
 
 
 def score_quality(

@@ -105,13 +105,19 @@ def dsir_logweights(
         .agg(F.count("*").cast("long").alias("c"))
         .localCheckpoint(eager=True)
     )
-    lm_q = _lm(per_bucket.groupBy("b").agg(F.sum("c").cast("long").alias("c")))
+    # r10 OPTIMIZATION (guide §2.4/§7.2): both LMs are referenced twice
+    # (floor + the scoring joins) and Spark re-executes the aggregation
+    # subtree per reference — materialize the <= N_BUCKETS-row tables
+    # once (the ns_quality_classifier 104-Exchange lesson).
+    lm_q = _lm(
+        per_bucket.groupBy("b").agg(F.sum("c").cast("long").alias("c"))
+    ).localCheckpoint(eager=True)
     tgt_ids = docs.where(F.expr(target_filter)).select("doc_id")
     lm_p = _lm(
         per_bucket.join(F.broadcast(tgt_ids), "doc_id", "left_semi")
         .groupBy("b")
         .agg(F.sum("c").cast("long").alias("c"))
-    )
+    ).localCheckpoint(eager=True)
     # floors for unseen buckets: ln(1 / (tot + B)) in micro-nats
     floor = (
         lm_p.select(F.col("tot").alias("tot_p")).limit(1)

@@ -12,9 +12,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: whitespace-token count without any split/explode: O(len) in codegen
+#: whitespace-token count without any split/explode: O(len) in codegen.
+#: r10 OPTIMIZATION (guide §1.2 "per-task work"): literal `replace`
+#: instead of `regexp_replace` — the pattern has no metacharacters, so
+#: the two are semantically identical, but the literal form skips the
+#: Java regex engine entirely (a plain substring scan in codegen).
 def n_tokens(text: Column) -> Column:
-    return F.length(text) - F.length(F.regexp_replace(text, " ", "")) + 1
+    return F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
 
 
 def n_bpe_tokens(text: Column) -> Column:
@@ -31,13 +35,20 @@ def occurrences(text: Column, word: str) -> Column:
     ``'the the the'`` (the middle match consumes both flanking spaces);
     with doubled spaces each word is independently flanked and the
     count is exact. Identical non-overlapping replace semantics in both
-    engines."""
-    doubled = F.regexp_replace(
-        F.concat(F.lit(" "), text, F.lit(" ")), " ", "  "
+    engines.
+
+    r10 OPTIMIZATION (guide §1.2 "per-task work"): both replaces are
+    literal patterns (the marker words are plain tokens, no regex
+    metacharacters), so `replace` is semantically identical to
+    `regexp_replace` while skipping the Java regex engine — lang_id
+    runs 2 scans/word over every document (30 for the 15 markers), so
+    the engine swap is the whole win."""
+    doubled = F.replace(
+        F.concat(F.lit(" "), text, F.lit(" ")), F.lit(" "), F.lit("  ")
     )
     pat = f" {word} "
     return (
-        F.length(doubled) - F.length(F.regexp_replace(doubled, pat, ""))
+        F.length(doubled) - F.length(F.replace(doubled, F.lit(pat), F.lit("")))
     ) / len(pat)
 
 
@@ -51,7 +62,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         toks.cast("long").alias("n_tokens"),
         n_bpe_tokens(t).cast("long").alias("n_bpe_tokens"),
         F.round(
-            (F.length(F.regexp_replace(t, " ", "")).cast("double")) / toks, 6
+            (F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double")) / toks, 6
         ).alias("avg_token_len"),
     )
 
@@ -62,7 +73,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     word-length gates), exactly reproducible in SQL."""
     t = F.col(text_col)
     toks = n_tokens(t)
-    avg_len = F.length(F.regexp_replace(t, " ", "")).cast("double") / toks
+    avg_len = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / toks
     score = (
         F.least(F.lit(1.0), toks.cast("double") / 60.0) * 0.4
         + F.least(F.lit(1.0), F.length(t).cast("double") / 400.0) * 0.4
@@ -277,7 +288,7 @@ def gopher_quality(
     t = F.col(text_col)
     words = F.split(t, " ")
     n_words = F.size(words).cast("long")
-    n_chars = F.length(F.regexp_replace(t, " ", "")).cast("double")
+    n_chars = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double")
     mean_wl = F.round(n_chars / n_words, 6)
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("long")
     frac_alpha = F.round(n_alpha / n_words, 6)
@@ -341,7 +352,24 @@ def unigram_logprob(
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    freq = tok.groupBy("w").agg(F.count("*").cast("long").alias("f"))
+    # r10 OPTIMIZATION (guide §2.3/§2.4): the token explode used to
+    # feed BOTH the corpus frequency table and the per-doc counts as a
+    # lazily shared subtree, and the frequency table fed the ln() term
+    # table and the totals — Spark re-executed the corpus explode once
+    # per reference (20-Exchange plan). Now the ONE data-sized pass is
+    # the (doc, w) count — materialized once — and the corpus frequency
+    # is derived from it by a vocab-sized second aggregate
+    # (sum of per-doc counts == the direct count, exactly).
+    dw = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    freq = (
+        dw.groupBy("w")
+        .agg(F.sum("c").cast("long").alias("f"))
+        .localCheckpoint(eager=True)  # vocab-sized; feeds term AND totals
+    )
     tot = freq.agg(
         F.sum("f").cast("long").alias("t_tokens"),
         F.count("*").cast("long").alias("v_vocab"),
@@ -353,7 +381,6 @@ def unigram_logprob(
         .cast("long")
         .alias("lnf_micro"),
     )
-    dw = tok.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("c"))
     per_doc = (
         dw.join(F.broadcast(term), "w")
         .groupBy("doc_id")

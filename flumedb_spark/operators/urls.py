@@ -325,28 +325,38 @@ def anchor_text_index(
     )
     win = Window.partitionBy("target").orderBy(F.desc("n"), F.asc("anchor"))
     ranked = per_anchor.withColumn("rn", F.row_number().over(win))
-    per_target = per_anchor.groupBy("target").agg(
+    # r10 OPTIMIZATION (guide §2.4): the per-target totals, anchor
+    # count, and top-anchor pick all fold into ONE aggregate over the
+    # ranked rows (the rn = 1 row is unique per target, so max() over
+    # the when()-guarded struct selects exactly it) — the old shape
+    # re-aggregated per_anchor on a second branch and joined three
+    # frames. The window, the aggregate, and the join all share the
+    # `target` key, so the partitioning is established once (§2.4
+    # "window functions partitioned by the same key as a preceding
+    # aggregation do not need a second shuffle").
+    per_target = ranked.groupBy("target").agg(
         F.sum("n").cast("long").alias("n_refs"),
         F.count("*").cast("long").alias("n_anchors"),
+        F.max(
+            F.when(
+                F.col("rn") == 1,
+                F.struct(F.col("anchor").alias("top_anchor"),
+                         F.col("n").alias("top_anchor_refs")),
+            )
+        ).alias("_top"),
     )
     srcs = base.groupBy("target").agg(
         F.count_distinct("src_doc").cast("long").alias("n_src_docs")
     )
-    top = ranked.where(F.col("rn") == 1).select(
-        "target",
-        F.col("anchor").alias("top_anchor"),
-        F.col("n").alias("top_anchor_refs"),
-    )
     return (
         per_target.join(srcs, "target")
-        .join(top, "target")
         .select(
             "target",
             "n_refs",
             "n_src_docs",
             "n_anchors",
-            "top_anchor",
-            "top_anchor_refs",
+            F.col("_top.top_anchor").alias("top_anchor"),
+            F.col("_top.top_anchor_refs").alias("top_anchor_refs"),
         )
         .orderBy("target")
     )
