@@ -1623,14 +1623,41 @@ def _recall_sql(approx_sql: str) -> str:
 # ---------------------------------------------------------------------
 
 
-def _ann_flat_ckpt(spark: SparkSession):
+def _ann_flat_ckpt(spark: SparkSession, fanout: int = 1):
     """The exploded exact-int embedding table (the `flat` CTE of
-    _ANN_SPARK), materialized once per query construction."""
-    return spark.sql(
-        """SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS e,
+    _ANN_SPARK), materialized once per query construction.
+
+    Width is SIZE-ADAPTIVE, not a local-mode constant (guide §2):
+    the scan inherits the source's partitioning (dozens of near-empty
+    tasks at small SFs — every downstream flat reference re-pays that
+    task count), so coalesce to ~750k downstream-fanout rows per task,
+    estimated from the cached relation's optimizer statistics
+    (metadata only — no extra job). ``fanout`` is the per-flat-row
+    multiplier of the heaviest consumer (48 = tables x planes for the
+    LSH sums stage; 1 for the IVF/PQ probe shapes). Interleaved A/B at
+    sf0.1: LSH 2.33 s -> 0.89 s at width 8; IVF best at width 1."""
+    est_bytes = int(
+        str(
+            spark.table("embeddings")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    )
+    # ~720 estimated bytes per embeddings row (id + 64-float array),
+    # 64 flat rows per embedding row
+    flat_rows_est = max(1, est_bytes // 720) * 64
+    width = min(32, max(1, round(flat_rows_est * fanout / 750_000)))
+    return (
+        spark.sql(
+            """SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS e,
              i0 + 1 AS i
            FROM embeddings LATERAL VIEW posexplode(embedding) pe AS i0, x"""
-    ).localCheckpoint(eager=True)
+        )
+        .coalesce(width)
+        .localCheckpoint(eager=True)
+    )
 
 
 #: norms + dots/scored/ranked tail over a materialized {flat} — the
@@ -1765,7 +1792,7 @@ def _ivf_vcs_ckpt(spark: SparkSession, flat, n_centroids: int = 16):
         JOIN cnorm cn ON cn.cent_id = vc.cent_id
         """,
         flat=flat,
-    ).localCheckpoint(eager=True)
+    ).coalesce(flat.rdd.getNumPartitions()).localCheckpoint(eager=True)
 
 
 def _ivf_ranked_spark(spark: SparkSession, flat, vcs, n_probe: int = 4):
@@ -1801,7 +1828,7 @@ def _ivf_ranked_spark(spark: SparkSession, flat, vcs, n_probe: int = 4):
 
 @query("ns_lsh_ann_topk_md5", oracle=_lsh_md5_sql(_ANN_DUCK))
 def ns_lsh_ann_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = _ann_flat_ckpt(spark)
+    flat = _ann_flat_ckpt(spark, fanout=48)
     ranked = _lsh_ranked_spark(spark, flat)
     return spark.sql(
         "SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "
@@ -1812,7 +1839,7 @@ def ns_lsh_ann_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ns_lsh_ann_recall10", oracle=_recall_sql(_lsh_md5_sql(_ANN_DUCK)))
 def ns_lsh_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = _ann_flat_ckpt(spark)
+    flat = _ann_flat_ckpt(spark, fanout=48)
     approx = (
         _lsh_ranked_spark(spark, flat)
         .where("rn <= 10")
@@ -2468,7 +2495,7 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) ar WHERE rn = 1
         """,
         vcs=vcs,
-    ).localCheckpoint(eager=True)
+    ).coalesce(flat.rdd.getNumPartitions()).localCheckpoint(eager=True)
     return spark.sql(
         """
         WITH pairs AS (
@@ -3218,7 +3245,7 @@ def ns_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT et, hv FROM rk WHERE r <= {k}
         """,
         els=els,
-    ).localCheckpoint(eager=True)
+    ).coalesce(1).localCheckpoint(eager=True)
     return spark.sql(
         f"""
         WITH per AS (
@@ -3402,7 +3429,7 @@ def _pq_dtab_ckpt(spark: SparkSession, flat, m: int = 4, n_codes: int = 16):
         GROUP BY 1, 2, 3
         """,
         flat=flat,
-    ).localCheckpoint(eager=True)
+    ).coalesce(flat.rdd.getNumPartitions()).localCheckpoint(eager=True)
 
 
 def _pq_ranked_spark(spark: SparkSession, dtab):

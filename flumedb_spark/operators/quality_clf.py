@@ -153,7 +153,10 @@ def train_quality_classifier(
     # (the ns_quality_classifier plan reached 104 Exchange nodes).
     # Materializing the kilobyte model once collapses scoring to the
     # one corpus aggregate + broadcast joins the docstring promises.
-    return weights.localCheckpoint(eager=True), bias.localCheckpoint(eager=True)
+    return (
+        weights.coalesce(1).localCheckpoint(eager=True),
+        bias.coalesce(1).localCheckpoint(eager=True),
+    )
 
 
 def score_quality(

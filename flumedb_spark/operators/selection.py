@@ -111,13 +111,13 @@ def dsir_logweights(
     # once (the ns_quality_classifier 104-Exchange lesson).
     lm_q = _lm(
         per_bucket.groupBy("b").agg(F.sum("c").cast("long").alias("c"))
-    ).localCheckpoint(eager=True)
+    ).coalesce(1).localCheckpoint(eager=True)
     tgt_ids = docs.where(F.expr(target_filter)).select("doc_id")
     lm_p = _lm(
         per_bucket.join(F.broadcast(tgt_ids), "doc_id", "left_semi")
         .groupBy("b")
         .agg(F.sum("c").cast("long").alias("c"))
-    ).localCheckpoint(eager=True)
+    ).coalesce(1).localCheckpoint(eager=True)
     # floors for unseen buckets: ln(1 / (tot + B)) in micro-nats
     floor = (
         lm_p.select(F.col("tot").alias("tot_p")).limit(1)
