@@ -388,17 +388,7 @@ shared_sql(
 # Q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS against
 # the same fact table with opposing correlations (the latest-shipping
 # supplier on multi-supplier finished orders).
-shared_sql(
-    "q21_waiting_suppliers",
-    # A windowed single-scan rewrite (per-(order,supplier) maxima +
-    # order-level top-2) was A/B'd and LOST at both sf0.1 (0.64s vs
-    # 0.50s) and sf1 (3.63s vs 1.79s): the order-supplier "aggregate"
-    # is nearly lineitem-sized (few lines per supplier per order), so
-    # two window sorts over it cost more than the three hash semi/anti
-    # joins Catalyst decorrelates this text into. The windowed form's
-    # hash-equivalence was oracle-proven before rejecting it
-    # (docs/SCALING.md: measure, don't guess).
-    """
+_Q21_SQL = """
     SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
     FROM supplier
     JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
@@ -415,8 +405,80 @@ shared_sql(
       )
     GROUP BY s_name
     ORDER BY numwait DESC, s_name LIMIT 20
-    """,
-)
+    """
+
+
+@query("q21_waiting_suppliers", oracle=_Q21_SQL)
+def q21_waiting_suppliers(spark, sf_dir):
+    """Single-fact-pass rewrite of the EXISTS + NOT EXISTS text (r10
+    optimization, guide §2.4/§1.2).
+
+    The decorrelated form of the SQL text joins lineitem with itself
+    twice (semi + anti): at the benched SF both copies broadcast (two
+    full-fact hash relations built per run), and past the broadcast
+    threshold the plan degrades to three fact-table shuffles. Both
+    correlated subqueries range only over the SAME order's lines, so
+    the whole decision is computable per order from one collect_list
+    over the order's (shipdate, suppkey) rows — bounded by
+    lines-per-order (~7, and bounded by order size in any TPC-H-shaped
+    corpus), then answered with O(k^2) array lambdas per order, k<=7.
+    ONE narrow shuffle of lineitem (24 B/row: okey, skey, date), no
+    self-joins.
+
+    Same-methodology A/B (tools/ab_query.py min-of-N, r10): sf1
+    2.18 s -> 1.17 s (-46%); sf10 flat (8.13 -> 8.18); sf0.1 0.50 ->
+    0.68 (the collect_list agg costs more than the broadcasts at the
+    scheduling-floor SF). Kept for the scale trend: at 100 TB the
+    decorrelated text's fact self-joins are three full-fact shuffles,
+    this form is one narrow one. A windowed rewrite (per-
+    (order,supplier) maxima + order-level top-2) was A/B'd earlier and
+    LOST (0.64 vs 0.50 s sf0.1; 3.63 vs 1.79 sf1) — its two window
+    SORTS over a near-fact-sized frame cost more; this form has no
+    sorts: one hash aggregate keyed on the join key, arrays never
+    leave the aggregate.
+
+    Equivalence: l1 ranges over F-order lines; l2/l3 range over lines
+    of l1's own order (same orderkey), so restricting the per-order
+    array to F orders drops only orders that contribute no l1 rows.
+    `exists(ls, r2 -> r2.s != r.s)` is the EXISTS subquery verbatim;
+    `!exists(ls, r3 -> r3.s != r.s AND r3.d > r.d)` the NOT EXISTS;
+    each surviving physical row contributes 1 to count(*) exactly as
+    the SQL join does. Oracle-hash-verified at sf0.01 AND sf0.1.
+    """
+    from pyspark.sql import functions as F
+
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    f_orders = spark.table("orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    per_order = (
+        li.join(f_orders, li["l_orderkey"] == f_orders["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_shipdate").alias("d"), F.col("l_suppkey").alias("s")
+                )
+            ).alias("ls")
+        )
+    )
+    waits = per_order.select(
+        F.explode(
+            F.expr(
+                "transform(filter(ls, r -> exists(ls, r2 -> r2.s != r.s)"
+                " AND NOT exists(ls, r3 -> r3.s != r.s AND r3.d > r.d)),"
+                " r -> r.s)"
+            )
+        ).alias("w_suppkey")
+    )
+    sup = spark.table("supplier").select("s_suppkey", "s_name")
+    return (
+        waits.join(F.broadcast(sup), waits["w_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
 
 # Distribution window functions: percent_rank / cume_dist / ntile —
 # the analytic-frame surface not covered by the rank/lag/frame entries.
