@@ -1604,38 +1604,60 @@ def _recall_sql(approx_sql: str) -> str:
 
 
 # ---------------------------------------------------------------------
-# r10 OPTIMIZATION (guide §2.4 "remove shuffles outright", §7.2): the
-# single-text ANN SQL above stays as the ORACLE (and as the reference
-# statement of the arithmetic), but Spark re-EXECUTES a WITH-CTE once
-# per reference where DuckDB materializes it — `flat` feeds norms,
-# sums, both dots sides and the exact core, so the one query planned to
-# 34-52 Exchange nodes and re-exploded the embeddings table up to six
-# times (plans/r10/ns_*_before.txt). The Spark sides below run the
-# IDENTICAL arithmetic with the shared frames materialized ONCE per
-# construction (localCheckpoint — paid inside the timed region each
-# bench pass, the r6 honesty rule), exactly the standard production
-# shape: signature/assignment tables are built once and probed.
-# The md5-parity plane-sign table is additionally precomputed per
-# (table, plane, dim) — 8x6x64 rows — instead of being re-derived per
-# (vector, table, plane, dim) row (n_vecs x 48 md5 calls -> 3072).
+# r10 OPTIMIZATION (guide §2.4 "remove shuffles outright", §1.2 "the
+# distributed algorithm"): the single-text ANN SQL above stays as the
+# ORACLE (and as the reference statement of the arithmetic), but the
+# Spark side no longer runs the EXPLODED form at all. The flat CTE
+# materialized n_vecs x d rows and every downstream step (norms, LSH
+# sums, Voronoi dots, PQ subdistances, candidate dots) was a join+agg
+# over that explosion — n_vecs x d x 48 intermediate rows for the LSH
+# sums alone, 34-52 Exchange nodes per query even after the r10 batch-1
+# materialization pass. Every per-vector quantity is a WITHIN-ROW
+# reduction, so the Spark side now keeps each embedding as ONE row
+# (vec_id, earr, n2) and computes signatures / assignments / dots with
+# array expressions (zip_with + aggregate): same integer arithmetic,
+# zero explosion, and the only shuffles left are the tiny bucket /
+# candidate-table exchanges. The md5-parity LSH plane signs are
+# 8x6x64 CONSTANTS (md5 of "{tbl}|{plane}|{i}" — no data involved), so
+# they are computed at plan-construction time and folded into the
+# bucket expressions as literal arrays.
 # Oracles are byte-identical to before; equivalence is hash-gated by
 # tools/check_correctness.py at sf0.01 + sf0.1.
 # ---------------------------------------------------------------------
 
 
-def _ann_flat_ckpt(spark: SparkSession, fanout: int = 1):
-    """The exploded exact-int embedding table (the `flat` CTE of
-    _ANN_SPARK), materialized once per query construction.
+#: exact-BIGINT dot product of two bigint arrays — identical to the
+#: flat-table `sum(a.e * b.e)` over the join on i: indices present in
+#: only one side contribute nothing (zip_with pads with NULL, coalesced
+#: to 0), common indices multiply exactly.
+def _arr_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + coalesce(v, CAST(0 AS BIGINT)))"
+    )
+
+
+def _ann_dim(spark: SparkSession) -> int:
+    """Max embedding dimensionality — the `max(i)` bound the flat-CTE
+    oracles derive from the data. One tiny aggregate per construction
+    (embeddings is dimension-table-sized; the scan is columnar)."""
+    return int(
+        spark.sql("SELECT max(size(embedding)) AS d FROM embeddings").head()[0]
+    )
+
+
+def _ann_vecs_ckpt(spark: SparkSession, per_row_ops: int = 64):
+    """(vec_id, earr, n2): one row per embedding with the exact-int
+    element array and its squared norm, materialized once per query
+    construction (localCheckpoint — paid inside the timed region each
+    bench pass, the r6 honesty rule).
 
     Width is SIZE-ADAPTIVE, not a local-mode constant (guide §2):
-    the scan inherits the source's partitioning (dozens of near-empty
-    tasks at small SFs — every downstream flat reference re-pays that
-    task count), so coalesce to ~750k downstream-fanout rows per task,
-    estimated from the cached relation's optimizer statistics
-    (metadata only — no extra job). ``fanout`` is the per-flat-row
-    multiplier of the heaviest consumer (48 = tables x planes for the
-    LSH sums stage; 1 for the IVF/PQ probe shapes). Interleaved A/B at
-    sf0.1: LSH 2.33 s -> 0.89 s at width 8; IVF best at width 1."""
+    ~750k interpreted array-ops per task, estimated from the cached
+    relation's optimizer statistics (metadata only — no extra job).
+    ``per_row_ops`` is the heaviest consumer's per-vector op count
+    (tables x planes x d for LSH buckets, n_centroids x d for the
+    IVF/PQ quantizers)."""
     est_bytes = int(
         str(
             spark.table("embeddings")
@@ -1645,160 +1667,159 @@ def _ann_flat_ckpt(spark: SparkSession, fanout: int = 1):
             .sizeInBytes()
         )
     )
-    # ~720 estimated bytes per embeddings row (id + 64-float array),
-    # 64 flat rows per embedding row
-    flat_rows_est = max(1, est_bytes // 720) * 64
-    width = min(32, max(1, round(flat_rows_est * fanout / 750_000)))
+    # ~720 estimated bytes per embeddings row (id + 64-float array)
+    rows_est = max(1, est_bytes // 720)
+    width = min(32, max(1, round(rows_est * per_row_ops / 750_000)))
     return (
         spark.sql(
-            """SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS e,
-             i0 + 1 AS i
-           FROM embeddings LATERAL VIEW posexplode(embedding) pe AS i0, x"""
+            """SELECT vec_id,
+                 transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS earr
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND size(embedding) > 0"""
         )
-        .coalesce(width)
+        .selectExpr(
+            "vec_id",
+            "earr",
+            "aggregate(earr, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS n2",
+        )
+        .repartition(width)
         .localCheckpoint(eager=True)
     )
 
 
-#: norms + dots/scored/ranked tail over a materialized {flat} — the
-#: same text as _ANN_SCORE_TAIL with CTE references replaced by the
-#: checkpointed frame (plus cand supplied as a frame).
-_ANN_SCORE_TAIL_CKPT = """
-    norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM {flat} GROUP BY vec_id),
-    dots AS (
-      SELECT cand.query_id, cand.vec_id AS neighbor_id,
-        CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
-      FROM cand
-      JOIN {flat} a ON a.vec_id = cand.query_id
-      JOIN {flat} b ON b.vec_id = cand.vec_id AND b.i = a.i
-      GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT query_id, neighbor_id,
-        CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_raw
-      FROM dots
-      JOIN norms na ON na.vec_id = query_id
-      JOIN norms nb ON nb.vec_id = neighbor_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, cos_raw,
-        row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
-      FROM scored
+def _ann_ranked_arr(spark: SparkSession, cand, vecs):
+    """Candidate scoring tail over (query_id, vec_id) pairs: exact-int
+    dots + cosine + per-query rank — the `norms`/`dots`/`scored`/
+    `ranked` chain of _ANN_SCORE_TAIL with both vector sides served
+    from the materialized array table (broadcast: it is
+    embedding-count-sized, kilobytes per thousand vectors)."""
+    return spark.sql(
+        f"""
+        SELECT query_id, neighbor_id, cos_raw,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+        FROM (
+          SELECT c.query_id, c.vec_id AS neighbor_id,
+            CAST({_arr_dot('a.earr', 'b.earr')} AS DOUBLE)
+              / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_raw
+          FROM {{cand}} c
+          JOIN {{v}} a ON a.vec_id = c.query_id
+          JOIN {{v}} b ON b.vec_id = c.vec_id
+        ) scored
+        """,
+        cand=cand,
+        v=vecs,
     )
-"""
 
-#: exact-cosine recall core over a materialized {flat} + an {approx}
-#: frame — same text as _EXACT_TOPK_CORE / _recall_sql's tail.
-_ANN_RECALL_CKPT = """
-    WITH norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM {flat} GROUP BY vec_id),
-    dots_x AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
-      FROM {flat} a JOIN {flat} b ON a.i = b.i AND b.vec_id != a.vec_id
-      WHERE a.vec_id < 5
-      GROUP BY 1, 2
-    ),
-    exact AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-          row_number() OVER (PARTITION BY query_id ORDER BY
-            CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC,
-            neighbor_id) AS rn
-        FROM dots_x
-        JOIN norms na ON na.vec_id = query_id
-        JOIN norms nb ON nb.vec_id = neighbor_id
-      ) ex WHERE rn <= 10
+
+def _ann_recall_arr(spark: SparkSession, vecs, approx):
+    """Exact-cosine recall@10 core over the array table + an {approx}
+    frame — same arithmetic as _EXACT_TOPK_CORE / _recall_sql's tail
+    (brute force restricted to the 5-query ground-truth set)."""
+    return spark.sql(
+        f"""
+        WITH qv AS (SELECT vec_id AS query_id, earr AS qarr, n2 AS qn2 FROM {{v}} WHERE vec_id < 5),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                CAST({_arr_dot('q.qarr', 'b.earr')} AS DOUBLE)
+                  / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) DESC,
+                b.vec_id) AS rn
+            FROM qv q JOIN {{v}} b ON b.vec_id != q.query_id
+          ) ex WHERE rn <= 10
+        )
+        SELECT e.query_id,
+          CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+            AS hits
+        FROM exact e
+        LEFT JOIN {{approx}} a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id ORDER BY e.query_id
+        """,
+        v=vecs,
+        approx=approx,
     )
-    SELECT e.query_id,
-      CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-        AS hits
-    FROM exact e
-    LEFT JOIN {approx} a
-      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-    GROUP BY e.query_id ORDER BY e.query_id
-"""
 
 
 def _lsh_ranked_spark(
-    spark: SparkSession, flat, n_planes: int = 6, n_tables: int = 8
+    spark: SparkSession, vecs, d: int, n_planes: int = 6, n_tables: int = 8
 ):
-    """LSH candidate ranking over a materialized flat table: the
-    md5-parity sign table is (tbl, plane, i)-sized (3072 rows, one md5
-    each) and the bucket table is checkpointed before its self-join
-    (the minhash_lsh_candidates lesson: a lazy self-join computes the
-    signature pipeline twice). Arithmetic identical to _lsh_md5_sql."""
-    signs = spark.sql(
-        f"""
-        SELECT t.tbl, p.plane, d.i,
-          CASE WHEN (position(substr(md5(concat(
-                CAST(t.tbl AS STRING), '|', CAST(p.plane AS STRING), '|', CAST(d.i AS STRING)
-              )), 1, 1) IN '0123456789abcdef') - 1) % 2 = 1
-            THEN 1 ELSE -1 END AS sgn
-        FROM (SELECT explode(sequence(0, {n_tables - 1})) AS tbl) t
-        CROSS JOIN (SELECT explode(sequence(0, {n_planes - 1})) AS plane) p
-        CROSS JOIN (SELECT DISTINCT i FROM {{flat}}) d
-        """,
-        flat=flat,
-    )
-    buckets = spark.sql(
-        """
-        SELECT vec_id, tbl,
-          CAST(sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, plane) AS BIGINT)) AS BIGINT) AS bucket
-        FROM (
-          SELECT f.vec_id, g.tbl, g.plane,
-            sum(CASE WHEN g.sgn = 1 THEN f.e ELSE -f.e END) AS s
-          FROM {flat} f JOIN {signs} g ON g.i = f.i
-          GROUP BY f.vec_id, g.tbl, g.plane
-        ) sums GROUP BY vec_id, tbl
-        """,
-        flat=flat,
-        signs=signs,
-    ).localCheckpoint(eager=True)
-    return spark.sql(
-        """
-        WITH cand AS (
-          SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-          FROM {bk} q
-          JOIN {bk} c ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.vec_id
-          WHERE q.vec_id < 5
-        ),
-        """
-        + _ANN_SCORE_TAIL_CKPT.lstrip()
-        + "SELECT query_id, neighbor_id, cos_raw, rn FROM ranked",
-        bk=buckets,
-        flat=flat,
-    )
+    """LSH candidate ranking over the array table. The md5-parity
+    plane signs depend only on (tbl, plane, i) — pure constants — so
+    they are evaluated at construction time (hashlib.md5 == the same
+    md5 both engines' SQL computes) and folded into the bucket
+    expressions as literal sign arrays; each (vec, tbl) bucket is then
+    one zip_with dot per plane. The bucket table (n_tables rows/vec)
+    is checkpointed before its self-join (the minhash_lsh_candidates
+    lesson: a lazy self-join computes the signature pipeline twice).
+    Arithmetic identical to _lsh_md5_sql."""
+    import hashlib
 
+    def sgn(t: int, p: int, i: int) -> int:
+        h = hashlib.md5(f"{t}|{p}|{i}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 1 else -1
 
-def _ivf_vcs_ckpt(spark: SparkSession, flat, n_centroids: int = 16):
-    """Voronoi cosine table (the `vcs` CTE of _ivf_assign_ctes) over a
-    materialized flat table, checkpointed: it feeds both the assignment
-    and the probe ranking."""
-    return spark.sql(
-        f"""
-        WITH cents AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
-        cflat AS (SELECT c.cent_id, f.i, f.e FROM cents c JOIN {{flat}} f ON f.vec_id = c.cent_id),
-        cnorm AS (SELECT cent_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM cflat GROUP BY cent_id),
-        norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM {{flat}} GROUP BY vec_id),
-        vc AS (
-          SELECT f.vec_id, c.cent_id, CAST(sum(f.e * c.e) AS BIGINT) AS dot_i
-          FROM {{flat}} f JOIN cflat c ON c.i = f.i
-          GROUP BY 1, 2
+    structs = []
+    for t in range(n_tables):
+        parts = []
+        for p in range(n_planes):
+            lits = ",".join(str(sgn(t, p, i)) for i in range(1, d + 1))
+            s = _arr_dot(f"array({lits})", "earr")
+            parts.append(
+                f"(CASE WHEN {s} >= 0 THEN CAST({1 << p} AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END)"
+            )
+        structs.append(
+            f"named_struct('tbl', {t}, 'bucket', {' + '.join(parts)})"
         )
-        SELECT vc.vec_id, vc.cent_id,
-          CAST(dot_i AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS cos_c
-        FROM vc
-        JOIN norms n ON n.vec_id = vc.vec_id
-        JOIN cnorm cn ON cn.cent_id = vc.cent_id
+    buckets = spark.sql(
+        f"SELECT vec_id, eb.tbl, eb.bucket FROM {{v}} "
+        f"LATERAL VIEW explode(array({','.join(structs)})) E AS eb",
+        v=vecs,
+    ).localCheckpoint(eager=True)
+    cand = spark.sql(
+        """
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        FROM {bk} q
+        JOIN {bk} c ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 5
         """,
-        flat=flat,
-    ).coalesce(flat.rdd.getNumPartitions()).localCheckpoint(eager=True)
+        bk=buckets,
+    )
+    return _ann_ranked_arr(spark, cand, vecs)
 
 
-def _ivf_ranked_spark(spark: SparkSession, flat, vcs, n_probe: int = 4):
-    """Seeded-IVF candidate ranking over materialized flat + vcs —
+def _ivf_vcs_ckpt(spark: SparkSession, vecs, n_centroids: int = 16):
+    """Voronoi cosine table (the `vcs` CTE of _ivf_assign_ctes) over
+    the array table, checkpointed: it feeds both the assignment and
+    the probe ranking. The seed-centroid side is n_centroids rows
+    (broadcast); each (vec, cent) cosine is one zip_with dot —
+    arithmetic identical to the cflat/cnorm/vc/vcs CTE chain."""
+    cvecs = spark.sql(
+        f"SELECT vec_id AS cent_id, earr AS carr, n2 AS cn2 FROM {{v}} "
+        f"ORDER BY vec_id LIMIT {n_centroids}",
+        v=vecs,
+    )
+    return (
+        spark.sql(
+            f"""
+            SELECT v.vec_id, c.cent_id,
+              CAST({_arr_dot('v.earr', 'c.carr')} AS DOUBLE)
+                / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS cos_c
+            FROM {{v}} v CROSS JOIN {{c}} c
+            """,
+            v=vecs,
+            c=cvecs,
+        )
+        .coalesce(vecs.rdd.getNumPartitions())
+        .localCheckpoint(eager=True)
+    )
+
+
+def _ivf_ranked_spark(spark: SparkSession, vecs, vcs, n_probe: int = 4):
+    """Seeded-IVF candidate ranking over materialized vecs + vcs —
     arithmetic identical to _ivf_seeded_sql."""
-    return spark.sql(
+    cand = spark.sql(
         f"""
         WITH assign AS (
           SELECT vec_id, cent_id FROM (
@@ -1813,23 +1834,19 @@ def _ivf_ranked_spark(spark: SparkSession, flat, vcs, n_probe: int = 4):
               row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
             FROM {{vcs}} WHERE vec_id < 5
           ) pr WHERE rn <= {n_probe}
-        ),
-        cand AS (
-          SELECT DISTINCT p.query_id, a.vec_id
-          FROM probe p JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
-        ),
-        """
-        + _ANN_SCORE_TAIL_CKPT.lstrip()
-        + "SELECT query_id, neighbor_id, cos_raw, rn FROM ranked",
+        )
+        SELECT DISTINCT p.query_id, a.vec_id
+        FROM probe p JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
+        """,
         vcs=vcs,
-        flat=flat,
     )
+    return _ann_ranked_arr(spark, cand, vecs)
 
 
 @query("ns_lsh_ann_topk_md5", oracle=_lsh_md5_sql(_ANN_DUCK))
 def ns_lsh_ann_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = _ann_flat_ckpt(spark, fanout=48)
-    ranked = _lsh_ranked_spark(spark, flat)
+    vecs = _ann_vecs_ckpt(spark, per_row_ops=48 * 64)
+    ranked = _lsh_ranked_spark(spark, vecs, _ann_dim(spark))
     return spark.sql(
         "SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "
         "CAST(rn AS INT) AS rank FROM {r} WHERE rn <= 10 ORDER BY query_id, rank",
@@ -1839,19 +1856,19 @@ def ns_lsh_ann_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ns_lsh_ann_recall10", oracle=_recall_sql(_lsh_md5_sql(_ANN_DUCK)))
 def ns_lsh_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = _ann_flat_ckpt(spark, fanout=48)
+    vecs = _ann_vecs_ckpt(spark, per_row_ops=48 * 64)
     approx = (
-        _lsh_ranked_spark(spark, flat)
+        _lsh_ranked_spark(spark, vecs, _ann_dim(spark))
         .where("rn <= 10")
         .select("query_id", "neighbor_id")
     )
-    return spark.sql(_ANN_RECALL_CKPT, flat=flat, approx=approx)
+    return _ann_recall_arr(spark, vecs, approx)
 
 
 @query("ns_ivf_ann_topk_seeded", oracle=_ivf_seeded_sql(_ANN_DUCK))
 def ns_ivf_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = _ann_flat_ckpt(spark)
-    ranked = _ivf_ranked_spark(spark, flat, _ivf_vcs_ckpt(spark, flat))
+    vecs = _ann_vecs_ckpt(spark, per_row_ops=16 * 64)
+    ranked = _ivf_ranked_spark(spark, vecs, _ivf_vcs_ckpt(spark, vecs))
     return spark.sql(
         "SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "
         "CAST(rn AS INT) AS rank FROM {r} WHERE rn <= 10 ORDER BY query_id, rank",
@@ -1861,13 +1878,13 @@ def ns_ivf_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ns_ivf_ann_recall10", oracle=_recall_sql(_ivf_seeded_sql(_ANN_DUCK)))
 def ns_ivf_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = _ann_flat_ckpt(spark)
+    vecs = _ann_vecs_ckpt(spark, per_row_ops=16 * 64)
     approx = (
-        _ivf_ranked_spark(spark, flat, _ivf_vcs_ckpt(spark, flat))
+        _ivf_ranked_spark(spark, vecs, _ivf_vcs_ckpt(spark, vecs))
         .where("rn <= 10")
         .select("query_id", "neighbor_id")
     )
-    return spark.sql(_ANN_RECALL_CKPT, flat=flat, approx=approx)
+    return _ann_recall_arr(spark, vecs, approx)
 
 
 from .operators.sampling import _bucket_expr as _sampling_bucket_expr  # noqa: E402
@@ -2480,12 +2497,12 @@ def _semdedup_sql(d: dict, n_centroids: int = 16, tau: float = 0.35) -> str:
 @query("ns_semantic_dedup", oracle=_semdedup_sql(_ANN_DUCK))
 def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep/drop decisions over seeded clusters (see
-    _semdedup_sql). r10 OPTIMIZATION: flat / vcs / assign materialized
-    once per construction (the ANN-family CTE-recompute fix — see the
-    comment block above ns_lsh_ann_topk_md5); arithmetic and oracle
-    unchanged."""
-    flat = _ann_flat_ckpt(spark)
-    vcs = _ivf_vcs_ckpt(spark, flat)
+    _semdedup_sql). r10 OPTIMIZATION: array-native Spark side (see the
+    comment block above _ann_vecs_ckpt) — vecs / vcs / assign
+    materialized once per construction, intra-cluster pair cosines are
+    per-row zip_with dots; arithmetic and oracle unchanged."""
+    vecs = _ann_vecs_ckpt(spark, per_row_ops=16 * 64)
+    vcs = _ivf_vcs_ckpt(spark, vecs)
     assign = spark.sql(
         """
         SELECT vec_id, cent_id FROM (
@@ -2495,28 +2512,21 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) ar WHERE rn = 1
         """,
         vcs=vcs,
-    ).coalesce(flat.rdd.getNumPartitions()).localCheckpoint(eager=True)
+    ).coalesce(vecs.rdd.getNumPartitions()).localCheckpoint(eager=True)
     return spark.sql(
-        """
+        f"""
         WITH pairs AS (
           SELECT aa.vec_id AS va, ab.vec_id AS vb
-          FROM {a} aa JOIN {a} ab
+          FROM {{a}} aa JOIN {{a}} ab
             ON ab.cent_id = aa.cent_id AND ab.vec_id < aa.vec_id
         ),
-        norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM {flat} GROUP BY vec_id),
-        pdots AS (
-          SELECT p.va, p.vb, CAST(sum(fa.e * fb.e) AS BIGINT) AS dot_i
-          FROM pairs p
-          JOIN {flat} fa ON fa.vec_id = p.va
-          JOIN {flat} fb ON fb.vec_id = p.vb AND fb.i = fa.i
-          GROUP BY 1, 2
-        ),
         pcos AS (
-          SELECT va, vb,
-            CAST(dot_i AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS c
-          FROM pdots
-          JOIN norms na ON na.vec_id = va
-          JOIN norms nb ON nb.vec_id = vb
+          SELECT p.va, p.vb,
+            CAST({_arr_dot('fa.earr', 'fb.earr')} AS DOUBLE)
+              / (sqrt(CAST(fa.n2 AS DOUBLE)) * sqrt(CAST(fb.n2 AS DOUBLE))) AS c
+          FROM pairs p
+          JOIN {{flat}} fa ON fa.vec_id = p.va
+          JOIN {{flat}} fb ON fb.vec_id = p.vb
         ),
         mx AS (
           SELECT va AS vec_id, max(c) AS max_sim,
@@ -2526,11 +2536,11 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.vec_id, a.cent_id,
           round(coalesce(m.max_sim, CAST(-1.0 AS DOUBLE)), 6) AS max_sim_lower,
           CAST(CASE WHEN coalesce(m.has_dup, 0) = 1 THEN 0 ELSE 1 END AS INT) AS keep
-        FROM {a} a LEFT JOIN mx m ON m.vec_id = a.vec_id
+        FROM {{a}} a LEFT JOIN mx m ON m.vec_id = a.vec_id
         ORDER BY a.vec_id
         """,
         a=assign,
-        flat=flat,
+        flat=vecs,
     )
 
 
@@ -3408,28 +3418,48 @@ def _pq_recall_sql(d: dict, dv: str, m: int = 4, n_codes: int = 16) -> str:
     """
 
 
-def _pq_dtab_ckpt(spark: SparkSession, flat, m: int = 4, n_codes: int = 16):
-    """PQ subdistance table (the `dtab` CTE of _pq_ctes) over a
-    materialized flat table, checkpointed: it feeds both the encoding
-    argmin and the query distance tables (the ANN-family CTE-recompute
-    fix — see the comment block above ns_lsh_ann_topk_md5)."""
-    return spark.sql(
-        f"""
-        WITH dim AS (SELECT CAST(max(i) AS BIGINT) AS nd FROM {{flat}}),
-        sub AS (
-          SELECT f.vec_id,
-            CAST(((f.i - 1) * {m}) DIV dim.nd AS BIGINT) AS s, f.i, f.e
-          FROM {{flat}} f, dim
-        ),
-        cents AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT {n_codes}),
-        cflat AS (SELECT c.cent_id, f.s, f.i, f.e FROM cents c JOIN sub f ON f.vec_id = c.cent_id)
-        SELECT f.vec_id, f.s, c.cent_id,
-          CAST(sum((f.e - c.e) * (f.e - c.e)) AS BIGINT) AS d2
-        FROM sub f JOIN cflat c ON c.i = f.i AND c.s = f.s
-        GROUP BY 1, 2, 3
-        """,
-        flat=flat,
-    ).coalesce(flat.rdd.getNumPartitions()).localCheckpoint(eager=True)
+def _pq_dtab_ckpt(
+    spark: SparkSession, vecs, d: int, m: int = 4, n_codes: int = 16
+):
+    """PQ subdistance table (the `dtab` CTE of _pq_ctes) over the
+    array table, checkpointed: it feeds both the encoding argmin and
+    the query distance tables. The subspace of 1-based index ``i`` is
+    ``((i-1)*m) div nd`` (nd = the global max dimensionality, same as
+    the dim CTE), so subspace ``s`` covers the contiguous index range
+    [ceil(s*nd/m)+1, ceil((s+1)*nd/m)] — computed here in Python from
+    ``d`` and evaluated as one zip_with squared-difference sum per
+    (vec, centroid, subspace) over array slices. Indices present in
+    only one side contribute nothing (NULL coalesced to 0), exactly
+    like the join on (i, s)."""
+    cvecs = spark.sql(
+        f"SELECT vec_id AS cent_id, earr AS carr FROM {{v}} "
+        f"ORDER BY vec_id LIMIT {n_codes}",
+        v=vecs,
+    )
+    structs = []
+    for s in range(m):
+        lo = -((-s * d) // m) + 1
+        hi = -((-(s + 1) * d) // m)
+        n = hi - lo + 1
+        d2 = (
+            f"aggregate(zip_with(slice(earr, {lo}, {n}), slice(carr, {lo}, {n}), "
+            "(x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + coalesce(v, CAST(0 AS BIGINT)))"
+        )
+        structs.append(f"named_struct('s', CAST({s} AS BIGINT), 'd2', {d2})")
+    return (
+        spark.sql(
+            f"""
+            SELECT v.vec_id, sd.s, c.cent_id, sd.d2
+            FROM {{v}} v CROSS JOIN {{c}} c
+            LATERAL VIEW explode(array({','.join(structs)})) E AS sd
+            """,
+            v=vecs,
+            c=cvecs,
+        )
+        .coalesce(vecs.rdd.getNumPartitions())
+        .localCheckpoint(eager=True)
+    )
 
 
 def _pq_ranked_spark(spark: SparkSession, dtab):
@@ -3464,8 +3494,8 @@ def _pq_ranked_spark(spark: SparkSession, dtab):
 def ns_pq_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC top-10 with seeded codebooks; the ranking key is an
     exact BIGINT — zero floats in the ordering (see _pq_ctes)."""
-    flat = _ann_flat_ckpt(spark)
-    ranked = _pq_ranked_spark(spark, _pq_dtab_ckpt(spark, flat))
+    vecs = _ann_vecs_ckpt(spark, per_row_ops=16 * 64)
+    ranked = _pq_ranked_spark(spark, _pq_dtab_ckpt(spark, vecs, _ann_dim(spark)))
     return spark.sql(
         "SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INT) AS rank "
         "FROM {r} WHERE rn <= 10 ORDER BY query_id, rank",
@@ -3477,41 +3507,32 @@ def ns_pq_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_pq_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of PQ-ADC vs exact squared-L2 — quantization loss
     measured, not assumed (see _pq_recall_sql)."""
-    flat = _ann_flat_ckpt(spark)
+    vecs = _ann_vecs_ckpt(spark, per_row_ops=16 * 64)
     approx = (
-        _pq_ranked_spark(spark, _pq_dtab_ckpt(spark, flat))
+        _pq_ranked_spark(spark, _pq_dtab_ckpt(spark, vecs, _ann_dim(spark)))
         .where("rn <= 10")
         .select("query_id", "neighbor_id")
     )
     return spark.sql(
-        """
-        WITH norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2 FROM {flat} GROUP BY vec_id),
-        dots_x AS (
-          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-            CAST(sum(a.e * b.e) AS BIGINT) AS dot_i
-          FROM {flat} a JOIN {flat} b ON a.i = b.i AND b.vec_id != a.vec_id
-          WHERE a.vec_id < 5
-          GROUP BY 1, 2
-        ),
+        f"""
+        WITH qv AS (SELECT vec_id AS query_id, earr AS qarr, n2 AS qn2 FROM {{v}} WHERE vec_id < 5),
         exact AS (
           SELECT query_id, neighbor_id FROM (
-            SELECT dx.query_id, dx.neighbor_id,
-              row_number() OVER (PARTITION BY dx.query_id ORDER BY
-                (na.n2 + nb.n2 - 2 * dx.dot_i), dx.neighbor_id) AS rn
-            FROM dots_x dx
-            JOIN norms na ON na.vec_id = dx.query_id
-            JOIN norms nb ON nb.vec_id = dx.neighbor_id
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                (q.qn2 + b.n2 - 2 * {_arr_dot('q.qarr', 'b.earr')}), b.vec_id) AS rn
+            FROM qv q JOIN {{v}} b ON b.vec_id != q.query_id
           ) ex WHERE rn <= 10
         )
         SELECT e.query_id,
           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
             AS hits
         FROM exact e
-        LEFT JOIN {approx} a
+        LEFT JOIN {{approx}} a
           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         GROUP BY e.query_id ORDER BY e.query_id
         """,
-        flat=flat,
+        v=vecs,
         approx=approx,
     )
 
