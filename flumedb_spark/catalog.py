@@ -503,9 +503,29 @@ shared_sql(
 )
 
 # Q3-style shipping priority: 3-way join + grouped revenue + top-k.
+# r10 OPTIMIZATION (guide §3.1): the Spark text lists the FACT table
+# first. Spark plans a dim-first left-deep chain literally (no CBO
+# reorder here), and the chain's inflated size estimate made it
+# BROADCAST LINEITEM — the anti-scale build side. Fact-first keeps
+# lineitem as the streamed probe and broadcasts the filtered dims;
+# inner-join reorder, rows identical; the ORACLE text is unchanged.
 shared_sql(
     "q3_top_revenue_orders",
     """
+    SELECT l_orderkey,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+      o_orderpriority
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10
+    """,
+    oracle="""
     SELECT l_orderkey,
       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
@@ -522,9 +542,26 @@ shared_sql(
 )
 
 # Q5-style local-supplier revenue: 6-way star join.
+# r10 OPTIMIZATION (guide §3.1): fact-first Spark text — see the
+# q3_top_revenue_orders note; the dim-first chain broadcast LINEITEM.
 shared_sql(
     "q5_region_revenue",
     """
+    SELECT r_name, n_name,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    ORDER BY revenue_c4 DESC, r_name, n_name
+    """,
+    oracle="""
     SELECT r_name, n_name,
       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4
@@ -2138,8 +2175,25 @@ shared_sql(
 
 shared_sql(
     "q10_returned_items",
-    # TPC-H Q10 shape: returned-item revenue by customer + nation
+    # TPC-H Q10 shape: returned-item revenue by customer + nation.
+    # r10 OPTIMIZATION (guide §3.1): fact-first Spark text — see the
+    # q3_top_revenue_orders note; the dim-first chain broadcast
+    # LINEITEM.
     """
+    SELECT c_custkey, c_name, n_name,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
+    """,
+    oracle="""
     SELECT c_custkey, c_name, n_name,
       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4
