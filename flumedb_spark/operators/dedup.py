@@ -242,9 +242,20 @@ def neardup_clusters(
     (localCheckpoint), the standard Spark iterative-algorithm hygiene.
     """
     edges = minhash_lsh_candidates(docs, n, text_col, n_perm, n_bands)
+    # r10 OPTIMIZATION (guide §2.4): hash-partition AND sort the edge
+    # table by the per-iteration join key ONCE before the checkpoint —
+    # localCheckpoint preserves the physical layout, so each of the K
+    # label joins reuses it exchange- and sort-free on the edge side
+    # (the big side); only the node-sized label frame moves per
+    # iteration. Same device as graph._edge_table.
     nbr = (
         edges.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr"))
         .union(edges.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr")))
+        .repartition(
+            int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "nbr",
+        )
+        .sortWithinPartitions("nbr")
         .localCheckpoint(eager=True)
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))

@@ -60,6 +60,31 @@ __all__ = [
 ]
 
 
+def _edge_table(edges: DataFrame) -> DataFrame:
+    """Deduped (src, dst) edge table, laid out for ITERATION (r10
+    OPTIMIZATION, guide §2.4 "two operations keyed the same way share
+    one exchange"): hash-partitioned AND sorted by ``src`` before the
+    checkpoint. ``localCheckpoint`` preserves the physical partitioning
+    and ordering in the resulting plan, so every iteration's
+    ranks/labels-onto-edges sort-merge join reuses the layout with ZERO
+    exchange and ZERO sort on the edge side — the edge table (the big
+    table of every graph algorithm here) is shuffled exactly once at
+    build instead of once per iteration. Width = the session's shuffle
+    parallelism, so the node-frame side exchanges to the same width and
+    co-partitions (scale-parameterised by conf, not a local constant).
+    """
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .repartition(width, "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
@@ -97,12 +122,7 @@ def pagerank(
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
 
-    e = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _edge_table(edges)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 
     nodes = nodes.select(F.col("node_id").cast("long")).distinct()
@@ -328,6 +348,13 @@ def shortest_paths(
         # ever be on a shortest path)
         .groupBy("src", "dst")
         .agg(F.min("_w").alias("_w"))
+        # src-partitioned+sorted once so every round's frontier join
+        # reuses the layout exchange-free (see _edge_table)
+        .repartition(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "src",
+        )
+        .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
     if weight_col is not None:
@@ -401,12 +428,7 @@ def label_propagation(
     """
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
-    e = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _edge_table(edges)  # src-partitioned+sorted once (see _edge_table)
     labels = (
         nodes.select(F.col("node_id").cast("long"))
         .distinct()
