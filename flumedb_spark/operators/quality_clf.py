@@ -44,20 +44,9 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .selection import N_BUCKETS, _bigrams, _bucket, _lm
+from .selection import N_BUCKETS, _bigrams, _bucket
 
 MICRO = 1_000_000
-
-
-def _class_counts(per_bucket: DataFrame, ids: DataFrame) -> DataFrame:
-    """Bucket counts restricted to the labeled doc slice (broadcast
-    semi-join on the already-bucketed table — never a second corpus
-    scan)."""
-    return (
-        per_bucket.join(F.broadcast(ids), "doc_id", "left_semi")
-        .groupBy("b")
-        .agg(F.sum("c").cast("long").alias("c"))
-    )
 
 
 def per_bucket_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -91,40 +80,66 @@ def train_quality_classifier(
     distribution to score against)."""
     if per_bucket is None:
         per_bucket = per_bucket_counts(docs, text_col)
-    pos_ids = docs.where(F.expr(pos_filter)).select("doc_id")
-    neg_ids = docs.where(F.expr(neg_filter)).select("doc_id")
-    lm_p = _lm(_class_counts(per_bucket, pos_ids))
-    lm_q = _lm(_class_counts(per_bucket, neg_ids))
-    # union + groupBy instead of a FULL OUTER join: full outer cannot
-    # broadcast, so even a 256-row weight merge would plan as a
-    # SortMergeJoin — one hash aggregate of <= 2*N_BUCKETS rows instead
-    weights = (
-        lm_p.select(
-            "b",
-            F.col("ln_micro").alias("lp"),
-            F.lit(None).cast("long").alias("lq"),
-        )
-        .unionByName(
-            lm_q.select(
-                "b",
-                F.lit(None).cast("long").alias("lp"),
-                F.col("ln_micro").alias("lq"),
-            )
-        )
+    # r10 OPTIMIZATION batch 2 (guide §2.3 "aggregate before you
+    # shuffle" / §1.2): BOTH class LMs come from ONE conditional
+    # aggregate over the bucket table — the class membership flags ride
+    # in on a broadcast join — instead of two semi-join + groupBy
+    # passes (and the bias totals re-aggregated the same table twice
+    # more). Scans of the materialized bucket table: 4 -> 1; scans of
+    # docs for the prior counts: 2 -> 1. Per-class sums, smoothing and
+    # floors are arithmetically identical (docs are unique by doc_id,
+    # so a conditional sum over the broadcast-joined flags equals the
+    # semi-join sum; sum over an all-NULL class is NULL, reproducing
+    # the absent-bucket rows of the per-class groupBy).
+    flags = docs.select(
+        "doc_id",
+        F.expr(pos_filter).alias("_is_p"),
+        F.expr(neg_filter).alias("_is_q"),
+    )
+    cls = (
+        per_bucket.join(F.broadcast(flags), "doc_id")
         .groupBy("b")
-        .agg(F.max("lp").alias("lp"), F.max("lq").alias("lq"))
+        .agg(
+            F.sum(F.when(F.col("_is_p"), F.col("c"))).cast("long").alias("cp"),
+            F.sum(F.when(F.col("_is_q"), F.col("c"))).cast("long").alias("cq"),
+        )
+        .where(F.col("cp").isNotNull() | F.col("cq").isNotNull())
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
-    n_pos = docs.where(F.expr(pos_filter)).agg(
-        F.count("*").cast("long").alias("np")
+    tots = cls.agg(
+        F.sum("cp").cast("long").alias("tot_p"),
+        F.sum("cq").cast("long").alias("tot_q"),
     )
-    n_neg = docs.where(F.expr(neg_filter)).agg(
-        F.count("*").cast("long").alias("nq")
+    weights = cls.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.when(
+            F.col("cp").isNotNull(),
+            F.round(
+                F.log(
+                    (F.col("cp") + F.lit(1)).cast("double")
+                    / (F.col("tot_p") + F.lit(N_BUCKETS)).cast("double")
+                )
+                * MICRO
+            ).cast("long"),
+        ).alias("lp"),
+        F.when(
+            F.col("cq").isNotNull(),
+            F.round(
+                F.log(
+                    (F.col("cq") + F.lit(1)).cast("double")
+                    / (F.col("tot_q") + F.lit(N_BUCKETS)).cast("double")
+                )
+                * MICRO
+            ).cast("long"),
+        ).alias("lq"),
+    )
+    ncounts = docs.agg(
+        F.sum(F.when(F.expr(pos_filter), 1).otherwise(0)).cast("long").alias("np"),
+        F.sum(F.when(F.expr(neg_filter), 1).otherwise(0)).cast("long").alias("nq"),
     )
     bias = (
-        lm_p.select(F.col("tot").alias("tot_p")).limit(1)
-        .crossJoin(lm_q.select(F.col("tot").alias("tot_q")).limit(1))
-        .crossJoin(n_pos)
-        .crossJoin(n_neg)
+        tots.crossJoin(F.broadcast(ncounts))
         .select(
             F.round(
                 F.log(F.col("np").cast("double") / F.col("nq").cast("double"))

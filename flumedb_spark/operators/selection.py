@@ -60,27 +60,6 @@ def _bucket(col):
     ).alias("b")
 
 
-def _lm(cnt: DataFrame) -> DataFrame:
-    """(b, ln_micro) from a (b, c) bucket-count table: add-one-smoothed
-    log-prob per bucket in integer micro-nats. Buckets with zero count
-    still exist implicitly — the scorer coalesces them to the smoothed
-    floor ln(1/(tot+B))."""
-    tot = cnt.agg(F.sum("c").cast("long").alias("tot"))
-    return cnt.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.round(
-            F.log(
-                (F.col("c") + F.lit(1)).cast("double")
-                / (F.col("tot") + F.lit(N_BUCKETS)).cast("double")
-            )
-            * 1_000_000
-        )
-        .cast("long")
-        .alias("ln_micro"),
-        "tot",
-    )
-
-
 def dsir_logweights(
     docs: DataFrame,
     target_filter: str = "source = 'src0'",
@@ -109,31 +88,56 @@ def dsir_logweights(
     # (floor + the scoring joins) and Spark re-executes the aggregation
     # subtree per reference — materialize the <= N_BUCKETS-row tables
     # once (the ns_quality_classifier 104-Exchange lesson).
-    lm_q = _lm(
-        per_bucket.groupBy("b").agg(F.sum("c").cast("long").alias("c"))
-    ).coalesce(1).localCheckpoint(eager=True)
+    # r10 batch 2 (guide §2.3/§1.2): BOTH LMs from ONE conditional
+    # aggregate over the bucket table — the target flag rides in on a
+    # broadcast left join — instead of two groupBy passes; scans of
+    # the materialized bucket table: 3 -> 2 (one for cls, one for
+    # scoring). Arithmetic identical: docs are unique by doc_id, so
+    # sum(c WHERE target) == the semi-join sum, and an all-NULL class
+    # sum is NULL, reproducing lm_p's absent-bucket rows.
     tgt_ids = docs.where(F.expr(target_filter)).select("doc_id")
-    lm_p = _lm(
-        per_bucket.join(F.broadcast(tgt_ids), "doc_id", "left_semi")
-        .groupBy("b")
-        .agg(F.sum("c").cast("long").alias("c"))
-    ).coalesce(1).localCheckpoint(eager=True)
-    # floors for unseen buckets: ln(1 / (tot + B)) in micro-nats
-    floor = (
-        lm_p.select(F.col("tot").alias("tot_p")).limit(1)
-        .crossJoin(lm_q.select(F.col("tot").alias("tot_q")).limit(1))
-        .select(
-            F.round(F.log(F.lit(1.0) / (F.col("tot_p") + F.lit(N_BUCKETS)).cast("double")) * 1_000_000)
-            .cast("long")
-            .alias("floor_p"),
-            F.round(F.log(F.lit(1.0) / (F.col("tot_q") + F.lit(N_BUCKETS)).cast("double")) * 1_000_000)
-            .cast("long")
-            .alias("floor_q"),
+    cls = (
+        per_bucket.join(
+            F.broadcast(tgt_ids.withColumn("_t", F.lit(1))), "doc_id", "left"
         )
+        .groupBy("b")
+        .agg(
+            F.sum("c").cast("long").alias("cq"),
+            F.sum(F.when(F.col("_t") == 1, F.col("c"))).cast("long").alias("cp"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    tots = cls.agg(
+        F.sum("cp").cast("long").alias("tot_p"),
+        F.sum("cq").cast("long").alias("tot_q"),
+    )
+
+    def _ln(c, tot):
+        return F.round(
+            F.log(
+                (c + F.lit(1)).cast("double")
+                / (tot + F.lit(N_BUCKETS)).cast("double")
+            )
+            * 1_000_000
+        ).cast("long")
+
+    model = cls.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.when(F.col("cp").isNotNull(), _ln(F.col("cp"), F.col("tot_p"))).alias("lp"),
+        _ln(F.col("cq"), F.col("tot_q")).alias("lq"),
+    )
+    # floors for unseen buckets: ln(1 / (tot + B)) in micro-nats
+    floor = tots.select(
+        F.round(F.log(F.lit(1.0) / (F.col("tot_p") + F.lit(N_BUCKETS)).cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("floor_p"),
+        F.round(F.log(F.lit(1.0) / (F.col("tot_q") + F.lit(N_BUCKETS)).cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("floor_q"),
     )
     scored = (
-        per_bucket.join(F.broadcast(lm_p.select("b", F.col("ln_micro").alias("lp"))), "b", "left")
-        .join(F.broadcast(lm_q.select("b", F.col("ln_micro").alias("lq"))), "b", "left")
+        per_bucket.join(F.broadcast(model), "b", "left")
         .crossJoin(F.broadcast(floor))
         .groupBy("doc_id")
         .agg(
