@@ -503,29 +503,16 @@ shared_sql(
 )
 
 # Q3-style shipping priority: 3-way join + grouped revenue + top-k.
-# r10 OPTIMIZATION (guide §3.1): the Spark text lists the FACT table
-# first. Spark plans a dim-first left-deep chain literally (no CBO
-# reorder here), and the chain's inflated size estimate made it
-# BROADCAST LINEITEM — the anti-scale build side. Fact-first keeps
-# lineitem as the streamed probe and broadcasts the filtered dims;
-# inner-join reorder, rows identical; the ORACLE text is unchanged.
+# r10 OPTIMIZATION note: q3 deliberately KEEPS the dim-first text.
+# Unlike q5/q10 (filters on orders — fact-first measured faster at
+# every SF), q3's selective filter is ON LINEITEM (l_shipdate >
+# 1998-03-15 keeps only the date-range tail), so the filtered fact IS
+# the small side and the planner's broadcast of it is right; the
+# fact-first variant A/B'd WORSE at sf10 (interleaved: 11.2/17.4 s vs
+# 6.5/5.1 s) and flat at sf0.1 — rejected on measurement (guide §1).
 shared_sql(
     "q3_top_revenue_orders",
     """
-    SELECT l_orderkey,
-      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
-      o_orderpriority
-    FROM lineitem
-    JOIN orders ON o_orderkey = l_orderkey
-    JOIN customer ON c_custkey = o_custkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-    GROUP BY l_orderkey, o_orderpriority
-    ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10
-    """,
-    oracle="""
     SELECT l_orderkey,
       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
