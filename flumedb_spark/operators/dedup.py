@@ -238,19 +238,26 @@ def neardup_clusters(
 
     Scale shape: per iteration, one equi-join of the label table
     (|docs| rows, partitioned by doc_id) with the candidate edge list
-    plus a min-aggregate — never N^2; lineage is cut per iteration
-    (localCheckpoint), the standard Spark iterative-algorithm hygiene.
+    plus a min-aggregate — never N^2. r10 OPTIMIZATION (guide §2.4):
+    the edge table carries a SELF-EDGE per doc, so the per-neighbor min
+    already includes the doc's own label — ``min(lbl over nbrs+self) ==
+    least(lbl, min over nbrs)`` — and the aggregate IS the new label
+    frame: no join-back onto the previous labels, each iteration
+    references the rolling frame exactly once, and the whole K-step
+    trajectory runs as one lazy plan with no per-iteration
+    localCheckpoint barrier.
     """
     edges = minhash_lsh_candidates(docs, n, text_col, n_perm, n_bands)
-    # r10 OPTIMIZATION (guide §2.4): hash-partition AND sort the edge
-    # table by the per-iteration join key ONCE before the checkpoint —
-    # localCheckpoint preserves the physical layout, so each of the K
-    # label joins reuses it exchange- and sort-free on the edge side
-    # (the big side); only the node-sized label frame moves per
-    # iteration. Same device as graph._edge_table.
+    # hash-partition AND sort the edge table by the per-iteration join
+    # key ONCE before the checkpoint — localCheckpoint preserves the
+    # physical layout, so each of the K label joins reuses it exchange-
+    # and sort-free on the edge side (the big side); only the
+    # node-sized label frame moves per iteration. Same device as
+    # graph._edge_table.
     nbr = (
         edges.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr"))
         .union(edges.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr")))
+        .union(docs.select(F.col("doc_id"), F.col("doc_id").alias("nbr")))
         .repartition(
             int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             "nbr",
@@ -260,23 +267,13 @@ def neardup_clusters(
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
     for _ in range(iters):
-        nmin = (
+        labels = (
             nbr.join(
                 labels.select(F.col("doc_id").alias("nbr"), F.col("lbl").alias("nlbl")),
                 "nbr",
             )
             .groupBy("doc_id")
-            .agg(F.min("nlbl").alias("nmin"))
-        )
-        labels = (
-            labels.join(nmin, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
-            .localCheckpoint(eager=True)
+            .agg(F.min("nlbl").alias("lbl"))
         )
     return labels.select(
         "doc_id",
@@ -356,6 +353,12 @@ def substring_dup_spans(
     w = window
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.size(words) - (w - 1))
+    # (r10 optimization note: hashing all windows as one per-doc array
+    # — transform over the position sequence, then posexplode — was
+    # A/B'd and REJECTED on measurement: 0.93x at sf0.1. The md5 inside
+    # a HOF lambda evaluates interpreted; this explode+project shape
+    # keeps the md5 in codegen, and the generator's carried token array
+    # is consumed within the same codegen stage.)
     wins = (
         docs.where(F.size(words) >= w)
         .select(

@@ -50,7 +50,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 __all__ = [
     "pagerank",
@@ -72,14 +71,20 @@ def _edge_table(edges: DataFrame) -> DataFrame:
     build instead of once per iteration. Width = the session's shuffle
     parallelism, so the node-frame side exchanges to the same width and
     co-partitions (scale-parameterised by conf, not a local constant).
+
+    The dedup runs AFTER the repartition (r10 wave 2): rows of one
+    (src, dst) pair all share src, so HashPartitioning(src) satisfies
+    the distinct's ClusteredDistribution([src, dst]) and the aggregate
+    runs partition-local — ONE exchange of the edge set at build
+    instead of two (distinct's + the repartition's).
     """
     spark = edges.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
         .repartition(width, "src")
+        .distinct()
         .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
@@ -344,16 +349,18 @@ def shortest_paths(
             w_expr.alias("_w"),
         )
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        # parallel edges keep only the cheapest (the only one that can
-        # ever be on a shortest path)
-        .groupBy("src", "dst")
-        .agg(F.min("_w").alias("_w"))
         # src-partitioned+sorted once so every round's frontier join
-        # reuses the layout exchange-free (see _edge_table)
+        # reuses the layout exchange-free (see _edge_table); the
+        # parallel-edge min (only the cheapest edge can be on a
+        # shortest path) aggregates AFTER the repartition —
+        # HashPartitioning(src) satisfies its (src, dst) clustering,
+        # so the build pays one edge exchange, not two.
         .repartition(
             int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             "src",
         )
+        .groupBy("src", "dst")
+        .agg(F.min("_w").alias("_w"))
         .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
@@ -416,46 +423,70 @@ def label_propagation(
     "reachable at all", PageRank answers "how central", LPA answers
     "which densely-connected cluster".
 
-    Scale shape: per round, one keyed join (labels onto edge sources),
-    one map-side-combinable (node, label) count, and one window
-    PARTITIONED BY node (frames bounded by a node's distinct neighbor
-    labels — degree-sized, never global). Lineage is cut per round via
-    localCheckpoint like :func:`pagerank`. Skewed hubs cost what their
-    degree costs — same posture as the PageRank inflow aggregate.
+    Scale shape: per round, one keyed join (labels onto edge sources)
+    and two map-side-combinable aggregates — the per-node mode is a
+    ``max(struct(count, -label))`` over the (node, label) counts, not a
+    window sort. r10 OPTIMIZATION (guide §2.4, §1.2): the update set of
+    every round is the STATIC set of nodes with >= 1 in-edge (every
+    in-neighbor carries a label every round), so the new label frame is
+    ``mode UNION no-in-edge nodes`` — built from two static,
+    checkpointed-once tables, not joined back onto the previous label
+    frame.  Each round then references the rolling ``labels`` frame
+    exactly ONCE (the edge join), so the whole K-round trajectory is a
+    single lazy plan with no per-round localCheckpoint barrier and no
+    window sort; only the node-sized label frame moves per round.
+    Edges are pre-filtered to known nodes at build (semantically what
+    the old per-round label joins did implicitly).  Skewed hubs cost
+    what their degree costs — both aggregates partial-aggregate
+    map-side, same posture as the PageRank inflow sum.
 
     ``edges``: (src, dst) directed — pass both directions for an
     undirected graph. Returns (node_id, community).
     """
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
-    e = _edge_table(edges)  # src-partitioned+sorted once (see _edge_table)
-    labels = (
-        nodes.select(F.col("node_id").cast("long"))
+    nodes_t = nodes.select(F.col("node_id").cast("long")).distinct()
+    labels = nodes_t.select("node_id", F.col("node_id").alias("community"))
+    if rounds == 0:
+        return labels
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartition BEFORE the dedup (HashPartitioning(src) satisfies the
+    # (src, dst) distinct's clustering — see _edge_table) and before
+    # the node semi-joins (broadcast-sized, partitioning-preserving):
+    # one exchange of the edge set at build.
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .repartition(width, "src")
         .distinct()
-        .withColumn("community", F.col("node_id"))
+        .join(nodes_t.withColumnRenamed("node_id", "src"), "src", "semi")
+        .join(nodes_t.withColumnRenamed("node_id", "dst"), "dst", "semi")
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
+    no_in = (
+        nodes_t.join(e.select(F.col("dst").alias("node_id")), "node_id", "anti")
+        .select("node_id", F.col("node_id").alias("community"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
-        labels = labels.localCheckpoint(eager=True)
         nbr = e.join(labels, e["src"] == labels["node_id"]).select(
             F.col("dst").alias("nid"), F.col("community").alias("nbr_label")
         )
         cnt = nbr.groupBy("nid", "nbr_label").agg(
             F.count(F.lit(1)).alias("n")
         )
-        win = Window.partitionBy("nid").orderBy(
-            F.desc("n"), F.asc("nbr_label")
+        # mode with desc-count / asc-label tie-break as ONE aggregate:
+        # max(struct(n, -label)) picks the largest count, then (via the
+        # negation) the smallest label — identical to the old
+        # row_number window without its partition-wide sort.
+        best = cnt.groupBy("nid").agg(
+            F.max(
+                F.struct(F.col("n").alias("n"), (-F.col("nbr_label")).alias("g"))
+            ).alias("b")
         )
-        mode = (
-            cnt.withColumn("rn", F.row_number().over(win))
-            .where(F.col("rn") == 1)
-            .select("nid", F.col("nbr_label").alias("new_community"))
-        )
-        labels = labels.join(
-            mode, labels["node_id"] == mode["nid"], "left"
-        ).select(
-            "node_id",
-            F.coalesce(F.col("new_community"), F.col("community")).alias(
-                "community"
-            ),
-        )
+        labels = best.select(
+            F.col("nid").alias("node_id"), (-F.col("b.g")).alias("community")
+        ).unionAll(no_in)
     return labels

@@ -35,14 +35,10 @@ def occurrences(text: Column, word: str) -> Column:
     ``'the the the'`` (the middle match consumes both flanking spaces);
     with doubled spaces each word is independently flanked and the
     count is exact. Identical non-overlapping replace semantics in both
-    engines.
-
-    r10 OPTIMIZATION (guide §1.2 "per-task work"): both replaces are
-    literal patterns (the marker words are plain tokens, no regex
-    metacharacters), so `replace` is semantically identical to
-    `regexp_replace` while skipping the Java regex engine — lang_id
-    runs 2 scans/word over every document (30 for the 15 markers), so
-    the engine swap is the whole win."""
+    engines.  (The ns_lang_id oracle replays THIS arithmetic; the Spark
+    side of lang_id now counts the same whole-word occurrences as
+    token-array equality — see :func:`lang_scores` — which is
+    provably the same number.)"""
     doubled = F.replace(
         F.concat(F.lit(" "), text, F.lit(" ")), F.lit(" "), F.lit("  ")
     )
@@ -50,6 +46,12 @@ def occurrences(text: Column, word: str) -> Column:
     return (
         F.length(doubled) - F.length(F.replace(doubled, F.lit(pat), F.lit("")))
     ) / len(pat)
+
+
+def _tok_eq(word: str):
+    # closure (NOT a default arg: a second lambda parameter would make
+    # pyspark bind it as the (element, index) two-variable HOF form)
+    return lambda x: x == F.lit(word)
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -96,8 +98,21 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language whole-word marker counts.
+
+    r10 OPTIMIZATION (guide §1.2, §4.1 HOFs): one ``split`` of the text
+    plus an array-equality ``filter`` count per marker replaces the 30
+    full-string replace scans (2 per marker) of the ``occurrences``
+    padding trick. A token of ``split(text, ' ')`` equals ``w`` exactly
+    when the doubled-space text contains one more ``' w '`` — the same
+    whole-word count, so the unchanged oracle (which replays the
+    replace arithmetic) still hash-matches. Counts are exact integers
+    either way; cast to double to keep the published score schema."""
+    toks = F.split(text, " ")
     return {
-        lang: sum(occurrences(text, w) for w in words)
+        lang: sum(F.size(F.filter(toks, _tok_eq(w))) for w in words).cast(
+            "double"
+        )
         for lang, words in LANG_MARKERS.items()
     }
 
@@ -551,7 +566,16 @@ def kn_bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     against the type table on (w1, w2) — co-partitioned shuffle,
     nothing driver-side, no window. Documents with fewer than two
     words carry no bigrams and drop out (the oracle replays the same
-    rule)."""
+    rule).
+
+    r10 OPTIMIZATION (guide §2.4 / the batch-1 CTE-materialization
+    device): ``per_doc_big`` is referenced twice (type build + final
+    scoring join) and ``types`` three times (left/right continuation
+    stats + the scored join), so both are localCheckpointed eagerly —
+    without that Spark re-executes the doc-sized explode+groupBy once
+    per reference (the plan showed Exchange x32); the three smoothing
+    statistics then read the materialized type table, not the raw
+    corpus."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     big = docs.select(
@@ -564,11 +588,15 @@ def kn_bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
 
-    per_doc_big = big.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    per_doc_big = (
+        big.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    types = per_doc_big.groupBy("w1", "w2").agg(
-        F.sum("c").cast("long").alias("c12")
+    types = (
+        per_doc_big.groupBy("w1", "w2")
+        .agg(F.sum("c").cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
     )
     left = types.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
@@ -696,7 +724,14 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     assembled from integer character counts with the micro-nat ln
     quantization (round(ln(k)*1e6) — the unigram_logprob device) and
     ONE final rounded division, so the result is engine-exact. Shape:
-    explode to (doc, char) pairs, two groupBys — linear, no window."""
+    explode to (doc, char) pairs, two groupBys — linear, no window.
+
+    (r10 optimization note: a zero-shuffle per-row HOF rewrite —
+    array_sort + run-length fold — was A/B'd and REJECTED on
+    measurement: 0.77x at sf0.1. Higher-order functions evaluate
+    interpreted, while this explode+groupBy path is whole-stage
+    codegen'd with map-side partial aggregation, so the shuffle it
+    removes is cheaper than the interpreter it adds.)"""
     ch = docs.select(
         "doc_id",
         F.explode(

@@ -81,6 +81,26 @@ class TestLabelPropagation:
         with pytest.raises(ValueError):
             label_propagation(e, n, rounds=-1)
 
+    def test_foreign_endpoints_ignored(self, spark):
+        # r10 wave-2 restructure: edges touching ids absent from
+        # ``nodes`` must contribute nothing (old code dropped them
+        # implicitly in the per-round label joins; new code filters
+        # them at edge build) — and foreign ids must not appear in the
+        # output. Without the dst-side filter, node 7's mode row would
+        # leak a (7, ...) output row; without the src-side filter,
+        # foreign source 8 would vote label 8 onto node 3.
+        e = spark.createDataFrame(
+            [(1, 3), (2, 3), (8, 3), (8, 3), (1, 7), (2, 7)],
+            "src long, dst long",
+        )
+        n = spark.createDataFrame([(1,), (2,), (3,)], "node_id long")
+        got = {
+            r.node_id: r.community
+            for r in label_propagation(e, n, rounds=1).collect()
+        }
+        # 3 sees labels {1, 2} only (8 is foreign) -> tie -> 1
+        assert got == {1: 1, 2: 2, 3: 1}
+
     def test_duplicate_edges_deduped(self, spark):
         # a repeated (2,3) edge must not double-count label 2 at node 3:
         # deduped, 3 sees {1, 2} -> tie -> 1; without dedup the dup
