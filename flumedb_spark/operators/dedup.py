@@ -806,8 +806,6 @@ def minhash_cross_decontaminate(
     match count; ``contaminated``/``best_agree_milli`` carry the
     verified decision.
     """
-    from pyspark.sql import Window
-
     tsig = minhash_signatures(
         train, n, text_col, n_perm
     ).localCheckpoint(eager=True)
@@ -848,19 +846,27 @@ def minhash_cross_decontaminate(
             ),
         )
     )
-    win = Window.partitionBy("train_id").orderBy(
-        F.desc("agree_milli"), F.asc("eval_id")
-    )
+    # best match + candidate count as ONE map-side-combinable aggregate
+    # (r10 wave 2, guide §2.4): max(struct(agree, -eval_id)) picks the
+    # highest agreement with the smallest-eval-id tie-break — identical
+    # to the old row_number window without its partition-wide sort.
     best = (
-        scored.withColumn("rn", F.row_number().over(win))
-        .withColumn(
-            "n_eval_candidates",
-            F.count(F.lit(1))
-            .over(Window.partitionBy("train_id"))
-            .cast("long"),
+        scored.groupBy("train_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("agree_milli").alias("a"),
+                    (-F.col("eval_id")).alias("g"),
+                )
+            ).alias("b"),
+            F.count(F.lit(1)).cast("long").alias("n_eval_candidates"),
         )
-        .where(F.col("rn") == 1)
-        .select("train_id", "eval_id", "agree_milli", "n_eval_candidates")
+        .select(
+            "train_id",
+            (-F.col("b.g")).alias("eval_id"),
+            F.col("b.a").alias("agree_milli"),
+            "n_eval_candidates",
+        )
     )
     return (
         train.select(F.col("doc_id"))

@@ -57,8 +57,17 @@ def bm25_topk(
     Zero data-sized shuffles: per-term tf is ``size(filter(words, ==
     term))`` — a per-row JVM array expression, no token explode — so
     the whole computation is (scan -> one-row stats aggregate ->
-    broadcast back -> scan -> TakeOrderedAndProject). The only rows
-    that ever cross the network are the one stats row and k results.
+    broadcast back -> scan of the materialized tf table ->
+    TakeOrderedAndProject). The only rows that ever cross the network
+    are the one stats row and k results.
+
+    r10 OPTIMIZATION (guide §2.4 / the materialization device): the
+    per-doc tf projection feeds BOTH the stats aggregate and the
+    scoring pass, and Spark re-executes a lazily shared subtree once
+    per reference — i.e. the text was split and term-filtered TWICE.
+    The projection is all-integer and term-count narrow (doc_id, dl,
+    one tf per term), so it is localCheckpointed once and both
+    consumers read the materialized rows.
     """
     terms = sorted(set(terms))
     words = F.split(F.col(text_col), " ")
@@ -71,9 +80,12 @@ def bm25_topk(
     tf_cols = [
         _tf(t).cast("long").alias(f"_tf{i}") for i, t in enumerate(terms)
     ]
-    pt = docs.where(F.size(words) >= 1).select(
-        "doc_id", words.alias("_w")
-    ).select("doc_id", F.size("_w").cast("long").alias("dl"), *tf_cols)
+    pt = (
+        docs.where(F.size(words) >= 1)
+        .select("doc_id", words.alias("_w"))
+        .select("doc_id", F.size("_w").cast("long").alias("dl"), *tf_cols)
+        .localCheckpoint(eager=True)
+    )
     # corpus stats + per-term df: ONE one-row aggregate, broadcast back
     stats = pt.agg(
         F.count("*").cast("long").alias("n_docs"),

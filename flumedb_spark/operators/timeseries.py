@@ -147,29 +147,42 @@ def mad_outliers(
     are partitioning- and engine-independent; the only float ops are
     IEEE subtract/abs/multiply/compare, identical across engines.
 
-    Plan: two row_number windows + two per-key equi-joins, everything
-    keyed by ``key_col`` (co-partitioned; at 100 TB this is two sorts
-    within key partitions — the honest cost of an EXACT median; switch
-    to approxQuantile when an estimate suffices).
+    Plan (r10 OPTIMIZATION, guide §2.4): a pure window pipeline — ONE
+    exchange by ``key_col``, then two in-partition sorts. Each median
+    is broadcast to its key's rows as a conditional max over the
+    unordered key window (exactly one row per key satisfies the
+    rank predicate, so the max IS that row's value) instead of a
+    median-table join-back. The old two-join shape also re-executed
+    the scan→median→join subtree twice (the ``ad`` frame fed both the
+    MAD build and the final join). At 100 TB this is two sorts within
+    key partitions — the honest cost of an EXACT median; switch to
+    approxQuantile when an estimate suffices.
 
     Returns outlier rows only: (key, tiebreak, value, med, mad).
     """
-    base = df.select(key_col, tiebreak_col, F.col(value_col).alias("_v"))
-    med = _lower_median(base, key_col, "_v", tiebreak_col, "_med")
-    ad = base.join(med, key_col).withColumn(
-        "_absdev", F.abs(F.col("_v") - F.col("_med"))
-    )
-    mad = _lower_median(ad, key_col, "_absdev", tiebreak_col, "_mad")
-    return (
-        ad.join(mad, key_col)
-        .where(F.col("_absdev") > F.lit(k) * F.col("_mad"))
-        .select(
-            key_col,
-            tiebreak_col,
-            F.col("_v").alias("value"),
-            F.col("_med").alias("med"),
-            F.col("_mad").alias("mad"),
+    wk = Window.partitionBy(key_col)
+    w1 = Window.partitionBy(key_col).orderBy("_v", tiebreak_col)
+    t = (
+        df.select(key_col, tiebreak_col, F.col(value_col).alias("_v"))
+        .withColumn("_rn", F.row_number().over(w1))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "_med",
+            F.max(F.when(F.expr("_rn = (_n + 1) div 2"), F.col("_v"))).over(wk),
         )
+        .withColumn("_absdev", F.abs(F.col("_v") - F.col("_med")))
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_absdev", tiebreak_col)
+    t = t.withColumn("_rn2", F.row_number().over(w2)).withColumn(
+        "_mad",
+        F.max(F.when(F.expr("_rn2 = (_n + 1) div 2"), F.col("_absdev"))).over(wk),
+    )
+    return t.where(F.col("_absdev") > F.lit(k) * F.col("_mad")).select(
+        key_col,
+        tiebreak_col,
+        F.col("_v").alias("value"),
+        F.col("_med").alias("med"),
+        F.col("_mad").alias("mad"),
     )
 
 
