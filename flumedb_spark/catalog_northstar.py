@@ -1822,11 +1822,13 @@ def _ivf_ranked_spark(spark: SparkSession, vecs, vcs, n_probe: int = 4):
     cand = spark.sql(
         f"""
         WITH assign AS (
-          SELECT vec_id, cent_id FROM (
-            SELECT vec_id, cent_id,
-              row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
-            FROM {{vcs}}
-          ) ar WHERE rn = 1
+          -- argmax as a struct-max aggregate (r10 wave 2): max over
+          -- (cos_c, -cent_id) == the row_number()=1 row under
+          -- ORDER BY cos_c DESC, cent_id — no window sort of vcs
+          SELECT vec_id, CAST(-m.g AS BIGINT) AS cent_id FROM (
+            SELECT vec_id, max(named_struct('c', cos_c, 'g', -cent_id)) AS m
+            FROM {{vcs}} GROUP BY vec_id
+          ) ar
         ),
         probe AS (
           SELECT vec_id AS query_id, cent_id FROM (
@@ -2505,11 +2507,10 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vcs = _ivf_vcs_ckpt(spark, vecs)
     assign = spark.sql(
         """
-        SELECT vec_id, cent_id FROM (
-          SELECT vec_id, cent_id,
-            row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
-          FROM {vcs}
-        ) ar WHERE rn = 1
+        SELECT vec_id, CAST(-m.g AS BIGINT) AS cent_id FROM (
+          SELECT vec_id, max(named_struct('c', cos_c, 'g', -cent_id)) AS m
+          FROM {vcs} GROUP BY vec_id
+        ) ar
         """,
         vcs=vcs,
     ).coalesce(vecs.rdd.getNumPartitions()).localCheckpoint(eager=True)
@@ -3468,11 +3469,14 @@ def _pq_ranked_spark(spark: SparkSession, dtab):
     return spark.sql(
         """
         WITH codes AS (
-          SELECT vec_id, s, cent_id AS code FROM (
-            SELECT vec_id, s, cent_id,
-              row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
-            FROM {dtab}
-          ) cr WHERE rn = 1
+          -- argmin as a map-side-combinable struct-min aggregate (r10
+          -- wave 2): min(struct(d2, cent_id)) == the row_number()=1 row
+          -- under ORDER BY d2, cent_id, without the window sort of the
+          -- n_vecs x (codes x subspaces) table
+          SELECT vec_id, s, m.cent_id AS code FROM (
+            SELECT vec_id, s, min(named_struct('d2', d2, 'cent_id', cent_id)) AS m
+            FROM {dtab} GROUP BY vec_id, s
+          ) cr
         ),
         qt AS (SELECT vec_id AS query_id, s, cent_id, d2 FROM {dtab} WHERE vec_id < 5),
         adc AS (
