@@ -44,6 +44,7 @@ dedup semantics to audio columns).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from typing import Iterator
 
@@ -83,6 +84,19 @@ def _h8(key: str) -> int:
     return hashlib.md5(key.encode()).digest()[0]
 
 
+@functools.lru_cache(maxsize=8192)
+def _synth_base_pcm(group: int) -> bytes:
+    """Base 544-sample clip of a group as immutable int16 bytes: the 4
+    docs of a group share it, so the 544 per-sample md5 calls run once
+    per group per worker instead of once per doc (bounded LRU — batch
+    doc_ids are group-local, and the cap keeps worker memory flat at
+    any corpus size)."""
+    return np.array(
+        [_h8(f"a{group}|{i}") - 128 for i in range(N_SAMPLES)],
+        dtype=np.int16,
+    ).tobytes()
+
+
 def synth_neardup_audio(doc_id: int) -> np.ndarray:
     """Deterministic 544-sample int16 PCM clip for ``doc_id``: sample i
     of group g is ``md5("a{g}|{i}")[0] - 128``; variants v in 1..3
@@ -90,10 +104,8 @@ def synth_neardup_audio(doc_id: int) -> np.ndarray:
     independent stream ``md5("ap{doc_id}|{i}")[0] - 128``."""
     d = int(doc_id)
     group, variant = d // 4, d % 4
-    x = np.array(
-        [_h8(f"a{group}|{i}") - 128 for i in range(N_SAMPLES)],
-        dtype=np.int16,
-    )
+    # the cached base is shared — copy before the variant mutation
+    x = np.frombuffer(_synth_base_pcm(group), dtype=np.int16).copy()
     if variant:
         sb = _h8(f"ab{d}") % N_BANDS
         start = FRAME * variant + SUB * sb

@@ -369,7 +369,13 @@ def substring_dup_spans(
         .select(
             "doc_id",
             "i",
-            F.md5(F.array_join(F.slice(F.col("_w"), F.col("i"), w), " ")).alias("h"),
+            # r10: the hash is shuffle-key-only (dropped after the
+            # min-filter), so exchange the 16-byte binary digest, not
+            # the 32-char hex string — same grouping (hex<->bytes is a
+            # bijection), half the key bytes in the largest exchange
+            F.unhex(F.md5(F.array_join(F.slice(F.col("_w"), F.col("i"), w), " "))).alias(
+                "h"
+            ),
         )
     )
     from pyspark.sql import Window

@@ -48,6 +48,7 @@ semantics of SURVEY.md §2.C to binary columns).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from typing import Iterator
 
@@ -81,6 +82,20 @@ def _h8(key: str) -> int:
     return hashlib.md5(key.encode()).digest()[0]
 
 
+@functools.lru_cache(maxsize=8192)
+def _synth_base_bytes(group: int) -> bytes:
+    """Base (16, 18) gray pattern of a group, as immutable bytes: the
+    4 docs of a group share it, so the 288 per-pixel md5 calls run once
+    per group per worker instead of once per doc (bounded LRU — batch
+    doc_ids are group-local, and the cap keeps worker memory flat at
+    any corpus size)."""
+    arr = np.empty((_SYN_H, _SYN_W), dtype=np.uint8)
+    for y in range(_SYN_H):
+        for x in range(_SYN_W):
+            arr[y, x] = _h8(f"g{group}|{y}|{x}")
+    return arr.tobytes()
+
+
 def synth_neardup_image(doc_id: int) -> np.ndarray:
     """Deterministic (16, 18, 3) gray-as-RGB image for ``doc_id``.
 
@@ -91,10 +106,11 @@ def synth_neardup_image(doc_id: int) -> np.ndarray:
     (dHash Hamming ≤ 4) while distinct groups differ by ~32 bits.
     """
     group, variant = int(doc_id) // 4, int(doc_id) % 4
-    arr = np.empty((_SYN_H, _SYN_W), dtype=np.uint8)
-    for y in range(_SYN_H):
-        for x in range(_SYN_W):
-            arr[y, x] = _h8(f"g{group}|{y}|{x}")
+    arr = (
+        np.frombuffer(_synth_base_bytes(group), dtype=np.uint8)
+        .reshape(_SYN_H, _SYN_W)
+        .copy()  # the cached base is shared — never mutate it
+    )
     if variant:
         ys = 2 * (_h8(f"py{doc_id}") % _GRID_H)
         xs = 2 * (_h8(f"px{doc_id}") % _GRID_W)
