@@ -1669,7 +1669,16 @@ def _ann_vecs_ckpt(spark: SparkSession, per_row_ops: int = 64):
     )
     # ~720 estimated bytes per embeddings row (id + 64-float array)
     rows_est = max(1, est_bytes // 720)
-    width = min(32, max(1, round(rows_est * per_row_ops / 750_000)))
+    # r11 (VERDICT-r10 #1): cap by SESSION parallelism, not a literal
+    # core count — at cluster scale the conf/defaultParallelism carry
+    # the real executor width, and a hard 32 would serialize the
+    # interpreted array kernels over the op-heaviest table in the
+    # family (the same derivation graph._edge_table uses).
+    cap = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    width = min(cap, max(1, round(rows_est * per_row_ops / 750_000)))
     return (
         spark.sql(
             """SELECT vec_id,

@@ -754,7 +754,13 @@ def neardup_canonical(
     Scale shape: inherits neardup_clusters' per-iteration equi-join
     bound; the keeper choice adds one window partitioned BY CLUSTER —
     distributed across clusters, each partition the size of one
-    cluster (LSH-bounded), never a global sort.
+    cluster (LSH-bounded), never a global sort. r11 (VERDICT-r10 #6,
+    the struct-argmax device): the keeper is ``max(struct(quality,
+    -doc_id))`` over the UNORDERED cluster window — identical to the
+    old ``row_number() = 1`` under (quality DESC, doc_id) because
+    (quality, -doc_id) is unique per row — the exchange survives but
+    the partition sort narrows from three keys to cluster_id alone and
+    the running row_number becomes one unbounded max.
     """
     from pyspark.sql.window import Window
 
@@ -762,15 +768,27 @@ def neardup_canonical(
         docs, n, text_col, n_perm, n_bands, iters
     ).select("doc_id", "cluster_id")
     j = clusters.join(quality.select("doc_id", "quality"), "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("quality").desc(), F.col("doc_id")
+    w = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn(
+            "_best",
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"), (-F.col("doc_id")).alias("nd")
+                )
+            ).over(w),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (
+                (F.col("quality") == F.col("_best.q"))
+                & (F.col("doc_id") == -F.col("_best.nd"))
+            ).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
     )
-    return j.select(
-        "doc_id",
-        "cluster_id",
-        "quality",
-        (F.row_number().over(w) == 1).alias("is_canonical"),
-    ).orderBy("doc_id")
 
 
 def minhash_cross_decontaminate(

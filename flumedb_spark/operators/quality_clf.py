@@ -39,8 +39,6 @@ Python anywhere, no windows at all (plan-gated in tests/test_plans.py).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -361,23 +359,40 @@ def train_quality_classifier_lr(
     )
     n_lab = labels.count()
     spark = docs.sparkSession
-    # JVM-side empty init (a createDataFrame literal would put a Python
-    # RDD scan into every downstream plan)
-    weights = spark.range(0).select(
-        F.col("id").alias("b"), F.lit(0).cast("long").alias("w_micro")
+    # r11 (VERDICT-r10 #4): the bias rides IN the weight frame as the
+    # reserved bucket b = -1 (real buckets are md5-uniform in
+    # [0, N_BUCKETS)), so each iteration is ONE blocking job (the state
+    # checkpoint) and ZERO driver collects — the pagerank scalar-join
+    # idiom applied to the last per-iteration driver sync. The b = -1
+    # row never matches a labeled (doc, bucket) row in the margin join;
+    # the returned weights/bias are slices of the checkpointed state.
+    # Its gradient step is round(lr*g/n_lab) — the bias is ALREADY in
+    # micro-units, where a weight step de-scales err (/MICRO) and then
+    # re-scales the stored weight (*MICRO); the two float expressions
+    # are kept verbatim (x/1e6*1e6 != x in IEEE — the oracle replays
+    # each form exactly).
+    # JVM-side init (a createDataFrame literal would put a Python RDD
+    # scan into every downstream plan)
+    state = spark.range(1).select(
+        F.lit(-1).cast("long").alias("b"), F.lit(0).cast("long").alias("w_micro")
     )
-    bias_val = 0
     for _ in range(n_iters):
         per_doc = (
-            lab.join(F.broadcast(weights), "b", "left")
+            lab.join(F.broadcast(state), "b", "left")
             .groupBy("doc_id", "y")
             .agg(
-                (
-                    F.lit(bias_val)
-                    + F.sum(F.col("c") * F.coalesce(F.col("w_micro"), F.lit(0)))
+                F.sum(F.col("c") * F.coalesce(F.col("w_micro"), F.lit(0)))
+                .alias("_dot")
+            )
+            .crossJoin(
+                F.broadcast(
+                    state.where(F.col("b") == -1).select(
+                        F.col("w_micro").alias("_w0")
+                    )
                 )
-                .cast("long")
-                .alias("margin_micro")
+            )
+            .withColumn(
+                "margin_micro", (F.col("_w0") + F.col("_dot")).cast("long")
             )
             .withColumn("p_micro", _p_micro("margin_micro"))
             .withColumn(
@@ -389,38 +404,47 @@ def train_quality_classifier_lr(
             .groupBy("b")
             .agg(F.sum(F.col("c") * F.col("err")).cast("long").alias("g"))
         )
+        bias_g = per_doc.agg(F.sum("err").cast("long").alias("g")).select(
+            F.lit(-1).cast("long").alias("b"),
+            F.lit(0).cast("long").alias("w_micro"),
+            "g",
+        )
         # union + groupBy instead of a FULL OUTER join (full outer
         # cannot broadcast — it would SortMergeJoin two kilobyte tables
         # every iteration)
-        weights = (
+        state = (
             grad.select("b", F.lit(0).cast("long").alias("w_micro"), "g")
+            .unionByName(bias_g)
             .unionByName(
-                weights.select("b", "w_micro", F.lit(0).cast("long").alias("g"))
+                state.select("b", "w_micro", F.lit(0).cast("long").alias("g"))
             )
             .groupBy("b")
             .agg(
                 (
                     F.sum("w_micro")
-                    + F.round(
-                        F.lit(lr) * F.sum("g")
-                        / F.lit(float(n_lab)) / MICRO * MICRO
-                    ).cast("long")
+                    + F.when(
+                        F.col("b") == -1,
+                        # the bias step — round() is HALF-AWAY-FROM-ZERO
+                        # in both engines' SQL (the old driver-side fold
+                        # used floor(abs+0.5) to match it)
+                        F.round(F.lit(lr) * F.sum("g") / F.lit(float(n_lab))),
+                    )
+                    .otherwise(
+                        F.round(
+                            F.lit(lr) * F.sum("g")
+                            / F.lit(float(n_lab)) / MICRO * MICRO
+                        )
+                    )
+                    .cast("long")
                 )
                 .cast("long")
                 .alias("w_micro")
             )
             .localCheckpoint(eager=True)
         )
-        gb = per_doc.agg(F.sum("err").cast("long").alias("g")).collect()[0].g
-        # HALF-AWAY-FROM-ZERO, matching SQL round() in both engines —
-        # Python's built-in round is banker's rounding and would
-        # diverge on an exact-.5 gradient step
-        step = lr * gb / float(n_lab)
-        bias_val = bias_val + int(math.floor(abs(step) + 0.5)) * (
-            1 if step >= 0 else -1
-        )
-    bias = spark.range(1).select(
-        F.lit(int(bias_val)).cast("long").alias("w0_micro"),
+    weights = state.where(F.col("b") >= 0)
+    bias = state.where(F.col("b") == -1).select(
+        F.col("w_micro").alias("w0_micro"),
         F.lit(int(n_lab)).cast("long").alias("n_lab"),
     )
     return weights, bias

@@ -80,7 +80,9 @@ def main() -> int:
         spark.catalog.cacheTable(t)
         spark.table(t).count()
 
-    out_dir = os.path.join(_REPO, "plans", "r10")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR", os.path.join(_REPO, "plans", "r11")
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:
