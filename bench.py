@@ -406,6 +406,18 @@ def main() -> None:
                     _duck_once(con, name)
                 except Exception:
                     tducks.remove(name)
+        # r11 measurement-symmetry fix (VERDICT-r10 #3/#5, declared in
+        # OPTIMIZATION_r11.md): the DuckDB side of this section gets an
+        # untimed warm execution (the loop above), the Spark side did
+        # NOT — its pass 1 paid JVM JIT warm-up of the generated code
+        # (measured: q21 first/second/third = 3.0/1.8/0.32 s for
+        # identical passes), so min-of-2 recorded warm-up, not
+        # execution. One untimed Spark sweep restores the symmetry the
+        # sf10 section already has ("warm pass, not recorded"); budget-
+        # guarded like every optional cost.
+        if _elapsed() < 0.35 * BENCH_BUDGET:
+            for name in TPCH:
+                qs[name](spark, sf_dir).count()
         for _ in range(2):
             for name in TPCH:
                 t0 = time.perf_counter()
@@ -657,6 +669,17 @@ def main() -> None:
         # the benched SF registered; constructed inside the timer each
         # pass (r6 honesty note: several extras materialize eagerly
         # during construction)
+        # r11 measurement-symmetry fix (VERDICT-r10 #5, declared in
+        # OPTIMIZATION_r11.md): same as the TPC-H section — the DuckDB
+        # warm loop above runs every extras oracle once untimed, while
+        # a budget-trimmed single Spark pass measured JIT warm-up and
+        # Python-worker spawn (driver r10: ns_token_fertility 1.02 s
+        # single-pass vs 0.18-0.27 s warm). One untimed Spark sweep
+        # restores the sf10-section symmetry; budget-guarded — when the
+        # budget is nearly spent the section behaves exactly as before.
+        if _elapsed() < 0.75 * BENCH_BUDGET:
+            for name in EXTRAS:
+                qs[name](spark, sf_dir).count()
         for _ in range(_trim(2, 1, 0.8)):
             for name in EXTRAS:
                 t0 = time.perf_counter()
@@ -681,6 +704,43 @@ def main() -> None:
       except Exception as exc:  # pragma: no cover - best-effort section
         out["northstar_extras"] = {"error": str(exc)}
     print(f"# [t={_elapsed():.0f}s] extras section done", file=sys.stderr)
+
+    # r11 (VERDICT-r10 #4/"what's wrong" #4): the headline sections pin
+    # base tables as in-memory columnar batches (the warm-engine
+    # analogue of DuckDB's buffer pool over OS-cached parquet). Make
+    # that posture SELF-DESCRIBING: one additional sequential pass of
+    # the headline set with every table UNCACHED — parquet-served, the
+    # cold-input bound — under the same AQE/width serving state as the
+    # cached sequential section. Runs LAST (nothing needs the cache
+    # after it) and is budget-guarded like the other optional tails.
+    if _elapsed() > 1.3 * BENCH_BUDGET:
+        out["uncached_headline"] = {
+            "skipped": f"time budget: >{1.3 * BENCH_BUDGET:.0f}s elapsed"
+        }
+    else:
+        try:
+            from flumedb_spark.catalog import TABLES as _tables
+
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_for_sf)
+            if seq_width:
+                spark.conf.set("spark.sql.shuffle.partitions", seq_width)
+            for t in _tables:
+                spark.catalog.uncacheTable(t)
+            uq: dict[str, float] = {}
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                uq[name] = round(time.perf_counter() - t0, 4)
+            out["uncached_headline"] = {
+                "queries": uq,
+                "total_sec": round(sum(uq.values()), 4),
+                "note": "single pass, tables uncached (parquet-served); "
+                "all other sections measure warm cached inputs, paired "
+                "against DuckDB's warm parquet views",
+            }
+        except Exception as exc:  # pragma: no cover - best-effort section
+            out["uncached_headline"] = {"error": str(exc)}
+    print(f"# [t={_elapsed():.0f}s] uncached section done", file=sys.stderr)
 
     # Emission contract (VERDICT r3 #1): the driver tail-captures stdout
     # and parses the LAST line as JSON — round 3's single giant line
@@ -957,6 +1017,13 @@ def compact_summary(out: dict, full_path: str | None = None) -> dict:
         "sf10_skipped": (
             out["sf10"].get("skipped")
             if isinstance(out.get("sf10"), dict)
+            else None
+        ),
+        # r11: the input-caching posture as a number — one uncached
+        # (parquet-served) sequential pass of the headline set
+        "uncached_headline_sec": (
+            out["uncached_headline"].get("total_sec")
+            if isinstance(out.get("uncached_headline"), dict)
             else None
         ),
         "n_queries": len(out["queries"]),
