@@ -415,7 +415,7 @@ def main() -> None:
         # execution. One untimed Spark sweep restores the symmetry the
         # sf10 section already has ("warm pass, not recorded"); budget-
         # guarded like every optional cost.
-        if _elapsed() < 0.35 * BENCH_BUDGET:
+        if _elapsed() < 0.5 * BENCH_BUDGET:
             for name in TPCH:
                 qs[name](spark, sf_dir).count()
         for _ in range(2):
@@ -677,7 +677,12 @@ def main() -> None:
         # single-pass vs 0.18-0.27 s warm). One untimed Spark sweep
         # restores the sf10-section symmetry; budget-guarded — when the
         # budget is nearly spent the section behaves exactly as before.
-        if _elapsed() < 0.75 * BENCH_BUDGET:
+        # guard at 1.0x: the extras section starts ~0.75-0.85x into a
+        # driver-length run and the sweep is ~3% of the budget; the
+        # whole section is only skipped past 1.2x, so the sweep fits
+        # whenever the section itself does (a badly starved run still
+        # degrades to the old cold single pass)
+        if _elapsed() < 1.0 * BENCH_BUDGET:
             for name in EXTRAS:
                 qs[name](spark, sf_dir).count()
         for _ in range(_trim(2, 1, 0.8)):
