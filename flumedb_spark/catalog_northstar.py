@@ -1798,58 +1798,73 @@ def _lsh_ranked_spark(
     return _ann_ranked_arr(spark, cand, vecs)
 
 
-def _ivf_vcs_ckpt(spark: SparkSession, vecs, n_centroids: int = 16):
+def _ivf_vcs_expr(spark: SparkSession, vecs, n_centroids: int = 16,
+                  where: str = "TRUE"):
     """Voronoi cosine table (the `vcs` CTE of _ivf_assign_ctes) over
-    the array table, checkpointed: it feeds both the assignment and
-    the probe ranking. The seed-centroid side is n_centroids rows
-    (broadcast); each (vec, cent) cosine is one zip_with dot —
-    arithmetic identical to the cflat/cnorm/vc/vcs CTE chain."""
+    the array table as a LAZY frame. The seed-centroid side is
+    n_centroids rows (broadcast); each (vec, cent) cosine is one
+    zip_with dot — arithmetic identical to the cflat/cnorm/vc/vcs CTE
+    chain."""
     cvecs = spark.sql(
         f"SELECT vec_id AS cent_id, earr AS carr, n2 AS cn2 FROM {{v}} "
         f"ORDER BY vec_id LIMIT {n_centroids}",
         v=vecs,
     )
+    return spark.sql(
+        f"""
+        SELECT v.vec_id, c.cent_id,
+          CAST({_arr_dot('v.earr', 'c.carr')} AS DOUBLE)
+            / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS cos_c
+        FROM {{v}} v CROSS JOIN {{c}} c
+        WHERE {where}
+        """,
+        v=vecs,
+        c=cvecs,
+    )
+
+
+def _ivf_assign_ckpt(spark: SparkSession, vecs):
+    """Voronoi assignment (nearest seeded centroid per vector, the
+    struct-max argmax — r10 wave 2) materialized ONCE per construction.
+    r11 (guide §2.3 applied to the materialization, the PQ-codes
+    device): the checkpoint previously stored the full n_vecs x
+    n_centroids cosine table and the downstream query re-read and
+    re-aggregated it; the argmax now folds INTO the checkpoint job
+    (map-side combinable), so the materialized frame is ONE row per
+    vector (16x smaller) and the probe side recomputes the 5 query
+    vectors' cosines (n_queries x n_centroids — metadata-scale)."""
     return (
         spark.sql(
-            f"""
-            SELECT v.vec_id, c.cent_id,
-              CAST({_arr_dot('v.earr', 'c.carr')} AS DOUBLE)
-                / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS cos_c
-            FROM {{v}} v CROSS JOIN {{c}} c
+            """
+            SELECT vec_id, CAST(-m.g AS BIGINT) AS cent_id FROM (
+              SELECT vec_id, max(named_struct('c', cos_c, 'g', -cent_id)) AS m
+              FROM {vcs} GROUP BY vec_id
+            ) ar
             """,
-            v=vecs,
-            c=cvecs,
+            vcs=_ivf_vcs_expr(spark, vecs),
         )
-        .coalesce(vecs.rdd.getNumPartitions())
         .localCheckpoint(eager=True)
     )
 
 
-def _ivf_ranked_spark(spark: SparkSession, vecs, vcs, n_probe: int = 4):
-    """Seeded-IVF candidate ranking over materialized vecs + vcs —
-    arithmetic identical to _ivf_seeded_sql."""
+def _ivf_ranked_spark(spark: SparkSession, vecs, assign, n_probe: int = 4):
+    """Seeded-IVF candidate ranking over materialized vecs + assign —
+    arithmetic identical to _ivf_seeded_sql; the probe side recomputes
+    the 5 query vectors' cosines (r11, see _ivf_assign_ckpt)."""
     cand = spark.sql(
         f"""
-        WITH assign AS (
-          -- argmax as a struct-max aggregate (r10 wave 2): max over
-          -- (cos_c, -cent_id) == the row_number()=1 row under
-          -- ORDER BY cos_c DESC, cent_id — no window sort of vcs
-          SELECT vec_id, CAST(-m.g AS BIGINT) AS cent_id FROM (
-            SELECT vec_id, max(named_struct('c', cos_c, 'g', -cent_id)) AS m
-            FROM {{vcs}} GROUP BY vec_id
-          ) ar
-        ),
-        probe AS (
+        WITH probe AS (
           SELECT vec_id AS query_id, cent_id FROM (
             SELECT vec_id, cent_id,
               row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
-            FROM {{vcs}} WHERE vec_id < 5
+            FROM {{vcs_q}}
           ) pr WHERE rn <= {n_probe}
         )
         SELECT DISTINCT p.query_id, a.vec_id
-        FROM probe p JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
+        FROM probe p JOIN {{a}} a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
         """,
-        vcs=vcs,
+        vcs_q=_ivf_vcs_expr(spark, vecs, where="v.vec_id < 5"),
+        a=assign,
     )
     return _ann_ranked_arr(spark, cand, vecs)
 
@@ -1879,7 +1894,7 @@ def ns_lsh_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ns_ivf_ann_topk_seeded", oracle=_ivf_seeded_sql(_ANN_DUCK))
 def ns_ivf_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _ann_vecs_ckpt(spark, per_row_ops=16 * 64)
-    ranked = _ivf_ranked_spark(spark, vecs, _ivf_vcs_ckpt(spark, vecs))
+    ranked = _ivf_ranked_spark(spark, vecs, _ivf_assign_ckpt(spark, vecs))
     return spark.sql(
         "SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "
         "CAST(rn AS INT) AS rank FROM {r} WHERE rn <= 10 ORDER BY query_id, rank",
@@ -1891,7 +1906,7 @@ def ns_ivf_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_ivf_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _ann_vecs_ckpt(spark, per_row_ops=16 * 64)
     approx = (
-        _ivf_ranked_spark(spark, vecs, _ivf_vcs_ckpt(spark, vecs))
+        _ivf_ranked_spark(spark, vecs, _ivf_assign_ckpt(spark, vecs))
         .where("rn <= 10")
         .select("query_id", "neighbor_id")
     )
@@ -2513,16 +2528,11 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once per construction, intra-cluster pair cosines are
     per-row zip_with dots; arithmetic and oracle unchanged."""
     vecs = _ann_vecs_ckpt(spark, per_row_ops=16 * 64)
-    vcs = _ivf_vcs_ckpt(spark, vecs)
-    assign = spark.sql(
-        """
-        SELECT vec_id, CAST(-m.g AS BIGINT) AS cent_id FROM (
-          SELECT vec_id, max(named_struct('c', cos_c, 'g', -cent_id)) AS m
-          FROM {vcs} GROUP BY vec_id
-        ) ar
-        """,
-        vcs=vcs,
-    ).coalesce(vecs.rdd.getNumPartitions()).localCheckpoint(eager=True)
+    # r11: the vcs cosine table was checkpointed ONLY to feed this
+    # assign checkpoint — the argmax now folds into one materialization
+    # job (the PQ-codes device; see _ivf_assign_ckpt), dropping a
+    # blocking job and a 16x-larger intermediate.
+    assign = _ivf_assign_ckpt(spark, vecs)
     return spark.sql(
         f"""
         WITH pairs AS (
@@ -3428,19 +3438,22 @@ def _pq_recall_sql(d: dict, dv: str, m: int = 4, n_codes: int = 16) -> str:
     """
 
 
-def _pq_dtab_ckpt(
-    spark: SparkSession, vecs, d: int, m: int = 4, n_codes: int = 16
+def _pq_dtab_expr(
+    spark: SparkSession, vecs, d: int, m: int = 4, n_codes: int = 16,
+    where: str = "TRUE",
 ):
     """PQ subdistance table (the `dtab` CTE of _pq_ctes) over the
-    array table, checkpointed: it feeds both the encoding argmin and
-    the query distance tables. The subspace of 1-based index ``i`` is
+    array table as a LAZY frame. The subspace of 1-based index ``i`` is
     ``((i-1)*m) div nd`` (nd = the global max dimensionality, same as
     the dim CTE), so subspace ``s`` covers the contiguous index range
     [ceil(s*nd/m)+1, ceil((s+1)*nd/m)] — computed here in Python from
-    ``d`` and evaluated as one zip_with squared-difference sum per
-    (vec, centroid, subspace) over array slices. Indices present in
-    only one side contribute nothing (NULL coalesced to 0), exactly
-    like the join on (i, s)."""
+    ``d``. r11: the squared differences are ONE ``zip_with`` over the
+    full arrays shared by all subspaces, then one slice-fold per
+    subspace — identical values to the old per-subspace
+    slice/slice/zip chains (slicing a zip of full arrays == zipping
+    the slices: absent-on-either-side indices are NULL either way and
+    coalesce to 0, exactly like the join on (i, s)) with ~3x fewer
+    array allocations per (vec, centroid) row."""
     cvecs = spark.sql(
         f"SELECT vec_id AS cent_id, earr AS carr FROM {{v}} "
         f"ORDER BY vec_id LIMIT {n_codes}",
@@ -3452,46 +3465,64 @@ def _pq_dtab_ckpt(
         hi = -((-(s + 1) * d) // m)
         n = hi - lo + 1
         d2 = (
-            f"aggregate(zip_with(slice(earr, {lo}, {n}), slice(carr, {lo}, {n}), "
-            "(x, y) -> (x - y) * (x - y)), "
+            f"aggregate(slice(dsq, {lo}, {n}), "
             "CAST(0 AS BIGINT), (acc, v) -> acc + coalesce(v, CAST(0 AS BIGINT)))"
         )
         structs.append(f"named_struct('s', CAST({s} AS BIGINT), 'd2', {d2})")
+    return spark.sql(
+        f"""
+        SELECT p.vec_id, sd.s, p.cent_id, sd.d2
+        FROM (
+          SELECT v.vec_id, c.cent_id,
+            zip_with(earr, carr, (x, y) -> (x - y) * (x - y)) AS dsq
+          FROM {{v}} v CROSS JOIN {{c}} c
+          WHERE {where}
+        ) p
+        LATERAL VIEW explode(array({','.join(structs)})) E AS sd
+        """,
+        v=vecs,
+        c=cvecs,
+    )
+
+
+def _pq_codes_ckpt(spark: SparkSession, vecs, d: int):
+    """PQ code assignment (the `codes` CTE: nearest sub-centroid per
+    (vec, subspace) as a map-side-combinable struct-min — r10 wave 2)
+    materialized ONCE per construction. r11 (guide §2.3 "aggregate
+    before you shuffle" applied to the materialization itself): the
+    checkpoint previously stored the full n_vecs x n_codes x m
+    subdistance table and the final job re-read and re-aggregated it;
+    the argmin now folds INTO the checkpoint job, so the materialized
+    frame is n_vecs x m code rows (16x smaller) and the query-side
+    distances are recomputed from the 5 query vectors (n_queries x
+    n_codes x m rows — metadata-scale) instead of being stored."""
     return (
         spark.sql(
-            f"""
-            SELECT v.vec_id, sd.s, c.cent_id, sd.d2
-            FROM {{v}} v CROSS JOIN {{c}} c
-            LATERAL VIEW explode(array({','.join(structs)})) E AS sd
+            """
+            SELECT vec_id, s, m.cent_id AS code FROM (
+              SELECT vec_id, s, min(named_struct('d2', d2, 'cent_id', cent_id)) AS m
+              FROM {dtab} GROUP BY vec_id, s
+            ) cr
             """,
-            v=vecs,
-            c=cvecs,
+            dtab=_pq_dtab_expr(spark, vecs, d),
         )
-        .coalesce(vecs.rdd.getNumPartitions())
         .localCheckpoint(eager=True)
     )
 
 
-def _pq_ranked_spark(spark: SparkSession, dtab):
-    """ADC ranking over a materialized dtab — arithmetic identical to
-    _pq_ctes' codes/qt/adc/rankedpq chain."""
+def _pq_ranked_spark(spark: SparkSession, vecs, codes, d: int):
+    """ADC ranking over the materialized code table — arithmetic
+    identical to _pq_ctes' codes/qt/adc/rankedpq chain; the query
+    distance table is recomputed from the 5 query vectors (r11, see
+    _pq_codes_ckpt)."""
     return spark.sql(
         """
-        WITH codes AS (
-          -- argmin as a map-side-combinable struct-min aggregate (r10
-          -- wave 2): min(struct(d2, cent_id)) == the row_number()=1 row
-          -- under ORDER BY d2, cent_id, without the window sort of the
-          -- n_vecs x (codes x subspaces) table
-          SELECT vec_id, s, m.cent_id AS code FROM (
-            SELECT vec_id, s, min(named_struct('d2', d2, 'cent_id', cent_id)) AS m
-            FROM {dtab} GROUP BY vec_id, s
-          ) cr
-        ),
-        qt AS (SELECT vec_id AS query_id, s, cent_id, d2 FROM {dtab} WHERE vec_id < 5),
-        adc AS (
+        WITH adc AS (
           SELECT qt.query_id, v.vec_id AS neighbor_id,
             CAST(sum(qt.d2) AS BIGINT) AS adc_d2
-          FROM codes v JOIN qt ON qt.s = v.s AND qt.cent_id = v.code
+          FROM {codes} v JOIN (
+            SELECT vec_id AS query_id, s, cent_id, d2 FROM {qt}
+          ) qt ON qt.s = v.s AND qt.cent_id = v.code
           WHERE v.vec_id != qt.query_id
           GROUP BY 1, 2
         )
@@ -3499,7 +3530,8 @@ def _pq_ranked_spark(spark: SparkSession, dtab):
           row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
         FROM adc
         """,
-        dtab=dtab,
+        codes=codes,
+        qt=_pq_dtab_expr(spark, vecs, d, where="v.vec_id < 5"),
     )
 
 
@@ -3508,7 +3540,8 @@ def ns_pq_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC top-10 with seeded codebooks; the ranking key is an
     exact BIGINT — zero floats in the ordering (see _pq_ctes)."""
     vecs = _ann_vecs_ckpt(spark, per_row_ops=16 * 64)
-    ranked = _pq_ranked_spark(spark, _pq_dtab_ckpt(spark, vecs, _ann_dim(spark)))
+    d = _ann_dim(spark)
+    ranked = _pq_ranked_spark(spark, vecs, _pq_codes_ckpt(spark, vecs, d), d)
     return spark.sql(
         "SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INT) AS rank "
         "FROM {r} WHERE rn <= 10 ORDER BY query_id, rank",
@@ -3521,8 +3554,9 @@ def ns_pq_ann_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of PQ-ADC vs exact squared-L2 — quantization loss
     measured, not assumed (see _pq_recall_sql)."""
     vecs = _ann_vecs_ckpt(spark, per_row_ops=16 * 64)
+    d = _ann_dim(spark)
     approx = (
-        _pq_ranked_spark(spark, _pq_dtab_ckpt(spark, vecs, _ann_dim(spark)))
+        _pq_ranked_spark(spark, vecs, _pq_codes_ckpt(spark, vecs, d), d)
         .where("rn <= 10")
         .select("query_id", "neighbor_id")
     )
