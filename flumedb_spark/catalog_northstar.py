@@ -1850,7 +1850,14 @@ def _ivf_assign_ckpt(spark: SparkSession, vecs):
 def _ivf_ranked_spark(spark: SparkSession, vecs, assign, n_probe: int = 4):
     """Seeded-IVF candidate ranking over materialized vecs + assign —
     arithmetic identical to _ivf_seeded_sql; the probe side recomputes
-    the 5 query vectors' cosines (r11, see _ivf_assign_ckpt)."""
+    the 5 query vectors' cosines (r11, see _ivf_assign_ckpt).
+
+    The probe side is BROADCAST by hint (guide §3.1): it is bounded at
+    n_queries x n_probe rows BY CONSTRUCTION (20 here) at any scale,
+    but it hangs off a window over a checkpointed RDD, so the planner
+    has no stats and was picking a SortMergeJoin — two exchanges and
+    two sorts of which one side is the data-sized assign table
+    (plan-verified SMJ -> BHJ, rows identical, paired A/B 1.07x)."""
     cand = spark.sql(
         f"""
         WITH probe AS (
@@ -1860,7 +1867,7 @@ def _ivf_ranked_spark(spark: SparkSession, vecs, assign, n_probe: int = 4):
             FROM {{vcs_q}}
           ) pr WHERE rn <= {n_probe}
         )
-        SELECT DISTINCT p.query_id, a.vec_id
+        SELECT /*+ BROADCAST(p) */ DISTINCT p.query_id, a.vec_id
         FROM probe p JOIN {{a}} a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
         """,
         vcs_q=_ivf_vcs_expr(spark, vecs, where="v.vec_id < 5"),
@@ -3514,11 +3521,20 @@ def _pq_ranked_spark(spark: SparkSession, vecs, codes, d: int):
     """ADC ranking over the materialized code table — arithmetic
     identical to _pq_ctes' codes/qt/adc/rankedpq chain; the query
     distance table is recomputed from the 5 query vectors (r11, see
-    _pq_codes_ckpt)."""
+    _pq_codes_ckpt).
+
+    The qt side is BROADCAST by hint (guide §3.1): it is bounded at
+    n_queries x n_codes x m rows BY CONSTRUCTION (320 here) at any
+    scale, but the stats-less checkpoint RDDs made the planner pick a
+    SortMergeJoin that hash-shuffled the DATA-SIZED codes table on
+    (s, code) — a key that has nothing to do with the downstream
+    (query_id, neighbor_id) grouping. The broadcast removes that
+    data-sized exchange outright (plan-verified SMJ -> BHJ, rows
+    identical, paired A/B 1.05-1.10x locally)."""
     return spark.sql(
         """
         WITH adc AS (
-          SELECT qt.query_id, v.vec_id AS neighbor_id,
+          SELECT /*+ BROADCAST(qt) */ qt.query_id, v.vec_id AS neighbor_id,
             CAST(sum(qt.d2) AS BIGINT) AS adc_d2
           FROM {codes} v JOIN (
             SELECT vec_id AS query_id, s, cent_id, d2 FROM {qt}
